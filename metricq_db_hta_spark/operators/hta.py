@@ -1,0 +1,151 @@
+"""Hierarchical Timeline Aggregation (HTA) as Spark DataFrame plans.
+
+The reference maintains, per metric, a hierarchy of materialized rollup
+levels with widths ``interval_min * interval_factor**k`` and answers history
+queries from the coarsest sufficient level (SURVEY.md §1.3, operators A5/A7;
+call sites /root/reference/src/async_hta_service.hpp:281-290,361-441). This
+module re-expresses that as:
+
+* ``level0(samples, width_ns)`` — the six-field Aggregate record per
+  (metric, epoch-aligned bucket) tumbling window, computed with built-in
+  JVM-side aggregates (one shuffle on the group key; map-side partial agg).
+* ``rollup(level_k)`` — level k -> level k+1 re-aggregation. The Aggregate
+  record is mergeable (min/max/sum/count/integral/active_time of a union is
+  the pointwise min/max/sum — SURVEY §1.2), which is exactly Spark's
+  partial/final aggregation contract, so a factor-F rollup is a plain
+  groupBy over F buckets.
+
+Engine-defined integral semantics (SURVEY §7 risk 1 — the reference snapshot
+does not ship the hta library, so the edge attribution is *defined* here and
+encoded identically in the DuckDB oracle): each sample carries
+``delta_ns = ts_ns - lag(ts_ns) over (partition by metric order by ts_ns)``
+(0 for the first sample of a metric) and contributes
+``floor(value * delta_ns / 1e6)`` — the time-weighted slice quantized to
+integer **value*milliseconds** — to the integral, and ``delta_ns`` to
+active_time, of **the bucket containing its timestamp** (point attribution,
+no edge splitting). Point attribution keeps the record exactly mergeable
+across levels, which is the property the hierarchy needs; integer
+quantization makes the integral a BIGINT whose sums are exact and
+order-independent on any engine (a float integral at value*ns magnitudes
+~1e17 cannot be compared reliably across engines: double->decimal casts
+disagree — Spark uses shortest round-trip, DuckDB the exact binary
+expansion — once ulp exceeds the comparison scale).
+
+Scale notes (100 TB): the lag() window and the level-0 groupBy both hash on
+``metric`` — a single shuffle serves both when the input is repartitioned by
+metric first. Levels k>=1 re-aggregate level k-1 (each ~1/F the size of its
+parent), so the whole cascade costs ~2x the level-0 pass. Storage should be
+partitioned by (metric-bucket, time-range) for partition-pruned reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from metricq_db_hta_spark.functions.timeutil import bucket_start_ns
+
+#: Aggregate record columns, in schema order
+#: (/root/reference/src/async_hta_service.hpp:381-387).
+AGG_FIELDS = ("minimum", "maximum", "sum", "count", "integral", "active_time")
+
+DEFAULT_WIDTH_NS = 3_600_000_000_000  # 1 hour
+DEFAULT_FACTOR = 10
+
+#: exact accumulator type for sum/integral (see level0 docstring)
+DECIMAL = "decimal(38,6)"
+
+
+def with_delta(
+    samples: DataFrame, metric_col: str = "metric", ts_col: str = "ts_ns"
+) -> DataFrame:
+    """Attach per-sample ``delta_ns`` (gap to the previous sample of the
+    same metric; 0 for the first)."""
+    w = Window.partitionBy(metric_col).orderBy(ts_col)
+    return samples.withColumn(
+        "delta_ns",
+        (F.col(ts_col) - F.lag(ts_col, 1).over(w)).cast("long"),
+    ).fillna({"delta_ns": 0})
+
+
+def level0(
+    samples: DataFrame,
+    width_ns: int = DEFAULT_WIDTH_NS,
+    metric_col: str = "metric",
+    ts_col: str = "ts_ns",
+    value_col: str = "value",
+) -> DataFrame:
+    """Level-0 rollup: six-field Aggregate per (metric, tumbling bucket).
+
+    Input: one row per valid sample (already through the ingest filters,
+    operators A3/A4). Output schema matches FIXTURES.md ``agg_level_k``.
+    """
+    df = with_delta(samples, metric_col, ts_col)
+    return (
+        df.groupBy(
+            F.col(metric_col).alias("metric"),
+            bucket_start_ns(ts_col, width_ns).alias("bucket_start_ns"),
+        )
+        .agg(
+            F.min(value_col).alias("minimum"),
+            F.max(value_col).alias("maximum"),
+            # sum accumulates in DECIMAL(38,6): exact and order-independent,
+            # so the rollup cascade is *bit*-mergeable (level k+1 from level
+            # k == level k+1 from raw) — float sums would break that under
+            # Spark's nondeterministic partial-merge order. integral is
+            # BIGINT value*ms (module docstring). Presentation casts back.
+            F.sum(F.col(value_col).cast(DECIMAL)).alias("sum"),
+            F.count(value_col).alias("count"),
+            F.sum(
+                F.floor(F.col(value_col) * F.col("delta_ns") / F.lit(1_000_000.0))
+            )
+            .cast("long")
+            .alias("integral"),
+            F.sum("delta_ns").cast("long").alias("active_time"),
+        )
+    )
+
+
+def rollup(level_k: DataFrame, factor: int = DEFAULT_FACTOR, width_ns: int | None = None) -> DataFrame:
+    """Re-aggregate level k into level k+1 (bucket width * factor).
+
+    ``width_ns`` is the *target* (level k+1) width; if omitted it is
+    inferred as factor * the modal gap — callers normally pass it.
+    Exercises the mergeability property (SURVEY §5.3a): rolling up level k
+    must equal computing level k+1 from raw.
+    """
+    if width_ns is None:
+        raise ValueError("pass the target level width_ns explicitly")
+    return (
+        level_k.groupBy(
+            "metric",
+            bucket_start_ns("bucket_start_ns", width_ns).alias("bucket_start_ns"),
+        )
+        .agg(
+            F.min("minimum").alias("minimum"),
+            F.max("maximum").alias("maximum"),
+            # decimal-in, decimal-out (Spark: sum(decimal(38,6)) -> (38,6))
+            F.sum("sum").alias("sum"),
+            F.sum("count").cast("long").alias("count"),
+            F.sum("integral").cast("long").alias("integral"),
+            F.sum("active_time").cast("long").alias("active_time"),
+        )
+    )
+
+
+def build_levels(
+    samples: DataFrame,
+    interval_min_ns: int = DEFAULT_WIDTH_NS,
+    factor: int = DEFAULT_FACTOR,
+    n_levels: int = 3,
+    **cols,
+) -> list[DataFrame]:
+    """The full cascade: [level0, level1, ...] with widths
+    ``interval_min_ns * factor**k`` (reference config triple,
+    /root/reference/src/tools/metricq_importer/importer.py:83-91)."""
+    levels = [level0(samples, interval_min_ns, **cols)]
+    width = interval_min_ns
+    for _ in range(1, n_levels):
+        width *= factor
+        levels.append(rollup(levels[-1], factor, width_ns=width))
+    return levels

@@ -1,0 +1,107 @@
+"""Batch flavor of the reference's ingest operator chain (SURVEY §3.1).
+
+Chain, in reference order (/root/reference/src/async_hta_service.hpp:251-328):
+
+  A2 rename projection  -> broadcast join against the metrics config
+  A3 monotonicity filter -> keep a sample only if its ts is strictly greater
+                            than every earlier-arriving ts of the same metric
+  A4 validity filter     -> drop NaN / +-Inf values
+
+The reference processes chunks in arrival order and keeps a per-metric
+high-watermark (``:258-269``). In batch, "arrival order" is made explicit via
+a stable ``order_col`` (e.g. event_id): a row survives iff
+``ts > max(ts) over (partition by metric, rows preceding)`` — the running
+maximum of all earlier rows. The streaming flavor keeps the same state in
+``streaming/ingest_stream.py``.
+
+Scale: one shuffle on the metric key (window); the validity filter is a plain
+predicate that Catalyst pushes below it into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+INF = float("inf")
+
+
+def apply_input_mapping(
+    stream: DataFrame,
+    config: DataFrame,
+    stream_metric_col: str = "metric",
+) -> DataFrame:
+    """A2: input stream name -> logical metric name via broadcast hash join
+    (e.g. ``foo.bar.power.100Hz -> foo.bar.power``; mapping registry
+    /root/reference/src/async_hta_service.hpp:118-145). ``config`` has
+    columns (input, name); unmapped streams keep their own name."""
+    cfg = F.broadcast(config.select("input", F.col("name").alias("__mapped_name")))
+    return (
+        stream.join(cfg, stream[stream_metric_col] == cfg["input"], "left")
+        .withColumn(
+            stream_metric_col,
+            F.coalesce(F.col("__mapped_name"), F.col(stream_metric_col)),
+        )
+        .drop("input", "__mapped_name")
+    )
+
+
+def validity_filter(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """A4: drop NaN and +-Inf samples
+    (/root/reference/src/async_hta_service.hpp:270-279)."""
+    v = F.col(value_col)
+    return df.filter(~F.isnan(v) & (v != F.lit(INF)) & (v != F.lit(-INF)))
+
+
+def monotonic_filter(
+    df: DataFrame,
+    metric_col: str = "metric",
+    ts_col: str = "ts_ns",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """A3: drop any sample whose ts is <= the running per-metric maximum of
+    earlier-arriving samples (/root/reference/src/async_hta_service.hpp:
+    258-269). Arrival order = ``order_col``."""
+    w = (
+        Window.partitionBy(metric_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_max = F.max(ts_col).over(w)
+    return (
+        df.withColumn("__prior_max", prior_max)
+        .filter(F.col("__prior_max").isNull() | (F.col(ts_col) > F.col("__prior_max")))
+        .drop("__prior_max")
+    )
+
+
+def drop_counts(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Skip-count accounting mirroring the reference's logging counters
+    (/root/reference/src/async_hta_service.hpp:292-306): per-class counts of
+    dropped samples (conditional aggregation, operator A14)."""
+    v = F.col(value_col)
+    return df.agg(
+        F.sum(F.when(F.isnan(v), 1).otherwise(0)).alias("nan_count"),
+        F.sum(F.when(v == F.lit(INF), 1).otherwise(0)).alias("pos_inf_count"),
+        F.sum(F.when(v == F.lit(-INF), 1).otherwise(0)).alias("neg_inf_count"),
+        F.count(F.lit(1)).alias("total_count"),
+    )
+
+
+def ingest_batch(
+    stream: DataFrame,
+    config: DataFrame | None = None,
+    metric_col: str = "metric",
+    ts_col: str = "ts_ns",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Full batch ingest chain A2 -> A4 -> A3 (validity before the window so
+    the predicate pushes into the scan; A3/A4 commute because dropped-invalid
+    samples never advance the reference's high-watermark — they are rejected
+    before ``metric.insert``)."""
+    df = stream
+    if config is not None:
+        df = apply_input_mapping(df, config, metric_col)
+    df = validity_filter(df, value_col)
+    return monotonic_filter(df, metric_col, ts_col, order_col)

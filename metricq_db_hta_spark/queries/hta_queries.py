@@ -1,0 +1,370 @@
+"""Declared queries for the HTA domain (reference operators A1-A19) over the
+``events`` fixture: ``event_type`` plays the metric name, ``ts`` the sample
+time, ``value`` the sample value (FIXTURES.md §1).
+
+Every query has a DuckDB oracle built from the same CTE definitions, with
+the engine-defined integral/active_time semantics encoded identically
+(operators/hta.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metricq_db_hta_spark.functions.timeutil import ts_ns_from_nanos_long
+from metricq_db_hta_spark.operators import hta, ingest
+from metricq_db_hta_spark.plans.history import HistoryService
+from metricq_db_hta_spark.queries.base import (
+    bsum,
+    dsum,
+    register,
+    sql_bsum,
+    sql_dsum,
+)
+from metricq_db_hta_spark.sources.tables import load_table
+
+W0 = 3_600_000_000_000          # level-0 width: 1 h
+W1 = W0 * 10                    # 10 h
+W2 = W1 * 10                    # 100 h
+LEVEL_WIDTHS = [W0, W1, W2]
+
+# Fixed query window (events span 2024-01-01 .. 2024-01-30 UTC)
+START_NS = 1_704_412_800_000_000_000  # 2024-01-05T00:00:00Z
+END_NS = 1_705_708_800_000_000_000    # 2024-01-20T00:00:00Z
+
+# Input-name mapping fixture (reference A2: e.g. foo.bar.power.100Hz ->
+# foo.bar.power, /root/reference/src/async_hta_service.hpp:567-570).
+MAPPING = [("click", "interaction.click"), ("view", "interaction.view")]
+
+
+def samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> canonical (metric, ts_ns, value, event_id) sample stream.
+
+    events.ts is Parquet TIMESTAMP(NANOS), read as int64 ns; declared-query
+    outputs truncate to µs multiples to match the oracle's visibility
+    (timeutil.ts_ns_from_nanos_long).
+    """
+    return load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("metric"),
+        ts_ns_from_nanos_long("ts").alias("ts_ns"),
+        "value",
+        "event_id",
+    )
+
+
+def service(spark: SparkSession, sf_dir: str) -> HistoryService:
+    raw = samples(spark, sf_dir)
+    levels = hta.build_levels(raw, W0, 10, n_levels=3)
+    # present decimal-accumulated sums as doubles at the service boundary
+    return HistoryService(
+        raw=raw, levels={w: lv for w, lv in zip(LEVEL_WIDTHS, levels)}
+    )
+
+
+# --------------------------------------------------------------------------
+# shared oracle CTEs (DuckDB). delta_ns/integral semantics == operators/hta.py
+# --------------------------------------------------------------------------
+
+SAMPLES_CTE = """
+samples AS (
+  SELECT event_type AS metric, epoch_ns(ts) AS ts_ns, value, event_id
+  FROM events
+)"""
+
+DELTAS_CTE = """
+deltas AS (
+  SELECT metric, ts_ns, value,
+         COALESCE(ts_ns - LAG(ts_ns) OVER (PARTITION BY metric ORDER BY ts_ns), 0) AS delta_ns
+  FROM samples
+)"""
+
+
+def _level_cte(name: str, src: str, width: int, from_raw: bool) -> str:
+    # sum/integral stay DECIMAL(38,6) through the cascade, mirroring
+    # operators/hta.py exactly; a double round-trip between levels would
+    # lose sub-integer digits of ~1e17-magnitude integrals.
+    if from_raw:
+        key = f"ts_ns - ts_ns % {width}"
+        cols = (
+            'MIN(value) AS minimum, MAX(value) AS maximum, '
+            'SUM(CAST(value AS DECIMAL(38,6))) AS "sum", COUNT(*) AS "count", '
+            f"{sql_bsum('CAST(FLOOR(value * delta_ns / 1000000.0) AS BIGINT)')} AS integral, "
+            f"{sql_bsum('delta_ns')} AS active_time"
+        )
+    else:
+        key = f"bucket_start_ns - bucket_start_ns % {width}"
+        cols = (
+            "MIN(minimum) AS minimum, MAX(maximum) AS maximum, "
+            'SUM("sum") AS "sum", ' + sql_bsum('"count"') + ' AS "count", '
+            f"{sql_bsum('integral')} AS integral, {sql_bsum('active_time')} AS active_time"
+        )
+    return f"""
+{name} AS (
+  SELECT metric, {key} AS bucket_start_ns, {cols}
+  FROM {src}
+  GROUP BY 1, 2
+)"""
+
+
+LEVELS_SQL = (
+    "WITH" + SAMPLES_CTE + "," + DELTAS_CTE + ","
+    + _level_cte("level0", "deltas", W0, from_raw=True) + ","
+    + _level_cte("level1", "level0", W1, from_raw=False) + ","
+    + _level_cte("level2", "level1", W2, from_raw=False)
+)
+
+
+def _present(df: DataFrame) -> DataFrame:
+    """Cast the decimal-accumulated fields to the public double/long schema."""
+    return df.select(
+        *[c for c in df.columns if c not in ("sum", "count", "integral", "active_time")],
+        F.col("sum").cast("double").alias("sum"),
+        F.col("count").cast("long").alias("count"),
+        F.col("integral").cast("long").alias("integral"),
+        F.col("active_time").cast("long").alias("active_time"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A2+A3+A4: the ingest chain
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hta_ingest_chain",
+    oracle=f"""
+WITH {SAMPLES_CTE.split('AS', 1)[0].strip()} AS (
+  SELECT event_type AS metric, epoch_ns(ts) AS ts_ns, value, event_id FROM events
+),
+mapping(input, mapped) AS (VALUES {", ".join(f"('{i}', '{n}')" for i, n in MAPPING)}),
+renamed AS (
+  SELECT COALESCE(m.mapped, s.metric) AS metric, s.ts_ns, s.value, s.event_id
+  FROM samples s LEFT JOIN mapping m ON s.metric = m.input
+),
+valid AS (
+  SELECT * FROM renamed WHERE NOT isnan(value) AND NOT isinf(value)
+),
+kept AS (
+  SELECT * FROM valid
+  QUALIFY ts_ns > COALESCE(MAX(ts_ns) OVER (
+      PARTITION BY metric ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808)
+)
+SELECT metric, COUNT(*) AS n, MIN(ts_ns) AS min_ts_ns, MAX(ts_ns) AS max_ts_ns
+FROM kept GROUP BY metric
+""",
+    doc="Full reference ingest chain A2->A4->A3 (rename mapping, NaN/Inf "
+    "filter, per-metric monotonicity high-watermark) — batch flavor; "
+    "/root/reference/src/async_hta_service.hpp:251-328.",
+    bench=True,
+)
+def hta_ingest_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = samples(spark, sf_dir)
+    cfg = spark.createDataFrame(MAPPING, ["input", "name"])
+    out = ingest.ingest_batch(raw, cfg, metric_col="metric")
+    return out.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        F.min("ts_ns").alias("min_ts_ns"),
+        F.max("ts_ns").alias("max_ts_ns"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A5: the rollup cascade
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hta_level0",
+    oracle=LEVELS_SQL + """
+SELECT metric, bucket_start_ns, minimum, maximum,
+       CAST("sum" AS DOUBLE) AS "sum", "count",
+       integral, active_time
+FROM level0
+""",
+    doc="Level-0 rollup: six-field Aggregate record per (metric, 1h epoch "
+    "bucket) — reference A5 with engine-defined integral semantics.",
+    bench=True,
+)
+def hta_level0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _present(hta.level0(samples(spark, sf_dir), W0))
+
+
+@register(
+    "hta_level1_rollup",
+    oracle=LEVELS_SQL + """
+SELECT metric, bucket_start_ns, minimum, maximum,
+       CAST("sum" AS DOUBLE) AS "sum", "count",
+       integral, active_time
+FROM level1
+""",
+    doc="Level-1 rollup built by re-aggregating level 0 (mergeability of the "
+    "Aggregate record — SURVEY §1.2).",
+)
+def hta_level1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lv0 = hta.level0(samples(spark, sf_dir), W0)
+    return _present(hta.rollup(lv0, 10, width_ns=W1))
+
+
+# --------------------------------------------------------------------------
+# Q1-Q4 via the HistoryService router
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hta_q1_aggregate_timeline",
+    oracle=LEVELS_SQL + f"""
+SELECT metric, bucket_start_ns, minimum, maximum,
+       CAST("sum" AS DOUBLE) AS "sum", "count",
+       integral, active_time
+FROM level1
+WHERE metric = 'click' AND bucket_start_ns >= {START_NS} AND bucket_start_ns < {END_NS}
+""",
+    doc="Q1 AGGREGATE_TIMELINE: range scan at the coarsest level whose width "
+    "<= interval_max (here 12h -> level1=10h); "
+    "/root/reference/src/async_hta_service.hpp:361-392.",
+    bench=True,
+)
+def hta_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    svc = service(spark, sf_dir)
+    return _present(
+        svc.aggregate_timeline("click", START_NS, END_NS, interval_max_ns=12 * W0)
+    )
+
+
+@register(
+    "hta_q2_flex_raw",
+    oracle=f"""
+WITH {SAMPLES_CTE.split('AS', 1)[0].strip()} AS (
+  SELECT event_type AS metric, epoch_ns(ts) AS ts_ns, value, event_id FROM events
+)
+SELECT metric, ts_ns, value FROM samples
+WHERE metric = 'purchase' AND ts_ns >= {START_NS} AND ts_ns < {END_NS}
+""",
+    doc="Q2 FLEX_TIMELINE raw branch: request finer than the finest level "
+    "falls through to raw samples; "
+    "/root/reference/src/async_hta_service.hpp:427-437.",
+)
+def hta_q2_flex_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    svc = service(spark, sf_dir)
+    return svc.flex_timeline("purchase", START_NS, END_NS, interval_max_ns=W0 // 2)
+
+
+@register(
+    "hta_q3_aggregate",
+    oracle=LEVELS_SQL + f"""
+SELECT metric, MIN(minimum) AS minimum, MAX(maximum) AS maximum,
+       CAST(SUM("sum") AS DOUBLE) AS "sum", {sql_bsum('"count"')} AS "count",
+       CAST(SUM(integral) AS BIGINT) AS integral, {sql_bsum('active_time')} AS active_time
+FROM level0
+WHERE bucket_start_ns >= {START_NS} AND bucket_start_ns < {END_NS}
+GROUP BY metric
+""",
+    doc="Q3 AGGREGATE: one merged Aggregate per metric over [start, end); "
+    "/root/reference/src/async_hta_service.hpp:442-464.",
+    bench=True,
+)
+def hta_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    svc = service(spark, sf_dir)
+    return _present(svc.aggregate(None, START_NS, END_NS))
+
+
+@register(
+    "hta_q4_last_value",
+    oracle=f"""
+WITH {SAMPLES_CTE.split('AS', 1)[0].strip()} AS (
+  SELECT event_type AS metric, epoch_ns(ts) AS ts_ns, value, event_id FROM events
+)
+SELECT metric, MAX(ts_ns) AS ts_ns, ARG_MAX(value, ts_ns) AS value
+FROM samples GROUP BY metric
+""",
+    doc="Q4 LAST_VALUE: most recent raw sample per metric (max_by agg, no "
+    "sort); /root/reference/src/async_hta_service.hpp:465-488.",
+)
+def hta_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return service(spark, sf_dir).last_value()
+
+
+@register(
+    "hta_delta_encode",
+    oracle=LEVELS_SQL + f"""
+SELECT metric, bucket_start_ns,
+       bucket_start_ns - COALESCE(LAG(bucket_start_ns) OVER (
+           PARTITION BY metric ORDER BY bucket_start_ns), 0) AS time_delta,
+       CAST("sum" AS DOUBLE) AS "sum", "count"
+FROM level1
+WHERE bucket_start_ns >= {START_NS} AND bucket_start_ns < {END_NS}
+""",
+    doc="A12: delta-encoded response timestamps (time_delta[i] = t[i]-t[i-1] "
+    "per metric); /root/reference/src/async_hta_service.hpp:377-380.",
+)
+def hta_delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    svc = service(spark, sf_dir)
+    tl = _present(svc.aggregate_timeline(None, START_NS, END_NS, interval_max_ns=W1))
+    return HistoryService.delta_encode(tl).select(
+        "metric", "bucket_start_ns", "time_delta", "sum", "count"
+    )
+
+
+# --------------------------------------------------------------------------
+# A14/A15: self-monitoring stats (conditional counting + derived rates)
+# --------------------------------------------------------------------------
+
+DAY_NS = 86_400_000_000_000
+
+
+@register(
+    "hta_stats_rates",
+    oracle=f"""
+WITH {SAMPLES_CTE.split('AS', 1)[0].strip()} AS (
+  SELECT event_type AS metric, epoch_ns(ts) AS ts_ns, value, event_id FROM events
+)
+SELECT metric, ts_ns - ts_ns % {DAY_NS} AS day_start_ns,
+       COUNT(*) AS completed,
+       CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS large,
+       ROUND(COUNT(*) / 86400.0, 6) AS request_rate,
+       ROUND({sql_dsum('value')} / 86400.0, 6) AS data_rate,
+       ROUND(CASE WHEN COUNT(*) > 0 THEN {sql_dsum('value')} / COUNT(*) ELSE 0.0 END, 6)
+           AS mean_value
+FROM samples GROUP BY 1, 2
+""",
+    doc="A14/A15: windowed conditional counting and derived-rate projection "
+    "with guarded division; /root/reference/src/db_stats.cpp:181-206.",
+)
+def hta_stats_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metricq_db_hta_spark.functions.timeutil import bucket_start_ns
+
+    df = samples(spark, sf_dir)
+    g = df.groupBy(
+        "metric", bucket_start_ns("ts_ns", DAY_NS).alias("day_start_ns")
+    ).agg(
+        F.count("*").alias("completed"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).cast("long").alias("large"),
+        dsum("value").alias("__vsum"),
+    )
+    return g.select(
+        "metric",
+        "day_start_ns",
+        "completed",
+        "large",
+        F.round(F.col("completed") / 86400.0, 6).alias("request_rate"),
+        F.round(F.col("__vsum") / 86400.0, 6).alias("data_rate"),
+        F.round(
+            F.when(F.col("completed") > 0, F.col("__vsum") / F.col("completed"))
+            .otherwise(0.0),
+            6,
+        ).alias("mean_value"),
+    )
+
+
+@register(
+    "hta_subscription_list",
+    oracle="SELECT input, name FROM (VALUES "
+    + ", ".join(f"('{i}', '{n}')" for i, n in MAPPING)
+    + ") AS t(input, name)",
+    doc="A19: subscription-list projection of the metric config; "
+    "/root/reference/src/async_hta_service.hpp:547-556.",
+)
+def hta_subscription_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(MAPPING, ["input", "name"])

@@ -1,0 +1,41 @@
+"""Batch Parquet sources for the fixture tables (TESTDATA.md).
+
+At 100 TB these reads are the dominant cost, so every query built on top of
+these loaders must keep filters/projections *declarative* so Catalyst pushes
+them into the Parquet scan (check ``PushedFilters`` / ``ReadSchema`` in
+``df.explain("formatted")``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.ts is Parquet TIMESTAMP(NANOS) — Spark has no ns timestamp
+    # type, so read it as a raw int64 (exactly the engine's canonical ts_ns
+    # representation; SURVEY §1.1 / §7 risk 2).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}

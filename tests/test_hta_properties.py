@@ -1,0 +1,87 @@
+"""Property checks for the HTA core (SURVEY.md §5.3):
+
+(a) mergeability — level k re-aggregated equals level k+1 built from raw;
+(b) Q1 row counts bounded by range/width + 1 per metric;
+(c) ingest idempotence — re-delivering data changes nothing (monotonic
+    filter drops every duplicate);
+(d) invalid samples (NaN/Inf) never reach storage;
+(e) level-router boundary behavior.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metricq_db_hta_spark.operators import hta, ingest
+from metricq_db_hta_spark.plans.history import choose_level
+from metricq_db_hta_spark.queries.hta_queries import (
+    END_NS,
+    LEVEL_WIDTHS,
+    START_NS,
+    W0,
+    W1,
+    samples,
+    service,
+)
+
+
+def test_mergeability_levels(spark, sf_dir):
+    """level1 built by rolling up level0 == level1 built directly from raw."""
+    raw = samples(spark, sf_dir)
+    via_rollup = hta.rollup(hta.level0(raw, W0), 10, width_ns=W1)
+    direct = hta.level0(raw, W1)
+    sym_diff = via_rollup.exceptAll(direct).union(direct.exceptAll(via_rollup))
+    assert sym_diff.count() == 0
+
+
+def test_q1_row_count_bound(spark, sf_dir):
+    svc = service(spark, sf_dir)
+    rows = svc.aggregate_timeline("click", START_NS, END_NS, W1).count()
+    assert rows <= (END_NS - START_NS) // W1 + 1
+
+
+def test_ingest_idempotence(spark, sf_dir):
+    """Re-delivering every chunk is a no-op: the monotonic high-watermark
+    drops exact duplicates (reference A3)."""
+    raw = samples(spark, sf_dir)
+    doubled = raw.union(raw)
+    once = ingest.ingest_batch(raw)
+    twice = ingest.ingest_batch(doubled)
+    assert once.count() == twice.count()
+
+
+def test_invalid_never_stored(spark, sf_dir):
+    base = samples(spark, sf_dir).limit(10)
+    bad = base.withColumn("value", F.lit(float("nan"))).withColumn(
+        "event_id", F.col("event_id") + 10_000_000
+    ).withColumn("ts_ns", F.col("ts_ns") + 1)
+    out = ingest.ingest_batch(base.union(bad))
+    assert out.filter(F.isnan("value")).count() == 0
+
+
+def test_monotonic_filter_drops_out_of_order(spark):
+    rows = [
+        ("m", 100, 1.0, 1),
+        ("m", 50, 2.0, 2),   # out of order -> dropped
+        ("m", 150, 3.0, 3),
+        ("m", 150, 4.0, 4),  # duplicate ts -> dropped
+        ("n", 10, 5.0, 5),   # other metric unaffected
+    ]
+    df = spark.createDataFrame(rows, ["metric", "ts_ns", "value", "event_id"])
+    kept = ingest.monotonic_filter(df).select("event_id").toPandas()["event_id"]
+    assert sorted(kept) == [1, 3, 5]
+
+
+@pytest.mark.parametrize(
+    "interval_max,expected",
+    [
+        (W0 - 1, None),            # finer than finest -> raw fallthrough
+        (W0, W0),                  # exactly the finest level
+        (W1 - 1, W0),
+        (W1, W1),                  # exactly a level width
+        (LEVEL_WIDTHS[-1] * 100, LEVEL_WIDTHS[-1]),  # coarser than coarsest
+    ],
+)
+def test_level_router_boundaries(interval_max, expected):
+    assert choose_level(LEVEL_WIDTHS, interval_max) == expected
