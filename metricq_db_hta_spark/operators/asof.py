@@ -1,0 +1,66 @@
+"""As-of join (time-series alignment) — SURVEY §2 Part B.
+
+Spark has no native ASOF JOIN (DuckDB does; the oracle uses it). Rather
+than a Pandas ``merge_asof`` UDF, this implements the *union trick*, which
+stays entirely JVM-side and scales like any single window:
+
+  1. union left (probe) and right (reference) rows, tagged;
+  2. one window per join key, ordered by (ts, tag) — reference rows sort
+     before probe rows at equal timestamps so an exact-tie reference row is
+     visible to the probe (backward/inclusive semantics, matching
+     ``ASOF JOIN ... ON l.ts >= r.ts``);
+  3. ``last(<right payload>, ignorenulls=True)`` over the running frame
+     picks the most recent reference row at-or-before each probe row;
+  4. keep probe rows.
+
+Cost: ONE shuffle on the join key (same as a sort-merge join would need),
+no broadcast, no Python. Skewed keys behave like any skewed window — salt
+the key upstream if one entity dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    ts_col: str,
+    right_payload: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the payload of the right row with the
+    greatest ``ts_col`` <= left's ``ts_col`` within the same ``by`` group
+    (NULLs when none exists — left-outer semantics).
+
+    ``right_payload`` columns must not collide with left column names.
+    ``tiebreak`` (a right column) makes the choice deterministic if the
+    right side can contain duplicate (by, ts) rows.
+    """
+    payload = F.struct(*[F.col(c) for c in right_payload])
+    r = right.select(
+        *by, F.col(ts_col).alias(ts_col), payload.alias("__payload")
+    ).withColumn("__tag", F.lit(0))
+    l = left.withColumn("__payload", F.lit(None).cast(r.schema["__payload"].dataType))
+    l = l.withColumn("__tag", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    order = [F.col(ts_col).asc(), F.col("__tag").asc()]
+    if tiebreak is not None:
+        # orders duplicate-(by, ts) right rows; left rows have a NULL
+        # payload and are unaffected
+        order.append(F.col("__payload").getField(tiebreak).asc_nulls_first())
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    out = u.filter(F.col("__tag") == 1).select(
+        *[c for c in left.columns],
+        *[F.col("__match").getField(c).alias(c) for c in right_payload],
+    )
+    return out
