@@ -1,0 +1,141 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All of these are engine surface beyond the reference (SURVEY §2 Part B,
+"LLM-pipeline"); each is built from shuffle-conscious DataFrame primitives:
+
+* exact_dedup        — sha2(text) + per-hash winner (one shuffle).
+* minhash_signatures — portable MinHash: for seed i, ``min over tokens of
+  md5(i || ':' || token)``. Using the *string* min of a cryptographic hash
+  is a permutation-free MinHash variant: each seed induces an independent
+  pseudo-random total order on the token universe, and the minimum under
+  that order is the classic MinHash estimator. It is exactly reproducible
+  in any engine with md5() — which is what lets the DuckDB oracle pin it.
+* lsh_candidate_pairs — band the signature (b bands x r rows), bucket-join
+  docs sharing a band key. Shuffles: explode tokens (1), band groupBy (1),
+  self-join on band key (1). No cross join anywhere; at 100 TB the band
+  join is the standard near-dup architecture (the bucket sizes, not the
+  corpus size, bound the pair blowup).
+* jaccard_pairs      — exact token-set Jaccard for candidate verification
+  (or within explicit blocking keys).
+* simhash            — 16-bit SimHash from md5-derived bit planes; bit j of
+  a token's hash is ``ascii(md5(token)[j]) % 2``; fingerprint bit j is the
+  sign of the sum of (2*bit-1) over distinct tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = " "
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per distinct text (content hash).
+
+    Returns docs + ``content_hash`` + ``is_canonical``.
+    """
+    h = F.sha2(F.col(text_col), 256)
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        docs.withColumn("content_hash", h)
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
+    )
+
+
+def doc_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, token) pairs, distinct tokens per doc (set semantics)."""
+    return (
+        docs.select(id_col, F.explode(F.split(F.col(text_col), TOKEN_SPLIT)).alias("token"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    tokens: DataFrame, n_hashes: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, seed, minhash) — one row per (doc, seed)."""
+    seeds = tokens.sparkSession.range(n_hashes).withColumnRenamed("id", "seed")
+    return (
+        tokens.crossJoin(F.broadcast(seeds))
+        .groupBy(id_col, "seed")
+        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("token")))).alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_hashes: int = 16, bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one LSH band bucket."""
+    rows_per_band = n_hashes // bands
+    # integer floor-division: DuckDB's double->int CAST rounds, Spark's
+    # truncates — keep both sides on exact integer arithmetic
+    sig = signatures.withColumn(
+        "band", F.floor(F.col("seed") / rows_per_band).cast("int")
+    )
+    band_keys = sig.groupBy(id_col, "band").agg(
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list("minhash")))).alias("band_key")
+    )
+    a = band_keys.select(
+        F.col(id_col).alias("id_a"), "band", F.col("band_key").alias("bk_a")
+    )
+    b = band_keys.select(
+        F.col(id_col).alias("id_b"), "band", F.col("band_key").alias("bk_b")
+    )
+    return (
+        a.join(b, (a.band == b.band) & (a.bk_a == b.bk_b) & (a.id_a < b.id_b))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    tokens: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard similarity |A∩B| / |A∪B| for doc pairs.
+
+    With ``pairs`` given, verifies only those candidates (the LSH pattern);
+    otherwise all pairs sharing >= 1 token (use blocking upstream!).
+    """
+    sizes = tokens.groupBy(id_col).agg(F.count("*").alias("n_tok"))
+    ta = tokens.select(F.col(id_col).alias("id_a"), "token")
+    tb = tokens.select(F.col(id_col).alias("id_b"), "token")
+    inter = (
+        ta.join(tb, ["token"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["id_a", "id_b"], "inner")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "n_common", "jaccard"
+    )
+
+
+def simhash16(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash fingerprint per doc (portable md5 bit planes)."""
+    h = F.md5("token")
+    bit_sums = [
+        F.sum(F.ascii(F.substring(h, j + 1, 1)) % 2 * 2 - 1).alias(f"s{j}")
+        for j in range(16)
+    ]
+    sums = tokens.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select(id_col, fp.cast("long").alias("simhash"))

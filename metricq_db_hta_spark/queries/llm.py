@@ -1,1 +1,479 @@
-"""LLM-pipeline declared queries (populated below)."""
+"""LLM-pipeline declared queries (SURVEY §2 Part B) over ``documents`` and
+``embeddings``: deduplication (exact, MinHash-LSH, n-gram Jaccard, SimHash,
+embedding-cosine), similarity search (brute-force + IVF-cell), text
+analysis (token stats, lang-id heuristic, quality score, fingerprints),
+and multimodal binary-column plumbing.
+
+Portability notes: MinHash/SimHash use md5-derived orderings (identical in
+Spark and DuckDB — see operators/dedup.py); cosine similarity is a strict
+left fold in both engines and rounded to 6 before ranking comparisons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metricq_db_hta_spark.functions import text as T
+from metricq_db_hta_spark.operators import dedup, multimodal, similarity
+from metricq_db_hta_spark.queries.base import register, sql_davg
+from metricq_db_hta_spark.sources.tables import load_table
+
+N_HASHES = 16
+BANDS = 4
+
+
+def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_exact_dedup",
+    oracle="""
+SELECT d.doc_id, sha256(d.text) AS content_hash,
+       (d.doc_id = m.keep_id) AS is_canonical
+FROM documents d
+JOIN (SELECT sha256(text) AS h, MIN(doc_id) AS keep_id
+      FROM documents GROUP BY 1) m
+  ON sha256(d.text) = m.h
+""",
+    doc="Exact dedup via content hash: lowest doc_id per distinct text "
+    "survives (hash-groupBy, one shuffle).",
+    bench=True,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(docs(spark, sf_dir)).select(
+        "doc_id", "content_hash", "is_canonical"
+    )
+
+
+# shared oracle CTEs for token-based dedup
+TOKENS_CTE = """
+tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+)"""
+
+MINHASH_CTE = f"""
+seeds AS (SELECT unnest(range({N_HASHES})) AS seed),
+mh AS (
+  SELECT doc_id, seed,
+         MIN(md5(CAST(seed AS VARCHAR) || ':' || token)) AS minhash
+  FROM tok CROSS JOIN seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed // {N_HASHES // BANDS} AS INT) AS band,
+         md5(array_to_string(list_sort(list(minhash)), '|')) AS band_key
+  FROM mh GROUP BY doc_id, CAST(seed // {N_HASHES // BANDS} AS INT)
+)"""
+
+
+@register(
+    "llm_minhash_signatures",
+    oracle=f"""
+WITH {TOKENS_CTE.strip()},
+seeds AS (SELECT unnest(range({N_HASHES})) AS seed)
+SELECT doc_id, seed,
+       MIN(md5(CAST(seed AS VARCHAR) || ':' || token)) AS minhash
+FROM tok CROSS JOIN seeds
+GROUP BY doc_id, seed
+""",
+    doc="Portable MinHash signatures (md5-order permutation-free variant), "
+    "16 hashes per doc.",
+)
+def llm_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = dedup.doc_tokens(docs(spark, sf_dir))
+    return dedup.minhash_signatures(toks, N_HASHES)
+
+
+@register(
+    "llm_minhash_lsh_pairs",
+    oracle=f"""
+WITH {TOKENS_CTE.strip()},
+{MINHASH_CTE.strip()}
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+    doc="MinHash-LSH near-dup candidates: 4 bands x 4 rows, bucket join "
+    "(no cross product; the 100 TB-safe near-dup architecture).",
+    bench=True,
+)
+def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = dedup.doc_tokens(docs(spark, sf_dir))
+    sigs = dedup.minhash_signatures(toks, N_HASHES)
+    return dedup.lsh_candidate_pairs(sigs, N_HASHES, BANDS)
+
+
+@register(
+    "llm_jaccard_blocked_pairs",
+    oracle=f"""
+WITH blocked AS (
+  SELECT doc_id, lang, source, text FROM documents
+),
+tok AS (
+  SELECT DISTINCT doc_id, lang, source, unnest(string_split(text, ' ')) AS token
+  FROM blocked
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM tok a JOIN tok b
+    ON a.token = b.token AND a.lang = b.lang AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       ROUND(n_common / (sa.n_tok + sb.n_tok - n_common), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n_tok + sb.n_tok - n_common) >= 0.8
+""",
+    doc="Exact n-gram (word) Jaccard >= 0.8 within (lang, source) blocks — "
+    "blocking bounds the token self-join at scale.",
+)
+def llm_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir)
+    toks = (
+        d.select(
+            "doc_id", "lang", "source",
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    ta = toks.select(F.col("doc_id").alias("id_a"), "lang", "source", "token")
+    tb = toks.select(F.col("doc_id").alias("id_b"), "lang", "source", "token")
+    inter = (
+        ta.join(tb, ["token", "lang", "source"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_tok").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.8)
+        .select("id_a", "id_b", "n_common", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "llm_simhash",
+    oracle=f"""
+WITH {TOKENS_CTE.strip()},
+sums AS (
+  SELECT doc_id,
+         {", ".join(f"SUM(ascii(substr(md5(token), {j + 1}, 1)) % 2 * 2 - 1) AS s{j}" for j in range(16))}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({" + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))} AS BIGINT)
+           AS simhash
+FROM sums
+""",
+    doc="16-bit SimHash fingerprint from md5 bit planes over distinct "
+    "tokens.",
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = dedup.doc_tokens(docs(spark, sf_dir))
+    return dedup.simhash16(toks)
+
+
+@register(
+    "llm_embedding_neardup",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT a.label AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+""",
+    doc="Embedding-cosine near-dup pairs >= 0.35, blocked by the label "
+    "cell (pair count bounded by cell sizes, not corpus^2).",
+)
+def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = similarity.cosine_pairs_within_cells(embs(spark, sf_dir), threshold=0.35)
+    return out.select(
+        "cell", "id_a", "id_b", F.round("sim", 6).alias("sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+COSINE_CTE = """
+e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)"""
+
+
+@register(
+    "llm_similarity_topk_brute",
+    oracle=f"""
+WITH {COSINE_CTE.strip()},
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.v, q.qv) / (c.nrm * q.qnrm) AS rawsim
+  FROM n c CROSS JOIN q WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, rank, vec_id, sim FROM (
+  SELECT query_id, vec_id, ROUND(rawsim, 6) AS sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rawsim DESC, vec_id) AS rank
+  FROM scored
+) t WHERE rank <= 5
+""",
+    doc="Brute-force exact cosine top-5 for 8 query vectors (broadcast "
+    "queries, JVM-side fold dot product — the ANN correctness baseline).",
+    bench=True,
+)
+def llm_similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = embs(spark, sf_dir)
+    out = similarity.brute_force_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+    return out.select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim"))
+
+
+@register(
+    "llm_similarity_topk_ivf",
+    oracle=f"""
+WITH {COSINE_CTE.strip()},
+q AS (SELECT vec_id AS query_id, label AS qcell, v AS qv, nrm AS qnrm
+      FROM n WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.v, q.qv) / (c.nrm * q.qnrm) AS rawsim
+  FROM n c JOIN q ON c.label = q.qcell WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, rank, vec_id, sim FROM (
+  SELECT query_id, vec_id, ROUND(rawsim, 6) AS sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rawsim DESC, vec_id) AS rank
+  FROM scored
+) t WHERE rank <= 5
+""",
+    doc="IVF-style ANN (nprobe=1): equi-join on the cell key replaces the "
+    "cross product — the 100 TB scale path.",
+)
+def llm_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = embs(spark, sf_dir)
+    out = similarity.ivf_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+    return out.select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim"))
+
+
+@register(
+    "llm_embedding_norms",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vectors,
+       ROUND(MIN(sqrt(list_dot_product(v, v))), 6) AS min_norm,
+       ROUND(MAX(sqrt(list_dot_product(v, v))), 6) AS max_norm
+FROM e GROUP BY label
+""",
+    doc="Vector norm stats per cell (array fold + sqrt, all JVM-side).",
+)
+def llm_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metricq_db_hta_spark.functions.arrays import norm2
+
+    e = embs(spark, sf_dir).withColumn("nrm", norm2("embedding"))
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_text_stats",
+    oracle=f"""
+SELECT lang, COUNT(*) AS n_docs,
+       {sql_davg("len(string_split(text, ' '))")} AS avg_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       {sql_davg("len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','in','to'))) / len(string_split(text, ' '))")} AS avg_stopword_ratio
+FROM documents GROUP BY lang
+""",
+    doc="Per-language corpus stats: doc counts, token counts, stopword "
+    "ratio (quality signal).",
+    bench=True,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metricq_db_hta_spark.queries.base import davg
+
+    d = docs(spark, sf_dir)
+    ratio = T.stopword_count("text") / T.token_count("text")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        davg(T.token_count("text")).alias("avg_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        davg(ratio).alias("avg_stopword_ratio"),
+    )
+
+
+@register(
+    "llm_token_count",
+    oracle="""
+SELECT doc_id,
+       LEN(string_split(text, ' ')) AS ws_tokens,
+       LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS re_tokens,
+       LENGTH(text) AS n_chars_actual
+FROM documents
+""",
+    doc="Token counting: whitespace + regex (BPE-ish pre-tokenizer) "
+    "variants per doc.",
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("ws_tokens"),
+        T.regex_token_count("text").alias("re_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "llm_quality_filter",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang,
+         LEN(string_split(text, ' ')) AS n,
+         LEN(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','of','and','in','to'))) AS sw,
+         LENGTH(text) AS nch
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang,
+         ROUND(LEAST(1.0, 0.5 * (sw / n * 5.0)
+               + 0.5 * LEAST(1.0, nch / n / 8.0)), 6) AS quality
+  FROM scored
+)
+SELECT lang, COUNT(*) AS n_kept,
+       ROUND(MIN(quality), 6) AS min_q, ROUND(MAX(quality), 6) AS max_q
+FROM q WHERE quality >= 0.3 GROUP BY lang
+""",
+    doc="Quality scoring (stopword ratio + mean token length blend) and "
+    "threshold filter — the classic corpus-cleaning gate.",
+)
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir).withColumn("quality", T.quality_score("text"))
+    return (
+        d.filter(F.col("quality") >= 0.3)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.min("quality"), 6).alias("min_q"),
+            F.round(F.max("quality"), 6).alias("max_q"),
+        )
+    )
+
+
+def _lang_case_sql() -> str:
+    score = {
+        lang: f"len(list_filter(string_split(text, ' '), t -> t IN ({', '.join(repr(w) for w in words)})))"
+        for lang, words in T.LANG_DICTS.items()
+    }
+    # argmax with fixed priority order = LANG_DICTS iteration order
+    langs = list(T.LANG_DICTS)
+    cond = " ".join(
+        f"WHEN {score[lang]} >= GREATEST({', '.join(score[o] for o in langs)}) THEN '{lang}'"
+        for lang in langs
+    )
+    return f"CASE {cond} END"
+
+
+@register(
+    "llm_lang_id",
+    oracle=f"""
+SELECT lang AS labeled_lang, {_lang_case_sql()} AS predicted_lang, COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2
+""",
+    doc="Language-ID heuristic: argmax of per-language dictionary-hit "
+    "counts (fixed priority tie-break) vs the labeled lang.",
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir)
+    scores = T.lang_scores("text")
+    d = d.select("lang", "text", *scores)
+    langs = list(T.LANG_DICTS)
+    all_scores = [F.col(f"score_{code}") for code in langs]
+    pred = None
+    expr = None
+    for code in langs:
+        cond = F.col(f"score_{code}") >= F.greatest(*all_scores)
+        expr = F.when(cond, code) if expr is None else expr.when(cond, code)
+    pred = expr
+    return d.groupBy(
+        F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "llm_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_aggregate(
+         list_transform(
+           generate_series(1, GREATEST(1, LENGTH(text) - 7)),
+           i -> md5(text[i : i + 7])
+         ), 'min') AS fingerprint
+FROM documents
+""",
+    doc="Document fingerprint: min-of-md5 over character 8-gram shingles "
+    "(portable rolling-hash stand-in; winnowing with window = doc).",
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir)
+    return d.select("doc_id", T.shingle_fingerprint("text", 8).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_multimodal_decode",
+    oracle="""
+SELECT doc_id, 'application/octet-stream' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       octet_length(encode(text)) % 640 + 1 AS width,
+       octet_length(encode(text)) % 480 + 1 AS height,
+       sha256(text) AS checksum
+FROM documents
+""",
+    doc="Multimodal plumbing: opaque binary payload -> Arrow-batched "
+    "mapInPandas 'decode' (deterministic stub; real decoder slots into "
+    "operators/multimodal.py::_fake_decode).",
+)
+def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = multimodal.with_binary_payload(docs(spark, sf_dir))
+    return multimodal.decode_media(d)
