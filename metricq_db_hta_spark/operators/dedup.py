@@ -51,15 +51,79 @@ def doc_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def doc_shingles(
+    docs: DataFrame,
+    n_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, token) pairs where token is a distinct n-word shingle.
+
+    MinHash over *shingles* (not single words) is what makes LSH
+    discriminate: with a small vocabulary, single-word sets are nearly
+    identical across documents and every band bucket degenerates into the
+    whole corpus (measured: 10M+ candidate pairs from 5k docs). Word
+    n-grams restore a large token universe, so buckets contain only true
+    near-duplicates. ``F.get`` (0-based, NULL out of bounds) + NULL-
+    propagating concat keeps the short-document edge case identical to the
+    oracle's 1-based ``list[i]`` indexing.
+    """
+    # posexplode the words once, then assemble shingles with lead() — all
+    # whole-stage codegen. The tempting alternatives are quadratic traps:
+    # a transform() lambda runs interpreted (HOFs are CodegenFallback),
+    # and indexing a split() array from a projection re-inlines the split
+    # into every element access via project-collapsing (measured 7-10s to
+    # shingle 5k docs either way; this form takes ~1.5s). The lead window
+    # shuffles once on the doc key — at 100 TB that is the same hash
+    # partitioning every downstream dedup step wants anyway.
+    words = docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), TOKEN_SPLIT)).alias("pos", "word")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = []
+    for j in range(n_words):
+        if j:
+            parts.append(F.lit(" "))
+        parts.append(F.lead("word", j).over(w) if j else F.col("word"))
+    out = words.select(id_col, F.concat(*parts).alias("token")).filter(
+        F.col("token").isNotNull()  # NULL lead = tail stubs dropped
+    )
+    # Pass distinct=False for duplicate-insensitive consumers (MIN-based
+    # MinHash): skipping the set-semantics shuffle changes nothing about
+    # their result and removes a full exchange over the token stream.
+    return out.distinct() if distinct else out
+
+
+#: modulus for the Kirsch-Mitzenmacher hash family: smallest prime > 2^32
+MINHASH_P = 4_294_967_311
+
+
 def minhash_signatures(
     tokens: DataFrame, n_hashes: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, seed, minhash) — one row per (doc, seed)."""
+    """(id, seed, minhash: bigint) — one row per (doc, seed).
+
+    One md5 per token, split into two 32-bit halves (h1, h2); hash i is
+    ``(h1 + i*h2) mod p`` (Kirsch-Mitzenmacher double hashing — the
+    standard way to derive k independent-enough MinHash permutations from
+    two base hashes). 16x less hashing than per-seed md5, integer rather
+    than string minima, and still bit-reproducible in any engine that has
+    md5 + integer arithmetic.
+    """
+    h = F.md5("token")
+    hashed = tokens.withColumn(
+        "h1", F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    ).withColumn("h2", F.conv(F.substring(h, 9, 8), 16, 10).cast("long"))
     seeds = tokens.sparkSession.range(n_hashes).withColumnRenamed("id", "seed")
     return (
-        tokens.crossJoin(F.broadcast(seeds))
+        hashed.crossJoin(F.broadcast(seeds))
         .groupBy(id_col, "seed")
-        .agg(F.min(F.md5(F.concat_ws(":", F.col("seed"), F.col("token")))).alias("minhash"))
+        .agg(
+            F.min((F.col("h1") + F.col("seed") * F.col("h2")) % MINHASH_P).alias(
+                "minhash"
+            )
+        )
     )
 
 
@@ -76,6 +140,10 @@ def lsh_candidate_pairs(
     band_keys = sig.groupBy(id_col, "band").agg(
         F.md5(F.concat_ws("|", F.array_sort(F.collect_list("minhash")))).alias("band_key")
     )
+    # cache: a self-join does NOT dedupe its common subplan — without this
+    # barrier Spark scans + shingles + hashes the corpus twice (visible as
+    # two full pipelines in explain())
+    band_keys = band_keys.cache()
     a = band_keys.select(
         F.col(id_col).alias("id_a"), "band", F.col("band_key").alias("bk_a")
     )

@@ -63,12 +63,34 @@ tok AS (
   FROM documents
 )"""
 
+# 3-word shingles for MinHash (see operators/dedup.py::doc_shingles).
+# DuckDB lists are 1-based; w[i+1]/w[i+2] beyond the end yield NULL and the
+# NULL-propagating || drops the shingle, matching Spark's F.get semantics.
+SHINGLES_CTE = """
+shingled AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, GREATEST(1, len(w) - 2)),
+             i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS token
+    FROM shingled
+  ) WHERE token IS NOT NULL
+)"""
+
 MINHASH_CTE = f"""
 seeds AS (SELECT unnest(range({N_HASHES})) AS seed),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(token), 9, 8))::BIGINT AS h2
+  FROM tok
+),
 mh AS (
-  SELECT doc_id, seed,
-         MIN(md5(CAST(seed AS VARCHAR) || ':' || token)) AS minhash
-  FROM tok CROSS JOIN seeds
+  SELECT doc_id, seed, MIN((h1 + seed * h2) % 4294967311) AS minhash
+  FROM hashed CROSS JOIN seeds
   GROUP BY doc_id, seed
 ),
 bands AS (
@@ -81,36 +103,42 @@ bands AS (
 @register(
     "llm_minhash_signatures",
     oracle=f"""
-WITH {TOKENS_CTE.strip()},
-seeds AS (SELECT unnest(range({N_HASHES})) AS seed)
-SELECT doc_id, seed,
-       MIN(md5(CAST(seed AS VARCHAR) || ':' || token)) AS minhash
-FROM tok CROSS JOIN seeds
+WITH {SHINGLES_CTE.strip()},
+seeds AS (SELECT unnest(range({N_HASHES})) AS seed),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(token), 9, 8))::BIGINT AS h2
+  FROM tok
+)
+SELECT doc_id, seed, MIN((h1 + seed * h2) % 4294967311) AS minhash
+FROM hashed CROSS JOIN seeds
 GROUP BY doc_id, seed
 """,
-    doc="Portable MinHash signatures (md5-order permutation-free variant), "
-    "16 hashes per doc.",
+    doc="Portable MinHash signatures over 3-word shingles: one md5 per "
+    "shingle, 16 hashes derived via Kirsch-Mitzenmacher (h1 + i*h2 mod p).",
 )
 def llm_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = dedup.doc_tokens(docs(spark, sf_dir))
+    toks = dedup.doc_shingles(docs(spark, sf_dir), distinct=False)
     return dedup.minhash_signatures(toks, N_HASHES)
 
 
 @register(
     "llm_minhash_lsh_pairs",
     oracle=f"""
-WITH {TOKENS_CTE.strip()},
+WITH {SHINGLES_CTE.strip()},
 {MINHASH_CTE.strip()}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 """,
-    doc="MinHash-LSH near-dup candidates: 4 bands x 4 rows, bucket join "
-    "(no cross product; the 100 TB-safe near-dup architecture).",
+    doc="MinHash-LSH near-dup candidates over 3-word shingles: 4 bands x "
+    "4 rows, bucket join (no cross product; the 100 TB-safe near-dup "
+    "architecture).",
     bench=True,
 )
 def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = dedup.doc_tokens(docs(spark, sf_dir))
+    toks = dedup.doc_shingles(docs(spark, sf_dir), distinct=False)
     sigs = dedup.minhash_signatures(toks, N_HASHES)
     return dedup.lsh_candidate_pairs(sigs, N_HASHES, BANDS)
 
@@ -295,10 +323,15 @@ FROM e GROUP BY label
     doc="Vector norm stats per cell (array fold + sqrt, all JVM-side).",
 )
 def llm_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from metricq_db_hta_spark.functions.arrays import norm2
-
-    e = embs(spark, sf_dir).withColumn("nrm", norm2("embedding"))
-    return e.groupBy("label").agg(
+    # norm per row via explode + codegen hash agg (see operators/similarity)
+    e = embs(spark, sf_dir)
+    x = F.col("x").cast("double")
+    norms = (
+        e.select("vec_id", "label", F.explode("embedding").alias("x"))
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum(x * x)).alias("nrm"))
+    )
+    return norms.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
         F.round(F.min("nrm"), 6).alias("min_norm"),
         F.round(F.max("nrm"), 6).alias("max_norm"),
