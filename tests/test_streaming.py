@@ -1,0 +1,111 @@
+"""Streaming semantics tests (SURVEY §5.4): chunked delivery, out-of-order
+and duplicate chunks across microbatches, checkpoint restart, and
+equivalence with the batch ingest + rollup pipeline."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from metricq_db_hta_spark.operators import hta, ingest
+from metricq_db_hta_spark.queries.hta_queries import W0, samples
+from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
+
+
+@pytest.fixture()
+def chunked_input(spark, sf_dir, tmp_path):
+    """Split the events samples into 3 arrival chunks; chunk 3 re-delivers
+    chunk 2 (duplicates) plus some artificially out-of-order rows."""
+    src = samples(spark, sf_dir).orderBy("event_id").limit(600)
+    rows = src.collect()
+    c1, c2 = rows[:300], rows[300:]
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+
+    def write_chunk(name, data):
+        spark.createDataFrame(data, schema=src.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(input_dir / name))
+
+    write_chunk("chunk1", c1)
+    write_chunk("chunk2", c2)
+    # chunk3: exact duplicates of c2 (idempotence) with later event_ids
+    dup = [
+        (r["metric"], r["ts_ns"], r["value"], r["event_id"] + 1_000_000) for r in c2
+    ]
+    write_chunk("chunk3", dup)
+    return str(input_dir), rows + [
+        {"metric": m, "ts_ns": t, "value": v, "event_id": e}
+        for m, t, v, e in dup
+    ]
+
+
+def test_stream_matches_batch(spark, sf_dir, tmp_path, chunked_input):
+    input_dir, _ = chunked_input
+    store = str(tmp_path / "store")
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc.run_until_drained(input_dir)
+
+    # batch reference: same rows through the batch chain
+    src = samples(spark, sf_dir).orderBy("event_id").limit(600)
+    dup = src.withColumn("event_id", F.col("event_id") + 1_000_000).filter(
+        F.col("event_id") >= 1_000_300
+    )
+    batch_kept = ingest.ingest_batch(src)  # dups add nothing (idempotence)
+
+    raw = spark.read.parquet(svc.raw_path)
+    assert raw.count() == batch_kept.count()
+    sym = raw.select("metric", "ts_ns", "value").exceptAll(
+        batch_kept.select("metric", "ts_ns", "value")
+    )
+    assert sym.count() == 0
+
+    # level0 from streaming merges == batch level0 over the kept rows
+    lv_stream = spark.read.parquet(svc.level_path(W0))
+    lv_batch = hta.level0(batch_kept, W0)
+    cols = ["metric", "bucket_start_ns", "minimum", "maximum", "count", "integral", "active_time"]
+    diff = (
+        lv_stream.select(*cols).exceptAll(lv_batch.select(*cols))
+        .union(lv_batch.select(*cols).exceptAll(lv_stream.select(*cols)))
+    )
+    assert diff.count() == 0
+
+
+def test_stream_restart_idempotent(spark, tmp_path, chunked_input):
+    """Draining twice (restart from checkpoint, no new data) changes
+    nothing — the checkpoint remembers processed files and state."""
+    input_dir, _ = chunked_input
+    store = str(tmp_path / "store2")
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc.run_until_drained(input_dir)
+    n1 = spark.read.parquet(svc.raw_path).count()
+    lv1 = spark.read.parquet(svc.level_path(W0)).agg(
+        F.sum("count").alias("c")
+    ).collect()[0]["c"]
+
+    svc2 = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc2.run_until_drained(input_dir)
+    assert spark.read.parquet(svc.raw_path).count() == n1
+    lv2 = spark.read.parquet(svc.level_path(W0)).agg(
+        F.sum("count").alias("c")
+    ).collect()[0]["c"]
+    assert lv2 == lv1
+
+
+def test_stream_rename_mapping(spark, tmp_path, chunked_input):
+    """A2 in the streaming path: input names rewritten before state."""
+    input_dir, _ = chunked_input
+    store = str(tmp_path / "store3")
+    mapping = spark.createDataFrame(
+        [("click", "interaction.click")], ["input", "name"]
+    )
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,), mapping=mapping)
+    svc.run_until_drained(input_dir)
+    metrics = {
+        r["metric"]
+        for r in spark.read.parquet(svc.raw_path).select("metric").distinct().collect()
+    }
+    assert "interaction.click" in metrics
+    assert "click" not in metrics
