@@ -32,17 +32,25 @@ def main() -> None:
     sf = float(m.group(1)) if m else 0.0
 
     spark = get_spark("bench")
-    spark.sparkSession if hasattr(spark, "sparkSession") else None
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
     names = [n for n, s in REGISTRY.items() if s.bench]
     timings: dict[str, float] = {}
     for name in names:
         spec = REGISTRY[name]
-        t0 = time.perf_counter()
-        df = spec.spark(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # steady-state timing: first run absorbs one-off session costs
+        # (codegen/JIT compilation, parquet footer reads, broadcast
+        # machinery spin-up) that a long-lived engine pays once, then the
+        # measured run reflects actual plan execution
+        for measured in (False, True):
+            # drop DataFrame caches so operators that cache intermediates
+            # (LSH band keys) don't hand the measured run precomputed data
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = spec.spark(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            if measured:
+                timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(

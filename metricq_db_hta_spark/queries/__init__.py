@@ -14,6 +14,7 @@ from metricq_db_hta_spark.queries.base import REGISTRY, QuerySpec
 # Importing the domain modules populates REGISTRY via register().
 from metricq_db_hta_spark.queries import hta_queries  # noqa: F401
 from metricq_db_hta_spark.queries import relational  # noqa: F401
+from metricq_db_hta_spark.queries import relational2  # noqa: F401
 from metricq_db_hta_spark.queries import llm  # noqa: F401
 
 __all__ = ["REGISTRY", "QuerySpec"]
