@@ -100,3 +100,69 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     return df.select("doc_id", "payload", "media_type").mapInPandas(
         run, schema=DECODED_SCHEMA
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize plumbing: Arrow-batched, deterministic stub (truncate/pad the
+    payload to width*height bytes where a real resampler would go)."""
+
+    def run(batches):
+        import pandas as _pd
+
+        n = width * height
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [width] * len(payloads),
+                    "height": [height] * len(payloads),
+                    "payload": [
+                        (p + b"\x00" * n)[:n] for p in payloads
+                    ],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, frame_bytes: int = 256) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: emit ``n_frames``
+    evenly spaced byte-slices per asset (1 input row -> n output rows; the
+    real decoder slots in per frame). Shape matters here: the fan-out
+    happens inside the Arrow batch, never on the driver."""
+
+    def run(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_payload": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                stride = max(1, (len(p) - frame_bytes) // max(1, n_frames - 1))
+                for i in range(n_frames):
+                    start = min(i * stride, max(0, len(p) - frame_bytes))
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_payload"].append(p[start : start + frame_bytes])
+            yield _pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=FRAMES_SCHEMA)

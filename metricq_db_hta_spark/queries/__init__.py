@@ -16,5 +16,6 @@ from metricq_db_hta_spark.queries import hta_queries  # noqa: F401
 from metricq_db_hta_spark.queries import relational  # noqa: F401
 from metricq_db_hta_spark.queries import relational2  # noqa: F401
 from metricq_db_hta_spark.queries import llm  # noqa: F401
+from metricq_db_hta_spark.queries import udf_queries  # noqa: F401
 
 __all__ = ["REGISTRY", "QuerySpec"]

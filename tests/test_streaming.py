@@ -109,3 +109,31 @@ def test_stream_rename_mapping(spark, tmp_path, chunked_input):
     }
     assert "interaction.click" in metrics
     assert "click" not in metrics
+
+
+def test_stream_reconfigure_add_metric(spark, tmp_path, chunked_input):
+    """A17: add-only runtime reconfiguration — a new input mapping appears
+    between drains (config-table append); existing metrics unaffected
+    (/root/reference/src/async_hta_service.hpp:206-247)."""
+    input_dir, _ = chunked_input
+    store = str(tmp_path / "store4")
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc.run_until_drained(input_dir)
+    before = spark.read.parquet(svc.raw_path).count()
+
+    # new chunk introduces a brand-new input stream name; reconfigured
+    # service maps it to a logical metric
+    newrows = [("sensor.raw", 1_800_000_000_000_000_000 + i, float(i), 5_000_000 + i)
+               for i in range(10)]
+    spark.createDataFrame(
+        newrows, ["metric", "ts_ns", "value", "event_id"]
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(input_dir, "chunk4"))
+
+    mapping = spark.createDataFrame([("sensor.raw", "sensor.power")], ["input", "name"])
+    svc2 = StreamingIngest(spark, store, level_widths_ns=(W0,), mapping=mapping)
+    svc2.run_until_drained(input_dir)
+
+    raw = spark.read.parquet(svc2.raw_path)
+    assert raw.count() == before + 10
+    metrics = {r["metric"] for r in raw.select("metric").distinct().collect()}
+    assert "sensor.power" in metrics and "sensor.raw" not in metrics
