@@ -197,3 +197,90 @@ def rel_agg_scalar_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped-agg pandas UDF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udf_grouped_agg_geomean",
+    oracle="""
+SELECT event_type,
+       ROUND(EXP(AVG(LN(value))), 6) AS geo_mean
+FROM events WHERE value > 0
+GROUP BY event_type
+""",
+    doc="Grouped-aggregate pandas_udf: per-metric geometric mean "
+    "(exp of mean log) — the Arrow-batched custom-aggregate extension "
+    "point; oracle pins it via EXP(AVG(LN(x))).",
+)
+def udf_grouped_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: with `from __future__ import annotations` the
+    # pd.Series -> float hints are strings Spark cannot resolve here
+    @pandas_udf(DoubleType(), PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        import numpy as _np
+
+        return float(_np.exp(_np.log(v.to_numpy(dtype="float64")).mean()))
+
+    s = samples(spark, sf_dir).filter(F.col("value") > 0)
+    # round in a separate projection: Spark rejects a pandas GROUPED_AGG
+    # UDF nested inside another expression in the agg list
+    return (
+        s.groupBy(F.col("metric").alias("event_type"))
+        .agg(geomean("value").alias("__g"))
+        .select("event_type", F.round("__g", 6).alias("geo_mean"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (table function)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udf_udtf_explode_buckets",
+    oracle=f"""
+WITH bounds AS (
+  SELECT event_type AS metric,
+         MIN(epoch_ns(ts)) AS min_ts, MAX(epoch_ns(ts)) AS max_ts
+  FROM events GROUP BY event_type
+)
+SELECT metric, unnest(generate_series(
+         min_ts - min_ts % {7 * 86_400_000_000_000},
+         max_ts,
+         {7 * 86_400_000_000_000})) AS week_start_ns
+FROM bounds
+""",
+    doc="Python UDTF (table function): expand each metric's time range "
+    "into epoch-aligned week starts (1 row -> N rows, lateral-join "
+    "shape).",
+)
+def udf_udtf_explode_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    WEEK = 7 * 86_400_000_000_000
+
+    @udtf(returnType="metric: string, week_start_ns: long")
+    class ExpandWeeks:
+        def eval(self, metric: str, min_ts: int, max_ts: int):
+            start = min_ts - min_ts % WEEK
+            while start <= max_ts:
+                yield metric, start
+                start += WEEK
+
+    bounds = (
+        samples(spark, sf_dir)
+        .groupBy("metric")
+        .agg(F.min("ts_ns").alias("min_ts"), F.max("ts_ns").alias("max_ts"))
+    )
+    bounds.createOrReplaceTempView("v_bounds")
+    spark.udtf.register("expand_weeks", ExpandWeeks)
+    return spark.sql(
+        "SELECT t.metric, t.week_start_ns "
+        "FROM v_bounds, LATERAL expand_weeks(metric, min_ts, max_ts) t"
+    )
