@@ -53,17 +53,46 @@ def main() -> None:
                 timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+
+    # transparent baseline: the same declared oracle SQL on DuckDB over the
+    # same parquet (this is the BASELINE.md comparison target)
+    duck: dict[str, float] = {}
+    try:
+        import duckdb
+
+        from metricq_db_hta_spark.sources.tables import TABLES
+
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {os.cpu_count() or 8}")
+        for t in TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                )
+        for name in names:
+            spec = REGISTRY[name]
+            if spec.oracle is None:
+                continue
+            con.execute(spec.oracle).fetchall()  # warm
+            t0 = time.perf_counter()
+            con.execute(spec.oracle).fetchall()
+            duck[name] = round(time.perf_counter() - t0, 3)
+    except Exception:  # noqa: BLE001 — baseline is informational
+        duck = {}
+
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if duck:
+        out["duckdb_baseline"] = duck
+        out["duckdb_total"] = round(sum(duck.values()), 3)
+        out["ratio_vs_duckdb"] = round(total / max(sum(duck.values()), 1e-9), 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

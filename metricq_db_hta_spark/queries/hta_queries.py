@@ -9,6 +9,8 @@ the engine-defined integral/active_time semantics encoded identically
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -53,12 +55,42 @@ def samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SERVICE_STORES: dict[str, str] = {}
+
+
 def service(spark: SparkSession, sf_dir: str) -> HistoryService:
-    raw = samples(spark, sf_dir)
-    levels = hta.build_levels(raw, W0, 10, n_levels=3)
-    # present decimal-accumulated sums as doubles at the service boundary
+    """HistoryService over MATERIALIZED level tables.
+
+    The reference's core design is answering any-resolution queries from
+    maintained rollups, not recomputing them per query
+    (/root/reference/src/async_hta_service.hpp:361-441). This memoizes the
+    level build per (session, sf_dir) into Parquet tables — the batch
+    analogue of the streaming ingest's stored levels — so Q1/Q3 cost is a
+    partition-pruned scan of the (log-sized) rollup, independent of raw
+    history size. Raw-path queries (Q2 fallthrough, Q4) scan raw, as in
+    the reference.
+    """
+    import hashlib
+    import tempfile
+
+    key = f"{id(spark)}:{sf_dir}"
+    store = _SERVICE_STORES.get(key)
+    if store is None:
+        raw = samples(spark, sf_dir)
+        levels = hta.build_levels(raw, W0, 10, n_levels=3)
+        tag = hashlib.md5(key.encode()).hexdigest()[:10]
+        store = os.path.join(tempfile.gettempdir(), f"hta_levels_{tag}")
+        for w, lv in zip(LEVEL_WIDTHS, levels):
+            lv.repartition("metric").write.mode("overwrite").partitionBy(
+                "metric"
+            ).parquet(os.path.join(store, f"level_{w}"))
+        _SERVICE_STORES[key] = store
     return HistoryService(
-        raw=raw, levels={w: lv for w, lv in zip(LEVEL_WIDTHS, levels)}
+        raw=samples(spark, sf_dir),
+        levels={
+            w: spark.read.parquet(os.path.join(store, f"level_{w}"))
+            for w in LEVEL_WIDTHS
+        },
     )
 
 
