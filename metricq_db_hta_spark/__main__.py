@@ -1,0 +1,125 @@
+"""CLI entry point (the reference's main.cpp analogue:
+/root/reference/src/main.cpp — CLI flags, construct the service, run).
+
+Subcommands:
+
+  ingest   --input DIR --store DIR [--continuous]   streaming ingest A1-A6
+  backfill --source DIR --store DIR                 bulk import (A18)
+  history  --store DIR --type TYPE [--metric M]     Q1-Q4 over a store
+           [--start NS] [--end NS] [--interval-max NS]
+  query    --name NAME [--sf-dir DIR]               any declared query
+
+Examples:
+  python -m metricq_db_hta_spark ingest --input /data/chunks --store /data/hta
+  python -m metricq_db_hta_spark history --store /data/hta --type last_value
+  python -m metricq_db_hta_spark query --name hta_level0
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from metricq_db_hta_spark.functions.timeutil import TS_MAX_NS
+from metricq_db_hta_spark.session import get_spark
+
+
+def _history_service(spark, store: str, widths: list[int]):
+    from pyspark.sql import functions as F
+
+    from metricq_db_hta_spark.plans.history import HistoryService
+
+    raw = spark.read.parquet(os.path.join(store, "raw")).withColumn(
+        "metric", F.col("metric")
+    )
+    levels = {
+        w: spark.read.parquet(os.path.join(store, f"level_{w}")) for w in widths
+    }
+    return HistoryService(raw=raw, levels=levels)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="metricq_db_hta_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest")
+    pi.add_argument("--input", required=True)
+    pi.add_argument("--store", required=True)
+    pi.add_argument("--width-ns", type=int, default=3_600_000_000_000)
+    pi.add_argument("--levels", type=int, default=3)
+    pi.add_argument("--continuous", action="store_true")
+
+    pb = sub.add_parser("backfill")
+    pb.add_argument("--source", required=True)
+    pb.add_argument("--store", required=True)
+    pb.add_argument("--width-ns", type=int, default=3_600_000_000_000)
+    pb.add_argument("--levels", type=int, default=3)
+
+    ph = sub.add_parser("history")
+    ph.add_argument("--store", required=True)
+    ph.add_argument(
+        "--type",
+        required=True,
+        choices=["aggregate_timeline", "flex_timeline", "aggregate", "last_value"],
+    )
+    ph.add_argument("--metric", default=None)
+    ph.add_argument("--start", type=int, default=0)
+    ph.add_argument("--end", type=int, default=TS_MAX_NS)
+    ph.add_argument("--interval-max", type=int, default=TS_MAX_NS)
+    ph.add_argument("--width-ns", type=int, default=3_600_000_000_000)
+    ph.add_argument("--levels", type=int, default=3)
+
+    pq = sub.add_parser("query")
+    pq.add_argument("--name", required=True)
+    pq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pq.add_argument("--limit", type=int, default=20)
+
+    args = p.parse_args(argv)
+    spark = get_spark("metricq-db-hta-spark-cli")
+
+    if args.cmd in ("ingest", "backfill"):
+        from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
+
+        widths = tuple(args.width_ns * 10**k for k in range(args.levels))
+        svc = StreamingIngest(spark, args.store, level_widths_ns=widths)
+        if args.cmd == "backfill":
+            from metricq_db_hta_spark.streaming.ingest_stream import SAMPLE_SCHEMA
+
+            src = spark.read.schema(SAMPLE_SCHEMA).parquet(args.source)
+            svc.backfill(src)
+        elif args.continuous:
+            q = svc.start(args.input, available_now=False)
+            q.awaitTermination()
+        else:
+            svc.run_until_drained(args.input)
+        return 0
+
+    if args.cmd == "history":
+        widths = [args.width_ns * 10**k for k in range(args.levels)]
+        svc = _history_service(spark, args.store, widths)
+        if args.type == "aggregate_timeline":
+            df = svc.aggregate_timeline(args.metric, args.start, args.end, args.interval_max)
+        elif args.type == "flex_timeline":
+            df = svc.flex_timeline(args.metric, args.start, args.end, args.interval_max)
+        elif args.type == "aggregate":
+            df = svc.aggregate(args.metric, args.start, args.end)
+        else:
+            df = svc.last_value(args.metric)
+        df.show(100, truncate=False)
+        return 0
+
+    from metricq_db_hta_spark.queries import REGISTRY
+
+    if args.name not in REGISTRY:
+        print(
+            f"unknown query {args.name!r}; available: {', '.join(sorted(REGISTRY))}",
+            file=sys.stderr,
+        )
+        return 2
+    REGISTRY[args.name].spark(spark, args.sf_dir).show(args.limit, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

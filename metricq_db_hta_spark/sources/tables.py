@@ -34,6 +34,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # type, so read it as a raw int64 (exactly the engine's canonical ts_ns
     # representation; SURVEY §1.1 / §7 risk 2).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin the session timezone: timestamp literals and date functions in
+    # declared queries must agree with the (UTC-reading) DuckDB oracle
+    # even when the caller's session was built without this conf.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
