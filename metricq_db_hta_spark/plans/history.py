@@ -42,6 +42,20 @@ def choose_level(widths_ns: list[int], interval_max_ns: int) -> int | None:
     return max(eligible) if eligible else None
 
 
+def _date_pruned(df: DataFrame, date_col: str, start_ns: int, end_ns: int) -> DataFrame:
+    """Add a partition-pruning predicate on the store's date partition
+    column when present (stores written by streaming/ingest_stream.py are
+    laid out as (metric, date) — the predicate on the ns column alone
+    cannot prune those directory partitions)."""
+    if date_col not in df.columns:
+        return df
+    start_day = F.to_date(F.timestamp_micros(F.lit(start_ns // 1000)))
+    end_day = F.to_date(F.timestamp_micros(F.lit(min(end_ns, 2**62) // 1000)))
+    return df.filter(
+        (F.col(date_col) >= start_day) & (F.col(date_col) <= end_day)
+    )
+
+
 @dataclass
 class HistoryService:
     raw: DataFrame                      # (metric, ts_ns, value)
@@ -61,6 +75,7 @@ class HistoryService:
         df = self.levels[width]
         if metric is not None:
             df = df.filter(F.col("metric") == metric)
+        df = _date_pruned(df, "bucket_date", start_ns, end_ns)
         return (
             df.filter(
                 (F.col("bucket_start_ns") >= start_ns)
@@ -81,6 +96,7 @@ class HistoryService:
             df = self.raw
             if metric is not None:
                 df = df.filter(F.col("metric") == metric)
+            df = _date_pruned(df, "ts_date", start_ns, end_ns)
             return (
                 df.filter((F.col("ts_ns") >= start_ns) & (F.col("ts_ns") < end_ns))
                 .select("metric", "ts_ns", "value")
@@ -98,6 +114,7 @@ class HistoryService:
         df = self.levels[self.widths[0]]
         if metric is not None:
             df = df.filter(F.col("metric") == metric)
+        df = _date_pruned(df, "bucket_date", start_ns, end_ns)
         return (
             df.filter(
                 (F.col("bucket_start_ns") >= start_ns)

@@ -71,6 +71,11 @@ KEPT_SCHEMA = StructType(
 STATE_SCHEMA = StructType([StructField("max_ts", LongType())])
 
 
+def _ns_to_date(c):
+    """UTC date of an int64-ns timestamp (partition key for pruning)."""
+    return F.to_date(F.timestamp_micros(F.floor(c.cast("decimal(38,0)") / 1000).cast("long")))
+
+
 def monotonic_stateful(stream: DataFrame) -> DataFrame:
     """A3 as an arbitrary stateful operator, keyed by metric.
 
@@ -184,38 +189,50 @@ class StreamingIngest:
         try:
             if kept.isEmpty():
                 return
-            # A6: append raw samples, clustered by metric
+            # A6: append raw samples, clustered by metric and day — the
+            # (metric, date) layout is what lets Q2/Q4 range scans prune
+            # partitions at 100 TB (SURVEY §4 "time-range partition
+            # pruning" row)
             (
                 kept.select("metric", "ts_ns", "value", "event_id")
+                .withColumn("ts_date", _ns_to_date(F.col("ts_ns")))
                 .repartition("metric")
                 .write.mode("append")
-                .partitionBy("metric")
+                .partitionBy("metric", "ts_date")
                 .parquet(self.raw_path)
             )
-            # A5: merge batch partials into each level table
+            # A5: merge batch partials into each level table. Levels are
+            # partitioned by (metric, bucket_date); only partitions whose
+            # (metric, date) actually received data are read + rewritten,
+            # so the merge cost tracks the batch's time locality, not the
+            # metric's full history.
             for width in self.widths:
-                partial = batch_level_partials(kept, width)
+                partial = batch_level_partials(kept, width).withColumn(
+                    "bucket_date", _ns_to_date(F.col("bucket_start_ns"))
+                )
                 path = self.level_path(width)
                 existing = None
                 if os.path.exists(path):
-                    existing = spark.read.parquet(path)
-                    touched = [
-                        r["metric"]
-                        for r in kept.select("metric").distinct().collect()
-                    ]
-                    existing = existing.filter(F.col("metric").isin(touched))
+                    touched = partial.select("metric", "bucket_date").distinct()
+                    existing = spark.read.parquet(path).join(
+                        F.broadcast(touched), ["metric", "bucket_date"], "left_semi"
+                    )
                 # localCheckpoint materializes the merge BEFORE the write:
                 # Spark refuses to overwrite a path that is also a source
                 # of the writing plan, and the checkpoint breaks that
                 # lineage (it also bounds recompute — merged is small, the
                 # level table is log-sized relative to raw)
-                merged = merge_level(existing, partial).localCheckpoint(eager=True)
-                # dynamic overwrite rewrites only the touched metric
-                # partitions; untouched metrics' files stay in place
+                merged = (
+                    merge_level(existing, partial)
+                    .withColumn("bucket_date", _ns_to_date(F.col("bucket_start_ns")))
+                    .localCheckpoint(eager=True)
+                )
+                # dynamic overwrite rewrites only the touched partitions;
+                # everything else stays in place
                 (
                     merged.repartition("metric")
                     .write.mode("overwrite")
-                    .partitionBy("metric")
+                    .partitionBy("metric", "bucket_date")
                     .parquet(path)
                 )
         finally:
