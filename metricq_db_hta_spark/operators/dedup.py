@@ -169,6 +169,17 @@ def jaccard_pairs(
     otherwise all pairs sharing >= 1 token (use blocking upstream!).
     """
     sizes = tokens.groupBy(id_col).agg(F.count("*").alias("n_tok"))
+    if pairs is not None:
+        # push the candidate restriction BELOW the token self-join: only
+        # candidate docs' tokens participate, so verification cost tracks
+        # |candidates|, not corpus^2 (filtering after the join would make
+        # the candidate set pointless at scale)
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        tokens = tokens.join(F.broadcast(cand_ids), id_col, "left_semi")
     ta = tokens.select(F.col(id_col).alias("id_a"), "token")
     tb = tokens.select(F.col(id_col).alias("id_b"), "token")
     inter = (

@@ -106,16 +106,12 @@ def level0(
     )
 
 
-def rollup(level_k: DataFrame, factor: int = DEFAULT_FACTOR, width_ns: int | None = None) -> DataFrame:
-    """Re-aggregate level k into level k+1 (bucket width * factor).
-
-    ``width_ns`` is the *target* (level k+1) width; if omitted it is
-    inferred as factor * the modal gap — callers normally pass it.
-    Exercises the mergeability property (SURVEY §5.3a): rolling up level k
-    must equal computing level k+1 from raw.
+def rollup(level_k: DataFrame, width_ns: int) -> DataFrame:
+    """Re-aggregate level k into a coarser level of width ``width_ns``
+    (any multiple of level k's width). Exercises the mergeability property
+    (SURVEY §5.3a): rolling up level k must equal computing the coarser
+    level directly from raw.
     """
-    if width_ns is None:
-        raise ValueError("pass the target level width_ns explicitly")
     return (
         level_k.groupBy(
             "metric",
@@ -147,5 +143,5 @@ def build_levels(
     width = interval_min_ns
     for _ in range(1, n_levels):
         width *= factor
-        levels.append(rollup(levels[-1], factor, width_ns=width))
+        levels.append(rollup(levels[-1], width_ns=width))
     return levels

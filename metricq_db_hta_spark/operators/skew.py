@@ -66,7 +66,17 @@ def salted_join(
     big_salt_from: list[str] | None = None,
 ) -> DataFrame:
     """Skew-safe equi-join: salt the big side deterministically, replicate
-    the small side across all salts, join on (key, salt)."""
+    the small side across all salts, join on (key, salt).
+
+    Only inner / left / left_semi are valid: any join that can emit
+    *unmatched small-side rows* (right/full/left_anti-of-small) would emit
+    one unmatched row per salt replica.
+    """
+    if how not in ("inner", "left", "left_outer", "left_semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: the "
+            "replicated small side would duplicate unmatched rows"
+        )
     salts = small.sparkSession.range(n_salts).select(
         F.col("id").cast("int").alias("__salt")
     )

@@ -70,7 +70,6 @@ def service(spark: SparkSession, sf_dir: str) -> HistoryService:
     history size. Raw-path queries (Q2 fallthrough, Q4) scan raw, as in
     the reference.
     """
-    import hashlib
     import tempfile
 
     key = f"{id(spark)}:{sf_dir}"
@@ -78,8 +77,9 @@ def service(spark: SparkSession, sf_dir: str) -> HistoryService:
     if store is None:
         raw = samples(spark, sf_dir)
         levels = hta.build_levels(raw, W0, 10, n_levels=3)
-        tag = hashlib.md5(key.encode()).hexdigest()[:10]
-        store = os.path.join(tempfile.gettempdir(), f"hta_levels_{tag}")
+        # fresh unique dir: an id()/hash-derived path could collide with a
+        # concurrent process (or a stale store from a recycled session id)
+        store = tempfile.mkdtemp(prefix="hta_levels_")
         for w, lv in zip(LEVEL_WIDTHS, levels):
             lv.repartition("metric").write.mode("overwrite").partitionBy(
                 "metric"
@@ -236,7 +236,7 @@ FROM level1
 )
 def hta_level1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lv0 = hta.level0(samples(spark, sf_dir), W0)
-    return _present(hta.rollup(lv0, 10, width_ns=W1))
+    return _present(hta.rollup(lv0, width_ns=W1))
 
 
 # --------------------------------------------------------------------------

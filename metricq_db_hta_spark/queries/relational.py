@@ -407,7 +407,9 @@ def rel_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {EVENTS_CTE.strip()},
 purch  AS (SELECT event_id, user_id, ts_ns, value FROM ev WHERE event_type = 'purchase'),
 clicks AS (SELECT user_id, ts_ns AS click_ts_ns, value AS click_value FROM ev
-           WHERE event_type = 'click')
+           WHERE event_type = 'click'
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts_ns
+                                      ORDER BY event_id DESC) = 1)
 SELECT p.event_id, p.user_id, p.ts_ns, p.value, c.click_ts_ns, c.click_value
 FROM purch p ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND p.ts_ns >= c.click_ts_ns
@@ -422,8 +424,13 @@ def rel_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     purch = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts_ns", "value"
     )
+    # dedup clicks on the (µs-truncated) key: equal-(user, ts) right rows
+    # would make both engines' as-of choice arbitrary and divergent
+    w_dedup = Window.partitionBy("user_id", "ts_ns").orderBy(F.desc("event_id"))
     clicks = (
         ev.filter(F.col("event_type") == "click")
+        .withColumn("__rn", F.row_number().over(w_dedup))
+        .filter(F.col("__rn") == 1)
         .select("user_id", "ts_ns", F.col("ts_ns").alias("click_ts_ns"),
                 F.col("value").alias("click_value"))
     )

@@ -53,10 +53,12 @@ def udf_pandas_scalar_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         return s.map(lambda x: pat.sub("", x).lower())
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return d.select(
+    # project the UDF once, derive from the result — two normalize("text")
+    # expressions would serialize every Arrow batch to Python twice
+    return d.select("doc_id", normalize("text").alias("norm_text")).select(
         "doc_id",
-        normalize("text").alias("norm_text"),
-        F.length(normalize("text")).cast("long").alias("norm_len"),
+        "norm_text",
+        F.length("norm_text").cast("long").alias("norm_len"),
     )
 
 

@@ -134,20 +134,12 @@ def batch_level_partials(kept: DataFrame, width_ns: int) -> DataFrame:
     )
 
 
-def merge_level(existing: DataFrame | None, partial: DataFrame) -> DataFrame:
-    """Merge partial records into stored ones (mergeability, SURVEY §1.2)."""
-    if existing is None:
-        unioned = partial
-    else:
-        unioned = existing.select(*partial.columns).unionByName(partial)
-    return unioned.groupBy("metric", "bucket_start_ns").agg(
-        F.min("minimum").alias("minimum"),
-        F.max("maximum").alias("maximum"),
-        F.sum("sum").alias("sum"),
-        F.sum("count").cast("long").alias("count"),
-        F.sum("integral").cast("long").alias("integral"),
-        F.sum("active_time").cast("long").alias("active_time"),
-    )
+# NOTE: level maintenance recomputes touched buckets from raw rather than
+# merging partials into stored records — merging is not replay-idempotent
+# (a retried microbatch would double-apply its partial). The Aggregate
+# record's mergeability (SURVEY §1.2) is still load-bearing: it is what
+# makes the per-bucket recompute a plain partial/final hash aggregation,
+# and operators/hta.py::rollup is the batch-side merge.
 
 
 class StreamingIngest:
@@ -183,60 +175,82 @@ class StreamingIngest:
 
     # -- batch sink --------------------------------------------------------
     def _process_batch(self, kept: DataFrame, batch_id: int) -> None:
+        """Retry-idempotent sink. foreachBatch may replay a batch after a
+        mid-write failure, so nothing here may be an unconditional append:
+
+        * raw is partitioned by (ingest_batch, metric, ts_date) and written
+          with dynamic-partition OVERWRITE — a replay of batch N rewrites
+          exactly batch N's partitions (the stateful filter's output for a
+          replayed batch is identical: its state store is versioned per
+          batch). No duplicate rows, ever.
+        * level tables are NOT merged incrementally from partials (merging
+          twice would double-count on replay); instead every touched bucket
+          is RECOMPUTED from raw — which the raw write just made correct —
+          and its (metric, bucket_date) partitions dynamically overwritten.
+          Recompute cost is bounded by the batch's touched buckets (time
+          locality), never full history. Exact because raw stores each
+          sample's state-derived delta_ns (no cross-partition lag needed).
+        """
         spark = kept.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        kept = kept.persist()
+        # eager checkpoint, not persist(): kept's lineage may read the very
+        # store this method mutates (backfill's watermark join does) — the
+        # raw write would invalidate a cache and silently recompute kept
+        # against the post-write store (observed: watermark filter then
+        # drops every row and the level maintenance no-ops)
+        kept = kept.localCheckpoint(eager=True)
         try:
             if kept.isEmpty():
                 return
-            # A6: append raw samples, clustered by metric and day — the
-            # (metric, date) layout is what lets Q2/Q4 range scans prune
-            # partitions at 100 TB (SURVEY §4 "time-range partition
-            # pruning" row)
+            # A6: idempotent raw write (see docstring); (metric, ts_date)
+            # sub-partitioning gives Q2/Q4 range scans partition pruning
             (
-                kept.select("metric", "ts_ns", "value", "event_id")
+                kept.select("metric", "ts_ns", "value", "event_id", "delta_ns")
                 .withColumn("ts_date", _ns_to_date(F.col("ts_ns")))
+                .withColumn("ingest_batch", F.lit(int(batch_id)))
                 .repartition("metric")
-                .write.mode("append")
-                .partitionBy("metric", "ts_date")
+                .write.mode("overwrite")
+                .partitionBy("ingest_batch", "metric", "ts_date")
                 .parquet(self.raw_path)
             )
-            # A5: merge batch partials into each level table. Levels are
-            # partitioned by (metric, bucket_date); only partitions whose
-            # (metric, date) actually received data are read + rewritten,
-            # so the merge cost tracks the batch's time locality, not the
-            # metric's full history.
+            raw = spark.read.parquet(self.raw_path)
+            # A5: recompute every touched (metric, bucket_date) PARTITION of
+            # each level from raw. Granularity matters: dynamic overwrite
+            # replaces whole date partitions, so recomputing only touched
+            # *buckets* would delete the untouched buckets sharing a date.
             for width in self.widths:
-                partial = batch_level_partials(kept, width).withColumn(
-                    "bucket_date", _ns_to_date(F.col("bucket_start_ns"))
+                bucket = (F.col("ts_ns") - (F.col("ts_ns") % F.lit(width))).cast(
+                    "long"
                 )
-                path = self.level_path(width)
-                existing = None
-                if os.path.exists(path):
-                    touched = partial.select("metric", "bucket_date").distinct()
-                    existing = spark.read.parquet(path).join(
-                        F.broadcast(touched), ["metric", "bucket_date"], "left_semi"
+                touched = (
+                    kept.select(
+                        "metric", _ns_to_date(bucket).alias("bucket_date")
+                    ).distinct()
+                )
+                raw_bucket = (raw["ts_ns"] - (raw["ts_ns"] % F.lit(width))).cast(
+                    "long"
+                )
+                relevant = raw.join(
+                    F.broadcast(touched),
+                    (raw["metric"] == touched["metric"])
+                    & (_ns_to_date(raw_bucket) == touched["bucket_date"]),
+                    "left_semi",
+                )
+                recomputed = (
+                    batch_level_partials(relevant, width)
+                    .withColumn(
+                        "bucket_date", _ns_to_date(F.col("bucket_start_ns"))
                     )
-                # localCheckpoint materializes the merge BEFORE the write:
-                # Spark refuses to overwrite a path that is also a source
-                # of the writing plan, and the checkpoint breaks that
-                # lineage (it also bounds recompute — merged is small, the
-                # level table is log-sized relative to raw)
-                merged = (
-                    merge_level(existing, partial)
-                    .withColumn("bucket_date", _ns_to_date(F.col("bucket_start_ns")))
                     .localCheckpoint(eager=True)
                 )
-                # dynamic overwrite rewrites only the touched partitions;
-                # everything else stays in place
                 (
-                    merged.repartition("metric")
+                    recomputed.repartition("metric")
                     .write.mode("overwrite")
                     .partitionBy("metric", "bucket_date")
-                    .parquet(path)
+                    .parquet(self.level_path(width))
                 )
         finally:
-            kept.unpersist()
+            kept.unpersist()  # releases the checkpointed blocks
 
     # -- the query ---------------------------------------------------------
     def start(self, input_dir: str, available_now: bool = True):
@@ -265,12 +279,47 @@ class StreamingIngest:
         """A18: bulk import (the reference's ``metricq_importer`` MySQL ETL,
         /root/reference/src/tools/metricq_importer/importer.py:197-249) —
         one batch DataFrame through the same chain and sink. Parallelism
-        comes from partitions instead of the importer's worker queue."""
+        comes from partitions instead of the importer's worker queue.
+
+        Store-consistency rules (A3 holds store-wide, not just per call):
+        * rows at-or-below the store's per-metric watermark (max stored
+          ts) are dropped, so re-running a backfill is a no-op and mixing
+          backfill with streaming cannot write out-of-order samples;
+        * the first new sample of a metric gets delta_ns measured against
+          the stored watermark, keeping integral/active_time exact across
+          the boundary;
+        * backfills use a negative ingest_batch id namespace (streaming
+          microbatches own the non-negative ids), so neither can clobber
+          the other's idempotent-overwrite partitions.
+        """
         from metricq_db_hta_spark.operators.hta import with_delta
         from metricq_db_hta_spark.operators.ingest import ingest_batch
 
-        kept = with_delta(ingest_batch(stream, self.mapping))
-        self._process_batch(kept, batch_id=-1)
+        filtered = ingest_batch(stream, self.mapping)
+        batch_id = -1
+        wm = None
+        if os.path.exists(self.raw_path):
+            raw = self.spark.read.parquet(self.raw_path)
+            low = raw.agg(F.min("ingest_batch")).collect()[0][0]
+            batch_id = min(int(low or 0), 0) - 1
+            wm = raw.groupBy("metric").agg(F.max("ts_ns").alias("__wm_ts"))
+            # watermark filter BEFORE delta computation: a row's delta must
+            # be measured against the previous *surviving* sample, never a
+            # dropped one (kept-iff-greater-than-all-prior-and-wm is
+            # exactly the reference's run with max_ts seeded from storage)
+            filtered = filtered.join(F.broadcast(wm), "metric", "left").filter(
+                F.col("__wm_ts").isNull() | (F.col("ts_ns") > F.col("__wm_ts"))
+            )
+        kept = with_delta(filtered)
+        if wm is not None:
+            kept = kept.withColumn(
+                "delta_ns",
+                F.when(
+                    (F.col("delta_ns") == 0) & F.col("__wm_ts").isNotNull(),
+                    F.col("ts_ns") - F.col("__wm_ts"),  # boundary to stored max
+                ).otherwise(F.col("delta_ns")),
+            ).drop("__wm_ts")
+        self._process_batch(kept, batch_id=batch_id)
 
     def run_until_drained(self, input_dir: str, timeout_s: int = 300) -> None:
         q = self.start(input_dir, available_now=True)

@@ -66,3 +66,67 @@ def test_store_partition_pruning(spark, sf_dir, tmp_path):
     # and the result matches the lazily-built service on the same data
     n = q.count()
     assert n > 0
+
+
+def test_process_batch_retry_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch replay semantics: re-invoking _process_batch with the
+    SAME batch id and data (what Structured Streaming does after a
+    mid-write failure) must leave the store byte-identical in content —
+    raw row counts and level aggregates unchanged."""
+    from metricq_db_hta_spark.operators.hta import with_delta
+    from metricq_db_hta_spark.operators.ingest import ingest_batch
+
+    src = samples(spark, sf_dir).limit(400)
+    kept = with_delta(ingest_batch(src))
+    svc = StreamingIngest(spark, str(tmp_path / "store_r"), level_widths_ns=(W0,))
+    svc._process_batch(kept, batch_id=7)
+    n1 = spark.read.parquet(svc.raw_path).count()
+    lv1 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(svc.level_path(W0))
+        .select("metric", "bucket_start_ns", "count", "integral", "active_time")
+        .collect()
+    )
+    # replay the same batch (retry after simulated failure)
+    svc._process_batch(with_delta(ingest_batch(src)), batch_id=7)
+    assert spark.read.parquet(svc.raw_path).count() == n1
+    lv2 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(svc.level_path(W0))
+        .select("metric", "bucket_start_ns", "count", "integral", "active_time")
+        .collect()
+    )
+    assert lv2 == lv1
+
+
+def test_backfill_rerun_and_watermark(spark, sf_dir, tmp_path):
+    """Re-running a backfill is a no-op; an incremental backfill extends
+    the store and measures the boundary delta against the stored
+    watermark (A3 holds store-wide)."""
+    src = samples(spark, sf_dir).orderBy("event_id")
+    first = src.limit(300)
+    svc = StreamingIngest(spark, str(tmp_path / "store_w"), level_widths_ns=(W0,))
+    svc.backfill(first)
+    n1 = spark.read.parquet(svc.raw_path).count()
+
+    svc.backfill(first)  # rerun: everything <= watermark -> no-op
+    assert spark.read.parquet(svc.raw_path).count() == n1
+
+    svc.backfill(src)  # incremental: only the new tail lands
+    raw = spark.read.parquet(svc.raw_path)
+    expect = ingest.ingest_batch(src)
+    assert raw.count() == expect.count()
+    # store-wide A3: per metric, max ts of batch 1 < min ts of batch 2
+    from pyspark.sql import functions as SF
+    per_batch = raw.groupBy("metric", "ingest_batch").agg(
+        SF.min("ts_ns").alias("mn"), SF.max("ts_ns").alias("mx")
+    )
+    a = per_batch.filter(SF.col("ingest_batch") == -1).select("metric", SF.col("mx").alias("mx1"))
+    b = per_batch.filter(SF.col("ingest_batch") == -2).select("metric", SF.col("mn").alias("mn2"))
+    bad = a.join(b, "metric").filter(SF.col("mn2") <= SF.col("mx1")).count()
+    assert bad == 0
+    # and level0 equals the batch pipeline over everything
+    lv = spark.read.parquet(svc.level_path(W0))
+    direct = hta.level0(expect, W0)
+    cols = ["metric", "bucket_start_ns", "count", "integral", "active_time"]
+    assert lv.select(*cols).exceptAll(direct.select(*cols)).count() == 0

@@ -29,7 +29,7 @@ from metricq_db_hta_spark.queries.hta_queries import (
 def test_mergeability_levels(spark, sf_dir):
     """level1 built by rolling up level0 == level1 built directly from raw."""
     raw = samples(spark, sf_dir)
-    via_rollup = hta.rollup(hta.level0(raw, W0), 10, width_ns=W1)
+    via_rollup = hta.rollup(hta.level0(raw, W0), width_ns=W1)
     direct = hta.level0(raw, W1)
     sym_diff = via_rollup.exceptAll(direct).union(direct.exceptAll(via_rollup))
     assert sym_diff.count() == 0
