@@ -510,3 +510,100 @@ FROM documents
 def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = multimodal.with_binary_payload(docs(spark, sf_dir))
     return multimodal.decode_media(d)
+
+
+# ---------------------------------------------------------------------------
+# dataset assembly: deterministic split + contamination, sequence packing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_dataset_split",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+             AS bucket
+  FROM documents
+),
+split AS (
+  SELECT doc_id, lang,
+         CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split
+  FROM assigned
+)
+SELECT lang, split, COUNT(*) AS n_docs,
+       (SELECT COUNT(*) FROM split a JOIN split b
+         ON a.doc_id = b.doc_id AND a.split <> b.split) AS n_contaminated
+FROM split GROUP BY lang, split
+""",
+    doc="Deterministic 90/10 train/val split via a portable md5-derived "
+    "hash bucket (stable across engines, runs, and cluster sizes — "
+    "rand()-based splits are none of those), plus a self-contamination "
+    "check (same doc in both splits == 0 by construction).",
+)
+def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = F.when(bucket < 90, "train").otherwise("val")
+    assigned = d.select("doc_id", "lang", split.alias("split"))
+    a = assigned.select(F.col("doc_id").alias("da"), F.col("split").alias("sa"))
+    b = assigned.select(F.col("doc_id").alias("db"), F.col("split").alias("sb"))
+    contaminated = (
+        a.join(b, (a.da == b.db) & (a.sa != b.sb)).count()
+    )
+    return assigned.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.lit(contaminated).cast("long").alias("n_contaminated"),
+    )
+
+
+@register(
+    "llm_sequence_packing",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, LEN(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+             AS BIGINT) AS bin_id
+  FROM toks
+)
+SELECT lang, bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+FROM packed GROUP BY lang, bin_id
+""",
+    doc="Sequence packing for training shards: docs assigned to ~2048-"
+    "token bins by running token count per language (deterministic "
+    "sequential first-fit: bin = floor(prefix_sum / budget)). The window "
+    "runs per partition key, so packing parallelizes across shards.",
+)
+def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = docs(spark, sf_dir).select(
+        "doc_id", "lang", T.token_count("text").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bin_id = F.floor(
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 2048.0
+    ).cast("long")
+    return (
+        d.withColumn("bin_id", bin_id)
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        )
+    )
