@@ -81,6 +81,32 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — baseline is informational
         duck = {}
 
+    # ingest throughput: the reference's headline operational number is
+    # sustained samples/s into the HTA store (BASELINE.md: MetricQ sustains
+    # O(100k) samples/s with this db as archival sink). Measure the full
+    # chain A2-A6 (filters + stateful delta + raw write + level recompute)
+    # via backfill into a throwaway store.
+    ingest_rate = None
+    try:
+        import shutil
+        import tempfile
+
+        from metricq_db_hta_spark.queries.hta_queries import W0, samples
+        from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
+
+        src = samples(spark, sf_dir)
+        n = src.count()
+        store = tempfile.mkdtemp(prefix="bench_ingest_")
+        svc = StreamingIngest(
+            spark, store, level_widths_ns=(W0, W0 * 10, W0 * 100)
+        )
+        t0 = time.perf_counter()
+        svc.backfill(src)
+        ingest_rate = round(n / (time.perf_counter() - t0), 1)
+        shutil.rmtree(store, ignore_errors=True)
+    except Exception:  # noqa: BLE001 — informational
+        pass
+
     out = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
@@ -88,6 +114,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if ingest_rate is not None:
+        out["ingest_samples_per_sec"] = ingest_rate
     if duck:
         out["duckdb_baseline"] = duck
         out["duckdb_total"] = round(sum(duck.values()), 3)

@@ -43,14 +43,17 @@ def choose_level(widths_ns: list[int], interval_max_ns: int) -> int | None:
 
 
 def _date_pruned(df: DataFrame, date_col: str, start_ns: int, end_ns: int) -> DataFrame:
-    """Add a partition-pruning predicate on the store's date partition
+    """Add a partition-pruning predicate on the store's time partition
     column when present (stores written by streaming/ingest_stream.py are
-    laid out as (metric, date) — the predicate on the ns column alone
-    cannot prune those directory partitions)."""
+    laid out as (metric, ts_date) for raw and (metric, bucket_month) for
+    levels — the predicate on the ns column alone cannot prune those
+    directory partitions)."""
     if date_col not in df.columns:
         return df
     start_day = F.to_date(F.timestamp_micros(F.lit(start_ns // 1000)))
     end_day = F.to_date(F.timestamp_micros(F.lit(min(end_ns, 2**62) // 1000)))
+    if date_col == "bucket_month":
+        start_day = F.trunc(start_day, "month")
     return df.filter(
         (F.col(date_col) >= start_day) & (F.col(date_col) <= end_day)
     )
@@ -75,7 +78,7 @@ class HistoryService:
         df = self.levels[width]
         if metric is not None:
             df = df.filter(F.col("metric") == metric)
-        df = _date_pruned(df, "bucket_date", start_ns, end_ns)
+        df = _date_pruned(df, "bucket_month", start_ns, end_ns)
         return (
             df.filter(
                 (F.col("bucket_start_ns") >= start_ns)
@@ -114,7 +117,7 @@ class HistoryService:
         df = self.levels[self.widths[0]]
         if metric is not None:
             df = df.filter(F.col("metric") == metric)
-        df = _date_pruned(df, "bucket_date", start_ns, end_ns)
+        df = _date_pruned(df, "bucket_month", start_ns, end_ns)
         return (
             df.filter(
                 (F.col("bucket_start_ns") >= start_ns)

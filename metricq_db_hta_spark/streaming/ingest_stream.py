@@ -72,8 +72,17 @@ STATE_SCHEMA = StructType([StructField("max_ts", LongType())])
 
 
 def _ns_to_date(c):
-    """UTC date of an int64-ns timestamp (partition key for pruning)."""
+    """UTC date of an int64-ns timestamp (raw's partition key)."""
     return F.to_date(F.timestamp_micros(F.floor(c.cast("decimal(38,0)") / 1000).cast("long")))
+
+
+def _ns_to_month(c):
+    """UTC month of an int64-ns timestamp — the LEVEL tables' partition
+    key. Levels are log-sized (a few rows per metric-day), so day
+    partitions degenerate into thousands of 20-row files whose creation
+    dominates the write (measured 22s of a 30s level update); month
+    granularity keeps files sane while still pruning range scans."""
+    return F.trunc(_ns_to_date(c), "month")
 
 
 def monotonic_stateful(stream: DataFrame) -> DataFrame:
@@ -186,7 +195,7 @@ class StreamingIngest:
         * level tables are NOT merged incrementally from partials (merging
           twice would double-count on replay); instead every touched bucket
           is RECOMPUTED from raw — which the raw write just made correct —
-          and its (metric, bucket_date) partitions dynamically overwritten.
+          and its (metric, bucket_month) partitions dynamically overwritten.
           Recompute cost is bounded by the batch's touched buckets (time
           locality), never full history. Exact because raw stores each
           sample's state-derived delta_ns (no cross-partition lag needed).
@@ -208,47 +217,73 @@ class StreamingIngest:
                 kept.select("metric", "ts_ns", "value", "event_id", "delta_ns")
                 .withColumn("ts_date", _ns_to_date(F.col("ts_ns")))
                 .withColumn("ingest_batch", F.lit(int(batch_id)))
-                .repartition("metric")
+                # repartition on BOTH partition keys: with only the metric
+                # key, each of a handful of tasks serially creates one
+                # directory per date (measured 3x slower at 300 dates)
+                .repartition("metric", "ts_date")
                 .write.mode("overwrite")
                 .partitionBy("ingest_batch", "metric", "ts_date")
                 .parquet(self.raw_path)
             )
             raw = spark.read.parquet(self.raw_path)
-            # A5: recompute every touched (metric, bucket_date) PARTITION of
-            # each level from raw. Granularity matters: dynamic overwrite
-            # replaces whole date partitions, so recomputing only touched
-            # *buckets* would delete the untouched buckets sharing a date.
+            # A5: recompute every touched (metric, bucket_month) PARTITION of
+            # each level. Granularity matters twice over:
+            # - dynamic overwrite replaces whole date partitions, so
+            #   recomputing only touched *buckets* would delete untouched
+            #   buckets sharing a date;
+            # - level 0 recomputes from raw, but each coarser level
+            #   CASCADES from the level just rewritten below it (the
+            #   Aggregate record is mergeable) — recomputing every level
+            #   from raw would re-scan raw once per level.
+            lower_path: str | None = None
             for width in self.widths:
                 bucket = (F.col("ts_ns") - (F.col("ts_ns") % F.lit(width))).cast(
                     "long"
                 )
                 touched = (
                     kept.select(
-                        "metric", _ns_to_date(bucket).alias("bucket_date")
+                        "metric", _ns_to_month(bucket).alias("bucket_month")
                     ).distinct()
                 )
-                raw_bucket = (raw["ts_ns"] - (raw["ts_ns"] % F.lit(width))).cast(
-                    "long"
-                )
-                relevant = raw.join(
+                if lower_path is None:
+                    src = raw
+                    src_bucket = (
+                        src["ts_ns"] - (src["ts_ns"] % F.lit(width))
+                    ).cast("long")
+                else:
+                    src = spark.read.parquet(lower_path)
+                    src_bucket = (
+                        src["bucket_start_ns"]
+                        - (src["bucket_start_ns"] % F.lit(width))
+                    ).cast("long")
+                relevant = src.join(
                     F.broadcast(touched),
-                    (raw["metric"] == touched["metric"])
-                    & (_ns_to_date(raw_bucket) == touched["bucket_date"]),
+                    (src["metric"] == touched["metric"])
+                    & (_ns_to_month(src_bucket) == touched["bucket_month"]),
                     "left_semi",
                 )
+                if lower_path is None:
+                    recomputed = batch_level_partials(relevant, width)
+                else:
+                    from metricq_db_hta_spark.operators.hta import rollup
+
+                    recomputed = rollup(
+                        relevant.drop("bucket_month"), width_ns=width
+                    )
                 recomputed = (
-                    batch_level_partials(relevant, width)
-                    .withColumn(
-                        "bucket_date", _ns_to_date(F.col("bucket_start_ns"))
+                    recomputed.withColumn(
+                        "bucket_month", _ns_to_month(F.col("bucket_start_ns"))
                     )
                     .localCheckpoint(eager=True)
                 )
+                path = self.level_path(width)
                 (
-                    recomputed.repartition("metric")
+                    recomputed.repartition("metric", "bucket_month")
                     .write.mode("overwrite")
-                    .partitionBy("metric", "bucket_date")
-                    .parquet(self.level_path(width))
+                    .partitionBy("metric", "bucket_month")
+                    .parquet(path)
                 )
+                lower_path = path
         finally:
             kept.unpersist()  # releases the checkpointed blocks
 

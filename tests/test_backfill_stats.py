@@ -43,7 +43,7 @@ def test_derived_rates_guarded_division(spark):
 
 
 def test_store_partition_pruning(spark, sf_dir, tmp_path):
-    """Q1 over a materialized store must prune (metric, bucket_date)
+    """Q1 over a materialized store must prune (metric, bucket_month)
     directory partitions — visible as PartitionFilters in the scan."""
     import io, contextlib
     from metricq_db_hta_spark.plans.history import HistoryService
@@ -53,7 +53,7 @@ def test_store_partition_pruning(spark, sf_dir, tmp_path):
     svc = StreamingIngest(spark, str(tmp_path / "store_p"), level_widths_ns=(W0,))
     svc.backfill(src)
     lv = spark.read.parquet(svc.level_path(W0))
-    assert "bucket_date" in lv.columns
+    assert "bucket_month" in lv.columns
     hs = HistoryService(raw=spark.read.parquet(svc.raw_path), levels={W0: lv})
     q = hs.aggregate_timeline("click", START_NS, END_NS, W0)
     buf = io.StringIO()
@@ -62,7 +62,7 @@ def test_store_partition_pruning(spark, sf_dir, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
-    assert "bucket_date" in pf_line and "metric" in pf_line
+    assert "bucket_month" in pf_line and "metric" in pf_line
     # and the result matches the lazily-built service on the same data
     n = q.count()
     assert n > 0

