@@ -97,15 +97,17 @@ def main() -> None:
         src = samples(spark, sf_dir)
         n = src.count()
         store = tempfile.mkdtemp(prefix="bench_ingest_")
-        svc = StreamingIngest(
-            spark, store, level_widths_ns=(W0, W0 * 10, W0 * 100)
-        )
-        t0 = time.perf_counter()
-        svc.backfill(src)
-        ingest_rate = round(n / (time.perf_counter() - t0), 1)
-        shutil.rmtree(store, ignore_errors=True)
-    except Exception:  # noqa: BLE001 — informational
-        pass
+        try:
+            svc = StreamingIngest(
+                spark, store, level_widths_ns=(W0, W0 * 10, W0 * 100)
+            )
+            t0 = time.perf_counter()
+            svc.backfill(src)
+            ingest_rate = round(n / (time.perf_counter() - t0), 1)
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001 — informational, but not silent
+        print(f"ingest bench skipped: {e!r}", file=sys.stderr)
 
     out = {
         "metric": "headline_queries_total_wall_clock",

@@ -29,6 +29,14 @@ class MetricLevelConfig:
     interval_min_ns: int
     interval_factor: int = 10
 
+    def __post_init__(self) -> None:
+        # widths() grows geometrically toward the 30-day cap; a factor < 2
+        # or non-positive interval would loop forever
+        if self.interval_min_ns <= 0:
+            raise ValueError(f"interval_min_ns must be positive: {self}")
+        if self.interval_factor < 2:
+            raise ValueError(f"interval_factor must be >= 2: {self}")
+
     @classmethod
     def from_sampling_interval(
         cls, name: str, sampling_interval_s: float, factor: int = 10
@@ -64,12 +72,13 @@ class ConfiguredHistoryService:
             by_widths.setdefault(tuple(c.widths()), []).append(c.name)
         for widths, names in by_widths.items():
             sub = raw.filter(raw["metric"].isin(names))
-            levels = {}
-            prev = None
-            for w in widths:
-                prev = hta.level0(sub, w) if prev is None else hta.rollup(prev, w)
-                levels[w] = prev
-            self._groups[widths] = HistoryService(raw=sub, levels=levels)
+            cfg = self.configs[names[0]]
+            built = hta.build_levels(
+                sub, cfg.interval_min_ns, cfg.interval_factor, n_levels=len(widths)
+            )
+            self._groups[widths] = HistoryService(
+                raw=sub, levels=dict(zip(widths, built))
+            )
 
     def _service_for(self, metric: str) -> HistoryService:
         cfg = self.configs.get(metric)
@@ -97,7 +106,11 @@ class ConfiguredHistoryService:
     def last_value(self, metric=None):
         if metric is not None:
             return self._service_for(metric).last_value(metric)
-        return HistoryService(raw=self.raw, levels={1: self.raw}).last_value()
+        # fleet-wide: configured metrics only — the per-metric calls reject
+        # unconfigured metrics, so the aggregate view must match
+        configured = self.raw.filter(self.raw["metric"].isin(list(self.configs)))
+        return HistoryService(raw=configured, levels={1: configured}).last_value()
 
     def chosen_width(self, metric: str, interval_max_ns: int) -> int | None:
+        self._service_for(metric)  # uniform 'not configured' rejection
         return choose_level(list(self.configs[metric].widths()), interval_max_ns)

@@ -550,14 +550,22 @@ def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     split = F.when(bucket < 90, "train").otherwise("val")
     assigned = d.select("doc_id", "lang", split.alias("split"))
-    a = assigned.select(F.col("doc_id").alias("da"), F.col("split").alias("sa"))
-    b = assigned.select(F.col("doc_id").alias("db"), F.col("split").alias("sb"))
-    contaminated = (
-        a.join(b, (a.da == b.db) & (a.sa != b.sb)).count()
+    # contamination as an in-plan scalar (lazy, mirrors the oracle's
+    # subquery) — a driver-side .count() here would run a Spark job at
+    # DataFrame-construction time on every queries() call
+    contam = (
+        assigned.groupBy("doc_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(
+            F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated")
+        )
     )
-    return assigned.groupBy("lang", "split").agg(
-        F.count("*").alias("n_docs"),
-        F.lit(contaminated).cast("long").alias("n_contaminated"),
+    return (
+        assigned.groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(contam))
     )
 
 

@@ -166,6 +166,18 @@ class StreamingIngest:
         level_widths_ns: tuple[int, ...] = (3_600_000_000_000,),
         mapping: DataFrame | None = None,
     ) -> None:
+        # the level cascade builds each coarser level from the one below
+        # (bucket truncation), which is only correct for ascending widths
+        # where each is an integer multiple of its predecessor — validate
+        # up front instead of serving silently wrong aggregates
+        for a, b in zip(level_widths_ns, level_widths_ns[1:]):
+            if b <= a or b % a != 0:
+                raise ValueError(
+                    f"level widths must ascend in integer multiples; got "
+                    f"{b} after {a} in {level_widths_ns}"
+                )
+        if level_widths_ns and level_widths_ns[0] <= 0:
+            raise ValueError(f"level width must be positive: {level_widths_ns}")
         self.spark = spark
         self.store = store_dir
         self.widths = level_widths_ns

@@ -130,3 +130,30 @@ def test_backfill_rerun_and_watermark(spark, sf_dir, tmp_path):
     direct = hta.level0(expect, W0)
     cols = ["metric", "bucket_start_ns", "count", "integral", "active_time"]
     assert lv.select(*cols).exceptAll(direct.select(*cols)).count() == 0
+
+
+def test_multiwidth_cascade_matches_direct(spark, sf_dir, tmp_path):
+    """The coarser-level cascade path (rollup from the stored lower level)
+    must equal building each level directly from raw — across multiple
+    batches so cascade inputs span old + new partitions."""
+    src = samples(spark, sf_dir).orderBy("event_id")
+    widths = (W0, W0 * 10)
+    svc = StreamingIngest(spark, str(tmp_path / "store_mw"), level_widths_ns=widths)
+    svc.backfill(src.limit(600))
+    svc.backfill(src)
+    expect = ingest.ingest_batch(src)
+    cols = ["metric", "bucket_start_ns", "count", "integral", "active_time"]
+    for w in widths:
+        lv = spark.read.parquet(svc.level_path(w)).select(*cols)
+        direct = hta.level0(expect, w).select(*cols)
+        diff = lv.exceptAll(direct).union(direct.exceptAll(lv))
+        assert diff.count() == 0, f"width {w} cascade mismatch"
+
+
+def test_invalid_level_widths_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="integer multiples"):
+        StreamingIngest(spark, str(tmp_path), level_widths_ns=(2 * W0, 3 * W0))
+    with _pytest.raises(ValueError, match="integer multiples"):
+        StreamingIngest(spark, str(tmp_path), level_widths_ns=(10 * W0, W0))

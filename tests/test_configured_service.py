@@ -29,7 +29,7 @@ def test_per_metric_routing(spark, sf_dir):
     raw = samples(spark, sf_dir)
     configs = [
         MetricLevelConfig("click", W0, 10),        # 1h, 10h, 100h
-        MetricLevelConfig("purchase", W0 * 2, 5),  # 2h, 10h, 50h
+        MetricLevelConfig("purchase", W0 * 2, 5),  # 2h, 10h, 50h, 250h
     ]
     svc = ConfiguredHistoryService(raw, configs)
     # same interval_max routes to different widths per metric config
@@ -57,3 +57,10 @@ def test_unconfigured_metric_rejected(spark, sf_dir):
     )
     with pytest.raises(KeyError, match="not configured"):
         svc.aggregate_timeline("error", START_NS, END_NS, W0)
+
+
+def test_bad_configs_rejected():
+    with pytest.raises(ValueError, match="interval_factor"):
+        MetricLevelConfig("m", 10**9, interval_factor=1)
+    with pytest.raises(ValueError, match="interval_min_ns"):
+        MetricLevelConfig.from_sampling_interval("m", 0.0)
