@@ -218,3 +218,59 @@ def simhash16(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return sums.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Cluster near-duplicate pairs: (doc_id, cluster_id) where cluster_id
+    is the minimum doc id reachable through the pair graph (deterministic
+    canonical representative).
+
+    Iterative min-label propagation over the edge list — the classic
+    large-graph CC algorithm (each round: join labels to edges, take the
+    min neighbor label, converge when no label changes). Rounds needed =
+    graph diameter; near-dup clusters are shallow (usually 1-3 rounds).
+    Each round is one join + one aggregation; the loop runs on the driver
+    but all data stays distributed. localCheckpoint per round keeps the
+    plan from growing linearly with iterations.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

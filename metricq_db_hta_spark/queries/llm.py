@@ -615,3 +615,38 @@ def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("bin_tokens"),
         )
     )
+
+
+@register(
+    "llm_neardup_clusters",
+    oracle=f"""WITH RECURSIVE {SHINGLES_CTE.strip()},
+{MINHASH_CTE.strip()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+)
+SELECT id AS doc_id, MIN(label) AS cluster_id
+FROM reach GROUP BY id
+""",
+    doc="Near-dup clustering: connected components over the MinHash-LSH "
+    "pair graph, canonical representative = min doc_id per component. "
+    "Spark side is iterative min-label propagation (converges in "
+    "diameter rounds); the oracle computes the same components with a "
+    "recursive transitive-closure CTE — a genuinely iterative algorithm "
+    "pinned by SQL.",
+)
+def llm_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = dedup.doc_shingles(docs(spark, sf_dir), distinct=False)
+    sigs = dedup.minhash_signatures(toks, N_HASHES)
+    pairs = dedup.lsh_candidate_pairs(sigs, N_HASHES, BANDS)
+    return dedup.connected_components(pairs)
