@@ -650,3 +650,47 @@ def llm_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(toks, N_HASHES)
     pairs = dedup.lsh_candidate_pairs(sigs, N_HASHES, BANDS)
     return dedup.connected_components(pairs)
+
+
+@register(
+    "llm_stratified_sample",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id, lang, n_chars,
+         ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+             AS bucket
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+       MIN(doc_id) AS min_doc_id
+FROM assigned WHERE bucket < 200
+GROUP BY lang
+""",
+    doc="Deterministic stratified ~20% sample per language via a salted "
+    "md5 bucket — reproducible across engines/runs/cluster sizes, "
+    "unlike rand()-based sampling; the salt ('samp:') decorrelates it "
+    "from the train/val split buckets.",
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 1000
+    )
+    return (
+        d.filter(bucket < 200)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

@@ -157,3 +157,35 @@ def test_invalid_level_widths_rejected(spark, tmp_path):
         StreamingIngest(spark, str(tmp_path), level_widths_ns=(2 * W0, 3 * W0))
     with _pytest.raises(ValueError, match="integer multiples"):
         StreamingIngest(spark, str(tmp_path), level_widths_ns=(10 * W0, W0))
+
+
+def test_derived_rates_as_stream(spark, tmp_path):
+    """A14/A15 over a real stream: the same windowed aggregation code path
+    runs under Structured Streaming (batch == stream results)."""
+    rows = [
+        ("write", i * 1_000_000_000, 200_000_000, 512, i % 7 == 0)
+        for i in range(40)
+    ]
+    ops = spark.createDataFrame(
+        rows, "op_type string, ts_ns long, duration_ns long, bytes long, failed boolean"
+    )
+    ops.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "ops_in" / "c1"))
+    stream = (
+        spark.readStream.schema(ops.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "ops_in"))
+    )
+    out = str(tmp_path / "ops_out")
+    q = (
+        derived_rates(stream, streaming=True)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stats_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM stats_stream")
+    exp = derived_rates(ops)
+    diff = got.exceptAll(exp).union(exp.exceptAll(got))
+    assert diff.count() == 0
