@@ -130,28 +130,61 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     signatures: DataFrame, n_hashes: int = 16, bands: int = 4, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing at least one LSH band bucket."""
+    """Distinct (id_a < id_b) pairs sharing at least one LSH band bucket.
+
+    The band key is ``md5(band | m_0 | ... | m_{r-1})`` where ``m_j`` is the
+    minhash at *seed position* j within the band, extracted with a
+    conditional aggregate (whole-stage codegen; no arrays, no HOFs). Two
+    properties are load-bearing:
+
+    * position-sensitive — docs whose band holds the same minhash *values*
+      in different seed slots do NOT collide (standard b x r banding; a
+      value-sorted key would inflate false positives beyond the published
+      LSH guarantees);
+    * band-qualified — the band index is part of the hash input, so equal
+      signatures in *different* bands can never share a key. That lets the
+      self-join use the single ``band_key`` column. (An earlier version
+      joined on an unaliased ``band`` column from both sides of the same
+      cached plan, which Spark resolves to one attribute — a trivially-true
+      predicate — silently degrading the join to band_key alone.)
+    """
     rows_per_band = n_hashes // bands
     # integer floor-division: DuckDB's double->int CAST rounds, Spark's
     # truncates — keep both sides on exact integer arithmetic
     sig = signatures.withColumn(
         "band", F.floor(F.col("seed") / rows_per_band).cast("int")
     )
-    band_keys = sig.groupBy(id_col, "band").agg(
-        F.md5(F.concat_ws("|", F.array_sort(F.collect_list("minhash")))).alias("band_key")
+    # one row per (doc, band, position) exists, so max() just selects it
+    pos = [
+        F.max(F.when(F.col("seed") % rows_per_band == j, F.col("minhash"))).alias(
+            f"m{j}"
+        )
+        for j in range(rows_per_band)
+    ]
+    band_keys = (
+        sig.groupBy(id_col, "band")
+        .agg(*pos)
+        .select(
+            id_col,
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("band"), *[F.col(f"m{j}") for j in range(rows_per_band)]
+                )
+            ).alias("band_key"),
+        )
     )
     # cache: a self-join does NOT dedupe its common subplan — without this
     # barrier Spark scans + shingles + hashes the corpus twice (visible as
     # two full pipelines in explain())
     band_keys = band_keys.cache()
     a = band_keys.select(
-        F.col(id_col).alias("id_a"), "band", F.col("band_key").alias("bk_a")
+        F.col(id_col).alias("id_a"), F.col("band_key").alias("bk_a")
     )
     b = band_keys.select(
-        F.col(id_col).alias("id_b"), "band", F.col("band_key").alias("bk_b")
+        F.col(id_col).alias("id_b"), F.col("band_key").alias("bk_b")
     )
     return (
-        a.join(b, (a.band == b.band) & (a.bk_a == b.bk_b) & (a.id_a < b.id_b))
+        a.join(b, (a.bk_a == b.bk_b) & (a.id_a < b.id_b))
         .select("id_a", "id_b")
         .distinct()
     )

@@ -94,8 +94,10 @@ mh AS (
   GROUP BY doc_id, seed
 ),
 bands AS (
-  SELECT doc_id, CAST(seed // {N_HASHES // BANDS} AS INT) AS band,
-         md5(array_to_string(list_sort(list(minhash)), '|')) AS band_key
+  SELECT doc_id,
+         md5(concat_ws('|', CAST(seed // {N_HASHES // BANDS} AS INT),
+             {", ".join(f"MAX(CASE WHEN seed % {N_HASHES // BANDS} = {j} THEN minhash END)" for j in range(N_HASHES // BANDS))}
+         )) AS band_key
   FROM mh GROUP BY doc_id, CAST(seed // {N_HASHES // BANDS} AS INT)
 )"""
 
@@ -130,11 +132,11 @@ WITH {SHINGLES_CTE.strip()},
 {MINHASH_CTE.strip()}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 """,
     doc="MinHash-LSH near-dup candidates over 3-word shingles: 4 bands x "
-    "4 rows, bucket join (no cross product; the 100 TB-safe near-dup "
-    "architecture).",
+    "4 rows, position-sensitive band-qualified bucket join (no cross "
+    "product; the 100 TB-safe near-dup architecture).",
     bench=True,
 )
 def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,7 +626,7 @@ def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
