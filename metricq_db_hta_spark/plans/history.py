@@ -45,18 +45,26 @@ def choose_level(widths_ns: list[int], interval_max_ns: int) -> int | None:
 def _date_pruned(df: DataFrame, date_col: str, start_ns: int, end_ns: int) -> DataFrame:
     """Add a partition-pruning predicate on the store's time partition
     column when present (stores written by streaming/ingest_stream.py are
-    laid out as (metric, ts_date) for raw and (metric, bucket_month) for
-    levels — the predicate on the ns column alone cannot prune those
-    directory partitions)."""
+    laid out as (metric, ts_month|ts_date) for raw and (metric,
+    bucket_month) for levels — the predicate on the ns column alone cannot
+    prune those directory partitions)."""
     if date_col not in df.columns:
         return df
     start_day = F.to_date(F.timestamp_micros(F.lit(start_ns // 1000)))
     end_day = F.to_date(F.timestamp_micros(F.lit(min(end_ns, 2**62) // 1000)))
-    if date_col == "bucket_month":
+    if date_col in ("bucket_month", "ts_month"):
+        # month dirs are labeled by their first day: a range starting
+        # mid-month must still scan that month's directory
         start_day = F.trunc(start_day, "month")
     return df.filter(
         (F.col(date_col) >= start_day) & (F.col(date_col) <= end_day)
     )
+
+
+def _time_pruned(df: DataFrame, start_ns: int, end_ns: int) -> DataFrame:
+    """Prune whichever raw time-partition layout the store uses."""
+    df = _date_pruned(df, "ts_date", start_ns, end_ns)
+    return _date_pruned(df, "ts_month", start_ns, end_ns)
 
 
 @dataclass
@@ -99,7 +107,7 @@ class HistoryService:
             df = self.raw
             if metric is not None:
                 df = df.filter(F.col("metric") == metric)
-            df = _date_pruned(df, "ts_date", start_ns, end_ns)
+            df = _time_pruned(df, start_ns, end_ns)
             return (
                 df.filter((F.col("ts_ns") >= start_ns) & (F.col("ts_ns") < end_ns))
                 .select("metric", "ts_ns", "value")

@@ -85,38 +85,70 @@ def _ns_to_month(c):
     return F.trunc(_ns_to_date(c), "month")
 
 
-def monotonic_stateful(stream: DataFrame) -> DataFrame:
+def monotonic_stateful(
+    stream: DataFrame, seed_watermarks: dict[str, int] | None = None
+) -> DataFrame:
     """A3 as an arbitrary stateful operator, keyed by metric.
+
+    Vectorized within each batch: rows sort by arrival order, the running
+    maximum is ``np.maximum.accumulate`` shifted one row and seeded with
+    the state watermark, and the keep mask / delta_ns fall out as array
+    ops. A dropped (non-monotonic) row's ts is by definition <= the prior
+    running max, so including dropped rows in the cummax cannot change it
+    — the cummax over *all* rows equals the running max over *kept* rows,
+    which is what makes the one-pass vectorization exact. (The previous
+    per-row Python loop measured ~9.4k samples/s; the reference context is
+    O(100k)/s, BASELINE.md row 22.)
+
+    ``seed_watermarks`` maps metric -> max stored ts_ns, used only when a
+    metric has no streaming state yet (fresh checkpoint over a non-empty
+    store, or streaming after a backfill). The reference seeds max_ts from
+    ``metric.range().second`` — the largest *stored* timestamp — not from
+    scratch (/root/reference/src/async_hta_service.hpp:258-269); without
+    this, a fresh checkpoint could write samples at-or-below already-stored
+    timestamps, violating the store-wide monotonicity contract the
+    backfill docstring promises. One long per metric: trivially
+    broadcastable at fleet scale (the reference fleet is 4368 metrics);
+    millions of metrics would move this into the state-store bootstrap.
 
     The state function is a nested closure with its own imports: Spark's
     Python workers do not have this package installed, so cloudpickle must
     serialize it by value (see operators/multimodal.py pickling note).
     """
+    seeds = dict(seed_watermarks) if seed_watermarks else {}
 
     def monotonic_state_fn(key, pdfs, state):
+        import numpy as _np
         import pandas as _pd
 
         (metric,) = key
-        max_ts = state.get[0] if state.exists else None
+        max_ts = state.get[0] if state.exists else seeds.get(metric)
+        sentinel = _np.iinfo(_np.int64).min
         for pdf in pdfs:
+            if not len(pdf):
+                continue
             pdf = pdf.sort_values("event_id", kind="mergesort")  # arrival order
-            kept_rows = []
-            for ts, value, event_id in zip(
-                pdf["ts_ns"], pdf["value"], pdf["event_id"]
-            ):
-                ts = int(ts)
-                if max_ts is not None and ts <= max_ts:
-                    continue  # non-monotonic -> dropped, watermark unchanged
-                delta = 0 if max_ts is None else ts - max_ts
-                kept_rows.append((metric, ts, float(value), int(event_id), delta))
-                max_ts = ts
-            if kept_rows:
-                yield _pd.DataFrame(
-                    kept_rows,
-                    columns=["metric", "ts_ns", "value", "event_id", "delta_ns"],
-                )
+            ts = pdf["ts_ns"].to_numpy(_np.int64)
+            prev = _np.empty_like(ts)
+            prev[0] = sentinel if max_ts is None else max_ts
+            if len(ts) > 1:
+                cummax = _np.maximum.accumulate(ts[:-1])
+                if max_ts is None:
+                    prev[1:] = cummax
+                else:
+                    _np.maximum(cummax, max_ts, out=prev[1:])
+            keep = ts > prev
+            if keep.any():
+                kept = pdf.loc[keep, ["metric", "ts_ns", "value", "event_id"]]
+                prev_kept = prev[keep]
+                delta = ts[keep] - prev_kept
+                delta[prev_kept == sentinel] = 0  # first sample ever: no gap
+                kept = kept.assign(delta_ns=delta)
+                new_max = int(ts[keep][-1])  # kept rows' ts is increasing
+                max_ts = new_max if max_ts is None else max(max_ts, new_max)
+                yield kept
         if max_ts is not None:
-            state.update((max_ts,))
+            state.update((int(max_ts),))
 
     return stream.groupBy("metric").applyInPandasWithState(
         monotonic_state_fn,
@@ -165,7 +197,10 @@ class StreamingIngest:
         store_dir: str,
         level_widths_ns: tuple[int, ...] = (3_600_000_000_000,),
         mapping: DataFrame | None = None,
+        raw_partition: str = "month",
     ) -> None:
+        if raw_partition not in ("day", "month"):
+            raise ValueError(f"raw_partition must be 'day' or 'month': {raw_partition}")
         # the level cascade builds each coarser level from the one below
         # (bucket truncation), which is only correct for ascending widths
         # where each is an integer multiple of its predecessor — validate
@@ -182,6 +217,13 @@ class StreamingIngest:
         self.store = store_dir
         self.widths = level_widths_ns
         self.mapping = mapping
+        # raw's time partition granularity. Month by default: raw data
+        # density at reference scale (~40 samples/bucket, 1 Hz fleet) makes
+        # day dirs degenerate into thousands of tiny files whose creation
+        # dominates the write; parquet row-group min/max skipping on ts_ns
+        # still prunes within a month. A deployment with denser metrics
+        # flips to "day" — the planner prunes either layout.
+        self.raw_partition = raw_partition
 
     # -- paths -------------------------------------------------------------
     @property
@@ -199,7 +241,7 @@ class StreamingIngest:
         """Retry-idempotent sink. foreachBatch may replay a batch after a
         mid-write failure, so nothing here may be an unconditional append:
 
-        * raw is partitioned by (ingest_batch, metric, ts_date) and written
+        * raw is partitioned by (ingest_batch, metric, ts_month|ts_date) and written
           with dynamic-partition OVERWRITE — a replay of batch N rewrites
           exactly batch N's partitions (the stateful filter's output for a
           replayed batch is identical: its state store is versioned per
@@ -213,7 +255,6 @@ class StreamingIngest:
           sample's state-derived delta_ns (no cross-partition lag needed).
         """
         spark = kept.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # eager checkpoint, not persist(): kept's lineage may read the very
         # store this method mutates (backfill's watermark join does) — the
         # raw write would invalidate a cache and silently recompute kept
@@ -223,18 +264,26 @@ class StreamingIngest:
         try:
             if kept.isEmpty():
                 return
-            # A6: idempotent raw write (see docstring); (metric, ts_date)
+            # A6: idempotent raw write (see docstring); (metric, time)
             # sub-partitioning gives Q2/Q4 range scans partition pruning
+            if self.raw_partition == "day":
+                tcol, texpr = "ts_date", _ns_to_date(F.col("ts_ns"))
+            else:
+                tcol, texpr = "ts_month", _ns_to_month(F.col("ts_ns"))
             (
                 kept.select("metric", "ts_ns", "value", "event_id", "delta_ns")
-                .withColumn("ts_date", _ns_to_date(F.col("ts_ns")))
+                .withColumn(tcol, texpr)
                 .withColumn("ingest_batch", F.lit(int(batch_id)))
                 # repartition on BOTH partition keys: with only the metric
                 # key, each of a handful of tasks serially creates one
                 # directory per date (measured 3x slower at 300 dates)
-                .repartition("metric", "ts_date")
+                .repartition("metric", tcol)
                 .write.mode("overwrite")
-                .partitionBy("ingest_batch", "metric", "ts_date")
+                # writer-level dynamic overwrite (ADVICE r1): mutating the
+                # session conf would silently change overwrite semantics for
+                # every later partitioned write in the same session
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch", "metric", tcol)
                 .parquet(self.raw_path)
             )
             raw = spark.read.parquet(self.raw_path)
@@ -282,22 +331,37 @@ class StreamingIngest:
                     recomputed = rollup(
                         relevant.drop("bucket_month"), width_ns=width
                     )
-                recomputed = (
-                    recomputed.withColumn(
-                        "bucket_month", _ns_to_month(F.col("bucket_start_ns"))
-                    )
-                    .localCheckpoint(eager=True)
+                recomputed = recomputed.withColumn(
+                    "bucket_month", _ns_to_month(F.col("bucket_start_ns"))
                 )
                 path = self.level_path(width)
+                # single job per level: no level reads its own output path
+                # (level k scans raw or level k-1), so the write action IS
+                # the materialization barrier — an eager localCheckpoint
+                # here doubled every level's compute (measured ~0.5-1s per
+                # level at sf0.1)
                 (
                     recomputed.repartition("metric", "bucket_month")
                     .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("metric", "bucket_month")
                     .parquet(path)
                 )
                 lower_path = path
         finally:
             kept.unpersist()  # releases the checkpointed blocks
+
+    def _stored_watermarks(self) -> dict[str, int]:
+        """Per-metric max stored ts_ns — the reference's
+        ``metric.range().second`` seed (async_hta_service.hpp:258-269).
+        Metadata-sized: one long per metric."""
+        if not os.path.exists(self.raw_path):
+            return {}
+        raw = self.spark.read.parquet(self.raw_path)
+        return {
+            r["metric"]: int(r["wm"])
+            for r in raw.groupBy("metric").agg(F.max("ts_ns").alias("wm")).collect()
+        }
 
     # -- the query ---------------------------------------------------------
     def start(self, input_dir: str, available_now: bool = True):
@@ -310,7 +374,10 @@ class StreamingIngest:
         if self.mapping is not None:
             stream = apply_input_mapping(stream, self.mapping, "metric")
         stream = validity_filter(stream)
-        kept = monotonic_stateful(stream)
+        # store-wide A3: metrics unseen by the *checkpoint* still must not
+        # regress below what the *store* already holds (fresh checkpoint
+        # over existing data, or streaming after a backfill)
+        kept = monotonic_stateful(stream, seed_watermarks=self._stored_watermarks())
         writer = (
             kept.writeStream.outputMode("append")
             .foreachBatch(self._process_batch)

@@ -160,3 +160,42 @@ def test_stream_high_cardinality_state(spark, sf_dir, tmp_path):
     expect = ingest.ingest_batch(src)
     assert raw.count() == expect.count()
     assert raw.select("metric").distinct().count() == src.select("metric").distinct().count()
+
+
+def test_stream_seeds_watermark_from_store(spark, sf_dir, tmp_path):
+    """Store-wide A3 (ADVICE r1): a FRESH checkpoint over a non-empty store
+    must not re-admit samples at-or-below the stored per-metric max, and
+    the first genuinely-new sample's delta_ns measures the gap to the
+    stored max (reference seeds max_ts from metric.range().second,
+    async_hta_service.hpp:258-269)."""
+    store = str(tmp_path / "store_seed")
+    base_ts = 1_700_000_000_000_000_000
+    old = [("m1", base_ts + i * 1_000_000_000, float(i), i) for i in range(5)]
+    svc = StreamingIngest(spark, store, level_widths_ns=(3_600_000_000_000,))
+    svc.backfill(spark.createDataFrame(old, ["metric", "ts_ns", "value", "event_id"]))
+    stored_max = base_ts + 4 * 1_000_000_000
+
+    # fresh checkpoint (new store dir would be same; checkpoint is inside
+    # store but unused so far by streaming) — stream rows straddling the
+    # stored watermark: two at/below (drop), two above (keep)
+    newrows = [
+        ("m1", stored_max, 99.0, 100),                    # == stored max: drop
+        ("m1", stored_max - 1_000_000_000, 98.0, 101),    # below: drop
+        ("m1", stored_max + 7_000_000_000, 50.0, 102),    # keep, delta = 7s
+        ("m1", stored_max + 8_000_000_000, 51.0, 103),    # keep, delta = 1s
+    ]
+    input_dir = tmp_path / "in_seed"
+    input_dir.mkdir()
+    spark.createDataFrame(
+        newrows, ["metric", "ts_ns", "value", "event_id"]
+    ).coalesce(1).write.mode("overwrite").parquet(str(input_dir / "c1"))
+    svc.run_until_drained(str(input_dir))
+
+    raw = spark.read.parquet(svc.raw_path).filter(F.col("ts_ns") > stored_max)
+    got = {(r["ts_ns"], r["delta_ns"]) for r in raw.collect()}
+    assert got == {
+        (stored_max + 7_000_000_000, 7_000_000_000),
+        (stored_max + 8_000_000_000, 1_000_000_000),
+    }
+    # nothing at-or-below the stored max was re-admitted
+    assert spark.read.parquet(svc.raw_path).count() == 5 + 2
