@@ -34,7 +34,25 @@ def dot_flat(a: str | Column, b: str | Column, dim: int) -> Column:
     Bit-identical to :func:`dot` (same evaluation order, same per-element
     cast->multiply->add), but a plain expression tree that Tungsten
     compiles — measured ~100x faster per pair than the interpreted fold.
+
+    For string column names the whole expression is built as ONE SQL string
+    parsed by a single ``F.expr`` call. Building it with Column operator
+    overloads instead costs ~3*dim py4j round trips *per call* — measured
+    ~1 s/call at dim=64, utterly dominating the query (driver-side, before
+    any execution). Column inputs take that slow path; pass names in hot
+    code.
     """
+    if isinstance(a, str) and isinstance(b, str):
+        # keep the per-element CAST: float*float then widening rounds
+        # differently from widening-then-double-multiply (the oracle casts
+        # the list to DOUBLE first). Callers that pre-cast the column to
+        # array<double> lose nothing — Catalyst folds the no-op casts away
+        # before codegen.
+        terms = "".join(
+            f" + CAST(`{a}`[{i}] AS DOUBLE) * CAST(`{b}`[{i}] AS DOUBLE)"
+            for i in range(dim)
+        )
+        return F.expr(f"0.0D{terms}")
     ca, cb = _c(a), _c(b)
     acc: Column = F.lit(0.0)
     for i in range(dim):

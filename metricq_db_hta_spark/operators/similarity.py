@@ -10,23 +10,36 @@
   turns the cross product into a hash join — corpus scanned once, pairs
   bounded by cell sizes.
 
-Execution strategy — "reshape to rows": per candidate pair, the vectors
-are zipped and pos-exploded, and ONE whole-stage-codegen hash aggregation
-computes sum(a*b), sum(a*a), sum(b*b) per pair. Why not the alternatives:
-higher-order folds (F.aggregate) are CodegenFallback — interpreted,
-~µs/element; a flat fixed-dim expression tree blows codegen's method
-limits. The partial aggregate consumes each pair's rows contiguously in
-array order, so the sums are the same left-associative folds DuckDB's
-list_dot_product computes — bit-identical oracle results. (Caveat: under
-partial-agg spill a pair's sum could split into two partials and
-re-associate; irrelevant at verification scale, and at cluster scale the
-1e-16 reassociation noise is far below the 1e-6 comparison contract.)
+Execution strategy, two tiers (measured in BENCH_r01/r02):
+
+* **known fixed dim** (the normal case — an embedding column has one
+  dimensionality): flat whole-stage-codegen expressions. Each side's L2
+  norm is computed ONCE per vector *before* the join (|corpus| + |q|
+  norms, not |pairs|), and the per-pair work is a single ``dot_flat``
+  — a plain left-associative expression tree Tungsten compiles. Same
+  evaluation order as DuckDB's ``list_dot_product``, so oracle results
+  are bit-comparable. This took llm_similarity_topk_brute from 44.6x
+  DuckDB (explode path) to near the per-query floor.
+* **unknown/huge dim fallback**: per candidate pair the vectors are
+  zipped and pos-exploded, and one codegen hash aggregation computes
+  sum(a*b), sum(a*a), sum(b*b) per pair — still no interpreted
+  higher-order fold (F.aggregate is CodegenFallback, ~µs/element), but
+  it pushes |pairs| x dim rows through an exchange, which is exactly
+  what made the old bench number 44.6x. (Partial-agg spill could split
+  a pair's sum and re-associate; irrelevant at verification scale and
+  far below the 1e-6 comparison contract at cluster scale.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from metricq_db_hta_spark.functions.arrays import dot_flat, norm2_flat
+
+
+def _guarded_sim(dotv: Column, na: Column, nb: Column) -> Column:
+    return F.when((na > 0) & (nb > 0), dotv / (na * nb)).otherwise(F.lit(0.0))
 
 
 def pairwise_cosine(
@@ -34,8 +47,22 @@ def pairwise_cosine(
     a_col: str,
     b_col: str,
     key_cols: list[str],
+    dim: int | None = None,
 ) -> DataFrame:
-    """(key_cols..., sim) — cosine per pair via zip/explode + one hash agg."""
+    """(key_cols..., sim) — cosine per pair.
+
+    With ``dim`` given, one flat codegen projection per pair (no shuffle);
+    otherwise zip/explode + one hash agg (dim-agnostic fallback).
+    """
+    if dim is not None:
+        na2 = dot_flat(a_col, a_col, dim)
+        nb2 = dot_flat(b_col, b_col, dim)
+        return pairs.select(
+            *key_cols,
+            _guarded_sim(
+                dot_flat(a_col, b_col, dim), F.sqrt(na2), F.sqrt(nb2)
+            ).alias("sim"),
+        )
     z = pairs.select(
         *key_cols,
         F.posexplode(
@@ -49,10 +76,7 @@ def pairwise_cosine(
         F.sum(a * a).alias("__na2"),
         F.sum(b * b).alias("__nb2"),
     )
-    sim = F.when(
-        (F.col("__na2") > 0) & (F.col("__nb2") > 0),
-        F.col("__dot") / (F.sqrt("__na2") * F.sqrt("__nb2")),
-    ).otherwise(F.lit(0.0))
+    sim = _guarded_sim(F.col("__dot"), F.sqrt("__na2"), F.sqrt("__nb2"))
     return agg.withColumn("sim", sim).drop("__dot", "__na2", "__nb2")
 
 
@@ -73,8 +97,40 @@ def brute_force_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k per query vector (self excluded when ids match)."""
+    """Exact cosine top-k per query vector (self excluded when ids match).
+
+    With ``dim``: norms computed once per vector pre-join (below the
+    broadcast join, so |corpus| + |q| norm evaluations), one flat dot per
+    pair, no per-pair shuffle.
+    """
+    if dim is not None:
+        # pre-cast to array<double> once per row (below the join): the flat
+        # expressions' per-element CASTs fold away before codegen, halving
+        # generated-source size, and values are identical (cast-then-multiply
+        # either way)
+        c = corpus.select(
+            id_col,
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+            norm2_flat(vec_col, dim).alias("__nc"),
+        )
+        q = F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("q_vec"),
+                norm2_flat(vec_col, dim).alias("__nq"),
+            )
+        )
+        pairs = c.crossJoin(q).filter(F.col(id_col) != F.col("query_id"))
+        scored = pairs.select(
+            id_col,
+            "query_id",
+            _guarded_sim(
+                dot_flat(vec_col, "q_vec", dim), F.col("__nc"), F.col("__nq")
+            ).alias("sim"),
+        )
+        return _ranked(scored, k, cand_id=id_col)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -94,15 +150,37 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_col: str = "label",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: search only the query's own cell (IVF, nprobe=1)."""
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(cell_col).alias("q_cell"),
-            F.col(vec_col).alias("q_vec"),
+    qcols = [
+        F.col(id_col).alias("query_id"),
+        F.col(cell_col).alias("q_cell"),
+        F.col(vec_col).alias("q_vec"),
+    ]
+    if dim is not None:
+        c = corpus.select(
+            id_col,
+            cell_col,
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+            norm2_flat(vec_col, dim).alias("__nc"),
         )
-    )
+        qcols_cast = qcols[:2] + [F.col(vec_col).cast("array<double>").alias("q_vec")]
+        q = F.broadcast(
+            queries.select(*qcols_cast, norm2_flat(vec_col, dim).alias("__nq"))
+        )
+        pairs = c.join(q, c[cell_col] == q.q_cell).filter(
+            F.col(id_col) != F.col("query_id")
+        )
+        scored = pairs.select(
+            id_col,
+            "query_id",
+            _guarded_sim(
+                dot_flat(vec_col, "q_vec", dim), F.col("__nc"), F.col("__nq")
+            ).alias("sim"),
+        )
+        return _ranked(scored, k, cand_id=id_col)
+    q = F.broadcast(queries.select(*qcols))
     c = corpus.select(id_col, cell_col, vec_col)
     pairs = c.join(q, c[cell_col] == q.q_cell).filter(
         F.col(id_col) != F.col("query_id")
@@ -117,19 +195,37 @@ def cosine_pairs_within_cells(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cell_col: str = "label",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by cell key (the
     all-pairs version of ivf_topk; pair count bounded by cell sizes)."""
-    a = corpus.select(
+    nrm = [norm2_flat(vec_col, dim).alias("__n")] if dim is not None else []
+    vec = (
+        F.col(vec_col).cast("array<double>").alias(vec_col)
+        if dim is not None
+        else F.col(vec_col)
+    )
+    proj = corpus.select(id_col, cell_col, vec, *nrm)
+    a = proj.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
         F.col(cell_col).alias("cell"),
+        *([F.col("__n").alias("__na")] if dim is not None else []),
     )
-    b = corpus.select(
+    b = proj.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
         F.col(cell_col).alias("cell"),
+        *([F.col("__n").alias("__nb")] if dim is not None else []),
     )
     pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
-    scored = pairwise_cosine(pairs, "v_a", "v_b", ["cell", "id_a", "id_b"])
+    if dim is not None:
+        scored = pairs.select(
+            "cell", "id_a", "id_b",
+            _guarded_sim(
+                dot_flat("v_a", "v_b", dim), F.col("__na"), F.col("__nb")
+            ).alias("sim"),
+        )
+    else:
+        scored = pairwise_cosine(pairs, "v_a", "v_b", ["cell", "id_a", "id_b"])
     return scored.filter(F.col("sim") >= threshold).select(
         "cell", "id_a", "id_b", "sim"
     )

@@ -21,6 +21,10 @@ from metricq_db_hta_spark.sources.tables import load_table
 
 N_HASHES = 16
 BANDS = 4
+# testdata embeddings are fixed 64-dim (TESTDATA.md); a known dim selects
+# the flat whole-stage-codegen cosine path (operators/similarity.py) —
+# the generic explode fallback handles unknown-dim corpora
+EMB_DIM = 64
 
 
 def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,7 +244,9 @@ WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
     "cell (pair count bounded by cell sizes, not corpus^2).",
 )
 def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = similarity.cosine_pairs_within_cells(embs(spark, sf_dir), threshold=0.35)
+    out = similarity.cosine_pairs_within_cells(
+        embs(spark, sf_dir), threshold=0.35, dim=EMB_DIM
+    )
     return out.select(
         "cell", "id_a", "id_b", F.round("sim", 6).alias("sim")
     )
@@ -280,7 +286,7 @@ SELECT query_id, rank, vec_id, sim FROM (
 )
 def llm_similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = embs(spark, sf_dir)
-    out = similarity.brute_force_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+    out = similarity.brute_force_topk(e, e.filter(F.col("vec_id") < 8), k=5, dim=EMB_DIM)
     return out.select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim"))
 
 
@@ -306,7 +312,7 @@ SELECT query_id, rank, vec_id, sim FROM (
 )
 def llm_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = embs(spark, sf_dir)
-    out = similarity.ivf_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+    out = similarity.ivf_topk(e, e.filter(F.col("vec_id") < 8), k=5, dim=EMB_DIM)
     return out.select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim"))
 
 
@@ -325,14 +331,12 @@ FROM e GROUP BY label
     doc="Vector norm stats per cell (array fold + sqrt, all JVM-side).",
 )
 def llm_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # norm per row via explode + codegen hash agg (see operators/similarity)
+    # norm per row as a flat codegen expression — no explode, no per-row
+    # shuffle; one grouped agg over |vectors| rows
+    from metricq_db_hta_spark.functions.arrays import norm2_flat
+
     e = embs(spark, sf_dir)
-    x = F.col("x").cast("double")
-    norms = (
-        e.select("vec_id", "label", F.explode("embedding").alias("x"))
-        .groupBy("vec_id", "label")
-        .agg(F.sqrt(F.sum(x * x)).alias("nrm"))
-    )
+    norms = e.select("vec_id", "label", norm2_flat("embedding", EMB_DIM).alias("nrm"))
     return norms.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
         F.round(F.min("nrm"), 6).alias("min_norm"),

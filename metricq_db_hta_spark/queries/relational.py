@@ -22,6 +22,8 @@ from metricq_db_hta_spark.operators.asof import asof_join_backward
 from metricq_db_hta_spark.queries.base import (
     davg,
     dsum,
+    mavg,
+    msum,
     register,
     sql_davg,
     sql_dsum,
@@ -81,13 +83,16 @@ def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
+            # msum/mavg: money-grain columns (<= 6 decimal digits) take the
+            # scaled-long exact sum — identical doubles to dsum/davg, no
+            # per-row BigDecimal (see base.py)
+            msum("l_quantity").alias("sum_qty"),
+            msum("l_extendedprice").alias("sum_base_price"),
+            msum(disc_price).alias("sum_disc_price"),
+            msum(charge).alias("sum_charge"),
+            mavg("l_quantity").alias("avg_qty"),
+            mavg("l_extendedprice").alias("avg_price"),
+            mavg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -130,7 +135,7 @@ def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -175,7 +180,7 @@ def rel_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -224,7 +229,7 @@ def rel_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_lines"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
 
@@ -253,7 +258,7 @@ def rel_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_without_orders"),
-            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias("total_spend"),
+            msum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias("total_spend"),
         )
     )
 
@@ -493,7 +498,7 @@ def rel_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(n, c.c_nationkey == n.n_nationkey)
         .rollup("n_name", "c_mktsegment")
-        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal").alias("total_balance"))
+        .agg(F.count("*").alias("n_customers"), msum("c_acctbal").alias("total_balance"))
     )
 
 
@@ -556,7 +561,7 @@ def rel_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
         .cast("long")
         .alias("n_finished"),
-        dsum(
+        msum(
             F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(0.0)
         ).alias("open_value"),
     )
@@ -930,6 +935,6 @@ def rel_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_suppkey")
-        .agg(F.count("*").alias("n_lines"), dsum("l_quantity").alias("total_qty"))
+        .agg(F.count("*").alias("n_lines"), msum("l_quantity").alias("total_qty"))
         .filter(F.col("n_lines") > 10)
     )
