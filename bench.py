@@ -77,9 +77,12 @@ def main() -> None:
             if spec.oracle is None:
                 continue
             con.execute(spec.oracle).fetchall()  # warm
-            t0 = time.perf_counter()
-            con.execute(spec.oracle).fetchall()
-            duck[name] = round(time.perf_counter() - t0, 3)
+            d_runs = []
+            for _ in range(2):  # min-of-2: duck times vary ~2x run-to-run
+                t0 = time.perf_counter()
+                con.execute(spec.oracle).fetchall()
+                d_runs.append(time.perf_counter() - t0)
+            duck[name] = round(min(d_runs), 3)
     except Exception:  # noqa: BLE001 — baseline is informational
         duck = {}
 
@@ -130,13 +133,106 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — informational, but not silent
         print(f"ingest bench skipped: {e!r}", file=sys.stderr)
 
+    # per-query floor: the smallest *real* query shape — a parquet scan plus
+    # one shuffled aggregation — built fresh each run like the headline
+    # queries (plan construction, file listing, AQE stage sync, codegen,
+    # noop commit all included). The headline total carries ~13x this;
+    # DuckDB's equivalent floor is ~1 ms.
+    from metricq_db_hta_spark.sources.tables import load_table
+
+    floor_runs = []
+    for m in (False, True, True):
+        t0 = time.perf_counter()
+        (
+            load_table(spark, sf_dir, "region")
+            .groupBy("r_regionkey")
+            .count()
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        if m:
+            floor_runs.append(time.perf_counter() - t0)
+    spark_floor = round(min(floor_runs), 3)
+
+    # scale-convergence evidence (BASELINE.md allows the nearest scale
+    # factor): deterministic 10x replicas of lineitem/orders (~sf1) built
+    # once in /tmp; the three heaviest relational queries race Spark vs
+    # DuckDB at both scales. Spark grows sublinearly (floor-dominated);
+    # DuckDB stays at ITS floor until well past sf1 — the honest reading is
+    # a floor-vs-floor comparison, not a throughput gap (see SCALE.md §6).
+    scaling: dict[str, dict] = {}
+    try:
+        if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+            import duckdb
+
+            from metricq_db_hta_spark.sources.tables import TABLES
+
+            big_dir = "/tmp/metricq_bench_sf1"
+            os.makedirs(big_dir, exist_ok=True)
+            gen = duckdb.connect()
+            gen.execute(f"SET threads TO {os.cpu_count() or 8}")
+            for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+                dst = os.path.join(big_dir, f"{t}.parquet")
+                if not os.path.exists(dst):
+                    gen.execute(
+                        f"COPY (SELECT * REPLACE ({key} + r * 10000000 AS {key}) "
+                        f"FROM read_parquet('{sf_dir}/{t}.parquet'), range(10) t(r)) "
+                        f"TO '{dst}' (FORMAT PARQUET)"
+                    )
+            import shutil as _sh
+
+            for t in TABLES:
+                src_p = os.path.join(sf_dir, f"{t}.parquet")
+                dst_p = os.path.join(big_dir, f"{t}.parquet")
+                if os.path.exists(src_p) and not os.path.exists(dst_p):
+                    _sh.copy(src_p, dst_p)
+            big_con = duckdb.connect()
+            big_con.execute(f"SET threads TO {os.cpu_count() or 8}")
+            for t in TABLES:
+                p = os.path.join(big_dir, f"{t}.parquet")
+                if os.path.exists(p):
+                    big_con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                    )
+            for name in (
+                "rel_q1_pricing_summary",
+                "rel_q5_local_supplier_volume",
+                "rel_join_sortmerge",
+            ):
+                spec = REGISTRY[name]
+                runs = []
+                for m in (False, True, True):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    spec.spark(spark, big_dir).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                    if m:
+                        runs.append(time.perf_counter() - t0)
+                big_con.execute(spec.oracle).fetchall()
+                t0 = time.perf_counter()
+                big_con.execute(spec.oracle).fetchall()
+                dd = time.perf_counter() - t0
+                scaling[name] = {
+                    "spark_sec": round(min(runs), 3),
+                    "duckdb_sec": round(dd, 3),
+                    "spark_sec_sf0.1": timings.get(name),
+                    "duckdb_sec_sf0.1": duck.get(name),
+                }
+    except Exception as e:  # noqa: BLE001 — informational, but not silent
+        print(f"scaling bench skipped: {e!r}", file=sys.stderr)
+
     out = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "spark_query_floor_sec": spark_floor,
     }
+    if scaling:
+        out["scaling_sf1_replicated"] = scaling
     if ingest_rate is not None:
         out["ingest_samples_per_sec"] = ingest_rate
     if duck:

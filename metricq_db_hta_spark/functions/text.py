@@ -42,11 +42,21 @@ def regex_token_count(text: str | Column) -> Column:
     return F.regexp_count(c, F.lit(WORD_RE)).cast("long")
 
 
-def stopword_count(text: str | Column, words: tuple[str, ...] = STOPWORDS) -> Column:
-    arr = F.array(*[F.lit(w) for w in words])
-    return F.size(
-        F.filter(tokens(text), lambda t: F.array_contains(arr, t))
+def _word_hits(text: str | Column, words: tuple[str, ...]) -> Column:
+    """Count whitespace tokens exactly equal to one of ``words`` — as ONE
+    regexp_count over space-padded text (whole-stage codegen) instead of a
+    filter() higher-order function (CodegenFallback, interpreted per
+    token). The lookahead keeps adjacent hits countable (" a of " — the
+    separator space is shared between matches)."""
+    c = F.col(text) if isinstance(text, str) else text
+    pat = " (" + "|".join(words) + ")(?= )"
+    return F.regexp_count(
+        F.concat(F.lit(" "), c, F.lit(" ")), F.lit(pat)
     ).cast("long")
+
+
+def stopword_count(text: str | Column, words: tuple[str, ...] = STOPWORDS) -> Column:
+    return _word_hits(text, words)
 
 
 def quality_score(text: str | Column) -> Column:
@@ -68,15 +78,10 @@ def quality_score(text: str | Column) -> Column:
 
 def lang_scores(text: str | Column) -> list[Column]:
     """Dictionary-hit count per language, in LANG_DICTS order."""
-    out = []
-    for lang, words in LANG_DICTS.items():
-        arr = F.array(*[F.lit(w) for w in words])
-        out.append(
-            F.size(F.filter(tokens(text), lambda t: F.array_contains(arr, t)))
-            .cast("long")
-            .alias(f"score_{lang}")
-        )
-    return out
+    return [
+        _word_hits(text, words).alias(f"score_{lang}")
+        for lang, words in LANG_DICTS.items()
+    ]
 
 
 def shingles(text: str | Column, n: int = 8) -> Column:
@@ -89,5 +94,41 @@ def shingles(text: str | Column, n: int = 8) -> Column:
 def shingle_fingerprint(text: str | Column, n: int = 8) -> Column:
     """Document fingerprint: lexicographic min of md5(shingle) — a
     deterministic, engine-portable stand-in for a rolling-hash min
-    (winnowing with window = whole doc)."""
+    (winnowing with window = whole doc).
+
+    Scalar HOF form (interpreted per character) — convenient for ad-hoc
+    expressions; the hot path is :func:`fingerprint_by_doc`, the codegen
+    posexplode+window equivalent.
+    """
     return F.array_min(F.transform(shingles(text, n), F.md5))
+
+
+def fingerprint_by_doc(docs, id_col: str = "doc_id", text_col: str = "text", n: int = 8):
+    """(id, fingerprint) — codegen equivalent of
+    ``shingle_fingerprint`` per document.
+
+    One posexplode to character rows, n-1 ``lead`` calls over the per-doc
+    window reassemble the shingles (the operators/dedup.py::doc_shingles
+    pattern — HOF transform is CodegenFallback, ~µs/char interpreted), one
+    md5 per shingle, one grouped min. The window and the final group share
+    the doc-key hash partitioning, so the whole thing is one exchange.
+
+    Short/empty docs: ``concat_ws`` skips the NULL leads, so a doc shorter
+    than ``n`` fingerprints its whole text — identical to the scalar form's
+    clamped ``substr`` (and the oracle's ``GREATEST(1, len-7)`` bound).
+    """
+    from pyspark.sql import Window
+
+    chars = docs.select(
+        id_col,
+        F.length(text_col).alias("__len"),
+        F.posexplode(F.split(F.col(text_col), "")).alias("pos", "ch"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("ch")] + [F.lead("ch", j).over(w) for j in range(1, n)]
+    return (
+        chars.withColumn("__sh", F.concat_ws("", *parts))
+        .filter(F.col("pos") <= F.greatest(F.lit(0), F.col("__len") - n))
+        .groupBy(id_col)
+        .agg(F.min(F.md5("__sh")).alias("fingerprint"))
+    )

@@ -700,14 +700,21 @@ SELECT o_orderkey, o_totalprice,
        NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
 FROM orders
 """,
-    doc="NTILE bucketing over a global order (deterministic tie-break).",
+    doc="NTILE bucketing over a global order (deterministic tie-break), "
+    "computed scale-safe: distributed range sort + per-partition offsets "
+    "instead of a single-partition global window.",
 )
 def rel_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metricq_db_hta_spark.operators.ranking import distributed_ntile
+
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return o.select(
-        "o_orderkey", "o_totalprice", F.ntile(4).over(w).alias("quartile")
+    out = distributed_ntile(
+        o.select("o_orderkey", "o_totalprice"),
+        4,
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        out_col="quartile",
     )
+    return out.select("o_orderkey", "o_totalprice", "quartile")
 
 
 # ---------------------------------------------------------------------------
