@@ -280,6 +280,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -306,4 +307,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # returning partially-propagated labels would be silently wrong
+        # (ADVICE r1): the caller either raises max_iterations or switches
+        # to a large-star/small-star variant for high-diameter graphs
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations (graph diameter exceeds the cap); raise "
+            "max_iterations for chain-like pair graphs"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -470,14 +470,28 @@ def rel_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_agg_approx_distinct",
-    oracle=None,  # HLL sketches differ across engines by construction
-    doc="approx_count_distinct (HyperLogLog++) — rows-only check; exactness "
-    "asserted separately in tests against the exact count (rel err < 5%).",
+    # HLL sketches differ across engines by construction, so the raw
+    # estimate is unhashable — instead the query outputs the EXACT distinct
+    # count (hash-verified) plus a boolean asserting the HLL++ estimate
+    # lands within a 5% relative-error band, which the oracle pins to TRUE.
+    # A broken sketch now fails the driver gate instead of being
+    # unfalsifiable (round-1 "What's wrong" #8).
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+""",
+    doc="approx_count_distinct (HyperLogLog++) checked against the exact "
+    "distinct count: the driver verifies exact_users by value and the "
+    "within-5%-band flag by assertion.",
 )
 def rel_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_df(spark, sf_dir)
+    exact = F.count_distinct(F.col("user_id"))
+    approx = F.approx_count_distinct("user_id")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+        exact.alias("exact_users"),
+        (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),
     )
 
 

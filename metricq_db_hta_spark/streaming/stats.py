@@ -21,16 +21,44 @@ OPS_COLUMNS = ("op_type", "ts_ns", "duration_ns", "bytes", "failed")
 
 
 def derived_rates(
-    ops: DataFrame, window_ns: int = 10_000_000_000, streaming: bool = False
+    ops: DataFrame,
+    window_ns: int = 10_000_000_000,
+    streaming: bool = False,
+    watermark: str = "30 seconds",
 ) -> DataFrame:
     """Per (op_type, window): counts, failure count, data volume, and the
     reference's derived projections (rates per second, mean latency,
-    utilization = busy-time / wall-time) with guarded division."""
+    utilization = busy-time / wall-time) with guarded division.
+
+    ``streaming=True`` groups on an event-time ``F.window`` with a
+    watermark, so state is bounded and windows emit (append mode) once the
+    watermark passes — the module-docstring contract a batch-only bucket
+    expression cannot honor (ADVICE r1: without a watermark a streaming
+    deployment accumulates unbounded state). Both paths produce identical
+    epoch-aligned ``window_start_ns`` buckets; window_ns must be a whole
+    number of milliseconds for the streaming form.
+    """
     window_s = window_ns / 1_000_000_000
-    bucket = (F.col("ts_ns") - (F.col("ts_ns") % F.lit(window_ns))).cast("long")
-    g = ops.groupBy(
-        "op_type", bucket.alias("window_start_ns")
-    ).agg(
+    if streaming:
+        if window_ns % 1_000_000 != 0:
+            raise ValueError(f"streaming window must be whole ms: {window_ns}")
+        ts = F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+        grouped = (
+            ops.withColumn("__ts", ts)
+            .withWatermark("__ts", watermark)
+            .groupBy(
+                "op_type",
+                F.window("__ts", f"{window_ns // 1_000_000} milliseconds").alias(
+                    "__w"
+                ),
+            )
+        )
+        key = (F.unix_micros(F.col("__w.start")) * 1000).alias("window_start_ns")
+    else:
+        bucket = (F.col("ts_ns") - (F.col("ts_ns") % F.lit(window_ns))).cast("long")
+        grouped = ops.groupBy("op_type", bucket.alias("window_start_ns"))
+        key = F.col("window_start_ns")
+    g = grouped.agg(
         F.count("*").alias("completed"),
         F.sum(F.when(F.col("failed"), 1).otherwise(0)).cast("long").alias("failures"),
         F.sum("bytes").cast("long").alias("bytes"),
@@ -38,7 +66,7 @@ def derived_rates(
     )
     return g.select(
         "op_type",
-        "window_start_ns",
+        key,
         "completed",
         "failures",
         "bytes",

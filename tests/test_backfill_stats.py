@@ -189,3 +189,63 @@ def test_derived_rates_as_stream(spark, tmp_path):
     exp = derived_rates(ops)
     diff = got.exceptAll(exp).union(exp.exceptAll(got))
     assert diff.count() == 0
+
+
+def test_derived_rates_streaming_matches_batch(spark, tmp_path):
+    """A14/A15 as a real stream: event-time window + watermark (append
+    mode), checked against the batch evaluation over the same rows.
+    Closer events advance the watermark so the real windows emit."""
+    from metricq_db_hta_spark.streaming.stats import derived_rates
+
+    base = 1_700_000_000_000_000_000
+    schema = "op_type string, ts_ns long, duration_ns long, bytes long, failed boolean"
+    rows = [
+        ("write", base + i * 1_000_000_000, 500_000_000, 100, i % 3 == 0)
+        for i in range(25)
+    ] + [("read", base + 2_000_000_000, 100_000_000, 10, False)]
+    closers = [
+        [("write", base + 3_600 * 1_000_000_000, 0, 0, False)],
+        [("write", base + 7_200 * 1_000_000_000, 0, 0, False)],
+    ]
+    indir = tmp_path / "ops_in"
+    indir.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(indir / "c1"))
+    for i, c in enumerate(closers):
+        spark.createDataFrame(c, schema).coalesce(1).write.parquet(
+            str(indir / f"c{i + 2}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(indir))
+    )
+    outdir = str(tmp_path / "ops_out")
+    q = (
+        derived_rates(stream, streaming=True)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", str(tmp_path / "ops_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["op_type"], r["window_start_ns"]): (
+            r["completed"], r["failures"], r["bytes"],
+            r["request_rate"], r["utilization"],
+        )
+        for r in spark.read.parquet(outdir).collect()
+    }
+    expect = {
+        (r["op_type"], r["window_start_ns"]): (
+            r["completed"], r["failures"], r["bytes"],
+            r["request_rate"], r["utilization"],
+        )
+        for r in derived_rates(spark.createDataFrame(rows, schema)).collect()
+    }
+    # every real (closed) window must have been emitted with batch-equal
+    # values; closer windows themselves stay open
+    for k, v in expect.items():
+        assert got.get(k) == v, (k, got.get(k), v)

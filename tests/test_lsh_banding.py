@@ -74,3 +74,17 @@ def test_no_trivially_true_band_predicate_in_plan(spark):
     df = dedup.lsh_candidate_pairs(_sig_df(spark, sigs), N_HASHES, BANDS)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "bk_a" in plan and "bk_b" in plan
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """ADVICE r1: a pair graph whose diameter exceeds the iteration cap
+    must raise, not return partially-propagated (wrong) cluster ids."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iterations=3)
+    ok = dedup.connected_components(chain, max_iterations=20)
+    assert {r["cluster_id"] for r in ok.collect()} == {0}
