@@ -236,6 +236,69 @@ class StreamingIngest:
     def checkpoint_path(self) -> str:
         return os.path.join(self.store, "_checkpoint")
 
+    @property
+    def commit_marker_path(self) -> str:
+        return os.path.join(self.store, "_last_commit.json")
+
+    # -- durability (A6) ---------------------------------------------------
+    def _raw_batches_on_disk(self) -> set[int]:
+        """ingest_batch ids present in raw, from the directory layout —
+        no data scan."""
+        if not os.path.exists(self.raw_path):
+            return set()
+        out = set()
+        for name in os.listdir(self.raw_path):
+            if name.startswith("ingest_batch="):
+                out.add(int(name.split("=", 1)[1]))
+        return out
+
+    def _write_commit_marker(self) -> None:
+        """Atomic durability barrier (reference A6, metric.flush() at
+        async_hta_service.hpp:308): after the level writes complete, record
+        the set of raw batches whose derived state is fully committed. The
+        tmp-write + os.replace is atomic on POSIX, so the marker is never
+        torn."""
+        import json
+
+        marker = {"committed_batches": sorted(self._raw_batches_on_disk())}
+        tmp = self.commit_marker_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.replace(tmp, self.commit_marker_path)
+
+    def _committed_batches(self) -> set[int]:
+        import json
+
+        if not os.path.exists(self.commit_marker_path):
+            return set()
+        with open(self.commit_marker_path) as f:
+            return set(json.load(f).get("committed_batches", []))
+
+    def recover(self) -> set[int]:
+        """Crash-recovery contract. Raw is the source of truth and is
+        self-healing (a crashed microbatch replays from the checkpoint and
+        dynamic-overwrites exactly its own partitions); the LEVEL tables
+        are derived state, so a crash between the raw write and the level
+        commit can leave a level partition torn. Detection: any raw batch
+        not covered by the commit marker. Repair: recompute those batches'
+        touched level partitions from raw — the same recompute-not-merge
+        path a live microbatch uses. Returns the recovered batch ids.
+
+        Restarting the stream performs the same repair implicitly (the
+        uncommitted batch replays); recover() is for serving reads from a
+        store whose writer died and has not restarted.
+        """
+        suspect = self._raw_batches_on_disk() - self._committed_batches()
+        if not suspect:
+            return set()
+        raw = self.spark.read.parquet(self.raw_path)
+        kept = raw.filter(F.col("ingest_batch").isin([int(b) for b in suspect]))
+        kept = kept.select("metric", "ts_ns", "value", "event_id", "delta_ns")
+        if not kept.isEmpty():
+            self._update_levels(kept.localCheckpoint(eager=True), raw)
+        self._write_commit_marker()
+        return suspect
+
     # -- batch sink --------------------------------------------------------
     def _process_batch(self, kept: DataFrame, batch_id: int) -> None:
         """Retry-idempotent sink. foreachBatch may replay a batch after a
@@ -287,69 +350,78 @@ class StreamingIngest:
                 .parquet(self.raw_path)
             )
             raw = spark.read.parquet(self.raw_path)
-            # A5: recompute every touched (metric, bucket_month) PARTITION of
-            # each level. Granularity matters twice over:
-            # - dynamic overwrite replaces whole date partitions, so
-            #   recomputing only touched *buckets* would delete untouched
-            #   buckets sharing a date;
-            # - level 0 recomputes from raw, but each coarser level
-            #   CASCADES from the level just rewritten below it (the
-            #   Aggregate record is mergeable) — recomputing every level
-            #   from raw would re-scan raw once per level.
-            lower_path: str | None = None
-            for width in self.widths:
-                bucket = (F.col("ts_ns") - (F.col("ts_ns") % F.lit(width))).cast(
-                    "long"
-                )
-                touched = (
-                    kept.select(
-                        "metric", _ns_to_month(bucket).alias("bucket_month")
-                    ).distinct()
-                )
-                if lower_path is None:
-                    src = raw
-                    src_bucket = (
-                        src["ts_ns"] - (src["ts_ns"] % F.lit(width))
-                    ).cast("long")
-                else:
-                    src = spark.read.parquet(lower_path)
-                    src_bucket = (
-                        src["bucket_start_ns"]
-                        - (src["bucket_start_ns"] % F.lit(width))
-                    ).cast("long")
-                relevant = src.join(
-                    F.broadcast(touched),
-                    (src["metric"] == touched["metric"])
-                    & (_ns_to_month(src_bucket) == touched["bucket_month"]),
-                    "left_semi",
-                )
-                if lower_path is None:
-                    recomputed = batch_level_partials(relevant, width)
-                else:
-                    from metricq_db_hta_spark.operators.hta import rollup
-
-                    recomputed = rollup(
-                        relevant.drop("bucket_month"), width_ns=width
-                    )
-                recomputed = recomputed.withColumn(
-                    "bucket_month", _ns_to_month(F.col("bucket_start_ns"))
-                )
-                path = self.level_path(width)
-                # single job per level: no level reads its own output path
-                # (level k scans raw or level k-1), so the write action IS
-                # the materialization barrier — an eager localCheckpoint
-                # here doubled every level's compute (measured ~0.5-1s per
-                # level at sf0.1)
-                (
-                    recomputed.repartition("metric", "bucket_month")
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("metric", "bucket_month")
-                    .parquet(path)
-                )
-                lower_path = path
+            self._update_levels(kept, raw)
+            # A6 durability barrier: the marker certifies every raw batch's
+            # derived level state is fully on disk (see recover())
+            self._write_commit_marker()
         finally:
             kept.unpersist()  # releases the checkpointed blocks
+
+    def _update_levels(self, kept: DataFrame, raw: DataFrame) -> None:
+        """A5: recompute every touched (metric, bucket_month) PARTITION of
+        each level. Granularity matters twice over:
+
+        - dynamic overwrite replaces whole date partitions, so recomputing
+          only touched *buckets* would delete untouched buckets sharing a
+          date;
+        - level 0 recomputes from raw, but each coarser level CASCADES
+          from the level just rewritten below it (the Aggregate record is
+          mergeable) — recomputing every level from raw would re-scan raw
+          once per level.
+        """
+        spark = kept.sparkSession
+        lower_path: str | None = None
+        for width in self.widths:
+            bucket = (F.col("ts_ns") - (F.col("ts_ns") % F.lit(width))).cast(
+                "long"
+            )
+            touched = (
+                kept.select(
+                    "metric", _ns_to_month(bucket).alias("bucket_month")
+                ).distinct()
+            )
+            if lower_path is None:
+                src = raw
+                src_bucket = (
+                    src["ts_ns"] - (src["ts_ns"] % F.lit(width))
+                ).cast("long")
+            else:
+                src = spark.read.parquet(lower_path)
+                src_bucket = (
+                    src["bucket_start_ns"]
+                    - (src["bucket_start_ns"] % F.lit(width))
+                ).cast("long")
+            relevant = src.join(
+                F.broadcast(touched),
+                (src["metric"] == touched["metric"])
+                & (_ns_to_month(src_bucket) == touched["bucket_month"]),
+                "left_semi",
+            )
+            if lower_path is None:
+                recomputed = batch_level_partials(relevant, width)
+            else:
+                from metricq_db_hta_spark.operators.hta import rollup
+
+                recomputed = rollup(
+                    relevant.drop("bucket_month"), width_ns=width
+                )
+            recomputed = recomputed.withColumn(
+                "bucket_month", _ns_to_month(F.col("bucket_start_ns"))
+            )
+            path = self.level_path(width)
+            # single job per level: no level reads its own output path
+            # (level k scans raw or level k-1), so the write action IS
+            # the materialization barrier — an eager localCheckpoint
+            # here doubled every level's compute (measured ~0.5-1s per
+            # level at sf0.1)
+            (
+                recomputed.repartition("metric", "bucket_month")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("metric", "bucket_month")
+                .parquet(path)
+            )
+            lower_path = path
 
     def _stored_watermarks(self) -> dict[str, int]:
         """Per-metric max stored ts_ns — the reference's
