@@ -75,6 +75,13 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     pq.add_argument("--limit", type=int, default=20)
 
+    ps = sub.add_parser("serve")
+    ps.add_argument("--store", required=True)
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=8765)
+    ps.add_argument("--width-ns", type=int, default=3_600_000_000_000)
+    ps.add_argument("--levels", type=int, default=3)
+
     args = p.parse_args(argv)
     spark = get_spark("metricq-db-hta-spark-cli")
 
@@ -107,6 +114,23 @@ def main(argv: list[str] | None = None) -> int:
         else:
             df = svc.last_value(args.metric)
         df.show(100, truncate=False)
+        return 0
+
+    if args.cmd == "serve":
+        import time
+
+        from metricq_db_hta_spark.plans.serve import HistoryServer
+
+        widths = [args.width_ns * 10**k for k in range(args.levels)]
+        server, port = HistoryServer(spark, args.store, widths).start_background(
+            args.host, args.port
+        )
+        print(f"history service listening on {args.host}:{port}", file=sys.stderr)
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            server.shutdown()
         return 0
 
     from metricq_db_hta_spark.queries import REGISTRY

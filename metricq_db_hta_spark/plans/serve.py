@@ -1,0 +1,134 @@
+"""Long-lived history serving endpoint (reference read-path parity).
+
+The reference answers history RPCs over the metric bus from a resident
+service, with failures propagated to the requester
+(/root/reference/src/db.cpp:124-128; handler.failed at
+src/async_hta_service.hpp:511-534). The round-1 CLI printed DataFrames and
+exited — fine for smoke tests, but a real deployment needs a loop that
+owns ONE SparkSession + HistoryService and answers repeated requests, so
+the per-query JVM costs (codegen cache, file listings, broadcast
+machinery) amortize the way they do in the reference's resident process.
+
+Transport: newline-delimited JSON over TCP (the bus stand-in; the request
+router is transport-agnostic). One request per line:
+
+    {"type": "aggregate_timeline" | "flex_timeline" | "aggregate"
+             | "last_value" | "refresh",
+     "metric": str | null, "start_ns": int, "end_ns": int,
+     "interval_max_ns": int, "limit": int}
+
+Response line: {"rows": [...], "n": int} on success, {"error": "..."} on
+failure (the handler.failed contract — a bad request never kills the
+service). ``refresh`` re-lists the store so data appended by a concurrent
+ingest becomes visible (Parquet DataFrames pin their file listing at
+creation).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socketserver
+import threading
+
+from pyspark.sql import SparkSession
+
+from metricq_db_hta_spark.functions.timeutil import TS_MAX_NS
+from metricq_db_hta_spark.plans.history import HistoryService
+
+#: responses are capped — a timeline over years at ns resolution must not
+#: materialize unbounded rows into the service heap
+DEFAULT_LIMIT = 100_000
+
+
+def _json_default(o):
+    """Wire encoding for non-JSON-native Spark row values: the Aggregate
+    record's exact-decimal ``sum`` goes out as float (the reference's wire
+    carries doubles too), timestamps as ISO strings, binary as hex."""
+    import datetime
+    import decimal
+
+    if isinstance(o, decimal.Decimal):
+        return float(o)
+    if isinstance(o, (datetime.datetime, datetime.date)):
+        return o.isoformat()
+    if isinstance(o, (bytes, bytearray)):
+        return o.hex()
+    raise TypeError(f"unserializable {type(o).__name__}")
+
+
+class HistoryServer:
+    def __init__(
+        self, spark: SparkSession, store: str, level_widths_ns: list[int]
+    ) -> None:
+        self.spark = spark
+        self.store = store
+        self.widths = list(level_widths_ns)
+        self._svc = self._build()
+
+    def _build(self) -> HistoryService:
+        raw = self.spark.read.parquet(os.path.join(self.store, "raw"))
+        levels = {
+            w: self.spark.read.parquet(os.path.join(self.store, f"level_{w}"))
+            for w in self.widths
+            if os.path.exists(os.path.join(self.store, f"level_{w}"))
+        }
+        return HistoryService(raw=raw, levels=levels)
+
+    # -- request router (src/async_hta_service.hpp:359 switch parity) ------
+    def handle(self, req: dict) -> dict:
+        try:
+            rtype = req["type"]
+            if rtype == "refresh":
+                self._svc = self._build()
+                return {"rows": [], "n": 0}
+            metric = req.get("metric")
+            start = int(req.get("start_ns", 0))
+            end = int(req.get("end_ns", TS_MAX_NS))
+            imax = int(req.get("interval_max_ns", TS_MAX_NS))
+            limit = int(req.get("limit", DEFAULT_LIMIT))
+            if rtype == "aggregate_timeline":
+                df = self._svc.aggregate_timeline(metric, start, end, imax)
+            elif rtype == "flex_timeline":
+                df = self._svc.flex_timeline(metric, start, end, imax)
+            elif rtype == "aggregate":
+                df = self._svc.aggregate(metric, start, end)
+            elif rtype == "last_value":
+                df = self._svc.last_value(metric)
+            else:
+                return {"error": f"unknown request type {rtype!r}"}
+            rows = [r.asDict() for r in df.limit(limit).collect()]
+            return {"rows": rows, "n": len(rows)}
+        except Exception as e:  # noqa: BLE001 — handler.failed parity
+            return {"error": f"{type(e).__name__}: {e}"}
+
+    # -- TCP loop ----------------------------------------------------------
+    def start_background(self, host: str = "127.0.0.1", port: int = 0):
+        """Start the serving loop on a daemon thread; returns
+        (server, bound_port). ``server.shutdown()`` stops it."""
+        handle = self.handle
+
+        class _Handler(socketserver.StreamRequestHandler):
+            def handle(self) -> None:  # one connection, many requests
+                for line in self.rfile:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        req = json.loads(line)
+                        resp = handle(req)
+                    except Exception as e:  # noqa: BLE001
+                        resp = {"error": f"{type(e).__name__}: {e}"}
+                    self.wfile.write(
+                        (json.dumps(resp, default=_json_default) + "\n").encode()
+                    )
+                    self.wfile.flush()
+
+        class _Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        server = _Server((host, port), _Handler)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        return server, server.server_address[1]

@@ -34,6 +34,7 @@ bucket count, never to history size.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,7 +48,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from metricq_db_hta_spark.operators.ingest import apply_input_mapping, validity_filter
+from metricq_db_hta_spark.operators.ingest import apply_input_mapping
+
+_log = logging.getLogger(__name__)
 
 SAMPLE_SCHEMA = StructType(
     [
@@ -65,10 +68,72 @@ KEPT_SCHEMA = StructType(
         StructField("value", DoubleType()),
         StructField("event_id", LongType()),
         StructField("delta_ns", LongType()),
+        # drop observability (A14; async_hta_service.hpp:292-306): dropped
+        # samples since the previous kept sample of this metric, per class
+        StructField("drops_mono_before", LongType()),
+        StructField("drops_invalid_before", LongType()),
     ]
 )
 
-STATE_SCHEMA = StructType([StructField("max_ts", LongType())])
+STATE_SCHEMA = StructType(
+    [
+        StructField("max_ts", LongType()),
+        # drops seen after the last kept sample — carried so they attach to
+        # the NEXT kept sample's counts instead of vanishing at batch edges
+        StructField("pending_mono", LongType()),
+        StructField("pending_invalid", LongType()),
+    ]
+)
+
+
+def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """A1 live-source option over TCP: newline-delimited
+    ``metric,ts_ns,value,event_id`` records (the dev/test stand-in for the
+    reference's AMQP subscription, /root/reference/src/db.cpp:116-122).
+    The socket source keeps no offsets, so delivery is at-most-once —
+    production uses :func:`kafka_source`; the rest of the pipeline is
+    identical either way."""
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )
+    p = F.split(F.col("value"), ",")
+    return lines.select(
+        p.getItem(0).alias("metric"),
+        p.getItem(1).cast("long").alias("ts_ns"),
+        p.getItem(2).cast("double").alias("value"),
+        p.getItem(3).cast("long").alias("event_id"),
+    )
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """A1 production source: Kafka topic with JSON sample payloads
+    ``{"metric","ts_ns","value","event_id"}``. Replayable offsets +
+    the streaming checkpoint give exactly-once into the store (the same
+    ack-after-flush contract as the reference's completion handlers,
+    async_hta_service.hpp:327).
+
+    Requires the ``spark-sql-kafka`` package on the cluster classpath —
+    not bundled in this container, so this constructs the plan only; the
+    first action raises a clear error if the connector is absent.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), SAMPLE_SCHEMA).alias("s")
+    ).select("s.*")
 
 
 def _ns_to_date(c):
@@ -122,33 +187,64 @@ def monotonic_stateful(
         import pandas as _pd
 
         (metric,) = key
-        max_ts = state.get[0] if state.exists else seeds.get(metric)
+        if state.exists:
+            max_ts, pend_m, pend_i = state.get
+            if max_ts is None:
+                max_ts = seeds.get(metric)
+            pend_m, pend_i = int(pend_m or 0), int(pend_i or 0)
+        else:
+            max_ts = seeds.get(metric)
+            pend_m = pend_i = 0
         sentinel = _np.iinfo(_np.int64).min
         for pdf in pdfs:
             if not len(pdf):
                 continue
             pdf = pdf.sort_values("event_id", kind="mergesort")  # arrival order
             ts = pdf["ts_ns"].to_numpy(_np.int64)
+            valid = _np.isfinite(pdf["value"].to_numpy(_np.float64))
+            # invalid samples never advance the watermark (the reference
+            # rejects them before insert) — mask them out of the cummax
+            ts_eff = _np.where(valid, ts, sentinel)
             prev = _np.empty_like(ts)
             prev[0] = sentinel if max_ts is None else max_ts
             if len(ts) > 1:
-                cummax = _np.maximum.accumulate(ts[:-1])
+                cummax = _np.maximum.accumulate(ts_eff[:-1])
                 if max_ts is None:
                     prev[1:] = cummax
                 else:
                     _np.maximum(cummax, max_ts, out=prev[1:])
-            keep = ts > prev
+            mono_ok = ts > prev
+            keep = valid & mono_ok
+            mono_drop = valid & ~mono_ok
+            inv_drop = ~valid
             if keep.any():
                 kept = pdf.loc[keep, ["metric", "ts_ns", "value", "event_id"]]
                 prev_kept = prev[keep]
                 delta = ts[keep] - prev_kept
                 delta[prev_kept == sentinel] = 0  # first sample ever: no gap
-                kept = kept.assign(delta_ns=delta)
+                # per-class drop counts since the previous kept sample
+                # (A14 observability); pending carries batch-edge drops
+                dcm = _np.cumsum(mono_drop)[keep]
+                dci = _np.cumsum(inv_drop)[keep]
+                mono_counts = _np.diff(dcm, prepend=0)
+                inv_counts = _np.diff(dci, prepend=0)
+                mono_counts[0] += pend_m
+                inv_counts[0] += pend_i
+                pend_m = int(mono_drop.sum() - dcm[-1])
+                pend_i = int(inv_drop.sum() - dci[-1])
+                kept = kept.assign(
+                    delta_ns=delta,
+                    drops_mono_before=mono_counts,
+                    drops_invalid_before=inv_counts,
+                )
                 new_max = int(ts[keep][-1])  # kept rows' ts is increasing
                 max_ts = new_max if max_ts is None else max(max_ts, new_max)
                 yield kept
-        if max_ts is not None:
-            state.update((int(max_ts),))
+            else:
+                pend_m += int(mono_drop.sum())
+                pend_i += int(inv_drop.sum())
+        if max_ts is not None or pend_m or pend_i:
+            state.update((None if max_ts is None else int(max_ts), pend_m, pend_i))
 
     return stream.groupBy("metric").applyInPandasWithState(
         monotonic_state_fn,
@@ -327,6 +423,38 @@ class StreamingIngest:
         try:
             if kept.isEmpty():
                 return
+            # A14 drop observability: per-metric skip counts into the drops
+            # log + one rate-limited log line per microbatch (the
+            # reference's LoggingConfig batches the same way)
+            if "drops_mono_before" in kept.columns:
+                drops = (
+                    kept.groupBy("metric")
+                    .agg(
+                        F.sum("drops_mono_before").cast("long").alias("mono_drops"),
+                        F.sum("drops_invalid_before")
+                        .cast("long")
+                        .alias("invalid_drops"),
+                        F.count("*").alias("kept_samples"),
+                    )
+                    .filter((F.col("mono_drops") > 0) | (F.col("invalid_drops") > 0))
+                )
+                dropped_rows = drops.collect()  # <= one row per metric
+                if dropped_rows:
+                    _log.info(
+                        "ingest batch %s dropped samples: %s",
+                        batch_id,
+                        {
+                            r["metric"]: (r["mono_drops"], r["invalid_drops"])
+                            for r in dropped_rows
+                        },
+                    )
+                    (
+                        spark.createDataFrame(dropped_rows)
+                        .withColumn("ingest_batch", F.lit(int(batch_id)))
+                        .coalesce(1)
+                        .write.mode("append")
+                        .parquet(os.path.join(self.store, "drops_log"))
+                    )
             # A6: idempotent raw write (see docstring); (metric, time)
             # sub-partitioning gives Q2/Q4 range scans partition pruning
             if self.raw_partition == "day":
@@ -436,16 +564,35 @@ class StreamingIngest:
         }
 
     # -- the query ---------------------------------------------------------
-    def start(self, input_dir: str, available_now: bool = True):
-        stream = (
-            self.spark.readStream.schema(SAMPLE_SCHEMA)
-            .option("maxFilesPerTrigger", "8")
-            .option("recursiveFileLookup", "true")  # chunks may arrive as dirs
-            .parquet(input_dir)
-        )
+    def start(
+        self,
+        input_dir: str | None = None,
+        available_now: bool = True,
+        source: DataFrame | None = None,
+    ):
+        """Run the A1->A6 pipeline from either the file chunk source
+        (``input_dir``) or any pre-built streaming DataFrame with
+        SAMPLE_SCHEMA columns (``source`` — see :func:`socket_source` /
+        :func:`kafka_source`). The pipeline is source-agnostic, matching
+        the reference where AMQP delivery is the transport and the
+        operator chain owns the semantics (db.cpp:116-122)."""
+        if (input_dir is None) == (source is None):
+            raise ValueError("pass exactly one of input_dir or source")
+        if source is not None:
+            stream = source
+        else:
+            stream = (
+                self.spark.readStream.schema(SAMPLE_SCHEMA)
+                .option("maxFilesPerTrigger", "8")
+                .option("recursiveFileLookup", "true")  # chunks may be dirs
+                .parquet(input_dir)
+            )
         if self.mapping is not None:
             stream = apply_input_mapping(stream, self.mapping, "metric")
-        stream = validity_filter(stream)
+        # A4 validity runs INSIDE the stateful filter (invalid samples are
+        # masked out of the watermark cummax) so dropped samples are
+        # counted per class — the observability the reference gets from
+        # its skip counters (async_hta_service.hpp:292-306)
         # store-wide A3: metrics unseen by the *checkpoint* still must not
         # regress below what the *store* already holds (fresh checkpoint
         # over existing data, or streaming after a backfill)

@@ -1,0 +1,52 @@
+"""HistoryServer: long-lived read endpoint over a store (reference read
+path: repeated RPCs against one resident service, failures propagated —
+db.cpp:124-128)."""
+
+from __future__ import annotations
+
+import json
+import socket
+
+from metricq_db_hta_spark.plans.serve import HistoryServer
+from metricq_db_hta_spark.queries.hta_queries import W0, samples
+from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
+
+
+def _rpc(sock_file, sock, req):
+    sock.sendall((json.dumps(req) + "\n").encode())
+    return json.loads(sock_file.readline())
+
+
+def test_history_server_answers_repeated_requests(spark, sf_dir, tmp_path):
+    src = samples(spark, sf_dir).limit(500)
+    store = str(tmp_path / "store_srv")
+    StreamingIngest(spark, store, level_widths_ns=(W0,)).backfill(src)
+
+    server, port = HistoryServer(spark, store, [W0]).start_background()
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=30)
+        s.settimeout(120)
+        f = s.makefile("rb")
+
+        last = _rpc(f, s, {"type": "last_value", "metric": "click"})
+        assert last.get("n") == 1 and last["rows"][0]["metric"] == "click"
+
+        agg = _rpc(f, s, {"type": "aggregate", "metric": "click"})
+        assert agg.get("n") == 1
+        assert agg["rows"][0]["count"] > 0
+
+        tl = _rpc(f, s, {"type": "aggregate_timeline", "interval_max_ns": W0})
+        assert tl.get("n", 0) > 0
+        assert {"metric", "bucket_start_ns", "minimum"} <= set(tl["rows"][0])
+
+        # failure propagation: a bad request errors, the service survives
+        bad = _rpc(f, s, {"type": "nonsense"})
+        assert "error" in bad
+        again = _rpc(f, s, {"type": "last_value", "metric": "click"})
+        assert again.get("n") == 1
+
+        # refresh re-lists the store
+        assert _rpc(f, s, {"type": "refresh"}) == {"rows": [], "n": 0}
+        s.close()
+    finally:
+        server.shutdown()

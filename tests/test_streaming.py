@@ -199,3 +199,83 @@ def test_stream_seeds_watermark_from_store(spark, sf_dir, tmp_path):
     }
     # nothing at-or-below the stored max was re-admitted
     assert spark.read.parquet(svc.raw_path).count() == 5 + 2
+
+
+def test_socket_source_feeds_pipeline(spark, tmp_path):
+    """A1 live-source parity: samples arriving over a TCP socket run the
+    same A2-A6 pipeline (monotonic filter included) into the store."""
+    import socket
+    import threading
+    import time as _time
+
+    from metricq_db_hta_spark.streaming.ingest_stream import socket_source
+
+    base = 1_750_000_000_000_000_000
+    lines = [
+        f"m1,{base + i * 1_000_000_000},{float(i)},{i}" for i in range(20)
+    ] + [f"m1,{base},{99.0},{100}"]  # stale ts: monotonic filter drops it
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            _time.sleep(30)  # hold the connection while the query drains
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    store = str(tmp_path / "store_sock")
+    svc = StreamingIngest(spark, store, level_widths_ns=(3_600_000_000_000,))
+    src = socket_source(spark, "127.0.0.1", port)
+    q = svc.start(source=src, available_now=False)
+    try:
+        deadline = _time.time() + 60
+        n = 0
+        while _time.time() < deadline:
+            try:
+                n = spark.read.parquet(svc.raw_path).count()
+            except Exception:
+                n = 0
+            if n >= 20:
+                break
+            _time.sleep(1)
+    finally:
+        q.stop()
+        srv.close()
+    assert n == 20  # 20 monotonic samples in, the stale one dropped
+
+
+def test_drop_counts_logged(spark, tmp_path):
+    """A14 drop observability: the streaming path counts monotonic and
+    NaN/Inf drops per metric into {store}/drops_log (round-1 'What's
+    missing' #4 — drop_counts existed but nothing streaming emitted it)."""
+    base = 1_760_000_000_000_000_000
+    rows = [
+        ("m1", base + 1_000_000_000, 1.0, 1),
+        ("m1", base + 2_000_000_000, 2.0, 2),
+        ("m1", base + 1_500_000_000, 9.0, 3),      # stale -> mono drop
+        ("m1", base + 3_000_000_000, float("nan"), 4),  # invalid drop
+        ("m1", base + 4_000_000_000, float("inf"), 5),  # invalid drop
+        ("m1", base + 5_000_000_000, 5.0, 6),      # kept; carries the counts
+    ]
+    input_dir = tmp_path / "in_drops"
+    input_dir.mkdir()
+    spark.createDataFrame(
+        rows, ["metric", "ts_ns", "value", "event_id"]
+    ).coalesce(1).write.parquet(str(input_dir / "c1"))
+    store = str(tmp_path / "store_drops")
+    svc = StreamingIngest(spark, store, level_widths_ns=(3_600_000_000_000,))
+    svc.run_until_drained(str(input_dir))
+
+    assert spark.read.parquet(svc.raw_path).count() == 3  # 3 kept
+    log = spark.read.parquet(os.path.join(store, "drops_log")).collect()
+    assert len(log) == 1
+    assert log[0]["metric"] == "m1"
+    assert log[0]["mono_drops"] == 1
+    assert log[0]["invalid_drops"] == 2
