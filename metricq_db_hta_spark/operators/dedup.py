@@ -127,6 +127,57 @@ def minhash_signatures(
     )
 
 
+def minhash_matrix(
+    tokens: DataFrame, n_hashes: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) — the MinHash signature in WIDE form: all k
+    minima come out of ONE groupBy over the token stream (k conditional
+    aggregates per row), instead of crossJoining tokens x seeds and
+    shuffling k x |tokens| rows. Same Kirsch-Mitzenmacher values as
+    :func:`minhash_signatures`, 16x less shuffle I/O at k=16 — the form
+    the LSH banding path consumes."""
+    h = F.md5("token")
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    aggs = [
+        F.min((h1 + F.lit(i) * h2) % MINHASH_P).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return tokens.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs_from_tokens(
+    tokens: DataFrame, n_hashes: int = 16, bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH candidate pairs straight from the token stream: wide minhash
+    (one shuffle over tokens), band keys as per-row projections over the
+    signature columns (no second aggregation), stack to (id, band_key)
+    rows, bucket self-join. Semantics identical to
+    ``lsh_candidate_pairs(minhash_signatures(tokens))``."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_matrix(tokens, n_hashes, id_col)
+    keys = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(b),
+                *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)],
+            )
+        )
+        for b in range(bands)
+    ]
+    band_keys = sig.select(
+        id_col, F.explode(F.array(*keys)).alias("band_key")
+    ).cache()
+    a = band_keys.select(F.col(id_col).alias("id_a"), F.col("band_key").alias("bk_a"))
+    b = band_keys.select(F.col(id_col).alias("id_b"), F.col("band_key").alias("bk_b"))
+    return (
+        a.join(b, (a.bk_a == b.bk_b) & (a.id_a < b.id_b))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, n_hashes: int = 16, bands: int = 4, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -145,8 +145,9 @@ FROM bands a JOIN bands b
 )
 def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = dedup.doc_shingles(docs(spark, sf_dir), distinct=False)
-    sigs = dedup.minhash_signatures(toks, N_HASHES)
-    return dedup.lsh_candidate_pairs(sigs, N_HASHES, BANDS)
+    # wide-signature path: one shuffle over tokens instead of 16x (see
+    # operators/dedup.py::lsh_candidate_pairs_from_tokens)
+    return dedup.lsh_candidate_pairs_from_tokens(toks, N_HASHES, BANDS)
 
 
 @register(
@@ -671,8 +672,7 @@ FROM reach GROUP BY id
 )
 def llm_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = dedup.doc_shingles(docs(spark, sf_dir), distinct=False)
-    sigs = dedup.minhash_signatures(toks, N_HASHES)
-    pairs = dedup.lsh_candidate_pairs(sigs, N_HASHES, BANDS)
+    pairs = dedup.lsh_candidate_pairs_from_tokens(toks, N_HASHES, BANDS)
     return dedup.connected_components(pairs)
 
 

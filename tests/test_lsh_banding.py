@@ -88,3 +88,16 @@ def test_connected_components_raises_on_non_convergence(spark):
         dedup.connected_components(chain, max_iterations=3)
     ok = dedup.connected_components(chain, max_iterations=20)
     assert {r["cluster_id"] for r in ok.collect()} == {0}
+
+
+def test_wide_path_equals_narrow_path(spark, sf_dir):
+    """lsh_candidate_pairs_from_tokens (wide signature, fused) must produce
+    exactly the pairs of the narrow signatures path on real documents."""
+    from metricq_db_hta_spark.queries.llm import BANDS, N_HASHES, docs
+
+    toks = dedup.doc_shingles(docs(spark, sf_dir), distinct=False)
+    narrow = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(toks, N_HASHES), N_HASHES, BANDS
+    )
+    wide = dedup.lsh_candidate_pairs_from_tokens(toks, N_HASHES, BANDS)
+    assert {tuple(r) for r in narrow.collect()} == {tuple(r) for r in wide.collect()}
