@@ -56,6 +56,30 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # resident (steady-state) mode: the engine's deployment story is a
+    # long-lived serving session (plans/serve.py), where a query's plan is
+    # built once and re-executed per request. Re-executing the SAME
+    # DataFrame skips py4j plan construction and Catalyst analysis but
+    # still runs the full physical pipeline every time (scan, joins,
+    # shuffles, AQE re-planning, noop commit) — nothing is cached
+    # (spark.catalog caches stay empty; min-of-5 after one unmeasured
+    # run). This is the amortized per-query cost a resident service pays.
+    resident: dict[str, float] = {}
+    for name in names:
+        spec = REGISTRY[name]
+        df = spec.spark(spark, sf_dir)
+        runs = []
+        for measured in (False, True, True, True, True, True):
+            # same honesty rule as the cold loop: operators that cache()
+            # intermediates recompute them every measured run
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            if measured:
+                runs.append(time.perf_counter() - t0)
+        resident[name] = round(min(runs), 3)
+    resident_total = round(sum(resident.values()), 3)
+
     # transparent baseline: the same declared oracle SQL on DuckDB over the
     # same parquet (this is the BASELINE.md comparison target)
     duck: dict[str, float] = {}
@@ -230,6 +254,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "spark_query_floor_sec": spark_floor,
+        "resident_queries": resident,
+        "resident_total": resident_total,
     }
     if scaling:
         out["scaling_sf1_replicated"] = scaling
@@ -239,6 +265,9 @@ def main() -> None:
         out["duckdb_baseline"] = duck
         out["duckdb_total"] = round(sum(duck.values()), 3)
         out["ratio_vs_duckdb"] = round(total / max(sum(duck.values()), 1e-9), 2)
+        out["resident_ratio_vs_duckdb"] = round(
+            resident_total / max(sum(duck.values()), 1e-9), 2
+        )
     print(json.dumps(out))
 
 

@@ -18,8 +18,19 @@ Execution strategy, two tiers (measured in BENCH_r01/r02):
   norms, not |pairs|), and the per-pair work is a single ``dot_flat``
   — a plain left-associative expression tree Tungsten compiles. Same
   evaluation order as DuckDB's ``list_dot_product``, so oracle results
-  are bit-comparable. This took llm_similarity_topk_brute from 44.6x
-  DuckDB (explode path) to near the per-query floor.
+  are bit-comparable. Measured story (round-3 audit of the round-2
+  1.44 s bench anomaly): the explode path was 44.6x DuckDB; the flat
+  path's *eval* is fast only once HotSpot JITs the generated method —
+  dim=64 exceeds the 8000-bytecode JIT refusal limit, so
+  ``-XX:-DontCompileHugeMethods`` is set in ``session.get_spark``
+  (4x on a 160k-pair scoring microbench: 2.85 s -> 0.71 s). What
+  remains at sf0.1 (16k pairs) is NOT eval but per-run fixed cost:
+  ~0.35 s driver-side plan build of the three 64-term expressions,
+  plus AQE re-planning (~0.2 s) and multi-stage scheduling. The
+  resident bench mode (plan built once, re-executed) measures ~0.9 s;
+  a one-term variant of the same plan shape measures ~0.7 s — the
+  expression is within ~0.2 s of the shape's floor, the rest is the
+  query's 3-job structure (broadcast build, scoring, window).
 * **unknown/huge dim fallback**: per candidate pair the vectors are
   zipped and pos-exploded, and one codegen hash aggregation computes
   sum(a*b), sum(a*a), sum(b*b) per pair — still no interpreted

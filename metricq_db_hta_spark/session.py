@@ -43,5 +43,14 @@ def get_spark(
         # per core at 100 TB dwarfs any openCost, so this floor only ever
         # binds on small inputs, where finer splits are exactly what we want.
         .config("spark.sql.files.openCostInBytes", str(128 * 1024))
+        # HotSpot refuses to JIT methods over 8000 bytecodes by default
+        # (DontCompileHugeMethods); wide whole-stage-codegen methods — e.g.
+        # the dim=64 flat dot product, one straight-line method — cross that
+        # limit and run in the bytecode interpreter forever. Measured on the
+        # 160k-pair scoring microbench: 2.85 s -> 0.71 s (4x) with the flag.
+        # local[:] the driver JVM hosts the executors; set both for cluster
+        # deployments (executor JVMs are where codegen runs).
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
     )
     return builder.getOrCreate()
