@@ -192,7 +192,12 @@ def main() -> None:
 
             from metricq_db_hta_spark.sources.tables import TABLES
 
-            big_dir = "/tmp/metricq_bench_sf1"
+            # v2: also replicates documents (letter-permuted text so the
+            # replicas are NOT near-duplicates of each other — keeps the
+            # near-dup graph density realistic instead of quadratic) and
+            # events (distinct metric names per replica — preserves the
+            # per-metric monotonic-timestamp contract)
+            big_dir = "/tmp/metricq_bench_sf1_v2"
             os.makedirs(big_dir, exist_ok=True)
             gen = duckdb.connect()
             gen.execute(f"SET threads TO {os.cpu_count() or 8}")
@@ -204,6 +209,56 @@ def main() -> None:
                         f"FROM read_parquet('{sf_dir}/{t}.parquet'), range(10) t(r)) "
                         f"TO '{dst}' (FORMAT PARQUET)"
                     )
+            dst = os.path.join(big_dir, "documents.parquet")
+            if not os.path.exists(dst):
+                perms = [
+                    "aeiounrst", "eiouanrts", "iouaesrtn", "ouaeitnrs",
+                    "uaeiornst", "aeiourtsn", "eiouatsrn", "iouaentsr",
+                    "ouaeisntr", "uaeiostrn",
+                ]
+                cases = " ".join(
+                    f"WHEN {i} THEN translate(text, 'aeiounrst', '{p}')"
+                    for i, p in enumerate(perms)
+                )
+                gen.execute(
+                    f"COPY (SELECT * REPLACE (doc_id + r * 10000000 AS doc_id, "
+                    f"CASE r {cases} END AS text) "
+                    f"FROM read_parquet('{sf_dir}/documents.parquet'), range(10) t(r)) "
+                    f"TO '{dst}' (FORMAT PARQUET)"
+                )
+            # event_type is the metric key (hta_queries.samples): suffix it
+            # per replica so per-metric timestamp monotonicity is preserved.
+            # pyarrow, not a DuckDB COPY: events.ts is TIMESTAMP(NANOS) and
+            # must stay ns on disk (DuckDB round-trips it to µs).
+            dst = os.path.join(big_dir, "events.parquet")
+            if not os.path.exists(dst):
+                import pyarrow as pa
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+
+                tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+                parts = []
+                for r in range(10):
+                    et = pc.binary_join_element_wise(
+                        pc.cast(tbl["event_type"], pa.string()),
+                        pa.scalar(f"_{r}"),
+                        "",
+                    )
+                    eid = pc.add(tbl["event_id"], pa.scalar(r * 10000000))
+                    parts.append(
+                        tbl.set_column(
+                            tbl.schema.get_field_index("event_type"),
+                            "event_type",
+                            et,
+                        ).set_column(
+                            tbl.schema.get_field_index("event_id"),
+                            "event_id",
+                            eid,
+                        )
+                    )
+                pq.write_table(
+                    pa.concat_tables(parts), dst, version="2.6"
+                )
             import shutil as _sh
 
             for t in TABLES:
@@ -223,6 +278,8 @@ def main() -> None:
                 "rel_q1_pricing_summary",
                 "rel_q5_local_supplier_volume",
                 "rel_join_sortmerge",
+                "llm_minhash_lsh_pairs",
+                "hta_level0",
             ):
                 spec = REGISTRY[name]
                 runs = []

@@ -36,7 +36,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark's default 10 MB. Round 2 raised this to 64 MB to catch
+        # mid-size dims, and the sf1 scaling probe caught the mistake:
+        # column pruning shrinks lineitem's ESTIMATE under 64 MB, so the
+        # planner broadcast a 60M-row fact table and built its hashed
+        # relation single-threaded — rel_q5 4.4 s, rel_q3 2.2 s at sf1.
+        # At 10 MB both are flat vs sf0.1 (1.39 s / 0.88 s). Genuinely
+        # small dims (nation/region/supplier/customer) still broadcast,
+        # and AQE upgrades shuffle joins to broadcast from RUNTIME sizes,
+        # which is the correct mechanism for mid-size build sides.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         # split-size floor: default 4 MB caps a 10 MB file at ~3 scan tasks
         # (measured: q1's partial agg ran on 3 of 32 cores). On a cluster,
         # maxSplitBytes = max(openCost, totalSize/parallelism) — totalSize
