@@ -1,17 +1,29 @@
 """Multimodal column plumbing (LLM-pipeline surface, SURVEY §2 Part B).
 
 Images/audio/video are opaque ``binary`` payload columns with typed
-metadata. The Spark-side plumbing — schema, Arrow batch shape, partition
-behavior of ``mapInPandas`` — is real and tested; the actual media decode
-is STUBBED (this container ships no image/audio libraries): by default a
-deterministic fake "decode" derives dimensions from the payload bytes, and
-``decode_media(..., strict=True)`` raises NotImplementedError where a real
-decoder (PIL/ffmpeg) would plug in.
+metadata, decoded lazily inside Arrow-batched Python workers
+(``mapInPandas``), never on the driver; partition by content-defined key
+so one oversized asset cannot skew a task.
 
-At scale this is the canonical pattern: keep payloads in columnar storage,
-decode lazily inside Arrow-batched Python workers (mapInPandas), never
-collect to the driver; partition by content-defined key so one oversized
-asset cannot skew a task.
+The decode is REAL for the three uncompressed container formats a
+pure-Python worker can parse without media libraries:
+
+* **PPM (P6)** — header token parse (incl. ``#`` comments) -> (width,
+  height)
+* **BMP** (BITMAPINFOHEADER, 24bpp) — little-endian header fields ->
+  (width, |height|)
+* **WAV** (RIFF/WAVE, PCM) — chunk walk over ``fmt ``/``data`` ->
+  (frames, channels) reported as (width, height)
+
+Compressed formats (JPEG/PNG/MP3/H.264) need PIL/ffmpeg, which this
+container does not ship: ``decode_media(..., strict=True)`` raises
+NotImplementedError for those, marking the exact extension point; with
+``strict=False`` an unknown payload falls back to a deterministic fake
+decode so the plumbing stays testable on arbitrary bytes.
+
+``encode_fixture_media`` builds real payloads of all three formats from
+the documents fixture (deterministic per doc_id, dimensions arithmetically
+predictable — that is what makes the decode DuckDB-oracle-checkable).
 """
 
 from __future__ import annotations
@@ -51,18 +63,100 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int]:
-    """Deterministic stand-in for image decode: dimensions derived from the
-    byte length. Replace with PIL/ffmpeg in production. (Duplicated inside
-    decode_media's worker closure — see the pickling NOTE there.)"""
+    """Deterministic stand-in for unknown formats: dimensions derived from
+    the byte length. (Duplicated inside decode_media's worker closure — see
+    the pickling NOTE there.)"""
     n = len(payload)
     return (n % 640 + 1, n % 480 + 1)
+
+
+def encode_fixture_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Build REAL media payloads from the documents fixture, one format per
+    doc (``doc_id % 3``: PPM / BMP / WAV), deterministic in ``doc_id``:
+
+    * PPM:  w = id%61+4, h = id%37+4, raw RGB bytes ``(id+i) % 256``
+    * BMP:  same (w, h); 24bpp bottom-up rows padded to 4 bytes
+    * WAV:  channels = id%2+1, frames = id%500+8, 8 kHz 16-bit PCM
+
+    Dimensions and byte counts are pure arithmetic in doc_id, so the DuckDB
+    oracle can pin the decode output without re-encoding binaries in SQL.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def ppm(i: int) -> bytes:
+            w, h = i % 61 + 4, i % 37 + 4
+            body = bytes((i + j) % 256 for j in range(3 * w * h))
+            return b"P6\n%d %d\n255\n" % (w, h) + body
+
+        def bmp(i: int) -> bytes:
+            w, h = i % 61 + 4, i % 37 + 4
+            stride = (3 * w + 3) // 4 * 4
+            img = b"".join(
+                bytes((i + r + j) % 256 for j in range(3 * w))
+                + b"\x00" * (stride - 3 * w)
+                for r in range(h)
+            )
+            hdr = struct.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54)
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0
+            )
+            return hdr + info + img
+
+        def wav(i: int) -> bytes:
+            ch, frames, rate, bps = i % 2 + 1, i % 500 + 8, 8000, 16
+            block = ch * bps // 8
+            data = b"".join(
+                struct.pack("<h", (i + j) % 32768 - 16384)
+                for j in range(frames * ch)
+            )
+            return (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(data))
+                + b"WAVEfmt "
+                + struct.pack(
+                    "<IHHIIHH", 16, 1, ch, rate, rate * block, block, bps
+                )
+                + b"data"
+                + struct.pack("<I", len(data))
+                + data
+            )
+
+        kinds = [
+            (ppm, "image/x-portable-pixmap"),
+            (bmp, "image/bmp"),
+            (wav, "audio/wav"),
+        ]
+        for pdf in batches:
+            enc, mt = [], []
+            for i in pdf["doc_id"]:
+                build, typ = kinds[int(i) % 3]
+                enc.append(build(int(i)))
+                mt.append(typ)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": enc, "media_type": mt}
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        run, schema=schema
+    )
 
 
 def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     """Arrow-batched decode over ``(doc_id, payload, media_type)``.
 
-    ``strict=True`` raises NotImplementedError (no media libs here) —
-    marking exactly where the real decoder goes.
+    Real pure-Python parsers for PPM/BMP/WAV (see module docstring); for
+    any other payload ``strict=True`` raises NotImplementedError (the
+    PIL/ffmpeg extension point), ``strict=False`` falls back to the
+    deterministic fake decode.
     """
 
     # NOTE: the closure must be fully self-contained (no references to
@@ -72,27 +166,75 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     # import worker-side when the driver runs from another cwd.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import struct
 
-        def fake_decode(payload: bytes) -> tuple[int, int]:
-            n = len(payload)
+        def parse_ppm(p: bytes) -> tuple[int, int]:
+            # token scan: magic, width, height, maxval; '#' starts a comment
+            toks, i, n = [], 2, len(p)
+            while len(toks) < 3 and i < n:
+                while i < n and p[i : i + 1].isspace():
+                    i += 1
+                if p[i : i + 1] == b"#":
+                    while i < n and p[i] != 0x0A:
+                        i += 1
+                    continue
+                j = i
+                while j < n and not p[j : j + 1].isspace():
+                    j += 1
+                toks.append(int(p[i:j]))
+                i = j
+            return toks[0], toks[1]
+
+        def parse_bmp(p: bytes) -> tuple[int, int]:
+            w, h = struct.unpack_from("<ii", p, 18)
+            return w, abs(h)  # negative height = top-down rows
+
+        def parse_wav(p: bytes) -> tuple[int, int]:
+            # RIFF chunk walk: block_align from 'fmt ', frames from 'data'
+            i, n = 12, len(p)
+            channels = block_align = frames = None
+            while i + 8 <= n:
+                cid = p[i : i + 4]
+                (size,) = struct.unpack_from("<I", p, i + 4)
+                if cid == b"fmt ":
+                    _, channels, _, _, block_align, _ = struct.unpack_from(
+                        "<HHIIHH", p, i + 8
+                    )
+                elif cid == b"data":
+                    frames = size // max(1, block_align or 1)
+                i += 8 + size + (size & 1)  # chunks are word-aligned
+            return int(frames), int(channels)
+
+        def fake_decode(p: bytes) -> tuple[int, int]:
+            n = len(p)
             return (n % 640 + 1, n % 480 + 1)
 
-        for pdf in batches:
+        def decode(p: bytes) -> tuple[int, int]:
+            if p[:2] == b"P6":
+                return parse_ppm(p)
+            if p[:2] == b"BM":
+                return parse_bmp(p)
+            if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                return parse_wav(p)
             if strict:
                 raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg; not in container"
+                    "compressed/unknown media format: real decode requires "
+                    "PIL/ffmpeg, not in this container"
                 )
-            payloads = pdf["payload"]
-            dims = [fake_decode(bytes(p)) for p in payloads]
+            return fake_decode(p)
+
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            dims = [decode(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "n_bytes": [len(p) for p in payloads],
                     "width": [w for w, _ in dims],
                     "height": [h for _, h in dims],
                     "checksum": [
-                        hashlib.sha256(bytes(p)).hexdigest() for p in payloads
+                        hashlib.sha256(p).hexdigest() for p in payloads
                     ],
                 }
             )

@@ -504,20 +504,35 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_multimodal_decode",
     oracle="""
-SELECT doc_id, 'application/octet-stream' AS media_type,
-       octet_length(encode(text)) AS n_bytes,
-       octet_length(encode(text)) % 640 + 1 AS width,
-       octet_length(encode(text)) % 480 + 1 AS height,
-       sha256(text) AS checksum
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/x-portable-pixmap'
+                       WHEN 1 THEN 'image/bmp'
+                       ELSE 'audio/wav' END AS media_type,
+       CAST(CASE doc_id % 3
+         WHEN 0 THEN 9 + length(CAST(doc_id % 61 + 4 AS VARCHAR))
+                     + length(CAST(doc_id % 37 + 4 AS VARCHAR))
+                     + 3 * (doc_id % 61 + 4) * (doc_id % 37 + 4)
+         WHEN 1 THEN 54 + (doc_id % 37 + 4)
+                        * ((3 * (doc_id % 61 + 4) + 3) // 4 * 4)
+         ELSE 44 + (doc_id % 500 + 8) * (doc_id % 2 + 1) * 2
+       END AS BIGINT) AS n_bytes,
+       CAST(CASE doc_id % 3 WHEN 2 THEN doc_id % 500 + 8
+                            ELSE doc_id % 61 + 4 END AS BIGINT) AS width,
+       CAST(CASE doc_id % 3 WHEN 2 THEN doc_id % 2 + 1
+                            ELSE doc_id % 37 + 4 END AS BIGINT) AS height
 FROM documents
 """,
-    doc="Multimodal plumbing: opaque binary payload -> Arrow-batched "
-    "mapInPandas 'decode' (deterministic stub; real decoder slots into "
-    "operators/multimodal.py::_fake_decode).",
+    doc="Real multimodal decode: per-doc PPM/BMP/WAV payloads encoded in "
+    "workers (encode_fixture_media), parsed back by the pure-Python "
+    "strict-mode decoder (header/chunk parse -> dimensions). The oracle "
+    "pins every dimension arithmetically; the sha256 checksum column is "
+    "pytest-verified (reconstructing binaries in SQL adds nothing).",
 )
 def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = multimodal.with_binary_payload(docs(spark, sf_dir))
-    return multimodal.decode_media(d)
+    d = multimodal.encode_fixture_media(docs(spark, sf_dir))
+    return multimodal.decode_media(d, strict=True).select(
+        "doc_id", "media_type", "n_bytes", "width", "height"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -42,6 +42,50 @@ def test_frame_sampling_fanout(spark, payloads):
     assert all(len(p) <= 64 for p in pdf["frame_payload"])
 
 
+def test_real_decode_roundtrip(spark, sf_dir):
+    """encode_fixture_media -> strict decode_media recovers the encoder's
+    arithmetic dimensions for all three real formats, and the checksum is
+    the sha256 of the actual payload bytes."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    enc = multimodal.encode_fixture_media(docs)
+    raw = {r["doc_id"]: bytes(r["payload"]) for r in enc.collect()}
+    out = multimodal.decode_media(enc, strict=True).collect()
+    assert len(out) == 60
+    seen_types = set()
+    for r in out:
+        i = r["doc_id"]
+        seen_types.add(r["media_type"])
+        if i % 3 == 2:
+            assert (r["width"], r["height"]) == (i % 500 + 8, i % 2 + 1)
+        else:
+            assert (r["width"], r["height"]) == (i % 61 + 4, i % 37 + 4)
+        assert r["n_bytes"] == len(raw[i])
+        assert r["checksum"] == hashlib.sha256(raw[i]).hexdigest()
+    assert seen_types == {"image/x-portable-pixmap", "image/bmp", "audio/wav"}
+
+
+def test_decoder_handles_format_variants(spark):
+    """PPM comments and top-down BMPs (negative height) parse correctly."""
+    import struct
+
+    ppm = b"P6\n# a comment\n12 7\n255\n" + b"\x00" * (3 * 12 * 7)
+    stride = (3 * 5 + 3) // 4 * 4
+    bmp = (
+        struct.pack("<2sIHHI", b"BM", 54 + stride * 9, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 5, -9, 1, 24, 0, stride * 9, 0, 0, 0, 0)
+        + b"\x00" * (stride * 9)
+    )
+    df = spark.createDataFrame(
+        [(1, ppm, "image/x-portable-pixmap"), (2, bmp, "image/bmp")],
+        "doc_id long, payload binary, media_type string",
+    )
+    got = {r["doc_id"]: (r["width"], r["height"])
+           for r in multimodal.decode_media(df, strict=True).collect()}
+    assert got == {1: (12, 7), 2: (5, 9)}
+
+
 def test_approx_count_distinct_accuracy(spark, sf_dir):
     """The rows-only declared query's sketch stays within 5% of exact."""
     ev = events_df(spark, sf_dir)
