@@ -47,6 +47,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from metricq_db_hta_spark.functions.arrays import dot_flat, norm2_flat
+from metricq_db_hta_spark.queries.base import davg
 
 
 def _guarded_sim(dotv: Column, na: Column, nb: Column) -> Column:
@@ -198,6 +199,78 @@ def ivf_topk(
     )
     scored = pairwise_cosine(pairs, vec_col, "q_vec", [id_col, "query_id"])
     return _ranked(scored, k, cand_id=id_col)
+
+
+def kmeans_cells(
+    corpus: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    rounds: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, cell) — a TRAINED IVF coarse quantizer: deterministic
+    k-means with ``rounds`` assignment rounds (``rounds - 1`` centroid
+    updates), every step a DataFrame op and bit-reproducible in DuckDB SQL
+    (the llm_similarity_topk_ivf oracle mirrors it clause for clause):
+
+    * seeds: the k vectors with smallest ``md5(vec_id)`` (order-stable,
+      pseudo-random spread, no RNG)
+    * assignment: broadcast the k centroids, squared-L2 via
+      ``vv - 2*<v,c> + cc`` with every dot a left-fold flat expression
+      (same fold order as DuckDB ``list_dot_product``); ties broken by
+      cell id through a per-vector row_number — exact double compares,
+      so both engines rank identically
+    * update: per (cell, dimension) mean accumulated in DECIMAL(38,6)
+      (order-independent exact sum — Spark's partial-merge order can't
+      perturb it), array rebuilt in dimension order
+
+    Scale shape: per round one broadcast join (k centroids) + one
+    row_number shuffle keyed by vec_id + one (cell, pos) aggregation —
+    all linear in |corpus|; at 100 TB train on a sample and keep the
+    final assignment full-corpus (same code path, sampled input).
+    Cells that lose every member drop out (both engines identically).
+    """
+    e = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("vv", dot_flat("v", "v", dim))
+
+    h = F.md5(F.col("vec_id").cast("string"))
+    seeds = e.select("vec_id", "v", h.alias("h")).orderBy("h", "vec_id").limit(k)
+    wseed = Window.orderBy("h", "vec_id")
+    cent = seeds.select(
+        (F.row_number().over(wseed) - 1).alias("cell"),
+        F.col("v").alias("c"),
+    ).withColumn("cc", dot_flat("c", "c", dim))
+
+    wr = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    asg = None
+    for i in range(rounds):
+        pairs = e.crossJoin(F.broadcast(cent.select("cell", "c", "cc")))
+        dist = F.col("vv") - F.lit(2.0) * dot_flat("v", "c", dim) + F.col("cc")
+        asg = (
+            pairs.select("vec_id", "v", "vv", "cell", dist.alias("dist"))
+            .withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+        )
+        if i < rounds - 1:
+            lng = asg.select("cell", F.posexplode("v").alias("pos", "val"))
+            upd = lng.groupBy("cell", "pos").agg(davg("val").alias("avgval"))
+            cent = (
+                upd.groupBy("cell")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "avgval"))
+                    ).alias("s")
+                )
+                .select(
+                    "cell",
+                    F.transform("s", lambda s: s["avgval"]).alias("c"),
+                )
+                .withColumn("cc", dot_flat("c", "c", dim))
+            )
+    return asg.select("vec_id", "cell")
 
 
 def cosine_pairs_within_cells(

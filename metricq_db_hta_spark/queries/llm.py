@@ -291,16 +291,58 @@ def llm_similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim"))
 
 
+def _kmeans_ctes(k: int = 8, rounds: int = 3, dim: int = 64) -> str:
+    """DuckDB mirror of operators.similarity.kmeans_cells, clause for
+    clause (seeds by md5 order; squared-L2 vv - 2<v,c> + cc with left-fold
+    dots; DECIMAL(38,6) centroid means; ties by cell id). Iterations are
+    unrolled because DuckDB forbids aggregates in recursive CTEs."""
+    parts = [
+        f"""cent0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS cell, v AS c
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""asg{i} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)
+               + list_dot_product(c.c, c.c), c.cell) AS rn
+    FROM e, cent{i - 1} c) WHERE rn = 1)"""
+        )
+        if i < rounds:
+            parts.append(
+                f"""long{i} AS (
+  SELECT cell, unnest(v) AS val, unnest(range(1, {dim + 1})) AS pos
+  FROM asg{i}),
+cent{i} AS (
+  SELECT cell, list(avgval ORDER BY pos) AS c FROM (
+    SELECT cell, pos, {sql_davg('val')} AS avgval
+    FROM long{i} GROUP BY cell, pos) GROUP BY cell)"""
+            )
+    return ",\n".join(parts)
+
+
 @register(
     "llm_similarity_topk_ivf",
     oracle=f"""
-WITH {COSINE_CTE.strip()},
-q AS (SELECT vec_id AS query_id, label AS qcell, v AS qv, nrm AS qnrm
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+{_kmeans_ctes(k=8, rounds=3, dim=64)},
+n AS (
+  SELECT a.vec_id, a.cell, a.v, sqrt(list_dot_product(a.v, a.v)) AS nrm
+  FROM asg3 a
+),
+q AS (SELECT vec_id AS query_id, cell AS qcell, v AS qv, nrm AS qnrm
       FROM n WHERE vec_id < 8),
 scored AS (
   SELECT q.query_id, c.vec_id,
          list_dot_product(c.v, q.qv) / (c.nrm * q.qnrm) AS rawsim
-  FROM n c JOIN q ON c.label = q.qcell WHERE c.vec_id <> q.query_id
+  FROM n c JOIN q ON c.cell = q.qcell WHERE c.vec_id <> q.query_id
 )
 SELECT query_id, rank, vec_id, sim FROM (
   SELECT query_id, vec_id, ROUND(rawsim, 6) AS sim,
@@ -308,12 +350,18 @@ SELECT query_id, rank, vec_id, sim FROM (
   FROM scored
 ) t WHERE rank <= 5
 """,
-    doc="IVF-style ANN (nprobe=1): equi-join on the cell key replaces the "
-    "cross product — the 100 TB scale path.",
+    doc="IVF ANN with a TRAINED coarse quantizer: deterministic k-means "
+    "(k=8, 3 assignment rounds) learns the cells, then nprobe=1 search "
+    "equi-joins on the learned cell key — the 100 TB scale path. The "
+    "oracle replays the training bit-for-bit in SQL.",
 )
 def llm_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = embs(spark, sf_dir)
-    out = similarity.ivf_topk(e, e.filter(F.col("vec_id") < 8), k=5, dim=EMB_DIM)
+    cells = similarity.kmeans_cells(e, k=8, dim=EMB_DIM, rounds=3)
+    corpus = e.join(cells, "vec_id")
+    out = similarity.ivf_topk(
+        corpus, corpus.filter(F.col("vec_id") < 8), k=5, cell_col="cell", dim=EMB_DIM
+    )
     return out.select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim"))
 
 

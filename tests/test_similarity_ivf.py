@@ -1,0 +1,78 @@
+"""Trained-IVF quantizer tests: determinism, cell structure, recall@k vs
+the exact brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metricq_db_hta_spark.operators import similarity
+from metricq_db_hta_spark.sources.tables import load_table
+
+EMB_DIM = 64
+
+
+def _embs(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_kmeans_cells_deterministic(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    a = dict(
+        (r["vec_id"], r["cell"])
+        for r in similarity.kmeans_cells(e, k=4, dim=EMB_DIM, rounds=3).collect()
+    )
+    b = dict(
+        (r["vec_id"], r["cell"])
+        for r in similarity.kmeans_cells(e, k=4, dim=EMB_DIM, rounds=3).collect()
+    )
+    assert a == b
+    assert len(a) == e.count()  # every vector assigned exactly once
+    assert set(a.values()) <= set(range(4))
+
+
+def test_kmeans_update_tightens_cells(spark, sf_dir):
+    """Mean within-cell squared distance must not look like random
+    assignment: the trained cells beat a 1-round (seed-only) assignment."""
+    e = _embs(spark, sf_dir)
+
+    def cost(rounds: int) -> float:
+        cells = similarity.kmeans_cells(e, k=4, dim=EMB_DIM, rounds=rounds)
+        j = e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ).join(cells, "vec_id")
+        lng = j.select("cell", F.posexplode("v").alias("pos", "val"))
+        cent = lng.groupBy("cell", "pos").agg(F.avg("val").alias("c"))
+        back = lng.join(cent, ["cell", "pos"])
+        return (
+            back.groupBy()
+            .agg(F.sum((F.col("val") - F.col("c")) ** 2).alias("sse"))
+            .collect()[0]["sse"]
+        )
+
+    assert cost(3) <= cost(1)
+
+
+def test_ivf_recall_vs_brute(spark, sf_dir):
+    """nprobe=1 learned-cell IVF recall@5 against exact brute force.
+
+    With k=8 cells, a query's true neighbors are in its own cell whenever
+    the quantizer is doing its job; demand mean recall well above the
+    1/k = 0.125 random-cell floor."""
+    e = _embs(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 8)
+    brute = similarity.brute_force_topk(e, queries, k=5, dim=EMB_DIM)
+    cells = similarity.kmeans_cells(e, k=8, dim=EMB_DIM, rounds=3)
+    corpus = e.join(cells, "vec_id")
+    ivf = similarity.ivf_topk(
+        corpus, corpus.filter(F.col("vec_id") < 8), k=5, cell_col="cell",
+        dim=EMB_DIM,
+    )
+    b = {}
+    for r in brute.collect():
+        b.setdefault(r["query_id"], set()).add(r["vec_id"])
+    iv = {}
+    for r in ivf.collect():
+        iv.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(b[q] & iv.get(q, set())) / len(b[q]) for q in b]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.3, (mean_recall, recalls)
