@@ -166,9 +166,13 @@ def lsh_candidate_pairs_from_tokens(
         )
         for b in range(bands)
     ]
+    # lazy localCheckpoint, not cache(): both join sides share the one
+    # materialization, and the blocks are released by the ContextCleaner
+    # when the plan goes out of scope — an unpaired cache() leaked executor
+    # storage memory per invocation in the resident serving mode
     band_keys = sig.select(
         id_col, F.explode(F.array(*keys)).alias("band_key")
-    ).cache()
+    ).localCheckpoint(eager=False)
     a = band_keys.select(F.col(id_col).alias("id_a"), F.col("band_key").alias("bk_a"))
     b = band_keys.select(F.col(id_col).alias("id_b"), F.col("band_key").alias("bk_b"))
     return (
@@ -224,10 +228,11 @@ def lsh_candidate_pairs(
             ).alias("band_key"),
         )
     )
-    # cache: a self-join does NOT dedupe its common subplan — without this
-    # barrier Spark scans + shingles + hashes the corpus twice (visible as
-    # two full pipelines in explain())
-    band_keys = band_keys.cache()
+    # barrier: a self-join does NOT dedupe its common subplan — without it
+    # Spark scans + shingles + hashes the corpus twice (visible as two full
+    # pipelines in explain()). Lazy localCheckpoint over cache() so the
+    # blocks free automatically with the plan (resident-mode leak fix).
+    band_keys = band_keys.localCheckpoint(eager=False)
     a = band_keys.select(
         F.col(id_col).alias("id_a"), F.col("band_key").alias("bk_a")
     )

@@ -189,8 +189,15 @@ def monotonic_stateful(
         (metric,) = key
         if state.exists:
             max_ts, pend_m, pend_i = state.get
+            seed = seeds.get(metric)
+            # a backfill may have advanced the STORE past this stream's
+            # checkpointed watermark: take the max of both, else a resumed
+            # stream could write at-or-below timestamps the backfill just
+            # stored, breaching store-wide monotonicity
             if max_ts is None:
-                max_ts = seeds.get(metric)
+                max_ts = seed
+            elif seed is not None:
+                max_ts = max(int(max_ts), int(seed))
             pend_m, pend_i = int(pend_m or 0), int(pend_i or 0)
         else:
             max_ts = seeds.get(metric)
@@ -448,11 +455,17 @@ class StreamingIngest:
                             for r in dropped_rows
                         },
                     )
+                    # partitioned by ingest_batch + dynamic overwrite, same
+                    # retry-idempotence contract as the raw write below: a
+                    # replayed microbatch rewrites exactly its own batch's
+                    # drop rows instead of appending them twice
                     (
                         spark.createDataFrame(dropped_rows)
                         .withColumn("ingest_batch", F.lit(int(batch_id)))
                         .coalesce(1)
-                        .write.mode("append")
+                        .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("ingest_batch")
                         .parquet(os.path.join(self.store, "drops_log"))
                     )
             # A6: idempotent raw write (see docstring); (metric, time)

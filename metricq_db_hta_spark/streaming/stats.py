@@ -42,7 +42,12 @@ def derived_rates(
     if streaming:
         if window_ns % 1_000_000 != 0:
             raise ValueError(f"streaming window must be whole ms: {window_ns}")
-        ts = F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+        # exact integer ns -> µs (same pattern as ingest_stream._ns_to_date):
+        # double division would round epoch-ns (~1.7e18 > 2^53) by up to
+        # hundreds of ns and could land boundary samples in the wrong window
+        ts = F.timestamp_micros(
+            F.floor(F.col("ts_ns").cast("decimal(38,0)") / 1000).cast("long")
+        )
         grouped = (
             ops.withColumn("__ts", ts)
             .withWatermark("__ts", watermark)

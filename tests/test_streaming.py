@@ -279,3 +279,16 @@ def test_drop_counts_logged(spark, tmp_path):
     assert log[0]["metric"] == "m1"
     assert log[0]["mono_drops"] == 1
     assert log[0]["invalid_drops"] == 2
+
+    # retry idempotence (ADVICE r2): a foreachBatch REPLAY of the same
+    # microbatch must rewrite its own drop rows, not append them again
+    kept = spark.read.parquet(svc.raw_path).select(
+        "metric", "ts_ns", "value", "event_id", "delta_ns"
+    )
+    kept = kept.withColumn("drops_mono_before", F.lit(1).cast("long")).withColumn(
+        "drops_invalid_before", F.lit(2).cast("long")
+    )
+    batch_id = log[0]["ingest_batch"]
+    svc._process_batch(kept, batch_id)
+    log2 = spark.read.parquet(os.path.join(store, "drops_log")).collect()
+    assert len(log2) == 1, "replayed batch appended duplicate drop rows"
