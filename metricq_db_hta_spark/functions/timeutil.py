@@ -34,6 +34,28 @@ def ts_ns_from_nanos_long(col: str | Column = "ts") -> Column:
     return (c - (c % F.lit(1000))).cast("long")
 
 
+def ts_ns_auto(df, col: str = "ts") -> Column:
+    """Schema-adaptive int64-ns extraction for a fixture ``ts`` column.
+
+    The driver's testdata has shipped ``events.ts`` both as Parquet
+    TIMESTAMP(NANOS) (read as int64 ns under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and as a plain µs timestamp
+    (read as TimestampNTZType). Both normalize to the engine's canonical
+    ``ts_ns`` long; the µs path multiplies by 1000, matching DuckDB's
+    ``epoch_ns(ts)`` exactly in either case.
+    """
+    from pyspark.sql.types import LongType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return ts_ns_from_nanos_long(col)
+    # Timestamp / TimestampNTZ: exact µs -> ns. NTZ values are wall-clock;
+    # the session timezone is pinned to UTC (sources/tables.py) so the
+    # TIMESTAMP cast is the identity mapping the oracle uses.
+    c = F.col(col).cast("timestamp")
+    return (F.unix_micros(c) * F.lit(1000)).cast("long")
+
+
 def ns_to_timestamp(col: str | Column) -> Column:
     """Derived µs TimestampType for SQL/date-function interop. The ns->µs
     division goes through DECIMAL: double division of ~1.7e18 ns carries a

@@ -14,7 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from metricq_db_hta_spark.functions.timeutil import ts_ns_from_nanos_long
+from metricq_db_hta_spark.functions.timeutil import ts_ns_auto
 from metricq_db_hta_spark.operators import hta, ingest
 from metricq_db_hta_spark.plans.history import HistoryService
 from metricq_db_hta_spark.queries.base import (
@@ -43,13 +43,15 @@ MAPPING = [("click", "interaction.click"), ("view", "interaction.view")]
 def samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> canonical (metric, ts_ns, value, event_id) sample stream.
 
-    events.ts is Parquet TIMESTAMP(NANOS), read as int64 ns; declared-query
-    outputs truncate to µs multiples to match the oracle's visibility
-    (timeutil.ts_ns_from_nanos_long).
+    events.ts has shipped as both TIMESTAMP(NANOS)-as-long and a plain µs
+    timestamp across testdata generations; ts_ns_auto normalizes either to
+    the engine's canonical int64 ns at µs granularity — exactly what the
+    DuckDB oracle's epoch_ns(ts) sees.
     """
-    return load_table(spark, sf_dir, "events").select(
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
         F.col("event_type").alias("metric"),
-        ts_ns_from_nanos_long("ts").alias("ts_ns"),
+        ts_ns_auto(e, "ts").alias("ts_ns"),
         "value",
         "event_id",
     )

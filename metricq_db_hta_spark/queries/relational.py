@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from metricq_db_hta_spark.functions.timeutil import ts_ns_from_nanos_long
+from metricq_db_hta_spark.functions.timeutil import ts_ns_auto
 from metricq_db_hta_spark.operators.asof import asof_join_backward
 from metricq_db_hta_spark.queries.base import (
     davg,
@@ -35,7 +35,7 @@ def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.select(
         "event_id",
-        ts_ns_from_nanos_long("ts").alias("ts_ns"),
+        ts_ns_auto(e, "ts").alias("ts_ns"),
         "user_id",
         "event_type",
         "value",
