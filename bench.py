@@ -228,8 +228,10 @@ def main() -> None:
                 )
             # event_type is the metric key (hta_queries.samples): suffix it
             # per replica so per-metric timestamp monotonicity is preserved.
-            # pyarrow, not a DuckDB COPY: events.ts is TIMESTAMP(NANOS) and
-            # must stay ns on disk (DuckDB round-trips it to µs).
+            # pyarrow, not a DuckDB COPY: preserves events.ts's on-disk
+            # type exactly across testdata generations (TIMESTAMP(NANOS)
+            # would be round-tripped to µs by DuckDB; plain µs is copied
+            # as-is either way).
             dst = os.path.join(big_dir, "events.parquet")
             if not os.path.exists(dst):
                 import pyarrow as pa
@@ -311,21 +313,36 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "spark_query_floor_sec": spark_floor,
-        "resident_queries": resident,
         "resident_total": resident_total,
     }
-    if scaling:
-        out["scaling_sf1_replicated"] = scaling
+    # Full per-query detail (resident times, DuckDB per-query baseline, sf1
+    # scaling probe) goes to a side file: the driver records only the LAST
+    # ~2000 chars of stdout, so the one-line JSON contract must stay well
+    # under that (round 3's line outgrew the window and was dropped).
+    detail = {
+        "resident_queries": resident,
+        "scaling_sf1_replicated": scaling or None,
+        "duckdb_baseline": duck or None,
+    }
     if ingest_rate is not None:
         out["ingest_samples_per_sec"] = ingest_rate
     if duck:
-        out["duckdb_baseline"] = duck
         out["duckdb_total"] = round(sum(duck.values()), 3)
         out["ratio_vs_duckdb"] = round(total / max(sum(duck.values()), 1e-9), 2)
         out["resident_ratio_vs_duckdb"] = round(
             resident_total / max(sum(duck.values()), 1e-9), 2
         )
-    print(json.dumps(out))
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump({**out, **detail}, f, indent=1)
+    except OSError as e:
+        print(f"detail write skipped: {e!r}", file=sys.stderr)
+    line = json.dumps(out)
+    if len(line) > 1900:  # hard guard on the driver's tail window
+        out.pop("queries", None)
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -19,71 +19,69 @@ from metricq_db_hta_spark.queries import hta_queries  # noqa: F401
 from metricq_db_hta_spark.queries import relational  # noqa: F401
 
 # Registry order is part of the driver contract: the correctness harness
-# records the first 50 entries each round. Round 3 window policy (explicit,
-# per round-2 judge/advisor guidance):
-#   1. rel_agg_approx_distinct FIRST — the only query that has never had a
-#      driver correctness row (r01: no_oracle by design; r02: position 52).
-#   2. Every query green only in r01 (the 28 entries rotated out by round 2)
-#      regains coverage, so all 79 registry queries are green across r02∪r03.
-#   3. Every query whose code path changes this round stays in the window
-#      (similarity, multimodal, dedup-cache, stats, rel_q5).
-#   4. Remaining slots re-check headline bench queries.
-# The 29 rotated-out entries are all green in CORRECTNESS_r02.json.
+# records the first 50 entries each round. Round 5 window policy: the
+# testdata generation changed before round 4 (events.ts became a plain µs
+# timestamp), which invalidates pre-r04 green rows as evidence about the
+# CURRENT data. CORRECTNESS_r04 has 32 green rows on the new generation;
+# this window holds exactly the other 47 registry queries (the 18 that
+# failed r04 on the schema change — now fixed via ts_ns_auto — plus the 29
+# that were outside the r03/r04 window), so that every one of the 79
+# registry queries has a green row on the current generation across
+# r04∪r05. The 3 spare slots re-check headline bench queries.
 _WINDOW = [
-    # (1) never driver-verified
+    # (1) failed r04 on the events.ts schema change — fixed, must re-green
     "rel_agg_approx_distinct",
-    # (2) r01-only green — regain coverage
     "rel_join_asof",
     "rel_agg_distinct",
-    "rel_agg_rollup",
-    "rel_agg_cube",
-    "rel_agg_grouping_sets",
-    "rel_agg_conditional",
-    "rel_window_rank_topn",
     "rel_window_lag_lead",
-    "rel_window_moving_agg",
     "rel_window_range_between",
-    "rel_window_ntile",
-    "rel_topk",
     "rel_set_union",
     "rel_set_intersect",
     "rel_set_except",
-    "rel_string_funcs",
-    "rel_date_funcs",
-    "rel_math_funcs",
     "rel_json_funcs",
-    "rel_subquery_scalar_exists",
-    "rel_having",
     "rel_session_window",
     "rel_window_tumbling_native",
     "rel_window_sliding_native",
-    "rel_percentiles",
-    "rel_pivot",
-    "rel_grouping_id",
-    "rel_date_arithmetic",
-    # (3) modified this round
-    "llm_similarity_topk_brute",
-    "llm_similarity_topk_ivf",
-    "llm_minhash_lsh_pairs",
-    "llm_jaccard_blocked_pairs",
-    "llm_neardup_clusters",
-    "llm_embedding_neardup",
-    "llm_multimodal_decode",
     "hta_stats_rates",
-    "rel_q5_local_supplier_volume",
-    # (4) headline re-checks
-    "rel_q1_pricing_summary",
-    "rel_q3_shipping_priority",
     "hta_ingest_chain",
     "hta_level0",
     "hta_level1_rollup",
     "hta_q1_aggregate_timeline",
     "hta_q3_aggregate",
+    # (2) outside the r03/r04 window — no driver row on the new generation
+    "llm_simhash",
+    "llm_text_stats",
+    "llm_token_count",
+    "llm_quality_filter",
+    "llm_lang_id",
+    "llm_fingerprint",
+    "llm_dataset_split",
+    "llm_sequence_packing",
+    "llm_stratified_sample",
+    "hta_q2_flex_raw",
+    "hta_q4_last_value",
+    "hta_delta_encode",
+    "hta_subscription_list",
+    "udf_pandas_scalar_normalize",
+    "udf_apply_in_pandas_zscore",
+    "hta_scope_boundaries",
+    "hta_metadata_projection",
+    "udf_grouped_agg_geomean",
+    "udf_udtf_explode_buckets",
+    "rel_join_broadcast_dim",
+    "rel_join_left_outer",
+    "rel_join_semi",
+    "rel_join_anti",
+    "rel_join_full_outer",
+    "rel_join_range_band",
+    "rel_join_interval_overlap",
+    "rel_null_handling",
+    "rel_array_funcs",
+    "rel_join_cross",
+    # (3) headline re-checks (green in r04, re-pinned for the bench set)
+    "rel_q1_pricing_summary",
+    "rel_q3_shipping_priority",
     "llm_exact_dedup",
-    "llm_minhash_signatures",
-    "llm_embedding_norms",
-    "rel_join_sortmerge",
-    "rel_agg_scalar_global",
 ]
 assert len(_WINDOW) == 50, len(_WINDOW)
 _missing = [n for n in _WINDOW if n not in REGISTRY]

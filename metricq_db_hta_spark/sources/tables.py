@@ -30,9 +30,11 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.ts is Parquet TIMESTAMP(NANOS) — Spark has no ns timestamp
-    # type, so read it as a raw int64 (exactly the engine's canonical ts_ns
-    # representation; SURVEY §1.1 / §7 risk 2).
+    # events.ts has shipped as Parquet TIMESTAMP(NANOS) in earlier testdata
+    # generations — Spark has no ns timestamp type, so read that as a raw
+    # int64 (the engine's canonical ts_ns; SURVEY §1.1 / §7 risk 2). The
+    # conf is a no-op for the current plain-µs-timestamp generation; the
+    # loaders normalize either shape via timeutil.ts_ns_auto.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Pin the session timezone: timestamp literals and date functions in
     # declared queries must agree with the (UTC-reading) DuckDB oracle
