@@ -36,16 +36,23 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        # Spark's default 10 MB. Round 2 raised this to 64 MB to catch
-        # mid-size dims, and the sf1 scaling probe caught the mistake:
-        # column pruning shrinks lineitem's ESTIMATE under 64 MB, so the
-        # planner broadcast a 60M-row fact table and built its hashed
-        # relation single-threaded — rel_q5 4.4 s, rel_q3 2.2 s at sf1.
-        # At 10 MB both are flat vs sf0.1 (1.39 s / 0.88 s). Genuinely
-        # small dims (nation/region/supplier/customer) still broadcast,
-        # and AQE upgrades shuffle joins to broadcast from RUNTIME sizes,
-        # which is the correct mechanism for mid-size build sides.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # Statically-estimated broadcasts are OFF. The planner's estimate is
+        # compressed-file-size x pruning, which lies in both directions:
+        # round 2's 64 MB threshold broadcast a 60M-row fact table at sf1
+        # (rel_q5 4.4 s), and even Spark's default 10 MB still broadcast
+        # the 600k-row lineitem at sf0.1 (pruned estimate ~8 MB), paying a
+        # single-threaded hashed-relation build per query. Correct split:
+        # known-small dims are broadcast EXPLICITLY (F.broadcast hints,
+        # honored regardless of this conf), and every other join plans as
+        # shuffle, then AQE upgrades to broadcast from RUNTIME map-output
+        # sizes — the only estimate that can't misplan at 100 TB. Measured
+        # at sf0.1: rel_q5 0.945 -> 0.582 s, rel_q3 0.543 -> 0.333 s,
+        # as-of 0.331 -> 0.276 s, no regressions.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(10 * 1024 * 1024),
+        )
         # split-size floor: default 4 MB caps a 10 MB file at ~3 scan tasks
         # (measured: q1's partial agg ran on 3 of 32 cores). On a cluster,
         # maxSplitBytes = max(openCost, totalSize/parallelism) — totalSize
