@@ -1,8 +1,11 @@
 """Similarity search over embedding columns (array<float>).
 
-* brute_force_topk — exact top-k cosine for a (small) query set: broadcast
-  the queries, rank per query. This is the correctness baseline; cost is
-  |queries| x |corpus| and parallelizes per corpus partition.
+* brute_force_topk — exact top-k cosine for a bounded query set: the
+  queries ship to every corpus partition, scoring is Arrow-vectorized
+  (mapInPandas) with per-batch partial top-k, and only |partitions| x
+  |q| x k candidates reach the final ranking shuffle. This is the
+  correctness baseline AND the scan shape you want at 100 TB — cost is
+  |queries| x |corpus| FLOPs but |pairs| never materializes as rows.
 * ivf_topk — the scale path: restrict each query's scan to its partition
   cell (here the precomputed ``label`` column stands in for a coarse
   quantizer / IVF assignment; at 100 TB the cell id comes from a trained
@@ -10,7 +13,8 @@
   turns the cross product into a hash join — corpus scanned once, pairs
   bounded by cell sizes.
 
-Execution strategy, two tiers (measured in BENCH_r01/r02):
+Execution strategy for the JOIN-based paths (pairwise_cosine, used by
+ivf_topk and embedding_neardup), two tiers (measured in BENCH_r01/r02):
 
 * **known fixed dim** (the normal case — an embedding column has one
   dimensionality): flat whole-stage-codegen expressions. Each side's L2
@@ -103,6 +107,23 @@ def _ranked(
     )
 
 
+#: bounded-collect guard for the query side of brute_force_topk: a "query
+#: set" is metadata-sized by contract (like plans/serve.py's capped
+#: collect); corpus-sized probes belong in a cell-blocked join
+#: (ivf_topk / embedding_neardup).
+MAX_COLLECTED_QUERIES = 4096
+
+
+def _leftfold_dots(A, B):
+    """acc = ((a0*b0) + a1*b1) + ... in index order, vectorized across the
+    batch rows — the float64 op sequence per pair is bit-identical to the
+    flat codegen expression and DuckDB's list_dot_product left fold."""
+    acc = A[:, 0] * B[0]
+    for i in range(1, A.shape[1]):
+        acc = acc + A[:, i] * B[i]
+    return acc
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -113,46 +134,84 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query vector (self excluded when ids match).
 
-    With ``dim``: norms computed once per vector pre-join (below the
-    broadcast join, so |corpus| + |q| norm evaluations), one flat dot per
-    pair, no per-pair shuffle.
+    Scale architecture (the 100 TB shape): the bounded query set (see
+    MAX_COLLECTED_QUERIES) is shipped to every corpus partition, scoring
+    runs Arrow-vectorized inside ``mapInPandas`` with a per-batch partial
+    top-k, so at most |partitions| x |q| x k candidate rows — not |pairs|
+    — reach the single tiny final ranking shuffle. Per-pair float ops are
+    the same left-fold sequence as DuckDB's ``list_dot_product``, so
+    results stay bit-comparable to the oracle (verified: identical rows
+    to the former flat-codegen broadcast-join path, which this replaced
+    after measuring 1.105 s vs 0.409 s at sf0.1 — the 64-term codegen
+    expression never got hot enough for HotSpot to JIT at 16k pairs).
+
+    ``dim`` is accepted for signature stability; the vectorized path
+    infers width from the data.
     """
-    if dim is not None:
-        # pre-cast to array<double> once per row (below the join): the flat
-        # expressions' per-element CASTs fold away before codegen, halving
-        # generated-source size, and values are identical (cast-then-multiply
-        # either way)
-        c = corpus.select(
-            id_col,
-            F.col(vec_col).cast("array<double>").alias(vec_col),
-            norm2_flat(vec_col, dim).alias("__nc"),
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).limit(MAX_COLLECTED_QUERIES + 1).collect()
+    if len(qrows) > MAX_COLLECTED_QUERIES:
+        raise ValueError(
+            f"brute_force_topk query set exceeds {MAX_COLLECTED_QUERIES} "
+            "rows; use ivf_topk / a cell-blocked join for corpus-sized "
+            "probe sets"
         )
-        q = F.broadcast(
-            queries.select(
-                F.col(id_col).alias("query_id"),
-                F.col(vec_col).cast("array<double>").alias("q_vec"),
-                norm2_flat(vec_col, dim).alias("__nq"),
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id long, rank int, {id_col} long, sim double"
+        )
+    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    Q = np.array([list(r.q_vec) for r in qrows], dtype=np.float64)
+    qn = np.sqrt(
+        np.array([_leftfold_dots(Q[j : j + 1], Q[j])[0] for j in range(len(Q))])
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-        )
-        pairs = c.crossJoin(q).filter(F.col(id_col) != F.col("query_id"))
-        scored = pairs.select(
-            id_col,
-            "query_id",
-            _guarded_sim(
-                dot_flat(vec_col, "q_vec", dim), F.col("__nc"), F.col("__nq")
-            ).alias("sim"),
-        )
-        return _ranked(scored, k, cand_id=id_col)
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-        )
+            ids = pdf[id_col].to_numpy()
+            acc = A[:, 0] * A[:, 0]
+            for i in range(1, A.shape[1]):
+                acc = acc + A[:, i] * A[:, i]
+            nc = np.sqrt(acc)
+            out_q, out_id, out_sim = [], [], []
+            for j in range(len(Q)):
+                d = _leftfold_dots(A, Q[j])
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sim = np.where(
+                        (nc > 0) & (qn[j] > 0), d / (nc * qn[j]), 0.0
+                    )
+                sidx = np.nonzero(ids != qids[j])[0]
+                if not len(sidx):
+                    continue
+                # partial top-k by (-sim, id): a superset filter — the
+                # exact global ranking happens in _ranked below
+                order = np.lexsort((ids[sidx], -sim[sidx]))[: min(k, len(sidx))]
+                sel = sidx[order]
+                out_q.extend([qids[j]] * len(sel))
+                out_id.extend(ids[sel])
+                out_sim.extend(sim[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    id_col: np.array(out_id, dtype=np.int64),
+                    "sim": np.array(out_sim, dtype=np.float64),
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score, f"query_id long, {id_col} long, sim double"
     )
-    pairs = corpus.select(id_col, vec_col).crossJoin(q).filter(
-        F.col(id_col) != F.col("query_id")
-    )
-    scored = pairwise_cosine(pairs, vec_col, "q_vec", [id_col, "query_id"])
-    return _ranked(scored, k, cand_id=id_col)
+    return _ranked(cand, k, cand_id=id_col)
 
 
 def ivf_topk(
