@@ -86,14 +86,17 @@ def msum(col: str | Column) -> Column:
 
     Why it is exact, step by step:
 
-    * ``round(x * 1e6) :: long`` — for a value with <= 6 decimal digits the
+    * ``rint(x * 1e6) :: long`` — for a value with <= 6 decimal digits the
       true scaled integer is exact and the double error (|x| * 2^-53,
       scaled ~1e-5 at |x|<=1e5) never reaches the .5 rounding boundary, so
-      every engine and rounding mode agrees. This equals DuckDB's
+      every engine and rounding mode agrees — including ``Math.rint``'s
+      half-even vs ROUND's half-up, which differ only AT the unreachable
+      boundary. rint specifically because Spark's ROUND on a double
+      allocates a BigDecimal per row (measured: rel_q1's 7 money aggs
+      0.99 s -> 0.49 s at sf0.1 after the swap); rint is one FP
+      instruction inside codegen. This equals DuckDB's
       ``CAST(x AS DECIMAL(38,6))`` numerator exactly. (NOT valid for
-      arbitrary doubles — those keep :func:`dsum`'s per-row decimal cast,
-      which is allocation-heavy: Spark backs precision>18 decimals with
-      JVM BigDecimal, ~2.7us/row/agg plus GC pressure.)
+      arbitrary doubles — those keep :func:`dsum`'s per-row decimal cast.)
     * the scaled long is split ``hi = x >> 31`` (arithmetic shift = floor),
       ``lo = x & (2^31 - 1)`` — identity ``x = hi * 2^31 + lo`` holds for
       negatives too. Each half accumulates in a plain BIGINT sum: |hi| <=
@@ -107,7 +110,7 @@ def msum(col: str | Column) -> Column:
       double — the same nearest-double the oracle's
       ``CAST(SUM(DECIMAL) AS DOUBLE)`` produces.
     """
-    scaled = F.round(_c(col) * F.lit(1_000_000.0)).cast("long")
+    scaled = F.rint(_c(col) * F.lit(1_000_000.0)).cast("long")
     hi = F.sum(F.shiftright(scaled, 31))
     lo = F.sum(scaled.bitwiseAND(F.lit(_SPLIT - 1)))
     total = hi.cast("decimal(38,0)") * F.lit(_SPLIT) + lo.cast("decimal(38,0)")
