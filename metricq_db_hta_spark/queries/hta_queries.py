@@ -195,8 +195,7 @@ FROM kept GROUP BY metric
 )
 def hta_ingest_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = samples(spark, sf_dir)
-    cfg = spark.createDataFrame(MAPPING, ["input", "name"])
-    out = ingest.ingest_batch(raw, cfg, metric_col="metric")
+    out = ingest.ingest_batch(raw, MAPPING, metric_col="metric")
     return out.groupBy("metric").agg(
         F.count("*").alias("n"),
         F.min("ts_ns").alias("min_ts_ns"),
