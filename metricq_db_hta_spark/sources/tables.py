@@ -29,6 +29,15 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
 
+# Source-relation memo: spark.read.parquet pays ~0.1 s of py4j + file
+# listing + footer schema read per call, multiplied by tables-per-query at
+# every plan build. The scan DataFrame is immutable, so reuse it per
+# (session, dir, table) — the same catalog state a resident engine keeps.
+# Keyed by applicationId so a stopped/replaced session never leaks stale
+# relations; fixture dirs are immutable by contract (TESTDATA.md).
+_RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # events.ts has shipped as Parquet TIMESTAMP(NANOS) in earlier testdata
     # generations — Spark has no ns timestamp type, so read that as a raw
@@ -40,7 +49,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # declared queries must agree with the (UTC-reading) DuckDB oracle
     # even when the caller's session was built without this conf.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    df = _RELATION_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _RELATION_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
