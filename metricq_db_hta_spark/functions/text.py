@@ -132,3 +132,38 @@ def fingerprint_by_doc(docs, id_col: str = "doc_id", text_col: str = "text", n: 
         .groupBy(id_col)
         .agg(F.min(F.md5("__sh")).alias("fingerprint"))
     )
+
+
+def word_bigrams(text: str | Column) -> Column:
+    """Adjacent whitespace-token bigrams (array<string>); empty when the
+    doc has fewer than two tokens. ``zip_with(tokens[:-1], tokens[1:])``
+    — no explode, no window; per-doc arrays stay inside one projection."""
+    t = tokens(text)
+    n = F.size(t)
+    return F.zip_with(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def repetition_ratio(text: str | Column) -> Column:
+    """Within-document repetition: fraction of adjacent word-bigram slots
+    occupied by a repeated bigram, ``1 - distinct/total`` (the
+    Gopher-style duplicate-n-gram gate, n=2). 0.0 for docs with fewer
+    than two tokens. Two small-int counts divided identically on every
+    engine — deterministic to the last bit."""
+    b = word_bigrams(text)
+    total = F.size(b)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(b)).cast("double") / total.cast("double")
+    )
+
+
+def normalize_text(text: str | Column) -> Column:
+    """Canonical form for normalize-then-exact-dedup: lowercase, collapse
+    every whitespace run to one space, trim. Identical RE2/Java regex
+    semantics for the ``\\s+`` class on ASCII + Unicode spaces."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))

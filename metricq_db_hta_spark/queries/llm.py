@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from metricq_db_hta_spark.functions import text as T
 from metricq_db_hta_spark.operators import dedup, multimodal, similarity
-from metricq_db_hta_spark.queries.base import register, sql_davg
+from metricq_db_hta_spark.queries.base import davg, register, sql_davg
 from metricq_db_hta_spark.sources.tables import load_table
 
 N_HASHES = 16
@@ -780,4 +780,71 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("sampled_chars"),
             F.min("doc_id").alias("min_doc_id"),
         )
+    )
+
+
+@register(
+    "llm_repetition_filter",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang,
+         list_transform(range(1, greatest(len(string_split(text, ' ')), 1)),
+                        i -> string_split(text, ' ')[i] || ' ' ||
+                             string_split(text, ' ')[i + 1]) AS bg
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(bg) <= 0 THEN 0.0
+              ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+         END AS rep_ratio
+  FROM b
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rep_ratio > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repetitive,
+       ROUND((CAST(SUM(CAST(rep_ratio AS DECIMAL(38,6))) AS DOUBLE)
+              / COUNT(rep_ratio)), 6) AS mean_rep
+FROM r GROUP BY lang
+""",
+    doc="Gopher-style within-document repetition gate: duplicate adjacent "
+    "word-bigram fraction per doc (1 - distinct/total), flagged above 0.1, "
+    "summarized per language. Pure per-row array expressions — no explode, "
+    "no shuffle beyond the final per-lang aggregate.",
+)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir).withColumn("rep_ratio", T.repetition_ratio("text"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("rep_ratio") > 0.1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_repetitive"),
+        F.round(davg("rep_ratio"), 6).alias("mean_rep"),
+    )
+
+
+@register(
+    "llm_normalize_dedup",
+    oracle="""
+WITH n AS (
+  SELECT source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS nh
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT nh) AS n_distinct_normalized,
+       MIN(nh) AS min_nh
+FROM n GROUP BY source
+""",
+    doc="Normalize-then-exact-dedup: canonical text form (lowercase, "
+    "whitespace collapse, trim) hashed per doc; per-source distinct count "
+    "measures the dedup effect of normalization alone. One shuffle on the "
+    "group key; the normalization is a codegen projection.",
+)
+def llm_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir).withColumn("nh", F.md5(T.normalize_text("text")))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("nh").alias("n_distinct_normalized"),
+        F.min("nh").alias("min_nh"),
     )
