@@ -268,7 +268,21 @@ def kmeans_cells(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """(vec_id, cell) — a TRAINED IVF coarse quantizer: deterministic
+    """(vec_id, cell) — assignments only; see :func:`kmeans_fit` for the
+    centroid table a multi-probe search needs."""
+    asg, _ = _kmeans_impl(corpus, k, dim, rounds, vec_col, id_col)
+    return asg
+
+
+def _kmeans_impl(
+    corpus: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    rounds: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """(assignments, centroids) — a TRAINED IVF coarse quantizer: deterministic
     k-means with ``rounds`` assignment rounds (``rounds - 1`` centroid
     updates), every step a DataFrame op and bit-reproducible in DuckDB SQL
     (the llm_similarity_topk_ivf oracle mirrors it clause for clause):
@@ -329,7 +343,92 @@ def kmeans_cells(
                 )
                 .withColumn("cc", dot_flat("c", "c", dim))
             )
-    return asg.select("vec_id", "cell")
+    return asg.select("vec_id", "cell"), cent.select("cell", "c", "cc")
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    rounds: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """(assignments, centroids): assignments as in :func:`kmeans_cells`,
+    plus the centroid table ``(cell, c, cc)`` the FINAL assignment used —
+    the table a multi-probe search ranks against (probing must use the
+    same centroids that defined the cells, or the probe order lies)."""
+    return _kmeans_impl(corpus, k, dim, rounds, vec_col, id_col)
+
+
+def ivf_probes(
+    centroids: DataFrame,
+    queries: DataFrame,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """(query_id, cell) — each query's ``nprobe`` nearest cells by squared
+    L2 against the broadcast centroid table, ties by cell id (the same
+    exact-double ranking rule as the k-means assignment, so the first
+    probe is always the query's own cell)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qq", dot_flat("qv", "qv", dim))
+    pairs = q.crossJoin(F.broadcast(centroids.select("cell", "c", "cc")))
+    dist = F.col("qq") - F.lit(2.0) * dot_flat("qv", "c", dim) + F.col("cc")
+    wr = Window.partitionBy("query_id").orderBy("dist", "cell")
+    return (
+        pairs.select("query_id", "cell", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+
+
+def ivf_topk_multiprobe(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k searching each query's ``nprobe`` nearest cells
+    (IVF multi-probe — recovers most of nprobe=1's lost recall for
+    near-boundary queries at ~nprobe/1x the scan cost). The probe list is
+    |q| x nprobe rows, broadcast into an equi-join on the cell key; the
+    corpus is still scanned once and only probed cells are scored."""
+    probes = ivf_probes(centroids, queries, nprobe, vec_col, id_col, dim)
+    c = corpus.select(
+        id_col,
+        F.col(cell_col).alias("__cell"),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+        norm2_flat(vec_col, dim).alias("__nc"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("q_vec"),
+            norm2_flat(vec_col, dim).alias("__nq"),
+        )
+    )
+    cand = c.join(
+        F.broadcast(probes), c["__cell"] == probes["cell"]
+    ).join(q, "query_id").filter(F.col(id_col) != F.col("query_id"))
+    scored = cand.select(
+        id_col,
+        "query_id",
+        _guarded_sim(
+            dot_flat(vec_col, "q_vec", dim), F.col("__nc"), F.col("__nq")
+        ).alias("sim"),
+    )
+    return _ranked(scored, k, cand_id=id_col)
 
 
 def cosine_pairs_within_cells(

@@ -76,3 +76,42 @@ def test_ivf_recall_vs_brute(spark, sf_dir):
     recalls = [len(b[q] & iv.get(q, set())) / len(b[q]) for q in b]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.3, (mean_recall, recalls)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """nprobe=2 must recover at least nprobe=1's recall@5 per query (its
+    candidate set is a superset), and its first probe must be the query's
+    own cell (same ranking rule as the assignment)."""
+    e = _embs(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 8)
+    brute = similarity.brute_force_topk(e, queries, k=5, dim=EMB_DIM)
+    asg, cents = similarity.kmeans_fit(e, k=8, dim=EMB_DIM, rounds=3)
+    corpus = e.join(asg, "vec_id")
+    single = similarity.ivf_topk(
+        corpus, corpus.filter(F.col("vec_id") < 8), k=5, cell_col="cell",
+        dim=EMB_DIM,
+    )
+    multi = similarity.ivf_topk_multiprobe(
+        corpus, cents, queries, k=5, nprobe=2, cell_col="cell", dim=EMB_DIM
+    )
+
+    def by_query(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    b, s, m = by_query(brute), by_query(single), by_query(multi)
+    for q in b:
+        r1 = len(b[q] & s.get(q, set())) / len(b[q])
+        r2 = len(b[q] & m.get(q, set())) / len(b[q])
+        assert r2 >= r1, (q, r1, r2)
+
+    probes = similarity.ivf_probes(cents, queries, nprobe=2, dim=EMB_DIM)
+    own = {r["vec_id"]: r["cell"] for r in asg.join(
+        queries.select("vec_id"), "vec_id").collect()}
+    first = {}
+    for r in probes.collect():
+        first.setdefault(r["query_id"], []).append(r["cell"])
+    for q, cells in first.items():
+        assert own[q] in cells, (q, own[q], cells)
