@@ -64,3 +64,65 @@ def asof_join_backward(
         *[F.col("__match").getField(c).alias(c) for c in right_payload],
     )
     return out
+
+
+def asof_self_join_backward(
+    source: DataFrame,
+    by: list[str],
+    ts_col: str,
+    probe_pred,
+    ref_pred,
+    right_payload: dict[str, str],
+    order_col: str,
+    probe_cols: list[str],
+) -> DataFrame:
+    """As-of join where probe and reference rows come from the SAME source
+    (the common event-stream case: align purchases to the latest prior
+    click). Semantically equal to filtering two sides and calling
+    :func:`asof_join_backward` with the reference deduped per ``(by, ts)``
+    to its greatest ``order_col`` row — but ONE scan and ONE shuffle:
+
+      Exchange(by) -> sort(ts, tag, order desc) -> lag-dedup of equal-ts
+      reference rows -> sort(ts, tag) -> running last(payload) -> probes.
+
+    Both windows share the ``by`` hash partitioning, so the whole operator
+    is a single exchange regardless of scale (the two-sided form pays a
+    scan per side plus a dedup-window exchange on a finer key).
+
+    ``right_payload`` maps output name -> source column for reference
+    rows; ``probe_cols`` are the probe columns to keep.
+    """
+    tag = F.when(ref_pred, F.lit(0)).otherwise(F.lit(1))
+    pay = F.when(
+        ref_pred,
+        F.struct(*[F.col(s).alias(t) for t, s in right_payload.items()]),
+    )
+    u = (
+        source.filter(probe_pred | ref_pred)
+        .withColumn("__tag", tag)
+        .withColumn("__payload", pay)
+    )
+    w_dedup = Window.partitionBy(*by).orderBy(
+        F.col(ts_col).asc(), F.col("__tag").asc(), F.col(order_col).desc()
+    )
+    # equal-(by, ts) reference rows are adjacent under this order, greatest
+    # order_col first — every later one sits behind another reference row
+    # with the same ts
+    dup = (
+        (F.col("__tag") == 0)
+        & (F.lag("__tag").over(w_dedup) == 0)
+        & (F.lag(ts_col).over(w_dedup) == F.col(ts_col))
+    )
+    u = u.withColumn("__dup", F.coalesce(dup, F.lit(False))).filter(
+        ~F.col("__dup")
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts_col).asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    return u.filter(F.col("__tag") == 1).select(
+        *probe_cols,
+        *[F.col("__match").getField(t).alias(t) for t in right_payload],
+    )

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metricq_db_hta_spark.functions.timeutil import ts_ns_auto
-from metricq_db_hta_spark.operators.asof import asof_join_backward
+from metricq_db_hta_spark.operators.asof import asof_self_join_backward
 from metricq_db_hta_spark.queries.base import (
     davg,
     dsum,
@@ -420,28 +420,23 @@ FROM purch p ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND p.ts_ns >= c.click_ts_ns
 """,
     doc="As-of join (backward, inclusive): each purchase matched to the "
-    "same user's most recent click at-or-before it. Spark side uses the "
-    "union+window trick (operators/asof.py); oracle uses native ASOF JOIN.",
+    "same user's most recent click at-or-before it, equal-(user, ts) "
+    "clicks deduped to the greatest event_id. Spark side uses the fused "
+    "same-source form (operators/asof.py asof_self_join_backward: one "
+    "scan, ONE exchange); oracle uses native ASOF JOIN.",
     bench=True,
 )
 def rel_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_df(spark, sf_dir)
-    purch = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts_ns", "value"
-    )
-    # dedup clicks on the (µs-truncated) key: equal-(user, ts) right rows
-    # would make both engines' as-of choice arbitrary and divergent
-    w_dedup = Window.partitionBy("user_id", "ts_ns").orderBy(F.desc("event_id"))
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .withColumn("__rn", F.row_number().over(w_dedup))
-        .filter(F.col("__rn") == 1)
-        .select("user_id", "ts_ns", F.col("ts_ns").alias("click_ts_ns"),
-                F.col("value").alias("click_value"))
-    )
-    return asof_join_backward(
-        purch, clicks, by=["user_id"], ts_col="ts_ns",
-        right_payload=["click_ts_ns", "click_value"],
+    return asof_self_join_backward(
+        ev,
+        by=["user_id"],
+        ts_col="ts_ns",
+        probe_pred=F.col("event_type") == "purchase",
+        ref_pred=F.col("event_type") == "click",
+        right_payload={"click_ts_ns": "ts_ns", "click_value": "value"},
+        order_col="event_id",
+        probe_cols=["event_id", "user_id", "ts_ns", "value"],
     )
 
 

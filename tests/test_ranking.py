@@ -44,3 +44,44 @@ def test_ntile_plan_has_no_single_partition_exchange(spark):
     out = distributed_ntile(df, 4, [F.desc("v"), F.asc("k")])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_asof_two_sided_equals_fused(spark, sf_dir):
+    """The generic two-sided as-of join (distinct probe/reference sources)
+    must agree with the fused same-source form on the query it powers."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from metricq_db_hta_spark.operators.asof import (
+        asof_join_backward,
+        asof_self_join_backward,
+    )
+    from metricq_db_hta_spark.queries.relational import events_df
+
+    ev = events_df(spark, sf_dir)
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ns", "value"
+    )
+    w = Window.partitionBy("user_id", "ts_ns").orderBy(F.desc("event_id"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts_ns", F.col("ts_ns").alias("click_ts_ns"),
+                F.col("value").alias("click_value"))
+    )
+    two_sided = asof_join_backward(
+        purch, clicks, by=["user_id"], ts_col="ts_ns",
+        right_payload=["click_ts_ns", "click_value"],
+    )
+    fused = asof_self_join_backward(
+        ev, by=["user_id"], ts_col="ts_ns",
+        probe_pred=F.col("event_type") == "purchase",
+        ref_pred=F.col("event_type") == "click",
+        right_payload={"click_ts_ns": "ts_ns", "click_value": "value"},
+        order_col="event_id",
+        probe_cols=["event_id", "user_id", "ts_ns", "value"],
+    )
+    a = sorted(map(tuple, two_sided.collect()))
+    b = sorted(map(tuple, fused.collect()))
+    assert a == b and len(a) > 0
