@@ -27,7 +27,11 @@ from metricq_db_hta_spark.queries import relational  # noqa: F401
 # failed r04 on the schema change — now fixed via ts_ns_auto — plus the 29
 # that were outside the r03/r04 window), so that every one of the 79
 # registry queries has a green row on the current generation across
-# r04∪r05. The 3 spare slots re-check headline bench queries.
+# r04∪r05. The 3 spare slots re-check headline bench queries. The three
+# round-5 additions (llm_repetition_filter, llm_normalize_dedup,
+# llm_similarity_topk_ivf_multiprobe) sit after the window on purpose —
+# displacing any of the 47 would break that full coverage; rotate them
+# into the round-6 window.
 _WINDOW = [
     # (1) failed r04 on the events.ts schema change — fixed, must re-green
     "rel_agg_approx_distinct",
