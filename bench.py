@@ -282,6 +282,9 @@ def main() -> None:
                 "rel_join_sortmerge",
                 "llm_minhash_lsh_pairs",
                 "hta_level0",
+                # rel_join_asof can't probe here: the replicas suffix
+                # event_type, so its purchase/click filters match nothing
+                "hta_ingest_chain",
             ):
                 spec = REGISTRY[name]
                 runs = []
