@@ -421,6 +421,10 @@ class StreamingIngest:
           sample's state-derived delta_ns (no cross-partition lag needed).
         """
         spark = kept.sparkSession
+        # decided BEFORE the raw write: an empty store means raw will equal
+        # exactly this batch's kept rows, unlocking the in-memory level
+        # cascade below (no prior rows can exist in any partition)
+        fresh_store = not os.path.exists(self.raw_path)
         # eager checkpoint, not persist(): kept's lineage may read the very
         # store this method mutates (backfill's watermark join does) — the
         # raw write would invalidate a cache and silently recompute kept
@@ -490,15 +494,25 @@ class StreamingIngest:
                 .partitionBy("ingest_batch", "metric", tcol)
                 .parquet(self.raw_path)
             )
-            raw = spark.read.parquet(self.raw_path)
-            self._update_levels(kept, raw)
+            if fresh_store:
+                # raw on disk == kept (just written to an empty store):
+                # aggregate the already-checkpointed rows instead of
+                # reading 10^6 rows back from disk
+                raw = kept.select(
+                    "metric", "ts_ns", "value", "event_id", "delta_ns"
+                )
+            else:
+                raw = spark.read.parquet(self.raw_path)
+            self._update_levels(kept, raw, fresh_store=fresh_store)
             # A6 durability barrier: the marker certifies every raw batch's
             # derived level state is fully on disk (see recover())
             self._write_commit_marker()
         finally:
             kept.unpersist()  # releases the checkpointed blocks
 
-    def _update_levels(self, kept: DataFrame, raw: DataFrame) -> None:
+    def _update_levels(
+        self, kept: DataFrame, raw: DataFrame, fresh_store: bool = False
+    ) -> None:
         """A5: recompute every touched (metric, bucket_month) PARTITION of
         each level. Granularity matters twice over:
 
@@ -509,60 +523,85 @@ class StreamingIngest:
           from the level just rewritten below it (the Aggregate record is
           mergeable) — recomputing every level from raw would re-scan raw
           once per level.
+
+        ``fresh_store`` (the store was EMPTY before this batch — bulk
+        import, the reference importer's case) cascades in memory: each
+        level's recomputed rows are eagerly checkpointed and feed the next
+        level directly, skipping every read-back from disk. Only valid on
+        a fresh store: with prior history, an untouched lower-level month
+        can still contribute to a touched coarser bucket that straddles a
+        month boundary, so the general path must re-read the full lower
+        level from disk (the semi-join then restricts it).
         """
         spark = kept.sparkSession
         lower_path: str | None = None
-        for width in self.widths:
-            bucket = (F.col("ts_ns") - (F.col("ts_ns") % F.lit(width))).cast(
-                "long"
-            )
-            touched = (
-                kept.select(
-                    "metric", _ns_to_month(bucket).alias("bucket_month")
-                ).distinct()
-            )
-            if lower_path is None:
-                src = raw
-                src_bucket = (
-                    src["ts_ns"] - (src["ts_ns"] % F.lit(width))
+        lower_df: DataFrame | None = None
+        ckpts: list[DataFrame] = []
+        try:
+            for width in self.widths:
+                bucket = (
+                    F.col("ts_ns") - (F.col("ts_ns") % F.lit(width))
                 ).cast("long")
-            else:
-                src = spark.read.parquet(lower_path)
-                src_bucket = (
-                    src["bucket_start_ns"]
-                    - (src["bucket_start_ns"] % F.lit(width))
-                ).cast("long")
-            relevant = src.join(
-                F.broadcast(touched),
-                (src["metric"] == touched["metric"])
-                & (_ns_to_month(src_bucket) == touched["bucket_month"]),
-                "left_semi",
-            )
-            if lower_path is None:
-                recomputed = batch_level_partials(relevant, width)
-            else:
-                from metricq_db_hta_spark.operators.hta import rollup
-
-                recomputed = rollup(
-                    relevant.drop("bucket_month"), width_ns=width
+                touched = (
+                    kept.select(
+                        "metric", _ns_to_month(bucket).alias("bucket_month")
+                    ).distinct()
                 )
-            recomputed = recomputed.withColumn(
-                "bucket_month", _ns_to_month(F.col("bucket_start_ns"))
-            )
-            path = self.level_path(width)
-            # single job per level: no level reads its own output path
-            # (level k scans raw or level k-1), so the write action IS
-            # the materialization barrier — an eager localCheckpoint
-            # here doubled every level's compute (measured ~0.5-1s per
-            # level at sf0.1)
-            (
-                recomputed.repartition("metric", "bucket_month")
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("metric", "bucket_month")
-                .parquet(path)
-            )
-            lower_path = path
+                if lower_path is None:
+                    src = raw
+                    src_bucket = (
+                        src["ts_ns"] - (src["ts_ns"] % F.lit(width))
+                    ).cast("long")
+                else:
+                    src = (
+                        lower_df
+                        if fresh_store and lower_df is not None
+                        else spark.read.parquet(lower_path)
+                    )
+                    src_bucket = (
+                        src["bucket_start_ns"]
+                        - (src["bucket_start_ns"] % F.lit(width))
+                    ).cast("long")
+                relevant = src.join(
+                    F.broadcast(touched),
+                    (src["metric"] == touched["metric"])
+                    & (_ns_to_month(src_bucket) == touched["bucket_month"]),
+                    "left_semi",
+                )
+                if lower_path is None:
+                    recomputed = batch_level_partials(relevant, width)
+                else:
+                    from metricq_db_hta_spark.operators.hta import rollup
+
+                    recomputed = rollup(
+                        relevant.drop("bucket_month"), width_ns=width
+                    )
+                recomputed = recomputed.withColumn(
+                    "bucket_month", _ns_to_month(F.col("bucket_start_ns"))
+                )
+                path = self.level_path(width)
+                if fresh_store:
+                    # one compute into memory (level rows are log-sized),
+                    # then both the write and the next level read blocks
+                    recomputed = recomputed.localCheckpoint(eager=True)
+                    ckpts.append(recomputed)
+                # else: single job per level — no level reads its own
+                # output path (level k scans raw or level k-1), so the
+                # write action IS the materialization barrier; an eager
+                # localCheckpoint here would double the compute without
+                # the in-memory cascade consuming it
+                (
+                    recomputed.repartition("metric", "bucket_month")
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("metric", "bucket_month")
+                    .parquet(path)
+                )
+                lower_path = path
+                lower_df = recomputed
+        finally:
+            for c in ckpts:
+                c.unpersist()
 
     def _stored_watermarks(self) -> dict[str, int]:
         """Per-metric max stored ts_ns — the reference's
