@@ -403,7 +403,7 @@ def llm_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT lang, COUNT(*) AS n_docs,
        {sql_davg("len(string_split(text, ' '))")} AS avg_tokens,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
        {sql_davg("len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','in','to'))) / len(string_split(text, ' '))")} AS avg_stopword_ratio
 FROM documents GROUP BY lang
 """,
@@ -419,7 +419,7 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         davg(T.token_count("text")).alias("avg_tokens"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
         davg(ratio).alias("avg_stopword_ratio"),
     )
 
@@ -743,13 +743,13 @@ def llm_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_stratified_sample",
     oracle="""
 WITH assigned AS (
-  SELECT doc_id, lang, n_chars,
+  SELECT doc_id, lang, LENGTH(text) AS doc_chars,
          ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
              AS bucket
   FROM documents
 )
 SELECT lang, COUNT(*) AS n_sampled,
-       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+       CAST(SUM(doc_chars) AS BIGINT) AS sampled_chars,
        MIN(doc_id) AS min_doc_id
 FROM assigned WHERE bucket < 200
 GROUP BY lang
@@ -777,7 +777,7 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_sampled"),
-            F.sum("n_chars").cast("long").alias("sampled_chars"),
+            F.sum(F.length("text")).cast("long").alias("sampled_chars"),
             F.min("doc_id").alias("min_doc_id"),
         )
     )
