@@ -1,0 +1,49 @@
+"""Plan-shape guards for the broadcast policy (SCALE.md §2 Joins).
+
+Statically-estimated broadcasts misplanned twice (a 60M-row fact table
+at sf1 under a 64 MB threshold, the sf0.1 lineitem under Spark's default
+10 MB) — these tests pin the policy that prevents the class: no static
+size estimation, explicit hints for known-small dims, AQE runtime
+conversion for everything else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metricq_db_hta_spark.sources.tables import load_table
+
+
+def _initial_plan(df) -> str:
+    # pre-AQE physical plan: what the STATIC planner chose
+    return df._jdf.queryExecution().sparkPlan().toString()
+
+
+def test_static_broadcast_estimation_is_off(spark):
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+    assert (
+        int(spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+        > 0
+    )
+
+
+def test_fact_fact_join_plans_as_shuffle(spark, sf_dir):
+    """orders x lineitem must never pick a statically-estimated broadcast
+    of either fact side — the misplan builds a fact-table hashed relation
+    single-threaded and would OOM a real executor at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = _initial_plan(o.join(li, o.o_orderkey == li.l_orderkey))
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_explicit_dim_hint_still_broadcasts(spark, sf_dir):
+    """The policy must not disable deliberate broadcasts: an F.broadcast
+    hint on a known-small dim keeps its BroadcastHashJoin."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    plan = _initial_plan(
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    assert "BroadcastHashJoin" in plan, plan
