@@ -145,11 +145,26 @@ def brute_force_topk(
     after measuring 1.105 s vs 0.409 s at sf0.1 — the 64-term codegen
     expression never got hot enough for HotSpot to JIT at 16k pairs).
 
-    ``dim`` is accepted for signature stability; the vectorized path
-    infers width from the data.
+    ``dim`` is used only as a fallback width when every query vector is
+    NULL; otherwise the vectorized path infers width from the data.
+
+    Contract guards (not silent narrowing): ids must be an integral
+    column on both sides (the Arrow batches are scored as int64 —
+    anything else raises up front with a clear error), and NULL or
+    mis-sized vectors score ``sim = 0.0`` exactly like
+    ``_guarded_sim``'s zero-norm branch on the join path.
     """
     import numpy as np
     import pandas as pd
+
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    for side, frame in (("corpus", corpus), ("queries", queries)):
+        dt = dict(frame.dtypes).get(id_col)
+        if dt not in integral:
+            raise TypeError(
+                f"brute_force_topk requires an integral id column; "
+                f"{side}.{id_col} is {dt!r}"
+            )
 
     qrows = queries.select(
         F.col(id_col).alias("query_id"),
@@ -165,27 +180,50 @@ def brute_force_topk(
         return corpus.sparkSession.createDataFrame(
             [], f"query_id long, rank int, {id_col} long, sim double"
         )
+    qdim = next(
+        (len(r.q_vec) for r in qrows if r.q_vec is not None), dim or 0
+    )
     qids = np.array([r.query_id for r in qrows], dtype=np.int64)
-    Q = np.array([list(r.q_vec) for r in qrows], dtype=np.float64)
+    # NULL / mis-sized query vectors become zero vectors: qn == 0 makes
+    # every one of their sims 0.0 through the guard below.
+    Q = np.array(
+        [
+            list(r.q_vec)
+            if r.q_vec is not None and len(r.q_vec) == qdim
+            else [0.0] * qdim
+            for r in qrows
+        ],
+        dtype=np.float64,
+    )
     qn = np.sqrt(
         np.array([_leftfold_dots(Q[j : j + 1], Q[j])[0] for j in range(len(Q))])
-    )
+    ) if qdim else np.zeros(len(qrows))
 
     def score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            A = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            vlist = list(pdf[vec_col])
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            valid = np.array(
+                [v is not None and len(v) == qdim for v in vlist], dtype=bool
             )
-            ids = pdf[id_col].to_numpy()
-            acc = A[:, 0] * A[:, 0]
-            for i in range(1, A.shape[1]):
-                acc = acc + A[:, i] * A[:, i]
-            nc = np.sqrt(acc)
+            vidx = np.nonzero(valid)[0]
+            nc = np.zeros(len(vlist))
+            A = None
+            if len(vidx):
+                A = np.array(
+                    [np.asarray(vlist[i], dtype=np.float64) for i in vidx]
+                )
+                acc = A[:, 0] * A[:, 0]
+                for i in range(1, A.shape[1]):
+                    acc = acc + A[:, i] * A[:, i]
+                nc[vidx] = np.sqrt(acc)
             out_q, out_id, out_sim = [], [], []
             for j in range(len(Q)):
-                d = _leftfold_dots(A, Q[j])
+                d = np.zeros(len(vlist))
+                if A is not None:
+                    d[vidx] = _leftfold_dots(A, Q[j])
                 with np.errstate(invalid="ignore", divide="ignore"):
                     sim = np.where(
                         (nc > 0) & (qn[j] > 0), d / (nc * qn[j]), 0.0

@@ -19,73 +19,78 @@ from metricq_db_hta_spark.queries import hta_queries  # noqa: F401
 from metricq_db_hta_spark.queries import relational  # noqa: F401
 
 # Registry order is part of the driver contract: the correctness harness
-# records the first 50 entries each round. Round 5 window policy: the
-# testdata generation changed before round 4 (events.ts became a plain µs
-# timestamp), which invalidates pre-r04 green rows as evidence about the
-# CURRENT data. CORRECTNESS_r04 has 32 green rows on the new generation;
-# this window holds exactly the other 47 registry queries (the 18 that
-# failed r04 on the schema change — now fixed via ts_ns_auto — plus the 29
-# that were outside the r03/r04 window), so that every one of the 79
-# registry queries has a green row on the current generation across
-# r04∪r05. The 3 spare slots re-check headline bench queries. The three
-# round-5 additions (llm_repetition_filter, llm_normalize_dedup,
-# llm_similarity_topk_ivf_multiprobe) sit after the window on purpose —
-# displacing any of the 47 would break that full coverage; rotate them
-# into the round-6 window.
+# records the first 50 entries each round. Round 6 window policy
+# (scripts/window_coverage.py enforces freshness going forward):
+#
+# (1) The three round-5 additions get their FIRST driver row — until now
+#     their only green evidence was the local pytest oracle suite (noted
+#     per ADVICE r5: r05 evidence for these is local-only).
+# (2) All 29 queries whose latest driver row is CORRECTNESS_r04 rotate in
+#     — they are 2 rounds stale and several had their code paths modified
+#     after r04 (llm_similarity_topk_brute's mapInPandas rewrite + this
+#     round's null/ragged-vector guard, llm_minhash_lsh_pairs' expr-string
+#     matrix build), so the hard external signal re-checks the CURRENT
+#     code. After this round every registry query's last green row is
+#     r05 or r06 — a one-round-deep rotation.
+# (3) The remaining 18 slots re-check r05-green queries: the 9 headline
+#     bench queries not already in (2), llm_repetition_filter's sibling
+#     paths, and a cross-family spread (HTA rollup/flex/last-value, UDF,
+#     windows, joins) so no family goes unwatched for a full round.
 _WINDOW = [
-    # (1) failed r04 on the events.ts schema change — fixed, must re-green
-    "rel_agg_approx_distinct",
-    "rel_join_asof",
-    "rel_agg_distinct",
-    "rel_window_lag_lead",
-    "rel_window_range_between",
-    "rel_set_union",
-    "rel_set_intersect",
-    "rel_set_except",
-    "rel_json_funcs",
-    "rel_session_window",
-    "rel_window_tumbling_native",
-    "rel_window_sliding_native",
-    "hta_stats_rates",
-    "hta_ingest_chain",
-    "hta_level0",
-    "hta_level1_rollup",
-    "hta_q1_aggregate_timeline",
-    "hta_q3_aggregate",
-    # (2) outside the r03/r04 window — no driver row on the new generation
-    "llm_simhash",
-    "llm_text_stats",
-    "llm_token_count",
-    "llm_quality_filter",
-    "llm_lang_id",
-    "llm_fingerprint",
-    "llm_dataset_split",
-    "llm_sequence_packing",
-    "llm_stratified_sample",
-    "hta_q2_flex_raw",
-    "hta_q4_last_value",
-    "hta_delta_encode",
-    "hta_subscription_list",
-    "udf_pandas_scalar_normalize",
-    "udf_apply_in_pandas_zscore",
-    "hta_scope_boundaries",
-    "hta_metadata_projection",
-    "udf_grouped_agg_geomean",
-    "udf_udtf_explode_buckets",
-    "rel_join_broadcast_dim",
-    "rel_join_left_outer",
-    "rel_join_semi",
-    "rel_join_anti",
-    "rel_join_full_outer",
-    "rel_join_range_band",
-    "rel_join_interval_overlap",
-    "rel_null_handling",
-    "rel_array_funcs",
-    "rel_join_cross",
-    # (3) headline re-checks (green in r04, re-pinned for the bench set)
+    # (1) first driver row ever (round-5 additions; r05 evidence local-only)
+    "llm_repetition_filter",
+    "llm_normalize_dedup",
+    "llm_similarity_topk_ivf_multiprobe",
+    # (2) last green r04 — 2 rounds stale, several paths modified since
+    "llm_minhash_signatures",
+    "llm_minhash_lsh_pairs",
+    "llm_jaccard_blocked_pairs",
+    "llm_embedding_neardup",
+    "llm_similarity_topk_brute",
+    "llm_similarity_topk_ivf",
+    "llm_embedding_norms",
+    "llm_multimodal_decode",
+    "llm_neardup_clusters",
+    "rel_agg_scalar_global",
+    "rel_q5_local_supplier_volume",
+    "rel_join_sortmerge",
+    "rel_agg_rollup",
+    "rel_agg_cube",
+    "rel_agg_grouping_sets",
+    "rel_agg_conditional",
+    "rel_window_rank_topn",
+    "rel_window_moving_agg",
+    "rel_window_ntile",
+    "rel_topk",
+    "rel_string_funcs",
+    "rel_date_funcs",
+    "rel_math_funcs",
+    "rel_subquery_scalar_exists",
+    "rel_having",
+    "rel_percentiles",
+    "rel_pivot",
+    "rel_grouping_id",
+    "rel_date_arithmetic",
+    # (3a) headline bench re-checks (r05-green, re-pinned with the bench)
     "rel_q1_pricing_summary",
     "rel_q3_shipping_priority",
+    "rel_join_asof",
+    "hta_ingest_chain",
+    "hta_level0",
+    "hta_q1_aggregate_timeline",
+    "hta_q3_aggregate",
     "llm_exact_dedup",
+    "llm_text_stats",
+    # (3b) cross-family spread (r05-green)
+    "hta_level1_rollup",
+    "hta_q2_flex_raw",
+    "hta_q4_last_value",
+    "rel_agg_approx_distinct",
+    "llm_simhash",
+    "llm_fingerprint",
+    "rel_window_lag_lead",
+    "udf_apply_in_pandas_zscore",
+    "rel_join_interval_overlap",
 ]
 assert len(_WINDOW) == 50, len(_WINDOW)
 _missing = [n for n in _WINDOW if n not in REGISTRY]

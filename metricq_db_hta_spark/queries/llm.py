@@ -794,17 +794,21 @@ WITH b AS (
   FROM documents
 ),
 r AS (
+  -- COALESCE: NULL text yields NULL bg here, while the Spark side's
+  -- repetition_ratio maps NULL text to 0.0 (size(null) = -1 takes the
+  -- <= 0 branch); pin both engines to 0.0 by construction so a future
+  -- testdata generation with NULL text cannot diverge silently.
   SELECT doc_id, lang,
-         CASE WHEN len(bg) <= 0 THEN 0.0
+         COALESCE(CASE WHEN len(bg) <= 0 THEN 0.0
               ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
-         END AS rep_ratio
+         END, 0.0) AS rep_ratio
   FROM b
 )
 SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN rep_ratio > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_repetitive,
        ROUND((CAST(SUM(CAST(rep_ratio AS DECIMAL(38,6))) AS DOUBLE)
-              / COUNT(rep_ratio)), 6) AS mean_rep
+              / COUNT(*)), 6) AS mean_rep
 FROM r GROUP BY lang
 """,
     doc="Gopher-style within-document repetition gate: duplicate adjacent "

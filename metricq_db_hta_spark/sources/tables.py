@@ -33,8 +33,11 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 # listing + footer schema read per call, multiplied by tables-per-query at
 # every plan build. The scan DataFrame is immutable, so reuse it per
 # (session, dir, table) — the same catalog state a resident engine keeps.
-# Keyed by applicationId so a stopped/replaced session never leaks stale
-# relations; fixture dirs are immutable by contract (TESTDATA.md).
+# Keyed by applicationId so a stopped/replaced session never serves stale
+# relations; entries for *other* applicationIds are swept on insert so a
+# process that cycles sessions (test runs, supervisor restarts) doesn't
+# accumulate dead DataFrames pinning JVM-side plan state via py4j.
+# Fixture dirs are immutable by contract (TESTDATA.md).
 _RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -49,9 +52,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # declared queries must agree with the (UTC-reading) DuckDB oracle
     # even when the caller's session was built without this conf.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, os.path.abspath(sf_dir), name)
     df = _RELATION_CACHE.get(key)
     if df is None:
+        for stale in [k for k in _RELATION_CACHE if k[0] != app_id]:
+            del _RELATION_CACHE[stale]
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         _RELATION_CACHE[key] = df
     return df
