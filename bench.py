@@ -270,6 +270,80 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — informational, but not silent
         print(f"ingest bench skipped: {e!r}", file=sys.stderr)
 
+    # 100k-key stateful-watermark throughput (SURVEY §7 risk 5 evidence,
+    # paired with tests/test_streaming.py::test_stream_100k_key_state_rocksdb):
+    # 300k samples across 100,000 metric keys through monotonic_stateful
+    # with the RocksDB state-store provider — the per-key state scale the
+    # reference never reaches (its fleet is 4,368 metrics) and the provider
+    # a 100 TB deployment runs.
+    state_rate = None
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from metricq_db_hta_spark.streaming.ingest_stream import (
+            SAMPLE_SCHEMA,
+            monotonic_stateful,
+        )
+
+        n_keys = 100_000
+        base_ns = 1_700_000_000_000_000_000
+        rows = (
+            spark.range(n_keys)
+            .select(
+                F.concat(F.lit("m"), F.col("id")).alias("metric"),
+                "id",
+                F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i"),
+            )
+            .select(
+                "metric",
+                (F.lit(base_ns) + F.col("i") * F.lit(1_000_000_000)).alias("ts_ns"),
+                (F.col("id") + F.col("i")).cast("double").alias("value"),
+                (F.col("id") * 4 + F.col("i")).alias("event_id"),
+            )
+        )
+        tmp = tempfile.mkdtemp(prefix="bench_state_")
+        prev_provider = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            rows.coalesce(8).write.parquet(os.path.join(tmp, "in", "c1"))
+            stream = (
+                spark.readStream.schema(SAMPLE_SCHEMA)
+                .option("recursiveFileLookup", "true")
+                .parquet(os.path.join(tmp, "in"))
+            )
+            t0 = time.perf_counter()
+            q = (
+                monotonic_stateful(stream)
+                .writeStream.outputMode("append")
+                .format("noop")
+                .option("checkpointLocation", os.path.join(tmp, "cp"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            if q.exception() is not None:
+                raise q.exception()
+            state_rate = round(3 * n_keys / (time.perf_counter() - t0), 1)
+        finally:
+            if prev_provider is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev_provider
+                )
+            shutil.rmtree(tmp, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001 — informational, but not silent
+        print(f"state bench skipped: {e!r}", file=sys.stderr)
+
     # per-query floor: the smallest *real* query shape — a parquet scan plus
     # one shuffled aggregation — built fresh each run like the headline
     # queries. The headline total carries ~13x this; DuckDB's equivalent
@@ -317,6 +391,8 @@ def main() -> None:
             out["sf0.1_duckdb_total"] = round(sum(duck01.values()), 3)
     if ingest_rate is not None:
         out["ingest_samples_per_sec"] = ingest_rate
+    if state_rate is not None:
+        out["state_100k_keys_samples_per_sec"] = state_rate
     if primary_duck:
         dtot = sum(primary_duck.values())
         out["duckdb_total"] = round(dtot, 3)
