@@ -35,7 +35,7 @@ from metricq_db_hta_spark.sources.tables import TABLES, load_table
 
 #: sf1 replica dir version — bump when the replication recipe changes so a
 #: stale /tmp cache from an older recipe is never measured.
-SF1_DIR = "/tmp/metricq_bench_sf1_v3"
+SF1_DIR = "/tmp/metricq_bench_sf1_v4"
 REPS = 10
 
 
@@ -60,23 +60,31 @@ def build_sf1(sf_dir: str) -> str:
       event_type).
     * dimension tables (region/nation/customer/supplier/part): copied
       as-is — dims stay broadcast-sized at scale by design.
+
+    Every replicated table is written with explicit row-group sizing
+    (~32-60 groups): a single-row-group parquet file caps Spark's scan at
+    ONE task (a split only owns the row groups whose midpoint it covers),
+    while DuckDB parallelizes *within* a row group — measured at sf1-v3,
+    the 1-group documents/events/embeddings files serialized every scan
+    stage. Real 100 TB stores are many-file/many-group by construction,
+    so multi-group files are the representative layout, not a favor.
     """
     import duckdb
 
     os.makedirs(SF1_DIR, exist_ok=True)
     gen = duckdb.connect()
     gen.execute(f"SET threads TO {os.cpu_count() or 8}")
-    for t, key in (
-        ("lineitem", "l_orderkey"),
-        ("orders", "o_orderkey"),
-        ("embeddings", "vec_id"),
+    for t, key, rgs in (
+        ("lineitem", "l_orderkey", 131072),
+        ("orders", "o_orderkey", 32768),
+        ("embeddings", "vec_id", 640),
     ):
         dst = os.path.join(SF1_DIR, f"{t}.parquet")
         if not os.path.exists(dst):
             gen.execute(
                 f"COPY (SELECT * REPLACE ({key} + r * 10000000 AS {key}) "
                 f"FROM read_parquet('{sf_dir}/{t}.parquet'), range({REPS}) t(r)) "
-                f"TO '{dst}' (FORMAT PARQUET)"
+                f"TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE {rgs})"
             )
     dst = os.path.join(SF1_DIR, "documents.parquet")
     if not os.path.exists(dst):
@@ -93,7 +101,7 @@ def build_sf1(sf_dir: str) -> str:
             f"COPY (SELECT * REPLACE (doc_id + r * 10000000 AS doc_id, "
             f"CASE r {cases} END AS text) "
             f"FROM read_parquet('{sf_dir}/documents.parquet'), range({REPS}) t(r)) "
-            f"TO '{dst}' (FORMAT PARQUET)"
+            f"TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 1536)"
         )
     # events: pyarrow, not a DuckDB COPY — preserves events.ts's on-disk
     # type exactly across testdata generations (TIMESTAMP(NANOS) would be
@@ -118,7 +126,9 @@ def build_sf1(sf_dir: str) -> str:
                     tbl.schema.get_field_index("event_id"), "event_id", eid
                 )
             )
-        pq.write_table(pa.concat_tables(parts), dst, version="2.6")
+        pq.write_table(
+            pa.concat_tables(parts), dst, version="2.6", row_group_size=24576
+        )
     import shutil
 
     for t in TABLES:

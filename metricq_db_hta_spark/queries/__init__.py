@@ -36,6 +36,11 @@ from metricq_db_hta_spark.queries import relational  # noqa: F401
 #     bench queries not already in (2), llm_repetition_filter's sibling
 #     paths, and a cross-family spread (HTA rollup/flex/last-value, UDF,
 #     windows, joins) so no family goes unwatched for a full round.
+#
+# The two round-6 additions (llm_tfidf_top_terms, llm_char_entropy) sit
+# after the window — same rotation pattern as round 5's additions; their
+# round-6 evidence is the local oracle suite (diffcheck green at sf0.001
+# and sf0.01); rotate them into the round-7 window.
 _WINDOW = [
     # (1) first driver row ever (round-5 additions; r05 evidence local-only)
     "llm_repetition_filter",

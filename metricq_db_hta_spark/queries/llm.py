@@ -907,3 +907,118 @@ def llm_similarity_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> Data
         dim=EMB_DIM,
     )
     return out.select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# corpus analysis (round 6): TF-IDF term importance + char-bigram entropy —
+# the classic corpus-statistics pair a pretraining pipeline runs alongside
+# the cleaning gates (term salience for topic/boilerplate audits, entropy
+# as a degenerate-text signal complementing the repetition gate).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+total AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         ROUND(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN total
+)
+SELECT doc_id, rank, term, tfidf FROM (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+) t WHERE rank <= 3
+""",
+    doc="TF-IDF top-3 terms per document: term frequency x ln(N/df), "
+    "ranked on the ROUNDED score (term-ascending tiebreak) so both "
+    "engines rank identical values. Two shuffles (doc-term counts, "
+    "term document frequency) + one term-keyed join; stopword-class "
+    "skew on the term key is AQE skew-join territory, and their "
+    "idf ~ 0 keeps them out of every top-k.",
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = docs(spark, sf_dir)
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tfidf")
+    )
+
+
+@register(
+    "llm_char_entropy",
+    oracle="""
+WITH bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(text) - 1),
+                               i -> substring(text, i, 2))) AS bg
+  FROM documents WHERE length(text) >= 2
+),
+cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       ROUND(ln(CAST(SUM(c) AS DOUBLE))
+             - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c), 6) AS entropy
+FROM cnt GROUP BY doc_id
+""",
+    doc="Per-document character-bigram Shannon entropy "
+    "H = ln(N) - sum(c*ln c)/N over the bigram histogram — low entropy "
+    "flags degenerate/repetitive text the token-level gates can miss. "
+    "Plain double arithmetic is hash-safe here: the float sum's "
+    "reordering error (~1e-10) is divided by N and vanishes against the "
+    "round-6 contract (unlike money sums, where magnitude demands the "
+    "decimal/scaled-long path). One shuffle per aggregation level, "
+    "explode bounded at |text| rows per doc.",
+)
+def llm_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir).filter(F.length("text") >= 2)
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    cnt = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+            / F.sum("c"),
+            6,
+        ).alias("entropy"),
+    )

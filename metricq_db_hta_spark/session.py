@@ -53,6 +53,18 @@ def get_spark(
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
             str(10 * 1024 * 1024),
         )
+        # AQE SMJ -> shuffled-hash-join conversion from RUNTIME map-output
+        # sizes (same no-static-estimates philosophy as the broadcast
+        # policy above): when every map partition of a join side is under
+        # this threshold, the sort of both sides is replaced by a per-
+        # partition hash build — DuckDB's shape. Partitions above 64 MB
+        # keep SMJ's spill path, so a 100 TB shuffle is unaffected.
+        # Measured at sf1 (resident): rel_q3 0.744 -> 0.683, rel_q5
+        # 0.955 -> 0.838, rel_join_sortmerge 0.659 -> 0.545 s.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         # split-size floor: default 4 MB caps a 10 MB file at ~3 scan tasks
         # (measured: q1's partial agg ran on 3 of 32 cores). On a cluster,
         # maxSplitBytes = max(openCost, totalSize/parallelism) — totalSize
