@@ -126,3 +126,55 @@ def asof_self_join_backward(
         *probe_cols,
         *[F.col("__match").getField(t).alias(t) for t in right_payload],
     )
+
+
+def asof_self_join_forward(
+    source: DataFrame,
+    by: list[str],
+    ts_col: str,
+    probe_pred,
+    ref_pred,
+    right_payload: dict[str, str],
+    order_col: str,
+    probe_cols: list[str],
+) -> DataFrame:
+    """Forward (inclusive) mirror of :func:`asof_self_join_backward`: each
+    probe row gets the payload of the EARLIEST reference row with
+    ``ts >= probe.ts`` in its ``by`` group (``ASOF JOIN ... ON l.ts <=
+    r.ts``). Identical machinery with the sort direction flipped — the
+    running ``last(ignorenulls)`` over a descending-ts window sees the
+    nearest *following* reference; equal-ts reference rows still sort
+    before probes (inclusive), deduped to the greatest ``order_col``.
+    Still ONE exchange on ``by``.
+    """
+    tag = F.when(ref_pred, F.lit(0)).otherwise(F.lit(1))
+    pay = F.when(
+        ref_pred,
+        F.struct(*[F.col(s).alias(t) for t, s in right_payload.items()]),
+    )
+    u = (
+        source.filter(probe_pred | ref_pred)
+        .withColumn("__tag", tag)
+        .withColumn("__payload", pay)
+    )
+    w_dedup = Window.partitionBy(*by).orderBy(
+        F.col(ts_col).desc(), F.col("__tag").asc(), F.col(order_col).desc()
+    )
+    dup = (
+        (F.col("__tag") == 0)
+        & (F.lag("__tag").over(w_dedup) == 0)
+        & (F.lag(ts_col).over(w_dedup) == F.col(ts_col))
+    )
+    u = u.withColumn("__dup", F.coalesce(dup, F.lit(False))).filter(
+        ~F.col("__dup")
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts_col).desc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    return u.filter(F.col("__tag") == 1).select(
+        *probe_cols,
+        *[F.col("__match").getField(t).alias(t) for t in right_payload],
+    )

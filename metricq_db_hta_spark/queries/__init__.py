@@ -37,10 +37,18 @@ from metricq_db_hta_spark.queries import relational  # noqa: F401
 #     paths, and a cross-family spread (HTA rollup/flex/last-value, UDF,
 #     windows, joins) so no family goes unwatched for a full round.
 #
-# The two round-6 additions (llm_tfidf_top_terms, llm_char_entropy) sit
-# after the window — same rotation pattern as round 5's additions; their
-# round-6 evidence is the local oracle suite (diffcheck green at sf0.001
-# and sf0.01); rotate them into the round-7 window.
+# The four round-6 additions sit after the window — same rotation pattern
+# as round 5's additions; their round-6 evidence is the local oracle suite
+# (diffcheck green at sf0.001 and sf0.01). PENDING_NEXT_WINDOW makes the
+# promised rotation machine-readable: scripts/window_coverage.py exempts
+# these from its never-checked failure, and the NEXT round's window must
+# include (and thereby drain) them.
+PENDING_NEXT_WINDOW = [
+    "llm_tfidf_top_terms",
+    "llm_char_entropy",
+    "rel_join_asof_forward",
+    "rel_subquery_correlated_scalar",
+]
 _WINDOW = [
     # (1) first driver row ever (round-5 additions; r05 evidence local-only)
     "llm_repetition_filter",
@@ -105,4 +113,4 @@ _ordered = {n: REGISTRY[n] for n in (*_WINDOW, *_rest)}
 REGISTRY.clear()
 REGISTRY.update(_ordered)
 
-__all__ = ["REGISTRY", "QuerySpec"]
+__all__ = ["REGISTRY", "QuerySpec", "PENDING_NEXT_WINDOW"]

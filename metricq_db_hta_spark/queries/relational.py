@@ -440,6 +440,42 @@ def rel_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_join_asof_forward",
+    oracle=f"""
+WITH {EVENTS_CTE.strip()},
+clicks AS (SELECT event_id, user_id, ts_ns, value FROM ev WHERE event_type = 'click'),
+purch  AS (SELECT user_id, ts_ns AS purchase_ts_ns, value AS purchase_value FROM ev
+           WHERE event_type = 'purchase'
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts_ns
+                                      ORDER BY event_id DESC) = 1)
+SELECT c.event_id, c.user_id, c.ts_ns, c.value, p.purchase_ts_ns, p.purchase_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts_ns <= p.purchase_ts_ns
+""",
+    doc="As-of join, FORWARD direction (inclusive): each click matched to "
+    "the same user's earliest purchase at-or-after it, equal-(user, ts) "
+    "purchases deduped to the greatest event_id. Spark side mirrors the "
+    "fused backward operator with the sort direction flipped "
+    "(operators/asof.py asof_self_join_forward: one scan, ONE exchange); "
+    "oracle uses DuckDB's native ASOF with the <= ordering.",
+)
+def rel_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metricq_db_hta_spark.operators.asof import asof_self_join_forward
+
+    ev = events_df(spark, sf_dir)
+    return asof_self_join_forward(
+        ev,
+        by=["user_id"],
+        ts_col="ts_ns",
+        probe_pred=F.col("event_type") == "click",
+        ref_pred=F.col("event_type") == "purchase",
+        right_payload={"purchase_ts_ns": "ts_ns", "purchase_value": "value"},
+        order_col="event_id",
+        probe_cols=["event_id", "user_id", "ts_ns", "value"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # aggregation variants
 # ---------------------------------------------------------------------------
@@ -933,6 +969,38 @@ def rel_subquery_scalar_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM v_customer)
           AND EXISTS (SELECT 1 FROM v_orders o WHERE o.o_custkey = c.c_custkey)
         GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "rel_subquery_correlated_scalar",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(38,6))
+      * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    > (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(38,6)))
+       FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+""",
+    doc="CORRELATED scalar subqueries (per-row aggregate over the outer "
+    "row's group — Catalyst's DecorrelateInnerQuery rewrites both into "
+    "one grouped aggregate + join): orders strictly above their own "
+    "customer's average order total. The avg comparison is cross-"
+    "multiplied into DECIMAL-exact price*count > sum so the boundary "
+    "rows cannot flip between engines the way a float average could.",
+)
+def rel_subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_c")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders_c o
+        WHERE CAST(o_totalprice AS DECIMAL(38,6))
+              * (SELECT COUNT(*) FROM v_orders_c o2
+                 WHERE o2.o_custkey = o.o_custkey)
+            > (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(38,6)))
+               FROM v_orders_c o3 WHERE o3.o_custkey = o.o_custkey)
         """
     )
 
