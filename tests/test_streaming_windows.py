@@ -107,3 +107,101 @@ def test_stream_dedup_drops_exact_duplicates(spark, stream_env):
     out = _drain(W.stream_dedup(stream, watermark="90 days"), tmp, "dedup")
     got = spark.read.parquet(out).filter(F.col("ts_ns") <= max_ts)
     assert got.count() == src.count()
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream inner join (SURVEY §2 streaming surface): clicks
+    stream joined to purchases stream of the same user within 24h after
+    the click — the streaming form of rel_join_interval_overlap's
+    predicate. Watermarks on both sides + the time-range condition are
+    what bound the symmetric-hash-join state at scale (without them the
+    join would buffer both streams forever); inner-join emission itself
+    does not wait for the watermark, so one availableNow drain must
+    reproduce the batch join exactly."""
+    from metricq_db_hta_spark.queries.relational import events_df
+
+    ev = events_df(spark, sf_dir).select(
+        "event_id",
+        F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    clicks_dir = tmp_path / "clicks"
+    purch_dir = tmp_path / "purch"
+    ev.filter(F.col("event_type") == "click").coalesce(1).write.parquet(
+        str(clicks_dir / "c1")
+    )
+    ev.filter(F.col("event_type") == "purchase").coalesce(1).write.parquet(
+        str(purch_dir / "c1")
+    )
+    schema = ev.schema
+
+    def stream(d):
+        return (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(d))
+        )
+
+    c = (
+        stream(clicks_dir)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        stream(purch_dir)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 24 HOURS")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id", "purchase_value")
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+
+    got = spark.read.parquet(out_dir)
+    cb = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    pb = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    expect = cb.join(
+        pb,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 24 HOURS")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id", "purchase_value")
+    assert got.count() == expect.count() > 0
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
