@@ -19,91 +19,84 @@ from metricq_db_hta_spark.queries import hta_queries  # noqa: F401
 from metricq_db_hta_spark.queries import relational  # noqa: F401
 
 # Registry order is part of the driver contract: the correctness harness
-# records the first 50 entries each round. Round 6 window policy
+# records the first 50 entries each round. Round 7 window policy
 # (scripts/window_coverage.py enforces freshness going forward):
 #
-# (1) The three round-5 additions get their FIRST driver row — until now
-#     their only green evidence was the local pytest oracle suite (noted
-#     per ADVICE r5: r05 evidence for these is local-only).
-# (2) All 29 queries whose latest driver row is CORRECTNESS_r04 rotate in
-#     — they are 2 rounds stale and several had their code paths modified
-#     after r04 (llm_similarity_topk_brute's mapInPandas rewrite + this
-#     round's null/ragged-vector guard, llm_minhash_lsh_pairs' expr-string
-#     matrix build), so the hard external signal re-checks the CURRENT
-#     code. After this round every registry query's last green row is
-#     r05 or r06 — a one-round-deep rotation.
-# (3) The remaining 18 slots re-check r05-green queries: the 9 headline
-#     bench queries not already in (2), llm_repetition_filter's sibling
-#     paths, and a cross-family spread (HTA rollup/flex/last-value, UDF,
-#     windows, joins) so no family goes unwatched for a full round.
+# (1) The four round-6 additions drain from PENDING_NEXT_WINDOW and get
+#     their FIRST driver row (standing rotation contract — VERDICT r6
+#     next-step 1). Until now their only green evidence was the local
+#     pytest oracle suite.
+# (2) All 32 queries whose latest driver row is CORRECTNESS_r05 rotate in
+#     — after this round every query's last green row is r06 or r07,
+#     keeping the rotation one round deep.
+# (3) The remaining 14 slots re-check r06-green queries: every query whose
+#     code path is modified THIS round (llm_repetition_filter's NULL
+#     pinning, the similarity qdim guard behind the top-k paths, the Q3
+#     level decomposition behind hta_q3_aggregate) plus the headline
+#     bench queries, so the hard external signal always covers the
+#     current code and the numbers the bench reports.
 #
-# The four round-6 additions sit after the window — same rotation pattern
-# as round 5's additions; their round-6 evidence is the local oracle suite
-# (diffcheck green at sf0.001 and sf0.01). PENDING_NEXT_WINDOW makes the
-# promised rotation machine-readable: scripts/window_coverage.py exempts
-# these from its never-checked failure, and the NEXT round's window must
+# Queries added this round (if any) sit after the window with the same
+# machine-readable PENDING_NEXT_WINDOW promise: scripts/window_coverage.py
+# exempts them from its never-checked failure, and the round-8 window must
 # include (and thereby drain) them.
 PENDING_NEXT_WINDOW = [
+    "llm_similarity_recall_ivf",
+]
+_WINDOW = [
+    # (1) PENDING_NEXT_WINDOW drain — first driver row ever
     "llm_tfidf_top_terms",
     "llm_char_entropy",
     "rel_join_asof_forward",
     "rel_subquery_correlated_scalar",
-]
-_WINDOW = [
-    # (1) first driver row ever (round-5 additions; r05 evidence local-only)
+    # (2) last green r05 — rotate all 32 in
+    "hta_delta_encode",
+    "hta_metadata_projection",
+    "hta_scope_boundaries",
+    "hta_stats_rates",
+    "hta_subscription_list",
+    "llm_dataset_split",
+    "llm_lang_id",
+    "llm_quality_filter",
+    "llm_sequence_packing",
+    "llm_stratified_sample",
+    "llm_token_count",
+    "rel_agg_distinct",
+    "rel_array_funcs",
+    "rel_join_anti",
+    "rel_join_broadcast_dim",
+    "rel_join_cross",
+    "rel_join_full_outer",
+    "rel_join_left_outer",
+    "rel_join_range_band",
+    "rel_join_semi",
+    "rel_json_funcs",
+    "rel_null_handling",
+    "rel_session_window",
+    "rel_set_except",
+    "rel_set_intersect",
+    "rel_set_union",
+    "rel_window_range_between",
+    "rel_window_sliding_native",
+    "rel_window_tumbling_native",
+    "udf_grouped_agg_geomean",
+    "udf_pandas_scalar_normalize",
+    "udf_udtf_explode_buckets",
+    # (3) r06-green re-checks: code modified this round + headline bench
     "llm_repetition_filter",
-    "llm_normalize_dedup",
-    "llm_similarity_topk_ivf_multiprobe",
-    # (2) last green r04 — 2 rounds stale, several paths modified since
-    "llm_minhash_signatures",
-    "llm_minhash_lsh_pairs",
-    "llm_jaccard_blocked_pairs",
-    "llm_embedding_neardup",
     "llm_similarity_topk_brute",
-    "llm_similarity_topk_ivf",
-    "llm_embedding_norms",
-    "llm_multimodal_decode",
-    "llm_neardup_clusters",
-    "rel_agg_scalar_global",
-    "rel_q5_local_supplier_volume",
-    "rel_join_sortmerge",
-    "rel_agg_rollup",
-    "rel_agg_cube",
-    "rel_agg_grouping_sets",
-    "rel_agg_conditional",
-    "rel_window_rank_topn",
-    "rel_window_moving_agg",
-    "rel_window_ntile",
-    "rel_topk",
-    "rel_string_funcs",
-    "rel_date_funcs",
-    "rel_math_funcs",
-    "rel_subquery_scalar_exists",
-    "rel_having",
-    "rel_percentiles",
-    "rel_pivot",
-    "rel_grouping_id",
-    "rel_date_arithmetic",
-    # (3a) headline bench re-checks (r05-green, re-pinned with the bench)
+    "llm_similarity_topk_ivf_multiprobe",
+    "hta_q3_aggregate",
     "rel_q1_pricing_summary",
     "rel_q3_shipping_priority",
+    "rel_q5_local_supplier_volume",
     "rel_join_asof",
+    "rel_join_sortmerge",
     "hta_ingest_chain",
     "hta_level0",
     "hta_q1_aggregate_timeline",
-    "hta_q3_aggregate",
     "llm_exact_dedup",
-    "llm_text_stats",
-    # (3b) cross-family spread (r05-green)
-    "hta_level1_rollup",
-    "hta_q2_flex_raw",
-    "hta_q4_last_value",
-    "rel_agg_approx_distinct",
-    "llm_simhash",
-    "llm_fingerprint",
-    "rel_window_lag_lead",
-    "udf_apply_in_pandas_zscore",
-    "rel_join_interval_overlap",
+    "llm_minhash_lsh_pairs",
 ]
 assert len(_WINDOW) == 50, len(_WINDOW)
 _missing = [n for n in _WINDOW if n not in REGISTRY]
