@@ -33,16 +33,48 @@ from metricq_db_hta_spark import get_spark
 from metricq_db_hta_spark.queries import REGISTRY
 from metricq_db_hta_spark.sources.tables import TABLES, load_table
 
-#: sf1 replica dir version — bump when the replication recipe changes so a
-#: stale /tmp cache from an older recipe is never measured.
-SF1_DIR = "/tmp/metricq_bench_sf1_v4"
+#: sf1 replica recipe version — bump when the replication recipe changes so
+#: a stale /tmp cache from an older recipe is never measured. The cache dir
+#: itself is keyed on (recipe version, source sf_dir) — see sf1_cache_dir.
+SF1_RECIPE = "v4"
 REPS = 10
 
 
-def build_sf1(sf_dir: str) -> str:
-    """Deterministic 10x replication of the fixture tables into SF1_DIR.
+def sf1_cache_dir(sf_dir: str) -> str:
+    """Cache dir keyed on recipe version AND source dir, with a provenance
+    marker double-check: per-table existence checks alone would silently
+    reuse a replica built from DIFFERENT source data when
+    SPARK_GRAFT_SF_DIR changes (ADVICE r6). The basename key separates
+    sf0.1/sf0.01 caches; the marker catches same-basename different-path
+    sources and recipe drift, wiping the dir for a rebuild."""
+    import hashlib
+    import shutil
 
-    Replication recipe (v3):
+    src = os.path.abspath(sf_dir)
+    key = hashlib.sha256(src.encode()).hexdigest()[:8]
+    d = f"/tmp/metricq_bench_sf1_{SF1_RECIPE}_{os.path.basename(src)}_{key}"
+    marker = os.path.join(d, "_provenance.json")
+    want = {"recipe": SF1_RECIPE, "src": src}
+    if os.path.isdir(d):
+        try:
+            with open(marker) as f:
+                have = json.load(f)
+        except (OSError, ValueError):
+            have = None
+        if have != want:
+            shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    if not os.path.exists(marker):
+        with open(marker, "w") as f:
+            json.dump(want, f)
+    return d
+
+
+def build_sf1(sf_dir: str) -> str:
+    """Deterministic 10x replication of the fixture tables into the keyed
+    cache dir (sf1_cache_dir).
+
+    Replication recipe (v4 — v3 plus explicit row-group sizing below):
 
     * ``lineitem`` / ``orders``: key-shifted replicas (orderkey + r*1e7).
     * ``documents``: doc_id-shifted replicas with letter-permuted text so
@@ -71,7 +103,7 @@ def build_sf1(sf_dir: str) -> str:
     """
     import duckdb
 
-    os.makedirs(SF1_DIR, exist_ok=True)
+    out_dir = sf1_cache_dir(sf_dir)
     gen = duckdb.connect()
     gen.execute(f"SET threads TO {os.cpu_count() or 8}")
     for t, key, rgs in (
@@ -79,14 +111,14 @@ def build_sf1(sf_dir: str) -> str:
         ("orders", "o_orderkey", 32768),
         ("embeddings", "vec_id", 640),
     ):
-        dst = os.path.join(SF1_DIR, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
             gen.execute(
                 f"COPY (SELECT * REPLACE ({key} + r * 10000000 AS {key}) "
                 f"FROM read_parquet('{sf_dir}/{t}.parquet'), range({REPS}) t(r)) "
                 f"TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE {rgs})"
             )
-    dst = os.path.join(SF1_DIR, "documents.parquet")
+    dst = os.path.join(out_dir, "documents.parquet")
     if not os.path.exists(dst):
         perms = [
             "aeiounrst", "eiouanrts", "iouaesrtn", "ouaeitnrs",
@@ -106,7 +138,7 @@ def build_sf1(sf_dir: str) -> str:
     # events: pyarrow, not a DuckDB COPY — preserves events.ts's on-disk
     # type exactly across testdata generations (TIMESTAMP(NANOS) would be
     # round-tripped to µs by DuckDB; plain µs is copied as-is either way).
-    dst = os.path.join(SF1_DIR, "events.parquet")
+    dst = os.path.join(out_dir, "events.parquet")
     if not os.path.exists(dst):
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -133,10 +165,10 @@ def build_sf1(sf_dir: str) -> str:
 
     for t in TABLES:
         src_p = os.path.join(sf_dir, f"{t}.parquet")
-        dst_p = os.path.join(SF1_DIR, f"{t}.parquet")
+        dst_p = os.path.join(out_dir, f"{t}.parquet")
         if os.path.exists(src_p) and not os.path.exists(dst_p):
             shutil.copy(src_p, dst_p)
-    return SF1_DIR
+    return out_dir
 
 
 def time_spark(spark, names, data_dir, cold_runs=2, resident_runs=3):

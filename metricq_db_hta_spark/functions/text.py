@@ -151,11 +151,16 @@ def repetition_ratio(text: str | Column) -> Column:
     """Within-document repetition: fraction of adjacent word-bigram slots
     occupied by a repeated bigram, ``1 - distinct/total`` (the
     Gopher-style duplicate-n-gram gate, n=2). 0.0 for docs with fewer
-    than two tokens. Two small-int counts divided identically on every
-    engine — deterministic to the last bit."""
+    than two tokens AND for NULL text: under Spark 4's ANSI default
+    ``size(NULL)`` is NULL (not -1), so without the explicit isNull
+    branch a NULL doc would propagate NULL into downstream averages
+    while SQL oracles that COALESCE would count it as 0.0 — the two
+    engines must take the 0.0 branch by construction. Two small-int
+    counts divided identically on every engine — deterministic to the
+    last bit."""
     b = word_bigrams(text)
     total = F.size(b)
-    return F.when(total <= 0, F.lit(0.0)).otherwise(
+    return F.when(total.isNull() | (total <= 0), F.lit(0.0)).otherwise(
         F.lit(1.0)
         - F.size(F.array_distinct(b)).cast("double") / total.cast("double")
     )

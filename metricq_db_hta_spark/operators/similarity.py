@@ -205,8 +205,18 @@ def brute_force_topk(
                 continue
             vlist = list(pdf[vec_col])
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            valid = np.array(
-                [v is not None and len(v) == qdim for v in vlist], dtype=bool
+            # qdim == 0 (every query vector NULL and no dim fallback):
+            # zero-length corpus vectors would otherwise pass the length
+            # check, making A an (m, 0) matrix whose A[:, 0] accumulation
+            # raises — mark everything invalid so vidx stays empty and
+            # the documented sim = 0.0 path applies uniformly.
+            valid = (
+                np.array(
+                    [v is not None and len(v) == qdim for v in vlist],
+                    dtype=bool,
+                )
+                if qdim
+                else np.zeros(len(vlist), dtype=bool)
             )
             vidx = np.nonzero(valid)[0]
             nc = np.zeros(len(vlist))

@@ -794,10 +794,12 @@ WITH b AS (
   FROM documents
 ),
 r AS (
-  -- COALESCE: NULL text yields NULL bg here, while the Spark side's
-  -- repetition_ratio maps NULL text to 0.0 (size(null) = -1 takes the
-  -- <= 0 branch); pin both engines to 0.0 by construction so a future
-  -- testdata generation with NULL text cannot diverge silently.
+  -- COALESCE: NULL text yields NULL bg here; the Spark side's
+  -- repetition_ratio pins NULL text to 0.0 with an explicit isNull
+  -- branch (under Spark 4's ANSI default size(NULL) is NULL, which
+  -- would otherwise propagate). Both engines therefore produce 0.0 for
+  -- NULL text and divide mean_rep by COUNT(*) — no latent divergence
+  -- if a future testdata generation carries NULL text.
   SELECT doc_id, lang,
          COALESCE(CASE WHEN len(bg) <= 0 THEN 0.0
               ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)

@@ -2,7 +2,9 @@
 """Driver-window rotation hygiene (VERDICT r5 next-step 6).
 
 The correctness harness records only the first 50 registry entries per
-round, so with 82 queries the window must rotate. This script makes the
+round; the registry has outgrown the window (len(REGISTRY) is printed in
+the summary line below — no hardcoded count here, per ADVICE r6 the
+docstring drifted), so the window must rotate. This script makes the
 rotation enumerable and enforceable: for every registry query it prints
 the last round with a fully-green driver row (rows + schema + hash) and
 fails if any query is more than ``--max-stale`` rounds stale.

@@ -115,3 +115,36 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
         first.setdefault(r["query_id"], []).append(r["cell"])
     for q, cells in first.items():
         assert own[q] in cells, (q, own[q], cells)
+
+
+def test_brute_topk_all_null_queries_no_dim(spark):
+    """ADVICE r6 failure scenario: every query vector NULL and dim unset
+    makes qdim = 0; a zero-length corpus vector then must NOT be treated
+    as 'valid' (the (m, 0) matrix's A[:, 0] accumulation raised before
+    the guard) — the documented sim = 0.0 contract applies instead."""
+    corpus = spark.createDataFrame(
+        [(1, [0.5, 0.5]), (2, []), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, None), (11, None)], "vec_id long, embedding array<double>"
+    )
+    rows = similarity.brute_force_topk(corpus, queries, k=2).collect()
+    assert rows, "top-k rows still emitted with the sim=0.0 contract"
+    assert all(r["sim"] == 0.0 for r in rows)
+    assert {r["query_id"] for r in rows} == {10, 11}
+
+
+def test_brute_topk_all_null_queries_with_dim(spark):
+    """Same scenario but dim given: the fallback width applies, zero-norm
+    query vectors still score 0.0 against valid corpus vectors."""
+    corpus = spark.createDataFrame(
+        [(1, [0.5, 0.5]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, None)], "vec_id long, embedding array<double>"
+    )
+    rows = similarity.brute_force_topk(corpus, queries, k=2, dim=2).collect()
+    assert len(rows) == 2
+    assert all(r["sim"] == 0.0 for r in rows)
