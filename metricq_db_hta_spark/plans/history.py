@@ -27,7 +27,9 @@ open on end — SURVEY A11; the Scope variants are exposed via
 
 from __future__ import annotations
 
+from collections import defaultdict
 from dataclasses import dataclass, field
+from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -40,6 +42,60 @@ def choose_level(widths_ns: list[int], interval_max_ns: int) -> int | None:
     FLEX queries, finest level for AGGREGATE_TIMELINE."""
     eligible = [w for w in widths_ns if w <= interval_max_ns]
     return max(eligible) if eligible else None
+
+
+def q3_segments(
+    start_ns: int, end_ns: int, widths_ns: list[int]
+) -> list[tuple[int, int, int]]:
+    """Q3 level decomposition (reference A9,
+    /root/reference/src/async_hta_service.hpp:442-464): cover the finest
+    buckets whose start lies in [start, end) with the COARSEST buckets that
+    fit — coarse interior, recursively finer edges — returning
+    ``[(width_ns, lo_ns, hi_ns), ...]`` scan segments where each segment
+    reads buckets with ``lo <= bucket_start_ns < hi`` from the
+    ``width_ns`` level.
+
+    Exactness: a coarse bucket [c, c+w) is the bit-exact merge of its
+    constituent finest buckets (the mergeability invariant,
+    tests/test_hta_properties.py), and a coarse bucket is substituted only
+    when its FULL index span lies inside the covered finest-bucket range —
+    so the merged result is identical to the finest-only scan while reading
+    O(levels * factor) rows instead of O(range / w0) rows. At a 100x time
+    range that is thousands vs millions of bucket rows per metric.
+
+    Only widths that are exact multiples of the finest width participate
+    (epoch-aligned tumbling buckets nest iff widths divide — build_levels'
+    ``interval_min * factor**k`` construction guarantees it; anything else
+    is skipped, never wrongly substituted).
+    """
+    w0 = min(widths_ns)
+    a0 = -(-start_ns // w0) * w0  # first finest bucket start >= start
+    a1 = -(-end_ns // w0) * w0    # buckets with start < end (trailing
+    #                               partial bucket included whole — same
+    #                               semantics as the finest-only filter)
+    if a0 >= a1:
+        return []
+    usable = sorted((w for w in widths_ns if w % w0 == 0), reverse=True)
+    return _decompose(a0, a1, usable)
+
+
+def _decompose(
+    a0: int, a1: int, widths_desc: list[int]
+) -> list[tuple[int, int, int]]:
+    if a0 >= a1:
+        return []
+    w = widths_desc[0]
+    if len(widths_desc) == 1:
+        return [(w, a0, a1)]  # finest level: a0/a1 are w-aligned
+    lo = -(-a0 // w) * w      # first w-aligned start >= a0
+    hi = (a1 // w) * w        # last w bucket fully inside [a0, a1)
+    if lo >= hi:
+        return _decompose(a0, a1, widths_desc[1:])
+    return (
+        _decompose(a0, lo, widths_desc[1:])
+        + [(w, lo, hi)]
+        + _decompose(hi, a1, widths_desc[1:])
+    )
 
 
 def _date_pruned(df: DataFrame, date_col: str, start_ns: int, end_ns: int) -> DataFrame:
@@ -117,21 +173,58 @@ class HistoryService:
 
     # -- Q3 ----------------------------------------------------------------
     def aggregate(
-        self, metric: str | None, start_ns: int, end_ns: int
+        self,
+        metric: str | None,
+        start_ns: int,
+        end_ns: int,
+        decompose: bool = True,
     ) -> DataFrame:
-        """Q3: one merged Aggregate per metric over [start, end), computed
-        from the finest level (correctness-equivalent to merging coarse
-        interior + fine edge buckets — SURVEY A9)."""
-        df = self.levels[self.widths[0]]
-        if metric is not None:
-            df = df.filter(F.col("metric") == metric)
-        df = _date_pruned(df, "bucket_month", start_ns, end_ns)
-        return (
-            df.filter(
-                (F.col("bucket_start_ns") >= start_ns)
-                & (F.col("bucket_start_ns") < end_ns)
+        """Q3: one merged Aggregate per metric over [start, end).
+
+        ``decompose=True`` (default) answers from coarse interior buckets
+        plus recursively finer edge buckets (reference A9 — ``q3_segments``
+        documents the exactness argument): each level is scanned once with
+        an OR of at most two tight bucket ranges, the per-level slices
+        union, and a single groupBy(metric) merges them — O(levels*factor)
+        rows read instead of O(range / w0). ``decompose=False`` keeps the
+        finest-only scan; the property test pins the two bit-equal."""
+        segs = (
+            q3_segments(start_ns, end_ns, self.widths)
+            if decompose
+            else [(self.widths[0], start_ns, end_ns)]
+        )
+        by_width: dict[int, list[tuple[int, int]]] = defaultdict(list)
+        for w, lo, hi in segs:
+            by_width[w].append((lo, hi))
+        parts = []
+        for w, ranges in by_width.items():
+            df = self.levels[w]
+            if metric is not None:
+                df = df.filter(F.col("metric") == metric)
+            df = _date_pruned(
+                df,
+                "bucket_month",
+                min(lo for lo, _ in ranges),
+                max(hi for _, hi in ranges),
             )
-            .groupBy("metric")
+            pred = reduce(
+                lambda a, b: a | b,
+                (
+                    (F.col("bucket_start_ns") >= lo)
+                    & (F.col("bucket_start_ns") < hi)
+                    for lo, hi in ranges
+                ),
+            )
+            parts.append(df.filter(pred).select("metric", *AGG_FIELDS))
+        if not parts:  # empty range: keep the result schema, scan nothing
+            parts = [
+                self.levels[self.widths[0]]
+                .filter(F.lit(False))
+                .select("metric", *AGG_FIELDS)
+            ]
+        merged = reduce(DataFrame.unionByName, parts)
+        return (
+            merged.groupBy("metric")
             .agg(
                 F.min("minimum").alias("minimum"),
                 F.max("maximum").alias("maximum"),

@@ -85,3 +85,51 @@ def test_monotonic_filter_drops_out_of_order(spark):
 )
 def test_level_router_boundaries(interval_max, expected):
     assert choose_level(LEVEL_WIDTHS, interval_max) == expected
+
+
+def _rows(df):
+    return sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_q3_decomposition_equals_finest_only(spark, sf_dir):
+    """(f) Q3 level decomposition (reference A9): answering from coarse
+    interior + finer edge buckets is BIT-equal to the finest-only scan —
+    on the registered range and on random unaligned ranges (edge spans,
+    sub-coarse-width spans, empty spans)."""
+    import random
+
+    svc = service(spark, sf_dir)
+    rnd = random.Random(42)
+    span = END_NS - START_NS
+    ranges = [(START_NS, END_NS)]
+    for _ in range(6):
+        s = START_NS + rnd.randrange(-span // 4, span // 2)
+        e = s + rnd.randrange(0, span)
+        ranges.append((s, e))
+    ranges.append((START_NS + 17, START_NS + 17))        # empty
+    ranges.append((START_NS + 1, START_NS + W0 // 2))    # sub-bucket span
+    for s, e in ranges:
+        dec = _rows(svc.aggregate(None, s, e, decompose=True))
+        fin = _rows(svc.aggregate(None, s, e, decompose=False))
+        assert dec == fin, (s, e)
+
+
+def test_q3_decomposition_reads_coarse_tables(spark, sf_dir):
+    """Plan assertion: the decomposed Q3 over the registered (15-day)
+    range scans the coarse level stores for the interior — all three
+    materialized level_<width> parquet paths appear in the physical plan,
+    while the finest-only plan touches only level_<w0>."""
+    svc = service(spark, sf_dir)
+    dec_plan = svc.aggregate(
+        None, START_NS, END_NS, decompose=True
+    )._jdf.queryExecution().executedPlan().toString()
+    fin_plan = svc.aggregate(
+        None, START_NS, END_NS, decompose=False
+    )._jdf.queryExecution().executedPlan().toString()
+    for w in LEVEL_WIDTHS:
+        assert f"level_{w}" in dec_plan, f"decomposed plan misses level_{w}"
+    assert f"level_{LEVEL_WIDTHS[0]}" in fin_plan
+    for w in LEVEL_WIDTHS[1:]:
+        assert f"level_{w}" not in fin_plan
