@@ -911,6 +911,91 @@ def llm_similarity_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> Data
     return out.select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim"))
 
 
+@register(
+    "llm_similarity_recall_ivf",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+{_kmeans_ctes(k=8, rounds=3, dim=64)},
+n AS (
+  SELECT a.vec_id, a.cell, a.v, sqrt(list_dot_product(a.v, a.v)) AS nrm
+  FROM asg3 a
+),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 8),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, c.c)
+               + list_dot_product(c.c, c.c), c.cell) AS rn
+    FROM q, cent2 c) WHERE rn <= 2),
+ivf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT s.query_id, s.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY s.query_id
+                              ORDER BY s.rawsim DESC, s.vec_id) AS rank
+    FROM (
+      SELECT q.query_id, c.vec_id,
+             list_dot_product(c.v, q.qv) / (c.nrm * q.qnrm) AS rawsim
+      FROM n c JOIN probes p ON c.cell = p.cell
+      JOIN q ON q.query_id = p.query_id
+      WHERE c.vec_id <> q.query_id) s
+  ) t WHERE rank <= 5),
+brute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT s.query_id, s.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY s.query_id
+                              ORDER BY s.rawsim DESC, s.vec_id) AS rank
+    FROM (
+      SELECT q.query_id, c.vec_id,
+             list_dot_product(c.v, q.qv) / (c.nrm * q.qnrm) AS rawsim
+      FROM n c CROSS JOIN q WHERE c.vec_id <> q.query_id) s
+  ) t WHERE rank <= 5)
+SELECT b.query_id, COUNT(*) AS n_true,
+       CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits,
+       ROUND(CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+FROM brute b LEFT JOIN ivf i
+  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+GROUP BY b.query_id
+""",
+    doc="Declared recall@5 of the multiprobe IVF search against the exact "
+    "brute-force ground truth, per query vector (VERDICT r6 next-step 5): "
+    "a green driver row PINS the search quality, so a quantizer change "
+    "that silently degrades recall fails the correctness gate, not just a "
+    "threshold test. Both sides are deterministic (seeded k-means, total "
+    "tie order), so recall is a stable exact aggregate. The join is "
+    "|q| x k rows — negligible next to the two searches it audits.",
+)
+def llm_similarity_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = embs(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 8)
+    brute = similarity.brute_force_topk(e, queries, k=5, dim=EMB_DIM).select(
+        "query_id", "vec_id"
+    )
+    asg, cents = similarity.kmeans_fit(e, k=8, dim=EMB_DIM, rounds=3)
+    corpus = e.join(asg, "vec_id")
+    ivf = similarity.ivf_topk_multiprobe(
+        corpus, cents, queries, k=5, nprobe=2, cell_col="cell", dim=EMB_DIM
+    ).select("query_id", "vec_id", F.lit(1).alias("hit"))
+    return (
+        brute.join(ivf, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "recall_at_k",
+            F.round(F.col("n_hits").cast("double") / F.col("n_true"), 6),
+        )
+        .orderBy("query_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus analysis (round 6): TF-IDF term importance + char-bigram entropy —
 # the classic corpus-statistics pair a pretraining pipeline runs alongside
