@@ -73,6 +73,13 @@ def q3_segments(
     a1 = -(-end_ns // w0) * w0    # buckets with start < end (trailing
     #                               partial bucket included whole — same
     #                               semantics as the finest-only filter)
+    # ceil-alignment overflows int64 for an open-ended range (serve's
+    # default end is TS_MAX_NS = 2^63-1), and F.lit of an over-long int
+    # dies in py4j with NumberFormatException. No bucket start can exceed
+    # TS_MAX_NS, so an unaligned cap preserves "bucket_start < end"
+    # exactly: the finest segment filters `< a1` directly and coarser
+    # levels floor-align their interior span from it.
+    a1 = min(a1, (1 << 63) - 1)
     if a0 >= a1:
         return []
     usable = sorted((w for w in widths_ns if w % w0 == 0), reverse=True)
@@ -86,7 +93,9 @@ def _decompose(
         return []
     w = widths_desc[0]
     if len(widths_desc) == 1:
-        return [(w, a0, a1)]  # finest level: a0/a1 are w-aligned
+        return [(w, a0, a1)]  # finest level: a0 is w-aligned (a1 may be
+        #                       the unaligned TS_MAX cap — used only as an
+        #                       exclusive upper bound, so still exact)
     lo = -(-a0 // w) * w      # first w-aligned start >= a0
     hi = (a1 // w) * w        # last w bucket fully inside [a0, a1)
     if lo >= hi:

@@ -116,6 +116,19 @@ def test_q3_decomposition_equals_finest_only(spark, sf_dir):
         assert dec == fin, (s, e)
 
 
+def test_q3_open_ended_range_does_not_overflow(spark, sf_dir):
+    """Regression: serve's default end is TS_MAX_NS = 2^63-1; ceil-aligning
+    it to the finest width overflowed int64 and py4j rejected the literal
+    (NumberFormatException from Column.lt). The open-ended decomposed scan
+    must run and equal the finest-only scan."""
+    from metricq_db_hta_spark.functions.timeutil import TS_MAX_NS
+
+    svc = service(spark, sf_dir)
+    dec = _rows(svc.aggregate(None, 0, TS_MAX_NS, decompose=True))
+    fin = _rows(svc.aggregate(None, 0, TS_MAX_NS, decompose=False))
+    assert dec == fin and dec, "open-ended Q3 must return data"
+
+
 def test_q3_decomposition_reads_coarse_tables(spark, sf_dir):
     """Plan assertion: the decomposed Q3 over the registered (15-day)
     range scans the coarse level stores for the interior — all three
