@@ -201,6 +201,93 @@ def test_stream_seeds_watermark_from_store(spark, sf_dir, tmp_path):
     assert spark.read.parquet(svc.raw_path).count() == 5 + 2
 
 
+def test_stream_seed_join_100k_metrics_no_driver_collect(spark, tmp_path):
+    """VERDICT r6 next-step 4: the store-watermark seed must stay
+    distributed. 100,000 metric keys with per-key stored watermarks ride
+    the stream-static seed join into the stateful filter, while
+    ``DataFrame.collect`` / ``toPandas`` / ``toLocalIterator`` are BANNED
+    on the driver for the whole build+run — a regression to the old
+    per-metric driver dict fails loudly. Correctness: each key's
+    at-watermark sample drops, the above-watermark sample survives with
+    delta measured against the seeded store max."""
+    from pyspark.sql import DataFrame as _DF
+
+    from metricq_db_hta_spark.streaming.ingest_stream import (
+        SAMPLE_SCHEMA,
+        monotonic_stateful,
+    )
+
+    n_keys = 100_000
+    base = 1_700_000_000_000_000_000
+    sec = 1_000_000_000
+    keys = spark.range(n_keys).select(
+        F.concat(F.lit("m"), F.col("id")).alias("metric"), "id"
+    )
+    # per-key stored watermark: base + (id % 5) seconds
+    seed_df = keys.select(
+        "metric", (F.lit(base) + (F.col("id") % 5) * sec).alias("store_wm")
+    )
+    # two samples per key: one AT the stored watermark (must drop), one
+    # 3s above it (must keep, delta = 3s against the seeded max)
+    stream_rows = keys.select(
+        "metric",
+        "id",
+        F.posexplode(
+            F.array(
+                (F.lit(base) + (F.col("id") % 5) * sec),
+                (F.lit(base) + (F.col("id") % 5) * sec + 3 * sec),
+            )
+        ).alias("pos", "ts_ns"),
+    ).select(
+        "metric",
+        "ts_ns",
+        F.col("id").cast("double").alias("value"),
+        (F.col("id") * 2 + F.col("pos")).alias("event_id"),
+    )
+    input_dir = tmp_path / "in_seed100k"
+    input_dir.mkdir()
+    out_dir = str(tmp_path / "out_seed100k")
+    stream_rows.coalesce(4).write.parquet(str(input_dir / "c1"))
+
+    def _banned(self, *a, **k):  # pragma: no cover - only on regression
+        raise AssertionError("driver-side materialization in seed path")
+
+    originals = {
+        name: getattr(_DF, name)
+        for name in ("collect", "toPandas", "toLocalIterator")
+    }
+    for name in originals:
+        setattr(_DF, name, _banned)
+    try:
+        stream = (
+            spark.readStream.schema(SAMPLE_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(input_dir))
+        )
+        q = (
+            monotonic_stateful(stream, seed_df=seed_df)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "cp_seed100k"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        for name, fn in originals.items():
+            setattr(_DF, name, fn)
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == n_keys  # exactly the above-watermark sample
+    assert out.select("metric").distinct().count() == n_keys
+    # every surviving row's delta is the 3s gap to the SEEDED store max
+    bad = out.filter(F.col("delta_ns") != 3 * sec)
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
 def test_socket_source_feeds_pipeline(spark, tmp_path):
     """A1 live-source parity: samples arriving over a TCP socket run the
     same A2-A6 pipeline (monotonic filter included) into the store."""
