@@ -35,7 +35,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off for tests/bench (saves startup + listener overhead);
+        # SPARK_GRAFT_UI=1 turns it on for stage-level profiling via the
+        # REST API (scripts/floor_decompose.py)
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
         # Statically-estimated broadcasts are OFF. The planner's estimate is
         # compressed-file-size x pruning, which lies in both directions:
         # round 2's 64 MB threshold broadcast a 60M-row fact table at sf1
