@@ -122,8 +122,18 @@ LIMIT 10
     bench=True,
 )
 def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
+    # customer is a dimension in this engine's data model (TESTDATA/
+    # BASELINE recipe: dims stay broadcast-sized at scale by design), so
+    # the segment-filtered side is an explicit broadcast — the AQE path
+    # can only convert AFTER both map stages run, i.e. after the orders
+    # shuffle write (the expensive part: measured 0.612 s shuffled vs
+    # 0.148 s broadcast for this fragment at sf1) is already paid. If a
+    # deployment's customer scaled with the fact chain, dropping the hint
+    # degrades gracefully to the AQE-converted shuffle plan.
+    c = F.broadcast(
+        load_table(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
     )
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
@@ -155,12 +165,16 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
 GROUP BY n_name
 """,
-    doc="TPC-H-Q5 shape: 6-way join with small broadcast dims "
-    "(nation/region/supplier) + date-range filter + grouped revenue.",
+    doc="TPC-H-Q5 shape: 6-way join with broadcast dims "
+    "(customer/supplier/nation/region) + date-range filter + grouped "
+    "revenue; only the orders-lineitem fact chain shuffles.",
     bench=True,
 )
 def rel_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
+    # customer broadcast for the same reason as rel_q3: it is a declared
+    # dimension table, and the static hint is the only way to skip the
+    # orders-side shuffle write that AQE conversion would still pay.
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
