@@ -125,8 +125,11 @@ def kafka_source(
     async_hta_service.hpp:327).
 
     Requires the ``spark-sql-kafka`` package on the cluster classpath —
-    not bundled in this container, so this constructs the plan only; the
-    first action raises a clear error if the connector is absent.
+    not bundled in this container. Without it, ``readStream.load`` fails
+    fast at construction with Spark's actionable find-data-source error
+    pointing at the Kafka integration guide (contract-tested:
+    tests/test_streaming.py::test_kafka_source_package_gate); there is
+    no silent fallback.
     """
     raw = (
         spark.readStream.format("kafka")

@@ -76,6 +76,65 @@ def test_no_trivially_true_band_predicate_in_plan(spark):
     assert "bk_a" in plan and "bk_b" in plan
 
 
+def test_s_curve_matches_analytic_collision_probability(spark):
+    """(b, r) calibration (VERDICT r6 next-step 7): the banded LSH's
+    empirical candidate rate at controlled Jaccard similarities must track
+    the analytic S-curve P(s) = 1 - (1 - s^r)^b. Pairs are constructed
+    with EXACT Jaccard (n tokens per doc, m shared => J = m/(2n-m)) in
+    disjoint token namespaces, minhashed with the real pipeline
+    (md5 + Kirsch-Mitzenmacher), n_hashes=16, bands=4 (r=4). The check is
+    deterministic — fixed token strings give a fixed md5 stream — so the
+    tolerances only absorb the one-shot sampling deviation of 150 pairs
+    per level (4-5 sigma), not run-to-run noise. A refactor that breaks
+    the banding math (value-sorted keys, band-index loss, wrong r) moves
+    these rates far outside the bands."""
+    import math
+
+    n_hashes, bands = 16, 4
+    r = n_hashes // bands
+    n_pairs = 150
+    # (n, m) -> exact Jaccard m / (2n - m)
+    levels = [(13, 6), (16, 12), (19, 17)]
+    rows = []
+    for lvl, (n, m) in enumerate(levels):
+        for p in range(n_pairs):
+            a_id = lvl * 1_000_000 + 2 * p
+            b_id = a_id + 1
+            shared = [f"L{lvl}p{p}s{t}" for t in range(m)]
+            for tok in shared + [f"L{lvl}p{p}a{t}" for t in range(n - m)]:
+                rows.append((a_id, tok))
+            for tok in shared + [f"L{lvl}p{p}b{t}" for t in range(n - m)]:
+                rows.append((b_id, tok))
+    tokens = spark.createDataFrame(rows, "doc_id long, token string")
+    got = {
+        (row.id_a, row.id_b)
+        for row in dedup.lsh_candidate_pairs_from_tokens(
+            tokens, n_hashes, bands
+        ).collect()
+    }
+    rates = []
+    for lvl, (n, m) in enumerate(levels):
+        hits = sum(
+            (lvl * 1_000_000 + 2 * p, lvl * 1_000_000 + 2 * p + 1) in got
+            for p in range(n_pairs)
+        )
+        j = m / (2 * n - m)
+        expected = 1 - (1 - j**r) ** bands
+        emp = hits / n_pairs
+        sigma = math.sqrt(expected * (1 - expected) / n_pairs)
+        assert abs(emp - expected) <= max(5 * sigma, 0.04), (
+            f"J={j:.3f}: empirical {emp:.3f} vs analytic {expected:.3f} "
+            f"(5 sigma = {5 * sigma:.3f})"
+        )
+        rates.append(emp)
+    # the S must actually be an S: strictly increasing across levels
+    assert rates[0] < rates[1] < rates[2], rates
+    # no cross-pair contamination: every candidate is a constructed pair
+    assert all(b == a + 1 and a % 2 == 0 for a, b in got), (
+        sorted(got)[:5]
+    )
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     """ADVICE r1: a pair graph whose diameter exceeds the iteration cap
     must raise, not return partially-propagated (wrong) cluster ids."""
