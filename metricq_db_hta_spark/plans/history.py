@@ -37,6 +37,14 @@ from pyspark.sql import functions as F
 from metricq_db_hta_spark.operators.hta import AGG_FIELDS
 
 
+#: Q3 auto-router threshold: decompose across levels only when the
+#: finest-only scan would cover more than this many bucket rows per
+#: metric. At the reference's 40 s finest width this is ~7.6 days — short
+#: dashboards take the single pruned scan, archival ranges take the
+#: O(levels)-row decomposition. See HistoryService.aggregate.
+AUTO_DECOMPOSE_MIN_BUCKETS = 16384
+
+
 def choose_level(widths_ns: list[int], interval_max_ns: int) -> int | None:
     """Coarsest level width <= interval_max; None => raw fallthrough for
     FLEX queries, finest level for AGGREGATE_TIMELINE."""
@@ -186,17 +194,32 @@ class HistoryService:
         metric: str | None,
         start_ns: int,
         end_ns: int,
-        decompose: bool = True,
+        decompose: bool | str = "auto",
     ) -> DataFrame:
         """Q3: one merged Aggregate per metric over [start, end).
 
-        ``decompose=True`` (default) answers from coarse interior buckets
-        plus recursively finer edge buckets (reference A9 — ``q3_segments``
+        ``decompose=True`` answers from coarse interior buckets plus
+        recursively finer edge buckets (reference A9 — ``q3_segments``
         documents the exactness argument): each level is scanned once with
         an OR of at most two tight bucket ranges, the per-level slices
         union, and a single groupBy(metric) merges them — O(levels*factor)
         rows read instead of O(range / w0). ``decompose=False`` keeps the
-        finest-only scan; the property test pins the two bit-equal."""
+        finest-only scan; the property test pins the two bit-equal.
+
+        ``"auto"`` (default) is the cost-based router: the reference
+        always decomposes because its in-process tree walk is free
+        (async_hta_service.hpp:442-464), but on Spark each extra level
+        table is an extra scan stage (~0.1-0.2 s of plan/stage overhead —
+        measured: decomposing a 360-bucket range DOUBLED the bench query,
+        0.17 -> 0.32 s resident). Decompose only when the finest-only
+        scan would read more than AUTO_DECOMPOSE_MIN_BUCKETS bucket rows
+        per metric — below that the single pruned scan is strictly
+        cheaper; far above it (the open-ended serve default) the
+        decomposition's O(levels) rows win by orders of magnitude."""
+        if decompose == "auto":
+            w0 = self.widths[0]
+            span = max(0, min(end_ns, (1 << 63) - 1) - start_ns)
+            decompose = span // w0 > AUTO_DECOMPOSE_MIN_BUCKETS
         segs = (
             q3_segments(start_ns, end_ns, self.widths)
             if decompose

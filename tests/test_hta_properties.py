@@ -116,6 +116,28 @@ def test_q3_decomposition_equals_finest_only(spark, sf_dir):
         assert dec == fin, (s, e)
 
 
+def test_q3_auto_router_picks_plan_by_span(spark, sf_dir):
+    """decompose='auto' (the default) is a cost-based router: a short
+    range (the 15-day registered window, 360 finest buckets) must take
+    the single finest-level scan — decomposing it measurably DOUBLED the
+    bench query — while an open-ended range (serve's default) must take
+    the O(levels)-row decomposition and touch the coarse tables."""
+    from metricq_db_hta_spark.functions.timeutil import TS_MAX_NS
+
+    svc = service(spark, sf_dir)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    short = plan(svc.aggregate(None, START_NS, END_NS))
+    assert f"level_{LEVEL_WIDTHS[0]}" in short
+    for w in LEVEL_WIDTHS[1:]:
+        assert f"level_{w}" not in short, f"short span wrongly decomposed to level_{w}"
+    wide = plan(svc.aggregate(None, 0, TS_MAX_NS))
+    for w in LEVEL_WIDTHS:
+        assert f"level_{w}" in wide, f"open-ended span misses level_{w}"
+
+
 def test_q3_open_ended_range_does_not_overflow(spark, sf_dir):
     """Regression: serve's default end is TS_MAX_NS = 2^63-1; ceil-aligning
     it to the finest width overflowed int64 and py4j rejected the literal
