@@ -47,3 +47,31 @@ def test_explicit_dim_hint_still_broadcasts(spark, sf_dir):
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q3_q5_broadcast_exactly_the_dims(spark, sf_dir):
+    """Round-7 tuning guard: rel_q3/rel_q5 must broadcast their dimension
+    sides (customer; q5 also supplier/nation/region) and keep the
+    orders-lineitem fact edge as a shuffled join — a lost customer hint
+    reintroduces the orders map-stage shuffle write AQE cannot avoid
+    (measured 0.612 vs 0.148 s on the sf1 fragment), while a broadcast
+    lineitem would rebuild the round-2 fact-broadcast misplan."""
+    from metricq_db_hta_spark.queries import REGISTRY
+
+    for name, n_bcast in (
+        ("rel_q3_shipping_priority", 1),
+        ("rel_q5_local_supplier_volume", 4),
+    ):
+        plan = _initial_plan(REGISTRY[name].spark(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") == n_bcast, (name, plan)
+        # the fact edge stays shuffled
+        assert "SortMergeJoin [o_orderkey" in plan or (
+            "SortMergeJoin" in plan and "l_orderkey" in plan
+        ), (name, plan)
+        # lineitem is never a broadcast build side: its scan must feed an
+        # Exchange, not a BroadcastExchange (check via the build-side
+        # relation list: no broadcast exchange subtree scans lineitem)
+        import re
+
+        for m in re.finditer(r"BroadcastExchange[\s\S]{0,2000}?FileScan parquet \[([^\]]*)\]", plan):
+            assert "l_orderkey" not in m.group(1), (name, m.group(1))
