@@ -40,9 +40,7 @@ from metricq_db_hta_spark.queries import relational  # noqa: F401
 # machine-readable PENDING_NEXT_WINDOW promise: scripts/window_coverage.py
 # exempts them from its never-checked failure, and the round-8 window must
 # include (and thereby drain) them.
-PENDING_NEXT_WINDOW = [
-    "llm_similarity_recall_ivf",
-]
+PENDING_NEXT_WINDOW: list[str] = []
 _WINDOW = [
     # (1) PENDING_NEXT_WINDOW drain — first driver row ever
     "llm_tfidf_top_terms",
@@ -82,10 +80,14 @@ _WINDOW = [
     "udf_grouped_agg_geomean",
     "udf_pandas_scalar_normalize",
     "udf_udtf_explode_buckets",
-    # (3) r06-green re-checks: code modified this round + headline bench
+    # (3) r06-green re-checks: code modified this round + headline bench.
+    # llm_similarity_recall_ivf (added this round) drains here instead of
+    # waiting a round in PENDING_NEXT_WINDOW: it runs brute AND multiprobe
+    # internally and pins their agreement, so it strictly supersedes the
+    # multiprobe re-check slot it takes (multiprobe stays r06-green).
     "llm_repetition_filter",
     "llm_similarity_topk_brute",
-    "llm_similarity_topk_ivf_multiprobe",
+    "llm_similarity_recall_ivf",
     "hta_q3_aggregate",
     "rel_q1_pricing_summary",
     "rel_q3_shipping_priority",
