@@ -148,3 +148,28 @@ def test_brute_topk_all_null_queries_with_dim(spark):
     rows = similarity.brute_force_topk(corpus, queries, k=2, dim=2).collect()
     assert len(rows) == 2
     assert all(r["sim"] == 0.0 for r in rows)
+
+
+def test_python_stage_coalesce_sizing(spark, sf_dir, tmp_path):
+    """Task sizing for Python scoring stages: a small file source
+    coalesces to ceil(bytes / 1 MiB) tasks; already-coarse and
+    non-file-backed frames are left untouched (coalesce never increases
+    partition count; best-effort sizing must never break a plan)."""
+    import math
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sz = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet"))
+    target = max(1, math.ceil(sz / (1 << 20)))
+    out = similarity._python_stage_coalesce(emb)
+    assert out.rdd.getNumPartitions() <= max(
+        target, emb.rdd.getNumPartitions()
+    )
+    if emb.rdd.getNumPartitions() > target:
+        assert out.rdd.getNumPartitions() == target
+
+    # in-memory (non-file) frame: untouched
+    mem = spark.range(1000).repartition(16)
+    assert (
+        similarity._python_stage_coalesce(mem).rdd.getNumPartitions() == 16
+    )
