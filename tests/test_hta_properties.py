@@ -168,3 +168,52 @@ def test_q3_decomposition_reads_coarse_tables(spark, sf_dir):
     assert f"level_{LEVEL_WIDTHS[0]}" in fin_plan
     for w in LEVEL_WIDTHS[1:]:
         assert f"level_{w}" not in fin_plan
+
+
+# -- q3_segments: pure decomposition math under hypothesis ------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from metricq_db_hta_spark.plans.history import q3_segments
+
+_W0 = 40_000_000_000  # the reference's 40 s finest width
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    start=st.integers(min_value=-(2**40), max_value=2**62),
+    span=st.integers(min_value=0, max_value=2**45),
+    n_levels=st.integers(min_value=1, max_value=5),
+    factor=st.sampled_from([2, 10]),
+)
+def test_q3_segments_tile_exactly(start, span, n_levels, factor):
+    """The decomposition must tile the covered finest-bucket range
+    EXACTLY: segments are disjoint, contiguous, cover [ceil(start), 
+    ceil(end)) completely, each segment is aligned to its own width
+    (except the TS_MAX cap), and widths come only from the level set.
+    Any violation double-counts or drops buckets — a silent wrong
+    answer for Q3."""
+    widths = [_W0 * factor**k for k in range(n_levels)]
+    end = start + span
+    segs = q3_segments(start, end, widths)
+    a0 = -(-start // _W0) * _W0
+    a1 = min(-(-end // _W0) * _W0, (1 << 63) - 1)
+    if a0 >= a1:
+        assert segs == []
+        return
+    assert all(w in widths for w, _, _ in segs)
+    # per-segment alignment: lo aligned to w; hi aligned unless capped
+    for w, lo, hi in segs:
+        assert lo % w == 0
+        assert hi % w == 0 or hi == (1 << 63) - 1
+        assert lo < hi
+    # disjoint + contiguous + exact cover of [a0, a1)
+    spans = sorted((lo, hi) for _, lo, hi in segs)
+    assert spans[0][0] == a0
+    assert spans[-1][1] == a1
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 == l2, "gap or overlap between segments"
+    # a coarse segment only covers ground an even multiple of finer widths
+    # (substitutability): every non-finest segment's span is a whole
+    # number of ITS OWN buckets, already implied by alignment above.
