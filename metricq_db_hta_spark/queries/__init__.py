@@ -40,7 +40,9 @@ from metricq_db_hta_spark.queries import relational  # noqa: F401
 # machine-readable PENDING_NEXT_WINDOW promise: scripts/window_coverage.py
 # exempts them from its never-checked failure, and the round-8 window must
 # include (and thereby drain) them.
-PENDING_NEXT_WINDOW: list[str] = []
+PENDING_NEXT_WINDOW = [
+    "llm_dedup_survivors",
+]
 _WINDOW = [
     # (1) PENDING_NEXT_WINDOW drain — first driver row ever
     "llm_tfidf_top_terms",

@@ -740,6 +740,67 @@ def llm_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_dedup_survivors",
+    oracle=f"""WITH RECURSIVE {SHINGLES_CTE.strip()},
+{MINHASH_CTE.strip()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+),
+clusters AS (
+  SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id
+)
+SELECT d.lang,
+       COUNT(*) AS n_survivors,
+       CAST(SUM(LENGTH(d.text)) AS BIGINT) AS survivor_chars,
+       MIN(d.doc_id) AS min_survivor_id
+FROM documents d
+LEFT JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+GROUP BY d.lang
+ORDER BY d.lang
+""",
+    doc="The dedup pipeline's end product: the SURVIVING corpus. Each "
+    "near-dup component (connected components over the MinHash-LSH pair "
+    "graph) keeps exactly its canonical representative (min doc_id); "
+    "documents in no component pass through untouched. Per-language "
+    "survivor counts/chars make the result a compact deterministic "
+    "aggregate. Scale shape: the cluster table is |clustered docs| rows "
+    "(corpus-sized worst case), joined to documents on doc_id — an "
+    "equi-join Spark shuffles on the id both sides, no all-pairs "
+    "anywhere.",
+)
+def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir)
+    toks = dedup.doc_shingles(d, distinct=False)
+    pairs = dedup.lsh_candidate_pairs_from_tokens(toks, N_HASHES, BANDS)
+    clusters = dedup.connected_components(pairs)
+    removed = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return (
+        d.join(removed, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_survivors"),
+            F.sum(F.length("text")).cast("long").alias("survivor_chars"),
+            F.min("doc_id").alias("min_survivor_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "llm_stratified_sample",
     oracle="""
 WITH assigned AS (
