@@ -42,6 +42,8 @@ from metricq_db_hta_spark.queries import relational  # noqa: F401
 # include (and thereby drain) them.
 PENDING_NEXT_WINDOW = [
     "llm_dedup_survivors",
+    "rel_unpivot",
+    "rel_window_distribution",
 ]
 _WINDOW = [
     # (1) PENDING_NEXT_WINDOW drain — first driver row ever

@@ -801,6 +801,68 @@ def rel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_unpivot",
+    oracle="""
+SELECT measure, COUNT(*) AS n,
+       ROUND(SUM(val), 2) AS total, ROUND(MIN(val), 2) AS lo,
+       ROUND(MAX(val), 2) AS hi
+FROM (
+  SELECT l_orderkey, 'quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'tax', l_tax FROM lineitem
+) t GROUP BY measure
+""",
+    doc="UNPIVOT / melt: wide measure columns to (measure, value) rows via "
+    "Spark's native unpivot (Expand node — one pass over the scan, no "
+    "self-union re-reads), re-aggregated per measure. The oracle spells "
+    "the same relation as a UNION ALL, the portable equivalent.",
+)
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).withColumn(
+        "measure",
+        F.element_at(F.split(F.col("measure"), "_", 2), 2),
+    )
+    return long.groupBy("measure").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("val"), 2).alias("total"),
+        F.round(F.min("val"), 2).alias("lo"),
+        F.round(F.max("val"), 2).alias("hi"),
+    )
+
+
+@register(
+    "rel_window_distribution",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+""",
+    doc="Distribution window functions (percent_rank + cume_dist) per "
+    "nation partition with a total tie order — the remaining ranking-"
+    "family surface beyond rank/dense_rank/ntile.",
+)
+def rel_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
     "rel_set_union",
     oracle="""
 SELECT user_id, COUNT(*) AS n FROM (
