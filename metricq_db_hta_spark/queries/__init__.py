@@ -44,6 +44,7 @@ PENDING_NEXT_WINDOW = [
     "llm_dedup_survivors",
     "rel_unpivot",
     "rel_window_distribution",
+    "rel_join_lateral",
 ]
 _WINDOW = [
     # (1) PENDING_NEXT_WINDOW drain — first driver row ever

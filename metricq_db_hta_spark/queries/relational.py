@@ -801,6 +801,55 @@ def rel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_join_lateral",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN t.top_price IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_no_lineitems,
+       CAST(SUM(CAST(round(t.top_price * 100) AS BIGINT)) AS BIGINT)
+           AS sum_top_cents
+FROM orders o
+LEFT JOIN LATERAL (SELECT MAX(l.l_extendedprice) AS top_price
+                   FROM lineitem l
+                   WHERE l.l_orderkey = o.o_orderkey) t ON TRUE
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    doc="LATERAL correlated subquery (per-order top lineitem price): "
+    "Catalyst decorrelates the lateral aggregate into a plain "
+    "aggregate-then-join — the scale-safe plan — rather than re-executing "
+    "the subquery per outer row. LEFT JOIN LATERAL explicitly (not the "
+    "comma form): DuckDB decorrelates comma-LATERAL to an INNER join and "
+    "drops outer rows with no match, Spark keeps the standard one-row "
+    "empty aggregate — the explicit join pins identical semantics. Money "
+    "sums ride the scaled-cents trick (queries/base.py float rules).",
+)
+def rel_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__lat_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN t.top_price IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_no_lineitems,
+               CAST(SUM(CAST(rint(t.top_price * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_top_cents
+        FROM __lat_orders o
+        LEFT OUTER JOIN LATERAL
+            (SELECT MAX(l.l_extendedprice) AS top_price
+             FROM __lat_lineitem l
+             WHERE l.l_orderkey = o.o_orderkey) t
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+        """
+    )
+
+
+@register(
     "rel_unpivot",
     oracle="""
 SELECT measure, COUNT(*) AS n,
