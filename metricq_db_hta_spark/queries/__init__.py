@@ -42,6 +42,7 @@ from metricq_db_hta_spark.queries import relational  # noqa: F401
 # include (and thereby drain) them.
 PENDING_NEXT_WINDOW = [
     "llm_dedup_survivors",
+    "llm_decontaminate",
     "rel_unpivot",
     "rel_window_distribution",
     "rel_join_lateral",

@@ -740,6 +740,71 @@ def llm_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_decontaminate",
+    oracle=f"""WITH {SHINGLES_CTE.strip()},
+ev AS (SELECT doc_id AS eval_id, token FROM tok WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, token FROM tok WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT tr.doc_id,
+         COUNT(DISTINCT tr.token) AS shared_shingles,
+         COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+  FROM tr JOIN ev ON tr.token = ev.token
+  GROUP BY tr.doc_id
+)
+SELECT d.lang,
+       COUNT(*) AS n_train_docs,
+       CAST(SUM(CASE WHEN h.shared_shingles >= 5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(COALESCE(MAX(h.shared_shingles), 0) AS BIGINT) AS max_shared
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 97 <> 0
+GROUP BY d.lang
+ORDER BY d.lang
+""",
+    doc="Benchmark decontamination: flag training documents sharing >= 5 "
+    "distinct 3-word shingles with any eval-set document (the standard "
+    "n-gram contamination gate a pretraining pipeline runs before "
+    "training; eval set here is the deterministic doc_id % 97 == 0 "
+    "slice). Scale shape: one shuffle equi-join on the shingle token — "
+    "eval-set shingles are benchmark-sized, so AQE broadcasts the probe "
+    "side from runtime stats when it fits; never an all-pairs document "
+    "comparison.",
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir)
+    toks = dedup.doc_shingles(d)
+    ev = toks.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "token"
+    )
+    tr = toks.filter(F.col("doc_id") % 97 != 0)
+    hits = (
+        tr.join(ev, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("token").alias("shared_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+    train_docs = d.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train_docs.join(hits, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_train_docs"),
+            F.sum(
+                F.when(F.col("shared_shingles") >= 5, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_contaminated"),
+            F.coalesce(F.max("shared_shingles"), F.lit(0))
+            .cast("long")
+            .alias("max_shared"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "llm_dedup_survivors",
     oracle=f"""WITH RECURSIVE {SHINGLES_CTE.strip()},
 {MINHASH_CTE.strip()},
