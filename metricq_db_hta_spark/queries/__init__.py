@@ -17,6 +17,8 @@ from metricq_db_hta_spark.queries import udf_queries  # noqa: F401
 from metricq_db_hta_spark.queries import relational2  # noqa: F401
 from metricq_db_hta_spark.queries import hta_queries  # noqa: F401
 from metricq_db_hta_spark.queries import relational  # noqa: F401
+from metricq_db_hta_spark.queries import relational3  # noqa: F401
+from metricq_db_hta_spark.queries import llm2  # noqa: F401
 
 # Registry order is part of the driver contract: the correctness harness
 # records the first 50 entries each round. Round 7 window policy
@@ -46,6 +48,16 @@ PENDING_NEXT_WINDOW = [
     "rel_unpivot",
     "rel_window_distribution",
     "rel_join_lateral",
+    # second round-7 batch (relational3.py / llm2.py)
+    "rel_q6_forecast_revenue",
+    "rel_q10_returned_items",
+    "rel_q18_large_volume_customer",
+    "llm_pii_redact",
+    "llm_url_domain_filter",
+    "llm_chunk_dedup",
+    "llm_length_histogram",
+    "llm_source_mixing_weights",
+    "llm_unigram_logprob",
 ]
 _WINDOW = [
     # (1) PENDING_NEXT_WINDOW drain — first driver row ever

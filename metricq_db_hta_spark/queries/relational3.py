@@ -1,0 +1,173 @@
+"""Additional TPC-H-shaped relational queries (Q6/Q10/Q18 shapes).
+
+These widen the declared surface over the shapes the first batch
+(`relational.py` Q1/Q3/Q5) does not cover:
+
+* Q6  — predicate-only scan feeding an ungrouped scalar aggregate: the
+  purest pushdown test (every filter must reach the parquet scan; no
+  shuffle at all beyond the final partial-merge).
+* Q10 — a 4-table join pipeline that, unlike Q3/Q5, keys the final
+  aggregate on the *customer* grain, so the customer relation is part of
+  the aggregation key, not just a filter dim.
+* Q18 — aggregate-then-join: a HAVING-filtered aggregate over the fact
+  table reused as a semi-join filter against the same fact. Exercises the
+  "build a keyset from an aggregation, then re-join it" shape the other
+  queries don't.
+
+All money sums use the scaled-long exact sum (`base.msum`) so the doubles
+are bit-identical to the DuckDB oracle's DECIMAL(38,6) accumulation and the
+ORDER BY ... LIMIT tie-breaking is deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metricq_db_hta_spark.queries.base import (
+    msum,
+    register,
+    sql_dsum,
+)
+from metricq_db_hta_spark.sources.tables import load_table
+
+
+@register(
+    "rel_q6_forecast_revenue",
+    oracle=f"""
+SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H-Q6-shaped forecast-revenue-change: conjunctive range "
+    "predicates feeding an ungrouped scalar aggregate. All four filters "
+    "must reach the parquet scan (PushedFilters); no exchange beyond the "
+    "single-row partial merge.",
+)
+def rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # BETWEEN on the stored doubles: both engines compare the identical
+    # parquet-resident values against the same parsed literals, so the
+    # row set agrees exactly; the product is money-grain (2dp x 2dp).
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            msum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "rel_q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1999-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H-Q10-shaped returned-item report: 4-table join keyed on the "
+    "customer grain, ordered top-20 by lost revenue. Reference parity: the "
+    "multi-input join pipelines of metricq's history service have no "
+    "customer-grain analog; this is engine surface beyond the reference.",
+)
+def rel_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlike Q3/Q5 (customer used only as a filter -> broadcast it), Q10
+    aggregates ON customer attributes, so customer rows flow through the
+    aggregate. nation is the only always-tiny dim -> explicit broadcast;
+    the orders⋈customer join is left to AQE's runtime-size planning
+    because at 100 TB customer is fact-scale and must shuffle (the
+    o_orderdate quarter filter shrinks orders first, so the shuffle
+    carries one quarter of orders, not the full table)."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(msum(revenue).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        # msum == oracle's decimal sum bit-for-bit, so the revenue sort key
+        # agrees; c_custkey breaks exact-revenue ties deterministically.
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "rel_q18_large_volume_customer",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 200
+)
+SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+    doc="TPC-H-Q18-shaped large-volume-customer: HAVING-filtered aggregate "
+    "over the fact builds a keyset that semi-joins back against the same "
+    "fact (aggregate-then-rejoin shape).",
+)
+def rel_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `big` keyset is an aggregation of lineitem on l_orderkey; the
+    outer pipeline joins lineitem⋈orders on the same key. Spark plans both
+    aggregations over one l_orderkey hash partitioning, so the semi join is
+    exchange-free on the probe side; the keyset (orders exceeding the
+    quantity threshold — rare by construction) is broadcast by AQE at any
+    realistic selectivity. At 100 TB nothing here materializes more than
+    |lineitem| shuffled once on l_orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    # sum(l_quantity) is money-grain (integral-valued doubles <= 50), so the
+    # HAVING threshold compares exact sums on both engines.
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(msum("l_quantity").alias("order_qty"))
+        .filter(F.col("order_qty") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(msum("l_quantity").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
