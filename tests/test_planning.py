@@ -75,3 +75,52 @@ def test_q3_q5_broadcast_exactly_the_dims(spark, sf_dir):
 
         for m in re.finditer(r"BroadcastExchange[\s\S]{0,2000}?FileScan parquet \[([^\]]*)\]", plan):
             assert "l_orderkey" not in m.group(1), (name, m.group(1))
+
+
+def test_q6_pushes_all_filters_to_scan(spark, sf_dir):
+    """rel_q6 is the pure pushdown query: every conjunct (shipdate range,
+    discount band, quantity cap) must reach the parquet scan as a
+    PushedFilter — a filter evaluated only post-scan reads the whole
+    column range at 100 TB."""
+    from metricq_db_hta_spark.queries import REGISTRY
+
+    df = REGISTRY["rel_q6_forecast_revenue"].spark(spark, sf_dir)
+    # explain("formatted") prints PushedFilters untruncated (toString elides
+    # long filter lists with "...")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pushed = plan[plan.index("PushedFilters") :].split("]", 1)[0]
+    for want in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05",
+        "LessThanOrEqual(l_discount,0.07",
+        "LessThan(l_quantity,24",
+    ):
+        assert want in pushed, (want, pushed)
+
+
+def test_q10_broadcasts_nation_shuffles_customer(spark, sf_dir):
+    """rel_q10 aggregates ON the customer grain: customer is fact-scale at
+    100 TB and must NOT be statically broadcast (only nation is); the
+    fact chain shuffles."""
+    from metricq_db_hta_spark.queries import REGISTRY
+
+    plan = _initial_plan(REGISTRY["rel_q10_returned_items"].spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "n_nationkey" in plan.split("BroadcastHashJoin")[1].split("\n")[0], plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_unigram_lm_is_broadcast_not_shuffled(spark, sf_dir):
+    """llm_unigram_logprob scores the token stream against the corpus LM:
+    the LM (vocab-sized) must broadcast so scoring is map-side — a
+    shuffled word-key join would re-shuffle the whole token stream a
+    second time for no reason."""
+    from metricq_db_hta_spark.queries import REGISTRY
+
+    plan = _initial_plan(REGISTRY["llm_unigram_logprob"].spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 1, plan
