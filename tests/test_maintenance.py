@@ -1,0 +1,141 @@
+"""Raw-store compaction tests (operators/maintenance.py): rows preserved,
+files reduced, commit marker/recover() coherence, torn-compaction
+rollback and roll-forward."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from metricq_db_hta_spark.operators import maintenance
+from metricq_db_hta_spark.queries.hta_queries import W0, samples
+from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
+
+RAW_KEY = ["metric", "ts_ns", "value", "event_id", "delta_ns"]
+
+
+@pytest.fixture()
+def multi_batch_store(spark, sf_dir, tmp_path):
+    """A store with 3 committed batches: two time-split backfills (the
+    split point is a global ts threshold, so per-metric monotonicity holds
+    across them and nothing is dropped) plus a third with later rows."""
+    store = str(tmp_path / "store")
+    src = samples(spark, sf_dir).orderBy("event_id").limit(900)
+    ts = sorted(r[0] for r in src.select("ts_ns").collect())
+    t1, t2 = ts[len(ts) // 3], ts[2 * len(ts) // 3]
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc.backfill(src.filter(F.col("ts_ns") <= t1))
+    svc.backfill(src.filter((F.col("ts_ns") > t1) & (F.col("ts_ns") <= t2)))
+    svc.backfill(src.filter(F.col("ts_ns") > t2))
+    return store, svc
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, multi_batch_store):
+    store, svc = multi_batch_store
+    before = spark.read.parquet(svc.raw_path).select(*RAW_KEY)
+    n_before = before.count()
+    rows_before = before.collect()
+    files_before = maintenance._count_data_files(svc.raw_path)
+
+    res = maintenance.compact_raw(spark, store)
+    assert res is not None
+    assert sorted(res.sources) == [-3, -2, -1]
+    assert res.dest == -4
+    assert res.n_rows == n_before
+    assert res.n_files_after < res.n_files_before
+
+    after = spark.read.parquet(svc.raw_path).select(*RAW_KEY)
+    assert after.count() == n_before
+    assert (
+        after.exceptAll(spark.createDataFrame(rows_before, after.schema)).count()
+        == 0
+    )
+    assert maintenance._count_data_files(svc.raw_path) < files_before
+    # on-disk set is exactly the dest; the commit marker matches it, so
+    # recover() finds no suspects and no journal remains
+    assert maintenance._on_disk_batches(store) == {-4}
+    assert maintenance._committed_batches(store) == {-4}
+    assert svc.recover() == set()
+    assert not os.path.exists(maintenance._journal_path(store))
+
+
+def test_compact_noop_below_min_batches(spark, multi_batch_store):
+    store, _ = multi_batch_store
+    assert maintenance.compact_raw(spark, store, min_batches=4) is None
+
+
+def test_second_compaction_after_more_batches(spark, sf_dir, multi_batch_store):
+    """Compaction output is itself a committed batch: a later maintenance
+    run merges it with newer batches under a fresh dest id."""
+    store, svc = multi_batch_store
+    maintenance.compact_raw(spark, store)
+    late = samples(spark, sf_dir).orderBy("event_id").limit(1200)
+    svc.backfill(late)  # only the 300 unseen later rows survive the wm
+    n = spark.read.parquet(svc.raw_path).count()
+    res = maintenance.compact_raw(spark, store)
+    assert res is not None and res.dest == -6  # after -4 (compact), -5 (bf)
+    assert spark.read.parquet(svc.raw_path).count() == n
+
+
+def test_torn_writing_rolls_back(spark, multi_batch_store):
+    store, svc = multi_batch_store
+    n = spark.read.parquet(svc.raw_path).count()
+    # simulate a crash mid-dest-write: journal says writing, dest partial
+    dest_dir = maintenance._batch_dir(store, -4)
+    os.makedirs(os.path.join(dest_dir, "metric=torn"), exist_ok=True)
+    maintenance._write_journal(
+        store, {"state": "writing", "sources": [-3, -2, -1], "dest": -4}
+    )
+    with pytest.raises(RuntimeError, match="recover_compaction"):
+        maintenance.compact_raw(spark, store)
+    assert maintenance.recover_compaction(store) == "rolled_back"
+    assert not os.path.exists(dest_dir)
+    assert spark.read.parquet(svc.raw_path).count() == n
+    # store is clean: a fresh compaction succeeds
+    assert maintenance.compact_raw(spark, store) is not None
+
+
+def test_torn_written_rolls_forward(spark, multi_batch_store):
+    store, svc = multi_batch_store
+    rows = spark.read.parquet(svc.raw_path).select(*RAW_KEY)
+    n = rows.count()
+    # run a real compaction, then resurrect one source dir + a journal in
+    # the post-verification state: recovery must finish the deletes
+    src_dir = maintenance._batch_dir(store, -1)
+    backup = os.path.join(store, "batch_backup")  # outside raw/: the
+    # batch-dir listing parses every ingest_batch= entry under raw
+    shutil.copytree(src_dir, backup)
+    maintenance.compact_raw(spark, store)
+    shutil.copytree(backup, src_dir)
+    maintenance._write_journal(
+        store, {"state": "written", "sources": [-3, -2, -1], "dest": -4}
+    )
+    assert maintenance.recover_compaction(store) == "completed"
+    assert not os.path.exists(src_dir)
+    assert maintenance._on_disk_batches(store) == {-4}
+    assert maintenance._committed_batches(store) == {-4}
+    assert spark.read.parquet(svc.raw_path).count() == n
+
+
+def test_recover_compaction_without_journal_is_noop(spark, multi_batch_store):
+    store, _ = multi_batch_store
+    assert maintenance.recover_compaction(store) == "none"
+
+
+def test_compact_skips_uncommitted_batches(spark, multi_batch_store):
+    """An id missing from the commit marker (a mid-flight or torn batch)
+    must never be merged: it belongs to the streaming replay contract."""
+    store, svc = multi_batch_store
+    marker = os.path.join(store, "_last_commit.json")
+    with open(marker) as f:
+        m = json.load(f)
+    m["committed_batches"] = [-2, -1]  # pretend -3 is uncommitted
+    with open(marker, "w") as f:
+        json.dump(m, f)
+    res = maintenance.compact_raw(spark, store)
+    assert res is not None and sorted(res.sources) == [-2, -1]
+    assert -3 in maintenance._on_disk_batches(store)
