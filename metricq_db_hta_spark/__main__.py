@@ -8,6 +8,8 @@ Subcommands:
   history  --store DIR --type TYPE [--metric M]     Q1-Q4 over a store
            [--start NS] [--end NS] [--interval-max NS]
   query    --name NAME [--sf-dir DIR]               any declared query
+  compact  --store DIR [--min-batches N]            raw small-file OPTIMIZE
+  serve    --store DIR [--host H] [--port P]        resident history RPC
 
 Examples:
   python -m metricq_db_hta_spark ingest --input /data/chunks --store /data/hta
@@ -75,6 +77,10 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     pq.add_argument("--limit", type=int, default=20)
 
+    pc = sub.add_parser("compact")
+    pc.add_argument("--store", required=True)
+    pc.add_argument("--min-batches", type=int, default=2)
+
     ps = sub.add_parser("serve")
     ps.add_argument("--store", required=True)
     ps.add_argument("--host", default="127.0.0.1")
@@ -114,6 +120,24 @@ def main(argv: list[str] | None = None) -> int:
         else:
             df = svc.last_value(args.metric)
         df.show(100, truncate=False)
+        return 0
+
+    if args.cmd == "compact":
+        from metricq_db_hta_spark.operators import maintenance
+
+        action = maintenance.recover_compaction(args.store)
+        if action != "none":
+            print(f"recovered prior compaction: {action}", file=sys.stderr)
+        res = maintenance.compact_raw(spark, args.store, min_batches=args.min_batches)
+        if res is None:
+            print("nothing to compact", file=sys.stderr)
+        else:
+            print(
+                f"compacted batches {res.sources} -> {res.dest}: "
+                f"{res.n_files_before} files -> {res.n_files_after} "
+                f"({res.n_rows} rows)",
+                file=sys.stderr,
+            )
         return 0
 
     if args.cmd == "serve":

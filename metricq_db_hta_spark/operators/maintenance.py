@@ -172,6 +172,10 @@ def compact_raw(
         src.select(*RAW_COLS, tcol)
         .withColumn("ingest_batch", F.lit(plan.dest))
         .repartition("metric", tcol)
+        # ts-sorted output files: compaction is the one cheap moment to
+        # cluster rows so parquet row-group min/max on ts_ns actually
+        # prunes (source batches interleave arbitrary time slices)
+        .sortWithinPartitions("metric", tcol, "ts_ns")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_batch", "metric", tcol)

@@ -9,6 +9,7 @@ import os
 import shutil
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from metricq_db_hta_spark.operators import maintenance
@@ -139,3 +140,27 @@ def test_compact_skips_uncommitted_batches(spark, multi_batch_store):
     res = maintenance.compact_raw(spark, store)
     assert res is not None and sorted(res.sources) == [-2, -1]
     assert -3 in maintenance._on_disk_batches(store)
+
+
+def test_compacted_files_are_ts_sorted(spark, multi_batch_store):
+    """Compaction clusters rows by ts within each output file so parquet
+    row-group min/max pruning works on the merged data."""
+    store, svc = multi_batch_store
+    res = maintenance.compact_raw(spark, store)
+    dest = spark.read.parquet(svc.raw_path).filter(
+        F.col("ingest_batch") == res.dest
+    )
+    disorder = (
+        dest.withColumn("f", F.input_file_name())
+        .withColumn(
+            "prev",
+            F.lag("ts_ns").over(
+                Window.partitionBy("f", "metric").orderBy(
+                    F.monotonically_increasing_id()
+                )
+            ),
+        )
+        .filter(F.col("prev") > F.col("ts_ns"))
+        .count()
+    )
+    assert disorder == 0
