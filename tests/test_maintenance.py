@@ -164,3 +164,45 @@ def test_compacted_files_are_ts_sorted(spark, multi_batch_store):
         .count()
     )
     assert disorder == 0
+
+
+def test_compact_then_stream_restart(spark, sf_dir, tmp_path):
+    """The replay-safety claim, validated against the real streaming
+    checkpoint: ingest via the stream, compact the committed batches,
+    then restart the stream over the same input PLUS a new chunk. The
+    checkpoint must not replay compacted batches (they are committed),
+    the new chunk must land under a fresh non-negative id, and the store
+    must equal the no-compaction run row-for-row."""
+    src = samples(spark, sf_dir).orderBy("event_id").limit(600)
+    rows = src.collect()
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+
+    def write_chunk(name, data):
+        spark.createDataFrame(data, src.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(input_dir / name))
+
+    write_chunk("chunk1", rows[:400])
+    store = str(tmp_path / "store")
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc.run_until_drained(str(input_dir))
+
+    res = maintenance.compact_raw(spark, store, min_batches=1)
+    assert res is not None
+    compacted_ids = maintenance._on_disk_batches(store)
+
+    write_chunk("chunk2", rows[400:])
+    svc2 = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc2.run_until_drained(str(input_dir))
+
+    after = maintenance._on_disk_batches(store)
+    # the compacted id survived untouched and the new data arrived under
+    # fresh (non-negative, checkpoint-allocated) ids
+    assert compacted_ids <= after
+    assert all(b >= 0 for b in after - compacted_ids) and after != compacted_ids
+    raw = spark.read.parquet(svc.raw_path).select(*RAW_KEY)
+    assert raw.count() == 600
+    ref = spark.createDataFrame(rows, src.schema)
+    got = raw.select("metric", "ts_ns", "value")
+    assert got.exceptAll(ref.select("metric", "ts_ns", "value")).count() == 0
