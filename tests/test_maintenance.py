@@ -206,3 +206,23 @@ def test_compact_then_stream_restart(spark, sf_dir, tmp_path):
     ref = spark.createDataFrame(rows, src.schema)
     got = raw.select("metric", "ts_ns", "value")
     assert got.exceptAll(ref.select("metric", "ts_ns", "value")).count() == 0
+
+
+def test_compact_day_partitioned_store(spark, sf_dir, tmp_path):
+    """tcol autodetection: a raw_partition='day' store compacts on
+    (metric, ts_date) instead of ts_month."""
+    store = str(tmp_path / "store_day")
+    src = samples(spark, sf_dir).orderBy("event_id").limit(400)
+    ts = sorted(r[0] for r in src.select("ts_ns").collect())
+    mid = ts[len(ts) // 2]
+    svc = StreamingIngest(
+        spark, store, level_widths_ns=(W0,), raw_partition="day"
+    )
+    svc.backfill(src.filter(F.col("ts_ns") <= mid))
+    svc.backfill(src.filter(F.col("ts_ns") > mid))
+    n = spark.read.parquet(svc.raw_path).count()
+    res = maintenance.compact_raw(spark, store)
+    assert res is not None and res.n_rows == n
+    after = spark.read.parquet(svc.raw_path)
+    assert "ts_date" in after.columns
+    assert after.count() == n
