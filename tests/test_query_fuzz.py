@@ -1,0 +1,167 @@
+"""Differential query fuzzing (SQLancer-style): hypothesis generates
+random filter/group/aggregate specs over lineitem; each spec is rendered
+BOTH as a Spark DataFrame pipeline and as DuckDB SQL and the results must
+match under the canonical comparison.
+
+This covers the combinatorial space the hand-written declared queries
+sample only pointwise: arbitrary predicate conjunctions x grouping
+choices x aggregate sets, including the empty-result and empty-group
+edges. Constants are drawn from the same value grids the data uses
+(2dp money, day-granular timestamps, enum strings), so literals parse to
+identical values in both engines and every comparison is exact — any
+mismatch is an engine-semantics bug, not float noise.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from metricq_db_hta_spark import oracle
+from metricq_db_hta_spark.queries.base import bsum, msum, sql_dsum
+from metricq_db_hta_spark.sources.tables import load_table
+
+# predicate atoms: (column, [grid of constants]) — all constants exist in
+# or bracket the actual sf0.001 value ranges so filters hit every
+# selectivity from empty to full
+NUM_COLS = {
+    "l_quantity": [1.0, 10.0, 25.0, 49.0],
+    "l_extendedprice": [1000.0, 20000.0, 60000.0],
+    "l_discount": [0.0, 0.03, 0.07, 0.1],
+    "l_orderkey": [100.0, 2000.0, 5000.0],
+}
+TS_CONSTS = ["1996-06-01", "1998-01-01", "2000-06-01"]
+STR_COLS = {
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["F", "O"],
+}
+OPS = ["<", "<=", ">", ">=", "="]
+
+num_pred = st.tuples(
+    st.sampled_from(sorted(NUM_COLS)), st.sampled_from(OPS), st.integers(0, 3)
+)
+ts_pred = st.tuples(
+    st.just("l_shipdate"), st.sampled_from(["<", ">="]), st.integers(0, 2)
+)
+str_pred = st.tuples(
+    st.sampled_from(sorted(STR_COLS)), st.just("="), st.integers(0, 2)
+)
+
+AGGS = ["count", "sum_qty", "sum_price", "min_qty", "max_price", "sum_key"]
+
+query_spec = st.fixed_dictionaries(
+    {
+        "preds": st.lists(
+            st.one_of(num_pred, ts_pred, str_pred), min_size=0, max_size=3
+        ),
+        "group": st.sampled_from(
+            [(), ("l_returnflag",), ("l_linestatus",), ("l_returnflag", "l_linestatus")]
+        ),
+        "aggs": st.lists(
+            st.sampled_from(AGGS), min_size=1, max_size=3, unique=True
+        ),
+        # optionally join orders on l_orderkey=o_orderkey and group by
+        # o_orderpriority instead — exercises join+agg combinations
+        "join_orders": st.booleans(),
+    }
+)
+
+
+def _const(col: str, idx: int):
+    if col == "l_shipdate":
+        return TS_CONSTS[idx % len(TS_CONSTS)]
+    if col in STR_COLS:
+        return STR_COLS[col][idx % len(STR_COLS[col])]
+    grid = NUM_COLS[col]
+    return grid[idx % len(grid)]
+
+
+_SPARK_AGG = {
+    "count": lambda: F.count("*").alias("n"),
+    "sum_qty": lambda: msum("l_quantity").alias("sum_qty"),
+    "sum_price": lambda: msum("l_extendedprice").alias("sum_price"),
+    "min_qty": lambda: F.min("l_quantity").alias("min_qty"),
+    "max_price": lambda: F.max("l_extendedprice").alias("max_price"),
+    "sum_key": lambda: bsum("l_orderkey").alias("sum_key"),
+}
+_SQL_AGG = {
+    "count": "COUNT(*) AS n",
+    "sum_qty": f"{sql_dsum('l_quantity')} AS sum_qty",
+    "sum_price": f"{sql_dsum('l_extendedprice')} AS sum_price",
+    "min_qty": "MIN(l_quantity) AS min_qty",
+    "max_price": "MAX(l_extendedprice) AS max_price",
+    "sum_key": "CAST(SUM(l_orderkey) AS BIGINT) AS sum_key",
+}
+
+
+def _group_cols(spec):
+    if spec["join_orders"]:
+        return (*spec["group"], "o_orderpriority")
+    return spec["group"]
+
+
+def _spark_query(spark, sf_dir, spec):
+    df = load_table(spark, sf_dir, "lineitem")
+    if spec["join_orders"]:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        df = df.join(o, df.l_orderkey == o.o_orderkey)
+    for col, op, idx in spec["preds"]:
+        c = _const(col, idx)
+        lhs = F.col(col)
+        rhs = (
+            F.lit(c).cast("timestamp") if col == "l_shipdate" else F.lit(c)
+        )
+        expr = {
+            "<": lhs < rhs,
+            "<=": lhs <= rhs,
+            ">": lhs > rhs,
+            ">=": lhs >= rhs,
+            "=": lhs == rhs,
+        }[op]
+        df = df.filter(expr)
+    aggs = [_SPARK_AGG[a]() for a in spec["aggs"]]
+    group = _group_cols(spec)
+    if group:
+        return df.groupBy(*group).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def _oracle_sql(spec) -> str:
+    wheres = []
+    for col, op, idx in spec["preds"]:
+        c = _const(col, idx)
+        if col == "l_shipdate":
+            rhs = f"TIMESTAMP '{c} 00:00:00'"
+        elif col in STR_COLS:
+            rhs = f"'{c}'"
+        else:
+            rhs = repr(c)
+        wheres.append(f"{col} {op} {rhs}")
+    sel = [_SQL_AGG[a] for a in spec["aggs"]]
+    group = _group_cols(spec)
+    sql = "SELECT "
+    if group:
+        sel = [*group, *sel]
+    sql += ", ".join(sel) + " FROM lineitem"
+    if spec["join_orders"]:
+        sql += " JOIN orders ON l_orderkey = o_orderkey"
+    if wheres:
+        sql += " WHERE " + " AND ".join(wheres)
+    if group:
+        sql += " GROUP BY " + ", ".join(group)
+    return sql
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=query_spec)
+def test_random_query_matches_oracle(spark, duck, sf_dir, spec):
+    df = _spark_query(spark, sf_dir, spec)
+    mismatch = oracle.compare(df, duck, _oracle_sql(spec))
+    assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
