@@ -165,3 +165,120 @@ def test_random_query_matches_oracle(spark, duck, sf_dir, spec):
     df = _spark_query(spark, sf_dir, spec)
     mismatch = oracle.compare(df, duck, _oracle_sql(spec))
     assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
+
+
+# ---------------------------------------------------------------------------
+# window-function fuzzing: ranking + framed aggregates over a unique total
+# order. (l_orderkey, l_linenumber) alone is NOT unique in the synthetic
+# data (1161 duplicate pairs at sf0.001 — found by this very fuzzer), so
+# the order key is the 6-column combination verified unique across rows;
+# without a total order, framed sums are legitimately engine-divergent.
+# ---------------------------------------------------------------------------
+from pyspark.sql import Window  # noqa: E402
+
+ORDER_COLS = [
+    "l_orderkey",
+    "l_linenumber",
+    "l_partkey",
+    "l_suppkey",
+    "l_extendedprice",
+    "l_quantity",
+]
+
+WFUNCS = ["row_number", "rank", "sum_qty_frame", "min_price_frame", "lag_qty"]
+FRAMES = [(-2, 0), (-1, 1), (0, 2)]
+
+window_spec = st.fixed_dictionaries(
+    {
+        "partition": st.sampled_from([(), ("l_returnflag",), ("l_linestatus",)]),
+        "func": st.sampled_from(WFUNCS),
+        "frame": st.sampled_from(FRAMES),
+        "desc": st.booleans(),
+        # pre-filter keeps each example cheap and varies row counts
+        "key_cap": st.sampled_from([500, 2000, 10**9]),
+    }
+)
+
+
+def _spark_window(spark, sf_dir, spec):
+    df = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") <= spec["key_cap"]
+    )
+    order = [
+        F.col(c).desc() if spec["desc"] else F.col(c) for c in ORDER_COLS
+    ]
+    w = (
+        Window.partitionBy(*spec["partition"]).orderBy(*order)
+        if spec["partition"]
+        else Window.partitionBy(F.lit(1)).orderBy(*order)
+    )
+    lo, hi = spec["frame"]
+    fn = spec["func"]
+    if fn == "row_number":
+        val = F.row_number().over(w)
+    elif fn == "rank":
+        val = F.rank().over(w)
+    elif fn == "lag_qty":
+        val = F.lag("l_quantity").over(w)
+    elif fn == "sum_qty_frame":
+        val = msum2_frame("l_quantity", w.rowsBetween(lo, hi))
+    else:
+        val = F.min("l_extendedprice").over(w.rowsBetween(lo, hi))
+    return df.select(
+        "l_orderkey", "l_linenumber", val.alias("wval")
+    )
+
+
+def msum2_frame(col, w):
+    # framed sums run over <= 4 money-grain values: exact in double, but
+    # pin the accumulation order anyway via the scaled-long trick
+    scaled = F.rint(F.col(col) * 1_000_000.0).cast("long")
+    return (F.sum(scaled).over(w).cast("double") / 1e6).alias("wval")
+
+
+def _oracle_window_sql(spec) -> str:
+    part = (
+        "PARTITION BY " + ", ".join(spec["partition"])
+        if spec["partition"]
+        else ""
+    )
+    d = " DESC" if spec["desc"] else ""
+    order = "ORDER BY " + ", ".join(f"{c}{d}" for c in ORDER_COLS)
+    lo, hi = spec["frame"]
+
+    def bound(n, side):
+        if n == 0:
+            return "CURRENT ROW"
+        return f"{abs(n)} {'PRECEDING' if n < 0 else 'FOLLOWING'}"
+
+    frame = f"ROWS BETWEEN {bound(lo, 'lo')} AND {bound(hi, 'hi')}"
+    fn = spec["func"]
+    if fn == "row_number":
+        expr = f"row_number() OVER ({part} {order})"
+    elif fn == "rank":
+        expr = f"rank() OVER ({part} {order})"
+    elif fn == "lag_qty":
+        expr = f"lag(l_quantity) OVER ({part} {order})"
+    elif fn == "sum_qty_frame":
+        expr = (
+            f"CAST(SUM(CAST(round(l_quantity * 1000000) AS BIGINT)) "
+            f"OVER ({part} {order} {frame}) AS DOUBLE) / 1e6"
+        )
+    else:
+        expr = f"MIN(l_extendedprice) OVER ({part} {order} {frame})"
+    return (
+        f"SELECT l_orderkey, l_linenumber, {expr} AS wval FROM lineitem "
+        f"WHERE l_orderkey <= {spec['key_cap']}"
+    )
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=window_spec)
+def test_random_window_matches_oracle(spark, duck, sf_dir, spec):
+    df = _spark_window(spark, sf_dir, spec)
+    mismatch = oracle.compare(df, duck, _oracle_window_sql(spec))
+    assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
