@@ -108,8 +108,17 @@ class HistoryServer:
         (server, bound_port). ``server.shutdown()`` stops it."""
         handle = self.handle
 
+        spark = self.spark
+
         class _Handler(socketserver.StreamRequestHandler):
             def handle(self) -> None:  # one connection, many requests
+                # each connection thread gets its own scheduler pool: under
+                # FAIR mode (SPARK_GRAFT_SCHEDULER=FAIR) concurrent
+                # requests share executor slots fairly instead of queueing
+                # behind the largest scan; a harmless no-op under FIFO
+                spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", f"req-{threading.get_ident()}"
+                )
                 for line in self.rfile:
                     line = line.strip()
                     if not line:

@@ -34,6 +34,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # FIFO by default (single-workload bench/test determinism); a
+        # resident deployment serving concurrent history requests opts
+        # into FAIR so one long timeline scan cannot starve point reads —
+        # HistoryServer tags each connection with its own on-demand pool,
+        # which is a no-op under FIFO
+        .config(
+            "spark.scheduler.mode",
+            os.environ.get("SPARK_GRAFT_SCHEDULER", "FIFO"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # UI off for tests/bench (saves startup + listener overhead);
         # SPARK_GRAFT_UI=1 turns it on for stage-level profiling via the

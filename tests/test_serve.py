@@ -50,3 +50,44 @@ def test_history_server_answers_repeated_requests(spark, sf_dir, tmp_path):
         s.close()
     finally:
         server.shutdown()
+
+
+def test_history_server_concurrent_connections(spark, sf_dir, tmp_path):
+    """Multiple clients issue interleaved requests on their own
+    connections; every request gets a correct answer (Spark actions are
+    thread-safe across the ThreadingTCPServer's handler threads, each
+    tagged with its own scheduler pool)."""
+    import threading
+
+    src = samples(spark, sf_dir).limit(500)
+    store = str(tmp_path / "store_conc")
+    StreamingIngest(spark, store, level_widths_ns=(W0,)).backfill(src)
+    server, port = HistoryServer(spark, store, [W0]).start_background()
+    errors: list[str] = []
+
+    def client(i: int) -> None:
+        try:
+            s = socket.create_connection(("127.0.0.1", port), timeout=30)
+            s.settimeout(120)
+            f = s.makefile("rb")
+            for _ in range(3):
+                last = _rpc(f, s, {"type": "last_value", "metric": "click"})
+                assert last.get("n") == 1, last
+                tl = _rpc(
+                    f, s, {"type": "aggregate_timeline", "interval_max_ns": W0}
+                )
+                assert tl.get("n", 0) > 0, tl
+            s.close()
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"client {i}: {e!r}")
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=240)
+        assert not errors, errors
+        assert not any(t.is_alive() for t in threads), "client hung"
+    finally:
+        server.shutdown()
