@@ -8,39 +8,50 @@ files, and every history read pays an open/footer-parse per file
 (`spark.sql.files.openCostInBytes` models exactly this tax). Table
 formats solve it with OPTIMIZE / rewrite_data_files; on the plain-parquet
 store this module is that operation, built on the same batch-id
-namespace and commit-marker durability contract as the writer
-(`streaming/ingest_stream.py::StreamingIngest`).
+namespace and commit-marker durability contract as the writer — the
+marker format has one owner, `streaming/store_meta.py`, shared with
+`streaming/ingest_stream.py::StreamingIngest`.
 
 Protocol (write-new-then-delete, journaled):
 
-1. Pick source batch ids: COMMITTED ids only (the marker is the
-   replay barrier — a committed batch can never be replayed by the
-   streaming checkpoint, so merging it into a new id cannot race a
-   replay; uncommitted ids stay untouched and self-heal as usual).
+1. Pick source batch ids: ids that are BOTH store-marker-committed and —
+   for non-negative (streaming-owned) ids — recorded in the streaming
+   checkpoint's commits log. The marker alone is not a replay barrier:
+   it is written inside foreachBatch, before the engine's own commit
+   record, so a crash in that window leaves a marker-committed batch the
+   checkpoint will still replay on restart; merging it away would let
+   the replay resurrect it (duplicate rows). The checkpoint commits file
+   is the engine's replay barrier, so requiring both closes the window.
+   Uncommitted ids stay untouched and self-heal as usual.
 2. Allocate the destination id from the same descending-negative
    allocator as backfill (min(on-disk, 0) - 1): one namespace, no
    collisions by construction.
 3. Journal ``_compaction.json`` (atomic tmp+rename) with
    ``state=writing``, then rewrite the sources' rows under the dest id,
    repartitioned to one task per (metric, month) partition — the shuffle
-   IS the compaction: each output partition lands as one right-sized
-   file instead of one-per-source-batch.
+   IS the compaction: each output partition lands as one right-sized,
+   ts-sorted file instead of one-per-source-batch.
 4. Verify dest row count == source row count (parquet footer counts, no
    data pages), journal ``state=written``, delete the source partition
-   dirs, refresh the commit marker, remove the journal.
+   dirs (STRICT: a failed delete keeps the journal so recovery can
+   retry — silently proceeding would commit duplicated rows), update the
+   marker incrementally ((committed - sources) | {dest} — never
+   "everything on disk", which would mark unrelated torn batches
+   committed and disable their recover() repair), remove the journal.
 
 Crash recovery (:func:`recover_compaction`): ``writing`` -> the dest id
-is torn garbage and the sources are intact: delete dest, drop journal.
-``written`` -> dest is complete: finish deleting sources, refresh the
-marker, drop journal. Both idempotent.
+is torn garbage and the sources are intact: delete dest (strict — a
+partial dest left on disk is an uncommitted batch recover() would try to
+"repair" levels from), drop journal. ``written`` -> dest is complete:
+finish deleting sources, update the marker, drop journal. Both
+idempotent.
 
 Concurrency contract: like every plain-parquet OPTIMIZE, compaction
 assumes a quiesced maintenance window — between the dest write and the
 source delete, raw briefly holds both copies, so a concurrent reader
-could double-count and a concurrent ``recover()`` would treat the
-not-yet-committed dest id as torn. A transactional table format (Delta /
-Iceberg, unavailable in this container — README) removes that window;
-the journal bounds it to exactly one recover call.
+could double-count. A transactional table format (Delta / Iceberg,
+unavailable in this container — README) removes that window; the journal
+bounds it to exactly one recover call.
 """
 
 from __future__ import annotations
@@ -53,12 +64,14 @@ from dataclasses import dataclass
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from metricq_db_hta_spark.streaming import store_meta
+
 RAW_COLS = ["metric", "ts_ns", "value", "event_id", "delta_ns"]
 
 
 @dataclass(frozen=True)
 class CompactionPlan:
-    sources: list[int]  # committed batch ids to merge
+    sources: list[int]  # committed + replay-barriered batch ids to merge
     dest: int  # allocated destination batch id
     n_files_before: int  # data files across the source batches
 
@@ -72,47 +85,8 @@ class CompactionResult:
     n_rows: int
 
 
-def _raw_path(store_dir: str) -> str:
-    return os.path.join(store_dir, "raw")
-
-
 def _journal_path(store_dir: str) -> str:
     return os.path.join(store_dir, "_compaction.json")
-
-
-def _batch_dir(store_dir: str, batch_id: int) -> str:
-    return os.path.join(_raw_path(store_dir), f"ingest_batch={batch_id}")
-
-
-def _on_disk_batches(store_dir: str) -> set[int]:
-    raw = _raw_path(store_dir)
-    if not os.path.exists(raw):
-        return set()
-    return {
-        int(name.split("=", 1)[1])
-        for name in os.listdir(raw)
-        if name.startswith("ingest_batch=")
-    }
-
-
-def _committed_batches(store_dir: str) -> set[int]:
-    marker = os.path.join(store_dir, "_last_commit.json")
-    if not os.path.exists(marker):
-        return set()
-    with open(marker) as f:
-        return set(json.load(f).get("committed_batches", []))
-
-
-def _write_commit_marker(store_dir: str) -> None:
-    # same atomic tmp+rename as StreamingIngest._write_commit_marker: the
-    # marker must reflect exactly the on-disk batch set after compaction,
-    # or recover() would "repair" batches that no longer exist
-    marker = {"committed_batches": sorted(_on_disk_batches(store_dir))}
-    path = os.path.join(store_dir, "_last_commit.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(marker, f)
-    os.replace(tmp, path)
 
 
 def _count_data_files(root: str) -> int:
@@ -129,20 +103,36 @@ def _write_journal(store_dir: str, state: dict) -> None:
     os.replace(tmp, _journal_path(store_dir))
 
 
+def _rmtree_strict(path: str) -> None:
+    """Delete a batch dir and VERIFY it is gone — a silently surviving
+    source dir after the marker update means permanently duplicated rows,
+    so a failed delete must surface (the journal stays, recovery retries)."""
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    if os.path.exists(path):
+        raise RuntimeError(f"failed to delete {path}")
+
+
 def plan_compaction(store_dir: str, min_batches: int = 2) -> CompactionPlan | None:
     """Metadata-only planning (directory walk, no data scan — the same
-    driver-side role Delta's OPTIMIZE planner plays): merge every
-    committed batch when there are at least ``min_batches`` of them.
-    Returns None when there is nothing worth doing."""
-    committed = sorted(_committed_batches(store_dir) & _on_disk_batches(store_dir))
-    if len(committed) < min_batches:
+    driver-side role Delta's OPTIMIZE planner plays): merge every batch
+    that is committed AND past the streaming replay barrier, when there
+    are at least ``min_batches`` of them. Returns None when there is
+    nothing worth doing."""
+    on_disk = store_meta.raw_batches_on_disk(store_dir)
+    sources = sorted(
+        b
+        for b in store_meta.committed_batches(store_dir) & on_disk
+        if store_meta.checkpoint_committed(store_dir, b)
+    )
+    if len(sources) < min_batches:
         return None
     n_files = sum(
-        _count_data_files(_batch_dir(store_dir, b)) for b in committed
+        _count_data_files(store_meta.batch_dir(store_dir, b)) for b in sources
     )
     # the backfill/compaction shared allocator: next id below everything
-    dest = min(min(_on_disk_batches(store_dir)), 0) - 1
-    return CompactionPlan(sources=committed, dest=dest, n_files_before=n_files)
+    dest = min(min(on_disk), 0) - 1
+    return CompactionPlan(sources=sources, dest=dest, n_files_before=n_files)
 
 
 def compact_raw(
@@ -159,7 +149,8 @@ def compact_raw(
     plan = plan_compaction(store_dir, min_batches=min_batches)
     if plan is None:
         return None
-    raw = spark.read.parquet(_raw_path(store_dir))
+    raw_root = store_meta.raw_path(store_dir)
+    raw = spark.read.parquet(raw_root)
     tcol = "ts_date" if "ts_date" in raw.columns else "ts_month"
     src = raw.filter(F.col("ingest_batch").isin(plan.sources))
     n_src_rows = src.count()  # parquet footer counts: no data pages read
@@ -179,11 +170,11 @@ def compact_raw(
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_batch", "metric", tcol)
-        .parquet(_raw_path(store_dir))
+        .parquet(raw_root)
     )
     # verification barrier before any delete becomes possible
     dest_rows = (
-        spark.read.parquet(_raw_path(store_dir))
+        spark.read.parquet(raw_root)
         .filter(F.col("ingest_batch") == plan.dest)
         .count()
     )
@@ -195,11 +186,8 @@ def compact_raw(
         store_dir,
         {"state": "written", "sources": plan.sources, "dest": plan.dest},
     )
-    for b in plan.sources:
-        shutil.rmtree(_batch_dir(store_dir, b), ignore_errors=True)
-    _write_commit_marker(store_dir)
-    os.remove(_journal_path(store_dir))
-    n_after = _count_data_files(_batch_dir(store_dir, plan.dest))
+    _finish_deletes(store_dir, plan.sources, plan.dest)
+    n_after = _count_data_files(store_meta.batch_dir(store_dir, plan.dest))
     return CompactionResult(
         sources=plan.sources,
         dest=plan.dest,
@@ -209,24 +197,34 @@ def compact_raw(
     )
 
 
+def _finish_deletes(store_dir: str, sources: list[int], dest: int) -> None:
+    """The roll-forward tail shared by compact_raw and recovery: strict
+    source deletes, then the incremental marker update, then journal
+    removal — in that order, so any failure leaves the 'written' journal
+    in place and recovery can retry."""
+    for b in sources:
+        _rmtree_strict(store_meta.batch_dir(store_dir, b))
+    store_meta.update_commit_marker(store_dir, add={dest}, remove=set(sources))
+    os.remove(_journal_path(store_dir))
+
+
 def recover_compaction(store_dir: str) -> str:
     """Finish or roll back a torn compaction. Returns the action taken:
     ``"none"`` (no journal), ``"rolled_back"`` (dest deleted, sources
     intact), or ``"completed"`` (source deletes finished, marker
-    refreshed)."""
+    updated)."""
     path = _journal_path(store_dir)
     if not os.path.exists(path):
         return "none"
     with open(path) as f:
         j = json.load(f)
     if j["state"] == "writing":
-        # dest may be partial; sources are untouched -> roll back
-        shutil.rmtree(_batch_dir(store_dir, j["dest"]), ignore_errors=True)
+        # dest may be partial; sources are untouched -> roll back. Strict:
+        # a surviving partial dest is an uncommitted batch that recover()
+        # would otherwise "repair" derived levels from.
+        _rmtree_strict(store_meta.batch_dir(store_dir, j["dest"]))
         os.remove(path)
         return "rolled_back"
     # state == written: dest verified complete -> roll forward
-    for b in j["sources"]:
-        shutil.rmtree(_batch_dir(store_dir, b), ignore_errors=True)
-    _write_commit_marker(store_dir)
-    os.remove(path)
+    _finish_deletes(store_dir, j["sources"], j["dest"])
     return "completed"

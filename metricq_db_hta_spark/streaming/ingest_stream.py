@@ -49,6 +49,7 @@ from pyspark.sql.types import (
 )
 
 from metricq_db_hta_spark.operators.ingest import apply_input_mapping
+from metricq_db_hta_spark.streaming import store_meta
 
 _log = logging.getLogger(__name__)
 
@@ -371,41 +372,26 @@ class StreamingIngest:
 
     @property
     def commit_marker_path(self) -> str:
-        return os.path.join(self.store, "_last_commit.json")
+        return store_meta.marker_path(self.store)
 
     # -- durability (A6) ---------------------------------------------------
+    # the marker format and batch-dir layout have ONE owner
+    # (streaming/store_meta.py), shared with operators/maintenance.py —
+    # these thin methods exist for call-site readability only
     def _raw_batches_on_disk(self) -> set[int]:
-        """ingest_batch ids present in raw, from the directory layout —
-        no data scan."""
-        if not os.path.exists(self.raw_path):
-            return set()
-        out = set()
-        for name in os.listdir(self.raw_path):
-            if name.startswith("ingest_batch="):
-                out.add(int(name.split("=", 1)[1]))
-        return out
+        return store_meta.raw_batches_on_disk(self.store)
 
-    def _write_commit_marker(self) -> None:
+    def _commit(self, batch_ids: set[int]) -> None:
         """Atomic durability barrier (reference A6, metric.flush() at
-        async_hta_service.hpp:308): after the level writes complete, record
-        the set of raw batches whose derived state is fully committed. The
-        tmp-write + os.replace is atomic on POSIX, so the marker is never
-        torn."""
-        import json
-
-        marker = {"committed_batches": sorted(self._raw_batches_on_disk())}
-        tmp = self.commit_marker_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(marker, f)
-        os.replace(tmp, self.commit_marker_path)
+        async_hta_service.hpp:308): after the level writes complete, add
+        exactly the finished batch ids to the committed set. Incremental,
+        not commit-everything-on-disk: a torn batch from an earlier crash
+        may still be on disk, and committing it here would disable its
+        recover() repair."""
+        store_meta.update_commit_marker(self.store, add=batch_ids)
 
     def _committed_batches(self) -> set[int]:
-        import json
-
-        if not os.path.exists(self.commit_marker_path):
-            return set()
-        with open(self.commit_marker_path) as f:
-            return set(json.load(f).get("committed_batches", []))
+        return store_meta.committed_batches(self.store)
 
     def recover(self) -> set[int]:
         """Crash-recovery contract. Raw is the source of truth and is
@@ -429,7 +415,7 @@ class StreamingIngest:
         kept = kept.select("metric", "ts_ns", "value", "event_id", "delta_ns")
         if not kept.isEmpty():
             self._update_levels(kept.localCheckpoint(eager=True), raw)
-        self._write_commit_marker()
+        self._commit(suspect)
         return suspect
 
     # -- batch sink --------------------------------------------------------
@@ -547,9 +533,9 @@ class StreamingIngest:
             else:
                 raw = spark.read.parquet(self.raw_path)
             self._update_levels(kept, raw, fresh_store=fresh_store)
-            # A6 durability barrier: the marker certifies every raw batch's
+            # A6 durability barrier: the marker certifies THIS batch's
             # derived level state is fully on disk (see recover())
-            self._write_commit_marker()
+            self._commit({batch_id})
         finally:
             kept.unpersist()  # releases the checkpointed blocks
 

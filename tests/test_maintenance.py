@@ -13,6 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from metricq_db_hta_spark.operators import maintenance
+from metricq_db_hta_spark.streaming import store_meta
 from metricq_db_hta_spark.queries.hta_queries import W0, samples
 from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
 
@@ -58,8 +59,8 @@ def test_compact_preserves_rows_and_reduces_files(spark, multi_batch_store):
     assert maintenance._count_data_files(svc.raw_path) < files_before
     # on-disk set is exactly the dest; the commit marker matches it, so
     # recover() finds no suspects and no journal remains
-    assert maintenance._on_disk_batches(store) == {-4}
-    assert maintenance._committed_batches(store) == {-4}
+    assert store_meta.raw_batches_on_disk(store) == {-4}
+    assert store_meta.committed_batches(store) == {-4}
     assert svc.recover() == set()
     assert not os.path.exists(maintenance._journal_path(store))
 
@@ -86,7 +87,7 @@ def test_torn_writing_rolls_back(spark, multi_batch_store):
     store, svc = multi_batch_store
     n = spark.read.parquet(svc.raw_path).count()
     # simulate a crash mid-dest-write: journal says writing, dest partial
-    dest_dir = maintenance._batch_dir(store, -4)
+    dest_dir = store_meta.batch_dir(store, -4)
     os.makedirs(os.path.join(dest_dir, "metric=torn"), exist_ok=True)
     maintenance._write_journal(
         store, {"state": "writing", "sources": [-3, -2, -1], "dest": -4}
@@ -106,7 +107,7 @@ def test_torn_written_rolls_forward(spark, multi_batch_store):
     n = rows.count()
     # run a real compaction, then resurrect one source dir + a journal in
     # the post-verification state: recovery must finish the deletes
-    src_dir = maintenance._batch_dir(store, -1)
+    src_dir = store_meta.batch_dir(store, -1)
     backup = os.path.join(store, "batch_backup")  # outside raw/: the
     # batch-dir listing parses every ingest_batch= entry under raw
     shutil.copytree(src_dir, backup)
@@ -117,8 +118,8 @@ def test_torn_written_rolls_forward(spark, multi_batch_store):
     )
     assert maintenance.recover_compaction(store) == "completed"
     assert not os.path.exists(src_dir)
-    assert maintenance._on_disk_batches(store) == {-4}
-    assert maintenance._committed_batches(store) == {-4}
+    assert store_meta.raw_batches_on_disk(store) == {-4}
+    assert store_meta.committed_batches(store) == {-4}
     assert spark.read.parquet(svc.raw_path).count() == n
 
 
@@ -139,7 +140,7 @@ def test_compact_skips_uncommitted_batches(spark, multi_batch_store):
         json.dump(m, f)
     res = maintenance.compact_raw(spark, store)
     assert res is not None and sorted(res.sources) == [-2, -1]
-    assert -3 in maintenance._on_disk_batches(store)
+    assert -3 in store_meta.raw_batches_on_disk(store)
 
 
 def test_compacted_files_are_ts_sorted(spark, multi_batch_store):
@@ -190,13 +191,13 @@ def test_compact_then_stream_restart(spark, sf_dir, tmp_path):
 
     res = maintenance.compact_raw(spark, store, min_batches=1)
     assert res is not None
-    compacted_ids = maintenance._on_disk_batches(store)
+    compacted_ids = store_meta.raw_batches_on_disk(store)
 
     write_chunk("chunk2", rows[400:])
     svc2 = StreamingIngest(spark, store, level_widths_ns=(W0,))
     svc2.run_until_drained(str(input_dir))
 
-    after = maintenance._on_disk_batches(store)
+    after = store_meta.raw_batches_on_disk(store)
     # the compacted id survived untouched and the new data arrived under
     # fresh (non-negative, checkpoint-allocated) ids
     assert compacted_ids <= after
@@ -226,3 +227,96 @@ def test_compact_day_partitioned_store(spark, sf_dir, tmp_path):
     after = spark.read.parquet(svc.raw_path)
     assert "ts_date" in after.columns
     assert after.count() == n
+
+
+def test_torn_batch_stays_repairable_after_compaction(spark, multi_batch_store):
+    """Code-review regression (round 7): the marker update must be
+    incremental — compacting {-2, -1} around a torn batch (-3, on disk
+    but uncommitted) must leave -3 uncommitted so recover() still
+    repairs its level state. The old commit-everything-on-disk marker
+    write silently committed -3 and disabled the repair forever."""
+    store, svc = multi_batch_store
+    marker = os.path.join(store, "_last_commit.json")
+    with open(marker) as f:
+        m = json.load(f)
+    m["committed_batches"] = [-2, -1]  # -3 is torn: raw on disk, levels not
+    with open(marker, "w") as f:
+        json.dump(m, f)
+    res = maintenance.compact_raw(spark, store)
+    assert sorted(res.sources) == [-2, -1]
+    assert store_meta.committed_batches(store) == {res.dest}
+    assert -3 not in store_meta.committed_batches(store)
+    # recover() still sees the torn batch and repairs it
+    assert svc.recover() == {-3}
+    assert -3 in store_meta.committed_batches(store)
+
+
+def test_writer_commit_is_incremental_too(spark, sf_dir, multi_batch_store):
+    """Same defect class on the writer path: a later backfill's commit
+    must not blanket-commit an unrelated torn batch."""
+    store, svc = multi_batch_store
+    marker = os.path.join(store, "_last_commit.json")
+    with open(marker) as f:
+        m = json.load(f)
+    m["committed_batches"] = [-2, -1]  # -3 torn
+    with open(marker, "w") as f:
+        json.dump(m, f)
+    late = samples(spark, sf_dir).orderBy("event_id").limit(1200)
+    svc.backfill(late)  # commits its own id (-4) only
+    committed = store_meta.committed_batches(store)
+    assert -4 in committed and -3 not in committed
+
+
+def test_compact_requires_checkpoint_commit_for_streaming_ids(
+    spark, sf_dir, tmp_path
+):
+    """Code-review regression (round 7): the store marker is written
+    inside foreachBatch BEFORE the engine's checkpoint commit record, so
+    a marker-committed streaming batch may still be replayable. Source
+    selection must additionally require the checkpoint commits file for
+    non-negative ids — simulate the crash window by deleting one."""
+    src = samples(spark, sf_dir).orderBy("event_id").limit(400)
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    spark.createDataFrame(src.collect(), src.schema).coalesce(1).write.parquet(
+        str(input_dir / "chunk")
+    )
+    store = str(tmp_path / "store")
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc.run_until_drained(str(input_dir))
+    ids = sorted(store_meta.raw_batches_on_disk(store))
+    assert ids and all(b >= 0 for b in ids)
+    # crash-window simulation: engine commit record missing for the last id
+    victim = ids[-1]
+    os.remove(os.path.join(store, "_checkpoint", "commits", str(victim)))
+    plan = maintenance.plan_compaction(store, min_batches=1)
+    assert plan is None or victim not in plan.sources
+
+
+def test_failed_source_delete_keeps_journal(spark, multi_batch_store, monkeypatch):
+    """Code-review regression (round 7): a failed source delete must NOT
+    proceed to the marker update and journal removal — the 'written'
+    journal stays so recovery can retry, instead of silently committing
+    duplicated rows."""
+    store, svc = multi_batch_store
+    real_rmtree = shutil.rmtree
+    calls = {"n": 0}
+
+    def flaky_rmtree(path, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second source delete fails
+            raise OSError("simulated NFS delete failure")
+        return real_rmtree(path, **kw)
+
+    monkeypatch.setattr(maintenance.shutil, "rmtree", flaky_rmtree)
+    with pytest.raises(OSError, match="simulated"):
+        maintenance.compact_raw(spark, store)
+    # journal survived in the written state; marker does NOT include dest
+    with open(maintenance._journal_path(store)) as f:
+        assert json.load(f)["state"] == "written"
+    assert -4 not in store_meta.committed_batches(store)
+    monkeypatch.setattr(maintenance.shutil, "rmtree", real_rmtree)
+    assert maintenance.recover_compaction(store) == "completed"
+    assert store_meta.committed_batches(store) == {-4}
+    n = spark.read.parquet(svc.raw_path).count()
+    assert n == 900
