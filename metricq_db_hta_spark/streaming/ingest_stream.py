@@ -407,6 +407,7 @@ class StreamingIngest:
         uncommitted batch replays); recover() is for serving reads from a
         store whose writer died and has not restarted.
         """
+        self._settle_pending_compaction()
         suspect = self._raw_batches_on_disk() - self._committed_batches()
         if not suspect:
             return set()
@@ -632,6 +633,26 @@ class StreamingIngest:
             for c in ckpts:
                 c.unpersist()
 
+    def _settle_pending_compaction(self) -> None:
+        """A torn compaction journal means raw may hold a row twice (the
+        merged dest copy AND its undeleted sources) or a partial dest
+        batch — either would poison any level recompute or watermark seed
+        that reads raw. Every store entry point (recover, start, backfill)
+        settles the journal FIRST via the maintenance module's
+        rollback/roll-forward, not just the CLI compact path (round-7
+        review finding: recover() on a crashed-compaction store used to
+        'repair' level partitions from the duplicated raw and serve
+        double-counted buckets forever)."""
+        # local import: operators.maintenance is a consumer of this
+        # module's store (via store_meta), not a dependency of it
+        from metricq_db_hta_spark.operators.maintenance import (
+            recover_compaction,
+        )
+
+        action = recover_compaction(self.store)
+        if action != "none":
+            _log.warning("settled torn compaction journal: %s", action)
+
     def _stored_watermarks_df(self) -> DataFrame | None:
         """Per-metric max stored ts_ns as a DataFrame — the reference's
         ``metric.range().second`` seed (async_hta_service.hpp:258-269).
@@ -645,6 +666,20 @@ class StreamingIngest:
         if not os.path.exists(self.raw_path):
             return None
         raw = self.spark.read.parquet(self.raw_path)
+        # exclude batches the checkpoint can still REPLAY (non-negative
+        # ids without an engine commit record — crash between the raw
+        # write and the checkpoint commit): seeding their own rows into
+        # the watermark would make the replay drop every one of them as
+        # at-or-below the seed, breaking replay-output idempotence and,
+        # on a partially-written crash, committing a batch whose level
+        # contributions are silently missing (round-7 review finding)
+        replayable = [
+            int(b)
+            for b in store_meta.raw_batches_on_disk(self.store)
+            if not store_meta.checkpoint_committed(self.store, b)
+        ]
+        if replayable:
+            raw = raw.filter(~F.col("ingest_batch").isin(replayable))
         return (
             raw.groupBy("metric")
             .agg(F.max("ts_ns").alias("store_wm"))
@@ -666,6 +701,7 @@ class StreamingIngest:
         operator chain owns the semantics (db.cpp:116-122)."""
         if (input_dir is None) == (source is None):
             raise ValueError("pass exactly one of input_dir or source")
+        self._settle_pending_compaction()
         if source is not None:
             stream = source
         else:
@@ -716,6 +752,7 @@ class StreamingIngest:
         from metricq_db_hta_spark.operators.hta import with_delta
         from metricq_db_hta_spark.operators.ingest import ingest_batch
 
+        self._settle_pending_compaction()
         filtered = ingest_batch(stream, self.mapping)
         batch_id = -1
         wm = None

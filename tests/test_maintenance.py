@@ -320,3 +320,33 @@ def test_failed_source_delete_keeps_journal(spark, multi_batch_store, monkeypatc
     assert store_meta.committed_batches(store) == {-4}
     n = spark.read.parquet(svc.raw_path).count()
     assert n == 900
+
+
+def test_recover_settles_torn_compaction_first(spark, multi_batch_store):
+    """Code-review regression (round 7, second pass): recover() on a store
+    whose compaction crashed must settle the journal BEFORE computing
+    suspects — otherwise it would recompute level partitions from a raw
+    directory holding both the dest rows and their undeleted source
+    duplicates, serving double-counted buckets forever."""
+    store, svc = multi_batch_store
+    src_dir = store_meta.batch_dir(store, -1)
+    backup = os.path.join(store, "bak")
+    shutil.copytree(src_dir, backup)
+    maintenance.compact_raw(spark, store)
+    # crash simulation: dest written+verified, one source delete missing
+    shutil.copytree(backup, src_dir)
+    maintenance._write_journal(
+        store, {"state": "written", "sources": [-3, -2, -1], "dest": -4}
+    )
+    # recover(), not recover_compaction(): must roll the journal forward
+    # itself, then find nothing suspect
+    assert svc.recover() == set()
+    assert not os.path.exists(maintenance._journal_path(store))
+    assert store_meta.raw_batches_on_disk(store) == {-4}
+    raw_n = spark.read.parquet(svc.raw_path).count()
+    lv_n = (
+        spark.read.parquet(svc.level_path(W0))
+        .agg(F.sum("count").alias("c"))
+        .collect()[0]["c"]
+    )
+    assert raw_n == 900 and lv_n == 900  # no double-counted buckets

@@ -542,3 +542,48 @@ def test_stream_100k_key_state_rocksdb(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_watermark_seed_excludes_replayable_batch(spark, tmp_path, chunked_input):
+    """Code-review regression (round 7): a batch whose raw write landed
+    but whose checkpoint commit record is missing WILL be replayed by the
+    engine — seeding the store watermark from its own rows would make the
+    replay drop every one of them (ts <= seed), breaking replay-output
+    idempotence. Simulate the crash window by deleting the engine's
+    commits record for the last batch and assert both the seed exclusion
+    and end-to-end restart equivalence."""
+    input_dir, _ = chunked_input
+    store = str(tmp_path / "store_replay")
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc.run_until_drained(input_dir)
+    n0 = spark.read.parquet(svc.raw_path).count()
+
+    from metricq_db_hta_spark.streaming import store_meta
+
+    ids = sorted(b for b in store_meta.raw_batches_on_disk(store) if b >= 0)
+    victim = ids[-1]
+    commits = os.path.join(store, "_checkpoint", "commits")
+    os.remove(os.path.join(commits, str(victim)))
+    crc = os.path.join(commits, f".{victim}.crc")  # hadoop checksum sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    svc2 = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    seed = svc2._stored_watermarks_df()
+    expected = (
+        spark.read.parquet(svc.raw_path)
+        .filter(F.col("ingest_batch") != victim)
+        .groupBy("metric")
+        .agg(F.max("ts_ns").alias("store_wm"))
+    )
+    assert seed.exceptAll(expected).count() == 0
+    assert expected.exceptAll(seed).count() == 0
+
+    # end-to-end: the engine replays the victim batch; its rows must be
+    # KEPT (identical replay output) and the store must equal the
+    # pre-crash state, with the commit record restored
+    svc2.run_until_drained(input_dir)
+    assert spark.read.parquet(svc.raw_path).count() == n0
+    assert os.path.exists(
+        os.path.join(store, "_checkpoint", "commits", str(victim))
+    )
