@@ -9,6 +9,7 @@ Subcommands:
            [--start NS] [--end NS] [--interval-max NS]
   query    --name NAME [--sf-dir DIR]               any declared query
   compact  --store DIR [--min-batches N]            raw small-file OPTIMIZE
+  store-stats --store DIR                           batch/file/journal health (no Spark)
   serve    --store DIR [--host H] [--port P]        resident history RPC
 
 Examples:
@@ -81,6 +82,9 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--store", required=True)
     pc.add_argument("--min-batches", type=int, default=2)
 
+    pst = sub.add_parser("store-stats")
+    pst.add_argument("--store", required=True)
+
     ps = sub.add_parser("serve")
     ps.add_argument("--store", required=True)
     ps.add_argument("--host", default="127.0.0.1")
@@ -89,6 +93,40 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--levels", type=int, default=3)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "store-stats":
+        # pure metadata: no SparkSession needed — usable while a writer runs
+        import json as _json
+
+        from metricq_db_hta_spark.operators.maintenance import (
+            _count_data_files,
+            _journal_path,
+        )
+        from metricq_db_hta_spark.streaming import store_meta
+
+        on_disk = store_meta.raw_batches_on_disk(args.store)
+        committed = store_meta.committed_batches(args.store)
+        stats = {
+            "batches_on_disk": sorted(on_disk),
+            "committed": sorted(committed & on_disk),
+            "uncommitted": sorted(on_disk - committed),
+            "replay_pending": sorted(
+                b
+                for b in on_disk
+                if not store_meta.checkpoint_committed(args.store, b)
+            ),
+            "raw_files": _count_data_files(store_meta.raw_path(args.store)),
+            "files_per_batch": {
+                str(b): _count_data_files(store_meta.batch_dir(args.store, b))
+                for b in sorted(on_disk)
+            },
+            "compaction_journal_pending": os.path.exists(
+                _journal_path(args.store)
+            ),
+        }
+        print(_json.dumps(stats, indent=2))
+        return 0
+
     spark = get_spark("metricq-db-hta-spark-cli")
 
     if args.cmd in ("ingest", "backfill"):
