@@ -96,6 +96,17 @@ def _count_data_files(root: str) -> int:
     return n
 
 
+def _data_bytes(root: str) -> int:
+    total = 0
+    for dirpath, _, files in os.walk(root):
+        total += sum(
+            os.path.getsize(os.path.join(dirpath, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return total
+
+
 def _write_journal(store_dir: str, state: dict) -> None:
     tmp = _journal_path(store_dir) + ".tmp"
     with open(tmp, "w") as f:
@@ -135,13 +146,26 @@ def plan_compaction(store_dir: str, min_batches: int = 2) -> CompactionPlan | No
     return CompactionPlan(sources=sources, dest=dest, n_files_before=n_files)
 
 
+#: target compacted file size. 128 MB matches
+#: spark.sql.files.maxPartitionBytes, so a later scan maps one compacted
+#: file to one task with no further splitting or coalescing.
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
 def compact_raw(
-    spark: SparkSession, store_dir: str, min_batches: int = 2
+    spark: SparkSession,
+    store_dir: str,
+    min_batches: int = 2,
+    target_file_bytes: int = TARGET_FILE_BYTES,
 ) -> CompactionResult | None:
     """Execute the journaled write-new-then-delete protocol. One shuffle
     keyed on the physical partition columns (metric, month) — every output
-    partition is written by exactly one task, so N source files per
-    partition become one."""
+    partition is written by one task, so N source files per partition
+    become one — EXCEPT a hot partition whose rows exceed
+    ``target_file_bytes``: ``maxRecordsPerFile`` (records estimated from
+    the sources' measured bytes/row) rolls such partitions into multiple
+    right-sized files, so a 10 GB metric-month at 100 TB never becomes
+    one 10 GB file."""
     if os.path.exists(_journal_path(store_dir)):
         raise RuntimeError(
             "unfinished compaction journal present - run recover_compaction()"
@@ -154,6 +178,14 @@ def compact_raw(
     tcol = "ts_date" if "ts_date" in raw.columns else "ts_month"
     src = raw.filter(F.col("ingest_batch").isin(plan.sources))
     n_src_rows = src.count()  # parquet footer counts: no data pages read
+    # bytes/row measured from the sources themselves (compressed, with
+    # their real column mix) — the best available estimator for sizing
+    # output files without writing them first
+    src_bytes = sum(
+        _data_bytes(store_meta.batch_dir(store_dir, b)) for b in plan.sources
+    )
+    bytes_per_row = max(1, src_bytes // max(1, n_src_rows))
+    max_records = max(1, target_file_bytes // bytes_per_row)
 
     _write_journal(
         store_dir,
@@ -168,6 +200,7 @@ def compact_raw(
         # prunes (source batches interleave arbitrary time slices)
         .sortWithinPartitions("metric", tcol, "ts_ns")
         .write.mode("overwrite")
+        .option("maxRecordsPerFile", str(max_records))
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_batch", "metric", tcol)
         .parquet(raw_root)

@@ -350,3 +350,23 @@ def test_recover_settles_torn_compaction_first(spark, multi_batch_store):
         .collect()[0]["c"]
     )
     assert raw_n == 900 and lv_n == 900  # no double-counted buckets
+
+
+def test_hot_partition_splits_at_target_file_size(spark, multi_batch_store):
+    """A partition bigger than the target file size must roll into
+    multiple files (maxRecordsPerFile sized from measured bytes/row), not
+    one giant file — the 100 TB hot-metric-month case scaled down via a
+    tiny target."""
+    store, svc = multi_batch_store
+    res = maintenance.compact_raw(spark, store, target_file_bytes=4096)
+    assert res is not None
+    # with a 4 KB target, at least one (metric, month) partition must have
+    # split into several files, and total dest files must exceed the
+    # one-per-partition minimum
+    dest_dir = store_meta.batch_dir(store, res.dest)
+    per_part = []
+    for dirpath, dirnames, files in os.walk(dest_dir):
+        if not dirnames:
+            per_part.append(sum(1 for f in files if f.endswith(".parquet")))
+    assert max(per_part) > 1
+    assert spark.read.parquet(svc.raw_path).count() == 900
