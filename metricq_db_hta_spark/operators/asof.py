@@ -75,6 +75,8 @@ def asof_self_join_backward(
     right_payload: dict[str, str],
     order_col: str,
     probe_cols: list[str],
+    tolerance_ns: int | None = None,
+    payload_ts: str | None = None,
 ) -> DataFrame:
     """As-of join where probe and reference rows come from the SAME source
     (the common event-stream case: align purchases to the latest prior
@@ -91,7 +93,12 @@ def asof_self_join_backward(
 
     ``right_payload`` maps output name -> source column for reference
     rows; ``probe_cols`` are the probe columns to keep.
-    """
+
+    ``tolerance_ns`` (with ``payload_ts`` naming the payload key that
+    carries the reference timestamp) bounds the lookback: a match older
+    than ``probe_ts - tolerance_ns`` is nullified — pandas
+    ``merge_asof(tolerance=...)`` semantics. Pure post-projection on the
+    running-last struct; the plan stays one exchange."""
     tag = F.when(ref_pred, F.lit(0)).otherwise(F.lit(1))
     pay = F.when(
         ref_pred,
@@ -122,6 +129,17 @@ def asof_self_join_backward(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = u.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    if tolerance_ns is not None:
+        if payload_ts is None:
+            raise ValueError("tolerance_ns requires payload_ts")
+        u = u.withColumn(
+            "__match",
+            F.when(
+                F.col(ts_col) - F.col("__match").getField(payload_ts)
+                <= F.lit(int(tolerance_ns)),
+                F.col("__match"),
+            ),
+        )
     return u.filter(F.col("__tag") == 1).select(
         *probe_cols,
         *[F.col("__match").getField(t).alias(t) for t in right_payload],

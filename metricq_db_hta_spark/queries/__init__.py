@@ -58,6 +58,7 @@ PENDING_NEXT_WINDOW = [
     "llm_length_histogram",
     "llm_source_mixing_weights",
     "llm_unigram_logprob",
+    "rel_join_asof_tolerance",
 ]
 _WINDOW = [
     # (1) PENDING_NEXT_WINDOW drain — first driver row ever

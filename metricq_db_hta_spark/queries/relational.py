@@ -43,6 +43,11 @@ def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: lookback bound for rel_join_asof_tolerance (~27.8 h) — chosen to sit
+#: near the median purchase->click gap at sf0.001 so both the kept and
+#: nullified branches are exercised
+ASOF_TOL_NS = 100_000_000_000_000
+
 EVENTS_CTE = """
 ev AS (
   SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, event_type, value, props
@@ -451,6 +456,45 @@ def rel_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_payload={"click_ts_ns": "ts_ns", "click_value": "value"},
         order_col="event_id",
         probe_cols=["event_id", "user_id", "ts_ns", "value"],
+    )
+
+
+@register(
+    "rel_join_asof_tolerance",
+    oracle=f"""
+WITH {EVENTS_CTE.strip()},
+purch  AS (SELECT event_id, user_id, ts_ns, value FROM ev WHERE event_type = 'purchase'),
+clicks AS (SELECT user_id, ts_ns AS click_ts_ns, value AS click_value FROM ev
+           WHERE event_type = 'click'
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts_ns
+                                      ORDER BY event_id DESC) = 1)
+SELECT p.event_id, p.user_id, p.ts_ns, p.value,
+       CASE WHEN p.ts_ns - c.click_ts_ns <= {ASOF_TOL_NS} THEN c.click_ts_ns END
+         AS click_ts_ns,
+       CASE WHEN p.ts_ns - c.click_ts_ns <= {ASOF_TOL_NS} THEN c.click_value END
+         AS click_value
+FROM purch p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts_ns >= c.click_ts_ns
+""",
+    doc="As-of join with a lookback TOLERANCE (pandas merge_asof "
+    "tolerance= semantics): a most-recent click older than ~28h before "
+    "the purchase is nullified. Implemented as a post-projection on the "
+    "fused one-exchange operator (operators/asof.py tolerance_ns); the "
+    "oracle wraps native ASOF JOIN in the same CASE.",
+)
+def rel_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_df(spark, sf_dir)
+    return asof_self_join_backward(
+        ev,
+        by=["user_id"],
+        ts_col="ts_ns",
+        probe_pred=F.col("event_type") == "purchase",
+        ref_pred=F.col("event_type") == "click",
+        right_payload={"click_ts_ns": "ts_ns", "click_value": "value"},
+        order_col="event_id",
+        probe_cols=["event_id", "user_id", "ts_ns", "value"],
+        tolerance_ns=ASOF_TOL_NS,
+        payload_ts="click_ts_ns",
     )
 
 
