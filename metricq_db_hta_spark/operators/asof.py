@@ -155,6 +155,8 @@ def asof_self_join_forward(
     right_payload: dict[str, str],
     order_col: str,
     probe_cols: list[str],
+    tolerance_ns: int | None = None,
+    payload_ts: str | None = None,
 ) -> DataFrame:
     """Forward (inclusive) mirror of :func:`asof_self_join_backward`: each
     probe row gets the payload of the EARLIEST reference row with
@@ -192,6 +194,20 @@ def asof_self_join_forward(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = u.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    if tolerance_ns is not None:
+        if payload_ts is None:
+            raise ValueError("tolerance_ns requires payload_ts")
+        # forward: the match sits AT-OR-AFTER the probe, so the gap is
+        # match_ts - probe_ts (the backward formula would be negative here
+        # and never nullify anything)
+        u = u.withColumn(
+            "__match",
+            F.when(
+                F.col("__match").getField(payload_ts) - F.col(ts_col)
+                <= F.lit(int(tolerance_ns)),
+                F.col("__match"),
+            ),
+        )
     return u.filter(F.col("__tag") == 1).select(
         *probe_cols,
         *[F.col("__match").getField(t).alias(t) for t in right_payload],
