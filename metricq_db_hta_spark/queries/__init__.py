@@ -59,6 +59,7 @@ PENDING_NEXT_WINDOW = [
     "llm_source_mixing_weights",
     "llm_unigram_logprob",
     "rel_join_asof_tolerance",
+    "llm_weighted_sample",
 ]
 _WINDOW = [
     # (1) PENDING_NEXT_WINDOW drain — first driver row ever

@@ -297,3 +297,71 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll"),
         )
     )
+
+
+@register(
+    "llm_weighted_sample",
+    oracle="""
+WITH s AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t,
+               CAST(COUNT(*) AS DOUBLE) AS n_src FROM s),
+w AS (SELECT source, least(1.0, t / (n_src * n_tokens)) AS p FROM s, tot),
+kept AS (
+  SELECT d.doc_id, d.source, d.n_chars
+  FROM documents d JOIN w USING (source)
+  WHERE (('0x' || substr(md5('wsamp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % 10000) < p * 10000)
+SELECT source, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+       MIN(doc_id) AS min_doc_id
+FROM kept GROUP BY source
+""",
+    doc="Weighted downsampling that APPLIES the mixing weights (see "
+    "llm_source_mixing_weights): keep each document with probability "
+    "min(1, target_share/actual_share) of its source, decided by a "
+    "salted md5 bucket — deterministic across engines, runs, and cluster "
+    "sizes, unlike rand()-based sampling. The per-source weight table "
+    "(|sources| rows) broadcasts back over the corpus; one corpus pass "
+    "for weights, one map-side filtered pass for the sample.",
+)
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir)
+    s = d.groupBy("source").agg(
+        bsum(F.size(F.split("text", " "))).alias("n_tokens")
+    )
+    tot = s.agg(
+        F.sum("n_tokens").cast("double").alias("t"),
+        F.count("*").cast("double").alias("n_src"),
+    )
+    w = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0), F.col("t") / (F.col("n_src") * F.col("n_tokens"))
+        ).alias("p"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 10000
+    )
+    return (
+        d.join(F.broadcast(w), "source")
+        .filter(bucket < F.col("p") * 10000)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            bsum("n_chars").alias("kept_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

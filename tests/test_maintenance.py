@@ -370,3 +370,31 @@ def test_hot_partition_splits_at_target_file_size(spark, multi_batch_store):
             per_part.append(sum(1 for f in files if f.endswith(".parquet")))
     assert max(per_part) > 1
     assert spark.read.parquet(svc.raw_path).count() == 900
+
+
+def test_torn_written_partial_deletes_roll_forward(spark, multi_batch_store):
+    """Crash after SOME source deletes: roll-forward must be idempotent
+    over already-deleted sources and finish the rest."""
+    store, svc = multi_batch_store
+    maintenance.compact_raw(spark, store)
+    # reconstruct the mid-delete crash: -1 already gone, -2 resurrected,
+    # journal still in the written state
+    backup = os.path.join(store, "bak2")
+    # (sources were deleted by the real run; fabricate -2 from dest rows)
+    dest_df = spark.read.parquet(svc.raw_path).filter(F.col("ingest_batch") == -4)
+    dest_df.limit(50).select(*RAW_KEY, "ts_month").withColumn(
+        "ingest_batch", F.lit(-2)
+    ).write.partitionBy("ingest_batch", "metric", "ts_month").parquet(
+        backup
+    )
+    shutil.copytree(
+        os.path.join(backup, "ingest_batch=-2"),
+        store_meta.batch_dir(store, -2),
+    )
+    maintenance._write_journal(
+        store, {"state": "written", "sources": [-3, -2, -1], "dest": -4}
+    )
+    assert maintenance.recover_compaction(store) == "completed"
+    assert store_meta.raw_batches_on_disk(store) == {-4}
+    assert store_meta.committed_batches(store) == {-4}
+    assert spark.read.parquet(svc.raw_path).count() == 900
