@@ -32,10 +32,15 @@ def _history_service(spark, store: str, widths: list[int]):
     from pyspark.sql import functions as F
 
     from metricq_db_hta_spark.plans.history import HistoryService
+    from metricq_db_hta_spark.streaming import store_meta
 
     raw = spark.read.parquet(os.path.join(store, "raw")).withColumn(
         "metric", F.col("metric")
     )
+    # honor a pending compaction journal (see plans/serve.py::_build)
+    excluded = store_meta.excluded_batches_for_read(store)
+    if excluded:
+        raw = raw.filter(~F.col("ingest_batch").isin([int(b) for b in excluded]))
     levels = {
         w: spark.read.parquet(os.path.join(store, f"level_{w}")) for w in widths
     }
@@ -98,10 +103,6 @@ def main(argv: list[str] | None = None) -> int:
         # pure metadata: no SparkSession needed — usable while a writer runs
         import json as _json
 
-        from metricq_db_hta_spark.operators.maintenance import (
-            _count_data_files,
-            _journal_path,
-        )
         from metricq_db_hta_spark.streaming import store_meta
 
         on_disk = store_meta.raw_batches_on_disk(args.store)
@@ -110,18 +111,23 @@ def main(argv: list[str] | None = None) -> int:
             "batches_on_disk": sorted(on_disk),
             "committed": sorted(committed & on_disk),
             "uncommitted": sorted(on_disk - committed),
+            # offsets-minus-commits: ids the engine WILL replay (at most
+            # one) - NOT mere commits-file absence, which also happens for
+            # purged/rebuilt checkpoints that can never replay
             "replay_pending": sorted(
-                b
-                for b in on_disk
-                if not store_meta.checkpoint_committed(args.store, b)
+                store_meta.replayable_batches(args.store) & on_disk
             ),
-            "raw_files": _count_data_files(store_meta.raw_path(args.store)),
+            "raw_files": store_meta.data_file_count(
+                store_meta.raw_path(args.store)
+            ),
             "files_per_batch": {
-                str(b): _count_data_files(store_meta.batch_dir(args.store, b))
+                str(b): store_meta.data_file_count(
+                    store_meta.batch_dir(args.store, b)
+                )
                 for b in sorted(on_disk)
             },
             "compaction_journal_pending": os.path.exists(
-                _journal_path(args.store)
+                store_meta.journal_path(args.store)
             ),
         }
         print(_json.dumps(stats, indent=2))

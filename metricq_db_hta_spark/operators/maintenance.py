@@ -85,15 +85,10 @@ class CompactionResult:
     n_rows: int
 
 
-def _journal_path(store_dir: str) -> str:
-    return os.path.join(store_dir, "_compaction.json")
-
-
-def _count_data_files(root: str) -> int:
-    n = 0
-    for _, _, files in os.walk(root):
-        n += sum(1 for f in files if f.endswith(".parquet"))
-    return n
+# thin aliases: the journal location/format and file counting are owned by
+# store_meta (readers honor the journal via excluded_batches_for_read)
+_journal_path = store_meta.journal_path
+_count_data_files = store_meta.data_file_count
 
 
 def _data_bytes(root: str) -> int:
@@ -238,7 +233,12 @@ def _finish_deletes(store_dir: str, sources: list[int], dest: int) -> None:
     for b in sources:
         _rmtree_strict(store_meta.batch_dir(store_dir, b))
     store_meta.update_commit_marker(store_dir, add={dest}, remove=set(sources))
-    os.remove(_journal_path(store_dir))
+    # missing_ok: a concurrent/settling recover_compaction may have already
+    # finished and removed the journal — both paths are idempotent
+    try:
+        os.remove(_journal_path(store_dir))
+    except FileNotFoundError:
+        pass
 
 
 def recover_compaction(store_dir: str) -> str:

@@ -67,7 +67,19 @@ class HistoryServer:
         self._svc = self._build()
 
     def _build(self) -> HistoryService:
+        from pyspark.sql import functions as F
+
+        from metricq_db_hta_spark.streaming import store_meta
+
         raw = self.spark.read.parquet(os.path.join(self.store, "raw"))
+        # reader-side journal honoring: while a compaction journal is
+        # pending, raw briefly holds a row twice (dest copy + undeleted
+        # sources) or a partial dest — skip the journal's excluded side so
+        # serving never double-counts, without mutating the store from a
+        # read path
+        excluded = store_meta.excluded_batches_for_read(self.store)
+        if excluded:
+            raw = raw.filter(~F.col("ingest_batch").isin([int(b) for b in excluded]))
         levels = {
             w: self.spark.read.parquet(os.path.join(self.store, f"level_{w}"))
             for w in self.widths

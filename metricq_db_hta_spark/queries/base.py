@@ -140,3 +140,32 @@ def sql_davg(expr: str) -> str:
 
 def sql_bsum(expr: str) -> str:
     return f"CAST(SUM({expr}) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# deterministic salted hash bucket — the cross-engine substitute for rand()
+# sampling/splitting. The Spark expression and the SQL fragment MUST stay
+# byte-equivalent; having one owner here is what keeps the four sampling/
+# split queries' engine parity from drifting (round-7 review finding).
+# ---------------------------------------------------------------------------
+
+
+def md5_bucket(col: str | Column, salt: str = "", mod: int | None = None) -> Column:
+    """``conv(substr(md5(salt || col), 1, 8), 16, 10) [% mod]`` as a long —
+    a uniform deterministic bucket derived from the value, identical in
+    Spark and DuckDB. ``salt`` decorrelates independent uses (split vs
+    sample vs weighted-sample) of the same key."""
+    inp = _c(col).cast("string")
+    if salt:
+        inp = F.concat(F.lit(salt), inp)
+    b = F.conv(F.substring(F.md5(inp), 1, 8), 16, 10).cast("long")
+    return b % mod if mod is not None else b
+
+
+def sql_md5_bucket(expr: str, salt: str = "", mod: int | None = None) -> str:
+    """DuckDB fragment computing the identical bucket as :func:`md5_bucket`."""
+    inp = f"CAST({expr} AS VARCHAR)"
+    if salt:
+        inp = f"'{salt}' || {inp}"
+    b = f"('0x' || substr(md5({inp}), 1, 8))::BIGINT"
+    return f"{b} % {mod}" if mod is not None else b

@@ -16,7 +16,13 @@ from pyspark.sql import functions as F
 
 from metricq_db_hta_spark.functions import text as T
 from metricq_db_hta_spark.operators import dedup, multimodal, similarity
-from metricq_db_hta_spark.queries.base import davg, register, sql_davg
+from metricq_db_hta_spark.queries.base import (
+    davg,
+    md5_bucket,
+    register,
+    sql_davg,
+    sql_md5_bucket,
+)
 from metricq_db_hta_spark.sources.tables import load_table
 
 N_HASHES = 16
@@ -590,10 +596,10 @@ def llm_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_dataset_split",
-    oracle="""
+    oracle=f"""
 WITH assigned AS (
   SELECT doc_id, lang,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+         {sql_md5_bucket('doc_id', mod=100)}
              AS bucket
   FROM documents
 ),
@@ -614,11 +620,7 @@ FROM split GROUP BY lang, split
 )
 def llm_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs(spark, sf_dir)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
+    bucket = md5_bucket("doc_id", mod=100)
     split = F.when(bucket < 90, "train").otherwise("val")
     assigned = d.select("doc_id", "lang", split.alias("split"))
     # contamination as an in-plan scalar (lazy, mirrors the oracle's
@@ -652,8 +654,7 @@ PACK_SHARDS = 8
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, lang,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-             % {PACK_SHARDS} AS shard,
+         {sql_md5_bucket('doc_id', mod=PACK_SHARDS)} AS shard,
          LEN(string_split(text, ' ')) AS n_tokens
   FROM documents
 ),
@@ -679,11 +680,7 @@ FROM packed GROUP BY lang, shard, bin_id
 def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    shard = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % PACK_SHARDS
-    )
+    shard = md5_bucket("doc_id", mod=PACK_SHARDS)
     d = docs(spark, sf_dir).select(
         "doc_id", "lang", shard.alias("shard"), T.token_count("text").alias("n_tokens")
     )
@@ -867,10 +864,10 @@ def llm_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_stratified_sample",
-    oracle="""
+    oracle=f"""
 WITH assigned AS (
   SELECT doc_id, lang, LENGTH(text) AS doc_chars,
-         ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+         {sql_md5_bucket('doc_id', salt='samp:', mod=1000)}
              AS bucket
   FROM documents
 )
@@ -887,17 +884,7 @@ GROUP BY lang
 )
 def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs(spark, sf_dir)
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        % 1000
-    )
+    bucket = md5_bucket("doc_id", salt="samp:", mod=1000)
     return (
         d.filter(bucket < 200)
         .groupBy("lang")

@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from metricq_db_hta_spark.queries.base import bsum, register
+from metricq_db_hta_spark.queries.base import (
+    bsum,
+    md5_bucket,
+    register,
+    sql_md5_bucket,
+)
 from metricq_db_hta_spark.queries.llm import docs
 
 EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]+"
@@ -301,7 +306,7 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_weighted_sample",
-    oracle="""
+    oracle=f"""
 WITH s AS (
   SELECT source,
          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
@@ -312,8 +317,7 @@ w AS (SELECT source, least(1.0, t / (n_src * n_tokens)) AS p FROM s, tot),
 kept AS (
   SELECT d.doc_id, d.source, d.n_chars
   FROM documents d JOIN w USING (source)
-  WHERE (('0x' || substr(md5('wsamp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
-         % 10000) < p * 10000)
+  WHERE ({sql_md5_bucket('d.doc_id', salt='wsamp:', mod=10000)}) < p * 10000)
 SELECT source, COUNT(*) AS n_kept,
        CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
        MIN(doc_id) AS min_doc_id
@@ -342,19 +346,7 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0), F.col("t") / (F.col("n_src") * F.col("n_tokens"))
         ).alias("p"),
     )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        % 10000
-    )
+    bucket = md5_bucket("doc_id", salt="wsamp:", mod=10000)
     return (
         d.join(F.broadcast(w), "source")
         .filter(bucket < F.col("p") * 10000)

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -649,6 +650,25 @@ class StreamingIngest:
             recover_compaction,
         )
 
+        j = store_meta.read_journal(self.store)
+        if j is None:
+            return
+        # liveness guard: a FRESH journal in the writing state may belong
+        # to a compaction that is still running — rolling it back would
+        # delete the dest partitions out from under the live job (review
+        # finding). Refuse instead of destroying; the written state is
+        # always safe to roll forward (dest verified complete, deletes
+        # idempotent). 15 min is far beyond any single compaction write.
+        if j["state"] == "writing":
+            age = time.time() - os.path.getmtime(
+                store_meta.journal_path(self.store)
+            )
+            if age < 15 * 60:
+                raise RuntimeError(
+                    "compaction journal is fresh (writing state, "
+                    f"{age:.0f}s old) - a compaction may still be running; "
+                    "wait for it or run recover_compaction() explicitly"
+                )
         action = recover_compaction(self.store)
         if action != "none":
             _log.warning("settled torn compaction journal: %s", action)
@@ -666,18 +686,19 @@ class StreamingIngest:
         if not os.path.exists(self.raw_path):
             return None
         raw = self.spark.read.parquet(self.raw_path)
-        # exclude batches the checkpoint can still REPLAY (non-negative
-        # ids without an engine commit record — crash between the raw
-        # write and the checkpoint commit): seeding their own rows into
+        # exclude batches the checkpoint WILL replay (offsets entry with
+        # no commit record — crash between the raw write and the
+        # checkpoint commit; at most one id): seeding their own rows into
         # the watermark would make the replay drop every one of them as
         # at-or-below the seed, breaking replay-output idempotence and,
         # on a partially-written crash, committing a batch whose level
-        # contributions are silently missing (round-7 review finding)
-        replayable = [
-            int(b)
-            for b in store_meta.raw_batches_on_disk(self.store)
-            if not store_meta.checkpoint_committed(self.store, b)
-        ]
+        # contributions are silently missing (round-7 review finding).
+        # Batches whose commits entry was merely PURGED past retention,
+        # or a store under a rebuilt/fresh checkpoint (no offsets at
+        # all), are NOT replayable and stay in the seed — a fresh
+        # checkpoint re-drain must still drop re-read rows as
+        # at-or-below the stored max.
+        replayable = [int(b) for b in store_meta.replayable_batches(self.store)]
         if replayable:
             raw = raw.filter(~F.col("ingest_batch").isin(replayable))
         return (

@@ -68,17 +68,75 @@ def update_commit_marker(
     return new
 
 
+def _checkpoint_log_ids(store_dir: str, log: str) -> set[int]:
+    path = os.path.join(store_dir, "_checkpoint", log)
+    if not os.path.isdir(path):
+        return set()
+    return {int(f) for f in os.listdir(path) if f.isdigit()}
+
+
+def replayable_batches(store_dir: str) -> set[int]:
+    """Batch ids the streaming engine WILL replay on restart: ids with an
+    offsets entry but no commits entry — the engine writes offsets, runs
+    the batch, then writes the commit, so at most one id is ever in this
+    state. This is the definition, not mere commits-file absence: a
+    commits entry can also be missing because the engine purged it past
+    ``minBatchesToRetain`` (then the offsets entry is purged too — not
+    replayable) or because the checkpoint was rebuilt from scratch (no
+    offsets at all — nothing can replay). Negative ids
+    (backfill/compaction namespace) never appear in either log."""
+    return _checkpoint_log_ids(store_dir, "offsets") - _checkpoint_log_ids(
+        store_dir, "commits"
+    )
+
+
 def checkpoint_committed(store_dir: str, batch_id: int) -> bool:
-    """True iff the STREAMING engine has durably recorded ``batch_id`` in
-    its checkpoint commits log — i.e. the checkpoint can never replay it.
-    The store marker is written inside foreachBatch, BEFORE the engine's
-    commit record, so a crash in that window leaves a batch that is
+    """True iff the checkpoint can never replay ``batch_id``. The store
+    marker is written inside foreachBatch, BEFORE the engine's commit
+    record, so a crash in that window leaves a batch that is
     marker-committed yet still replayable; anything that deletes or merges
     batch partitions (compaction) must additionally require this check for
-    non-negative (streaming-owned) ids. Negative ids (backfill/compaction
-    namespace) have no checkpoint and are never replayed by the engine."""
+    non-negative (streaming-owned) ids."""
     if batch_id < 0:
         return True
-    return os.path.exists(
-        os.path.join(store_dir, "_checkpoint", "commits", str(batch_id))
-    )
+    return batch_id not in replayable_batches(store_dir)
+
+
+# -- compaction journal (shared: maintenance writes it, readers honor it) --
+
+
+def journal_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "_compaction.json")
+
+
+def read_journal(store_dir: str) -> dict | None:
+    path = journal_path(store_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def excluded_batches_for_read(store_dir: str) -> set[int]:
+    """Batch ids a READER must skip to see exactly-once data while a
+    compaction journal is pending — the reader-side (non-mutating)
+    counterpart of recover_compaction: in the ``writing`` state the dest
+    may be partial and the sources are authoritative (skip dest); in the
+    ``written`` state the dest is verified complete and any surviving
+    source dirs are its duplicates (skip sources). Empty when no journal
+    is pending."""
+    j = read_journal(store_dir)
+    if j is None:
+        return set()
+    if j["state"] == "writing":
+        return {int(j["dest"])}
+    return {int(b) for b in j["sources"]}
+
+
+def data_file_count(root: str) -> int:
+    """Count parquet data files under a directory tree (driver-side
+    metadata walk)."""
+    n = 0
+    for _, _, files in os.walk(root):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n

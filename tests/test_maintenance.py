@@ -398,3 +398,45 @@ def test_torn_written_partial_deletes_roll_forward(spark, multi_batch_store):
     assert store_meta.raw_batches_on_disk(store) == {-4}
     assert store_meta.committed_batches(store) == {-4}
     assert spark.read.parquet(svc.raw_path).count() == 900
+
+
+def test_fresh_writing_journal_blocks_writer_entry(spark, sf_dir, multi_batch_store):
+    """Liveness guard (review finding): a FRESH writing-state journal may
+    belong to a live compaction — writer entry points must refuse to
+    settle it (rolling back would delete the dest out from under the
+    running job). A stale journal settles normally."""
+    store, svc = multi_batch_store
+    maintenance._write_journal(
+        store, {"state": "writing", "sources": [-3, -2, -1], "dest": -4}
+    )
+    with pytest.raises(RuntimeError, match="may still be running"):
+        svc.recover()
+    with pytest.raises(RuntimeError, match="may still be running"):
+        svc.backfill(samples(spark, sf_dir).limit(10))
+    # age the journal past the liveness window -> settles as rollback
+    old = __import__("time").time() - 20 * 60
+    os.utime(maintenance._journal_path(store), (old, old))
+    assert svc.recover() == set()
+    assert not os.path.exists(maintenance._journal_path(store))
+
+
+def test_reader_honors_pending_journal(spark, multi_batch_store):
+    """Reader-side journal honoring: while a written-state journal is
+    pending (dest complete, sources not yet deleted), HistoryServer must
+    skip the sources so aggregates are not double-counted."""
+    from metricq_db_hta_spark.plans.serve import HistoryServer
+    from metricq_db_hta_spark.queries.hta_queries import W0 as _W0
+
+    store, svc = multi_batch_store
+    src_dir = store_meta.batch_dir(store, -1)
+    backup = os.path.join(store, "bak_reader")
+    shutil.copytree(src_dir, backup)
+    maintenance.compact_raw(spark, store)
+    shutil.copytree(backup, src_dir)  # crash simulation: source survives
+    maintenance._write_journal(
+        store, {"state": "written", "sources": [-3, -2, -1], "dest": -4}
+    )
+    srv = HistoryServer(spark, store, [_W0])
+    resp = srv.handle({"type": "aggregate"})
+    total = sum(r["count"] for r in resp["rows"])
+    assert total == 900  # not 900 + |resurrected source|

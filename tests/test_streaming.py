@@ -587,3 +587,38 @@ def test_watermark_seed_excludes_replayable_batch(spark, tmp_path, chunked_input
     assert os.path.exists(
         os.path.join(store, "_checkpoint", "commits", str(victim))
     )
+
+
+def test_fresh_checkpoint_redrain_is_noop(spark, tmp_path, chunked_input):
+    """Review regression (round 7): a REBUILT checkpoint (corruption /
+    state-format upgrade) has no offsets log, so nothing is replayable
+    and the watermark seed must include every stored batch — re-draining
+    the same input then drops all re-read rows as at-or-below the stored
+    max. (The first gate implementation conflated 'commits entry missing'
+    with 'replayable' and would have duplicated the whole store here.)"""
+    import shutil as _sh
+
+    input_dir, _ = chunked_input
+    store = str(tmp_path / "store_fresh_ckpt")
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc.run_until_drained(input_dir)
+    n0 = spark.read.parquet(svc.raw_path).count()
+    ids0 = sorted(
+        int(x.split("=")[1])
+        for x in os.listdir(svc.raw_path)
+        if x.startswith("ingest_batch=")
+    )
+
+    _sh.rmtree(os.path.join(store, "_checkpoint"))
+    svc2 = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    from metricq_db_hta_spark.streaming import store_meta
+
+    assert store_meta.replayable_batches(store) == set()
+    svc2.run_until_drained(input_dir)
+    assert spark.read.parquet(svc.raw_path).count() == n0
+    ids1 = sorted(
+        int(x.split("=")[1])
+        for x in os.listdir(svc.raw_path)
+        if x.startswith("ingest_batch=")
+    )
+    assert ids1 == ids0  # no duplicate batches appeared
