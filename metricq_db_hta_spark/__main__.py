@@ -29,22 +29,11 @@ from metricq_db_hta_spark.session import get_spark
 
 
 def _history_service(spark, store: str, widths: list[int]):
-    from pyspark.sql import functions as F
+    # single owner of the store read path (journal honoring + missing-level
+    # tolerance): plans/serve.py
+    from metricq_db_hta_spark.plans.serve import build_history_service
 
-    from metricq_db_hta_spark.plans.history import HistoryService
-    from metricq_db_hta_spark.streaming import store_meta
-
-    raw = spark.read.parquet(os.path.join(store, "raw")).withColumn(
-        "metric", F.col("metric")
-    )
-    # honor a pending compaction journal (see plans/serve.py::_build)
-    excluded = store_meta.excluded_batches_for_read(store)
-    if excluded:
-        raw = raw.filter(~F.col("ingest_batch").isin([int(b) for b in excluded]))
-    levels = {
-        w: spark.read.parquet(os.path.join(store, f"level_{w}")) for w in widths
-    }
-    return HistoryService(raw=raw, levels=levels)
+    return build_history_service(spark, store, widths)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -86,6 +75,12 @@ def main(argv: list[str] | None = None) -> int:
     pc = sub.add_parser("compact")
     pc.add_argument("--store", required=True)
     pc.add_argument("--min-batches", type=int, default=2)
+    pc.add_argument(
+        "--force-recover",
+        action="store_true",
+        help="roll back a fresh writing-state journal even though a live "
+        "compaction may own it (operator's explicit crash adjudication)",
+    )
 
     pst = sub.add_parser("store-stats")
     pst.add_argument("--store", required=True)
@@ -169,7 +164,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "compact":
         from metricq_db_hta_spark.operators import maintenance
 
-        action = maintenance.recover_compaction(args.store)
+        action = maintenance.recover_compaction(
+            args.store, force=args.force_recover
+        )
         if action != "none":
             print(f"recovered prior compaction: {action}", file=sys.stderr)
         res = maintenance.compact_raw(spark, args.store, min_batches=args.min_batches)

@@ -59,6 +59,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
@@ -126,10 +128,11 @@ def plan_compaction(store_dir: str, min_batches: int = 2) -> CompactionPlan | No
     are at least ``min_batches`` of them. Returns None when there is
     nothing worth doing."""
     on_disk = store_meta.raw_batches_on_disk(store_dir)
+    replayable = store_meta.replayable_batches(store_dir)  # listed ONCE
     sources = sorted(
         b
         for b in store_meta.committed_batches(store_dir) & on_disk
-        if store_meta.checkpoint_committed(store_dir, b)
+        if b < 0 or b not in replayable
     )
     if len(sources) < min_batches:
         return None
@@ -186,26 +189,44 @@ def compact_raw(
         store_dir,
         {"state": "writing", "sources": plan.sources, "dest": plan.dest},
     )
-    (
-        src.select(*RAW_COLS, tcol)
-        .withColumn("ingest_batch", F.lit(plan.dest))
-        .repartition("metric", tcol)
-        # ts-sorted output files: compaction is the one cheap moment to
-        # cluster rows so parquet row-group min/max on ts_ns actually
-        # prunes (source batches interleave arbitrary time slices)
-        .sortWithinPartitions("metric", tcol, "ts_ns")
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", str(max_records))
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_batch", "metric", tcol)
-        .parquet(raw_root)
-    )
-    # verification barrier before any delete becomes possible
-    dest_rows = (
-        spark.read.parquet(raw_root)
-        .filter(F.col("ingest_batch") == plan.dest)
-        .count()
-    )
+    # heartbeat the journal mtime while the dest write runs, so the
+    # recover_compaction liveness guard can distinguish a live long write
+    # from a dead one regardless of how long the shuffle takes
+    stop_beat = threading.Event()
+
+    def _beat() -> None:
+        while not stop_beat.wait(_HEARTBEAT_S):
+            try:
+                os.utime(_journal_path(store_dir))
+            except FileNotFoundError:
+                return
+
+    beat = threading.Thread(target=_beat, daemon=True)
+    beat.start()
+    try:
+        (
+            src.select(*RAW_COLS, tcol)
+            .withColumn("ingest_batch", F.lit(plan.dest))
+            .repartition("metric", tcol)
+            # ts-sorted output files: compaction is the one cheap moment
+            # to cluster rows so parquet row-group min/max on ts_ns
+            # actually prunes (source batches interleave arbitrary time
+            # slices)
+            .sortWithinPartitions("metric", tcol, "ts_ns")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", str(max_records))
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch", "metric", tcol)
+            .parquet(raw_root)
+        )
+        # verification barrier before any delete becomes possible
+        dest_rows = (
+            spark.read.parquet(raw_root)
+            .filter(F.col("ingest_batch") == plan.dest)
+            .count()
+        )
+    finally:
+        stop_beat.set()
     if dest_rows != n_src_rows:
         raise RuntimeError(
             f"compaction verify failed: dest {dest_rows} != sources {n_src_rows}"
@@ -241,22 +262,49 @@ def _finish_deletes(store_dir: str, sources: list[int], dest: int) -> None:
         pass
 
 
-def recover_compaction(store_dir: str) -> str:
+#: a writing-state journal younger than this is presumed to belong to a
+#: LIVE compaction (compact_raw heartbeats the journal mtime every
+#: _HEARTBEAT_S while its dest write runs, so a live job's journal is
+#: never older than ~2x the heartbeat)
+LIVENESS_WINDOW_S = 15 * 60
+_HEARTBEAT_S = 60
+
+
+def recover_compaction(store_dir: str, force: bool = False) -> str:
     """Finish or roll back a torn compaction. Returns the action taken:
     ``"none"`` (no journal), ``"rolled_back"`` (dest deleted, sources
     intact), or ``"completed"`` (source deletes finished, marker
-    updated)."""
-    path = _journal_path(store_dir)
-    if not os.path.exists(path):
+    updated).
+
+    Liveness guard: a FRESH ``writing``-state journal may belong to a
+    compaction that is still running (compact_raw heartbeats the journal
+    mtime during its write) — rolling it back would delete the dest
+    partitions out from under the live job, so this raises instead
+    unless ``force=True``. The ``written`` state is always safe to roll
+    forward (dest verified complete, deletes idempotent)."""
+    j = store_meta.read_journal(store_dir)
+    if j is None:
         return "none"
-    with open(path) as f:
-        j = json.load(f)
     if j["state"] == "writing":
+        if not force:
+            try:
+                age = time.time() - os.path.getmtime(_journal_path(store_dir))
+            except FileNotFoundError:
+                return "none"  # settled concurrently
+            if age < LIVENESS_WINDOW_S:
+                raise RuntimeError(
+                    "compaction journal is fresh (writing state, "
+                    f"{age:.0f}s old) - a compaction may still be running; "
+                    "wait for it or pass force=True"
+                )
         # dest may be partial; sources are untouched -> roll back. Strict:
         # a surviving partial dest is an uncommitted batch that recover()
         # would otherwise "repair" derived levels from.
         _rmtree_strict(store_meta.batch_dir(store_dir, j["dest"]))
-        os.remove(path)
+        try:
+            os.remove(_journal_path(store_dir))
+        except FileNotFoundError:
+            pass
         return "rolled_back"
     # state == written: dest verified complete -> roll forward
     _finish_deletes(store_dir, j["sources"], j["dest"])

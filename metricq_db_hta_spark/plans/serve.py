@@ -57,6 +57,33 @@ def _json_default(o):
     raise TypeError(f"unserializable {type(o).__name__}")
 
 
+def build_history_service(
+    spark: SparkSession, store: str, level_widths_ns: list[int]
+) -> HistoryService:
+    """The one owner of the store READ path (HistoryServer + the history
+    CLI both build through here): load raw honoring a pending compaction
+    journal, and only the level tables that exist.
+
+    Reader-side journal honoring: while a compaction journal is pending,
+    raw briefly holds a row twice (dest copy + undeleted sources) or a
+    partial dest — skip the journal's excluded side so serving never
+    double-counts, without mutating the store from a read path."""
+    from pyspark.sql import functions as F
+
+    from metricq_db_hta_spark.streaming import store_meta
+
+    raw = spark.read.parquet(os.path.join(store, "raw"))
+    excluded = store_meta.excluded_batches_for_read(store)
+    if excluded:
+        raw = raw.filter(~F.col("ingest_batch").isin([int(b) for b in excluded]))
+    levels = {
+        w: spark.read.parquet(os.path.join(store, f"level_{w}"))
+        for w in level_widths_ns
+        if os.path.exists(os.path.join(store, f"level_{w}"))
+    }
+    return HistoryService(raw=raw, levels=levels)
+
+
 class HistoryServer:
     def __init__(
         self, spark: SparkSession, store: str, level_widths_ns: list[int]
@@ -67,25 +94,7 @@ class HistoryServer:
         self._svc = self._build()
 
     def _build(self) -> HistoryService:
-        from pyspark.sql import functions as F
-
-        from metricq_db_hta_spark.streaming import store_meta
-
-        raw = self.spark.read.parquet(os.path.join(self.store, "raw"))
-        # reader-side journal honoring: while a compaction journal is
-        # pending, raw briefly holds a row twice (dest copy + undeleted
-        # sources) or a partial dest — skip the journal's excluded side so
-        # serving never double-counts, without mutating the store from a
-        # read path
-        excluded = store_meta.excluded_batches_for_read(self.store)
-        if excluded:
-            raw = raw.filter(~F.col("ingest_batch").isin([int(b) for b in excluded]))
-        levels = {
-            w: self.spark.read.parquet(os.path.join(self.store, f"level_{w}"))
-            for w in self.widths
-            if os.path.exists(os.path.join(self.store, f"level_{w}"))
-        }
-        return HistoryService(raw=raw, levels=levels)
+        return build_history_service(self.spark, self.store, self.widths)
 
     # -- request router (src/async_hta_service.hpp:359 switch parity) ------
     def handle(self, req: dict) -> dict:

@@ -36,7 +36,6 @@ from __future__ import annotations
 
 import logging
 import os
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -650,25 +649,9 @@ class StreamingIngest:
             recover_compaction,
         )
 
-        j = store_meta.read_journal(self.store)
-        if j is None:
-            return
-        # liveness guard: a FRESH journal in the writing state may belong
-        # to a compaction that is still running — rolling it back would
-        # delete the dest partitions out from under the live job (review
-        # finding). Refuse instead of destroying; the written state is
-        # always safe to roll forward (dest verified complete, deletes
-        # idempotent). 15 min is far beyond any single compaction write.
-        if j["state"] == "writing":
-            age = time.time() - os.path.getmtime(
-                store_meta.journal_path(self.store)
-            )
-            if age < 15 * 60:
-                raise RuntimeError(
-                    "compaction journal is fresh (writing state, "
-                    f"{age:.0f}s old) - a compaction may still be running; "
-                    "wait for it or run recover_compaction() explicitly"
-                )
+        # the liveness guard (refuse to roll back a FRESH writing-state
+        # journal — a live compaction heartbeats its mtime) lives inside
+        # recover_compaction itself, so every caller gets it
         action = recover_compaction(self.store)
         if action != "none":
             _log.warning("settled torn compaction journal: %s", action)

@@ -110,11 +110,13 @@ def journal_path(store_dir: str) -> str:
 
 
 def read_journal(store_dir: str) -> dict | None:
-    path = journal_path(store_dir)
-    if not os.path.exists(path):
+    # tolerate the journal vanishing between exists and open (a concurrent
+    # recover/settle just finished): absent either way
+    try:
+        with open(journal_path(store_dir)) as f:
+            return json.load(f)
+    except FileNotFoundError:
         return None
-    with open(path) as f:
-        return json.load(f)
 
 
 def excluded_batches_for_read(store_dir: str) -> set[int]:

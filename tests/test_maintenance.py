@@ -94,7 +94,11 @@ def test_torn_writing_rolls_back(spark, multi_batch_store):
     )
     with pytest.raises(RuntimeError, match="recover_compaction"):
         maintenance.compact_raw(spark, store)
-    assert maintenance.recover_compaction(store) == "rolled_back"
+    # the journal is fresh -> the liveness guard presumes a live job and
+    # refuses; force=True is the operator's explicit crash adjudication
+    with pytest.raises(RuntimeError, match="may still be running"):
+        maintenance.recover_compaction(store)
+    assert maintenance.recover_compaction(store, force=True) == "rolled_back"
     assert not os.path.exists(dest_dir)
     assert spark.read.parquet(svc.raw_path).count() == n
     # store is clean: a fresh compaction succeeds
