@@ -60,6 +60,7 @@ PENDING_NEXT_WINDOW = [
     "llm_unigram_logprob",
     "rel_join_asof_tolerance",
     "llm_weighted_sample",
+    "rel_agg_statistical",
 ]
 _WINDOW = [
     # (1) PENDING_NEXT_WINDOW drain — first driver row ever

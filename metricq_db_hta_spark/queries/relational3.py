@@ -171,3 +171,63 @@ def rel_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "rel_agg_statistical",
+    oracle=f"""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         {sql_dsum('l_quantity')} AS sx,
+         {sql_dsum('l_quantity * l_quantity')} AS sxx,
+         {sql_dsum('l_extendedprice')} AS sy,
+         {sql_dsum('l_extendedprice * l_extendedprice')} AS syy,
+         {sql_dsum('l_quantity * l_extendedprice')} AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS qty_stddev,
+       ROUND((sxx - sx * sx / n) / (n - 1), 6) AS qty_var,
+       ROUND((sxy - sx * sy / n) / (n - 1), 6) AS qty_price_covar,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS qty_price_corr
+FROM m
+""",
+    doc="Statistical aggregates (stddev_samp/var_samp/covar_samp/corr) "
+    "per group, formulated from EXACT decimal moments (n, Σx, Σx², Σxy) "
+    "rather than the engines' built-in accumulators: the builtins merge "
+    "float partials in nondeterministic order (Spark) and with different "
+    "update formulas (Welford vs naive), so their last-ulp results "
+    "diverge across engines and even across runs. Exact moments make "
+    "the derived statistics bit-identical everywhere; the moment "
+    "aggregation is the same single-pass grouped-hash shape as any sum. "
+    "(x up to 1e5 squares to 1e10 at 4dp — within both DECIMAL(38,6) "
+    "and the scaled-long msum envelope.)",
+)
+def rel_agg_statistical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        msum(x).alias("sx"),
+        msum(x * x).alias("sxx"),
+        msum(y).alias("sy"),
+        msum(y * y).alias("syy"),
+        msum(x * y).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("qty_stddev"),
+        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("qty_var"),
+        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("qty_price_covar"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("qty_price_corr"),
+    )
