@@ -1,0 +1,74 @@
+"""Bucketed co-located joins: the zero-shuffle fact⋈fact strategy.
+
+SCALE.md's join section argues the orders⋈lineitem exchange is the
+irreducible cost of the shuffled-join plan. Bucketing is the storage-side
+answer at 100 TB: write both facts bucketed by the join key
+(``bucketBy(N, key)`` + ``saveAsTable``), and Spark's scan reports the
+bucket spec so the join planner skips BOTH exchanges — the join runs
+bucket-aligned, map-side. This test pins that the engine actually
+achieves the exchange-free plan, not just that bucketing is possible.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from metricq_db_hta_spark.sources.tables import load_table
+
+
+@pytest.fixture()
+def bucketed_tables(spark, sf_dir, tmp_path):
+    # saveAsTable uses the session's warehouse dir (a static conf);
+    # managed table data is removed by the DROP TABLE teardown
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS bkt_{name}")
+        (
+            load_table(spark, sf_dir, name)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(f"bkt_{name}")
+        )
+    yield
+    for name in ("orders", "lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS bkt_{name}")
+
+
+def test_bucketed_fact_join_has_no_exchange(spark, sf_dir, bucketed_tables):
+    """Same-bucket-count equi-join on the bucket key must plan with ZERO
+    Exchange operators (bucket-aligned SortMergeJoin), while the plain
+    parquet join of the same data needs two."""
+    joined = spark.sql(
+        """
+        SELECT o.o_orderkey, COUNT(*) AS n
+        FROM bkt_orders o JOIN bkt_lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey
+        """
+    )
+    # executedPlan: exchanges are inserted by EnsureRequirements during
+    # preparation — sparkPlan() is the pre-preparation tree and never
+    # shows them, bucketed or not
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # the aggregate reuses the join's bucket distribution too: the whole
+    # query is exchange-free
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    flat_plan = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert flat_plan.count("Exchange") >= 2, flat_plan
+
+    # and the bucketed join is answer-identical to the plain one
+    flat = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .count()
+    )
+    assert joined.count() == flat.count()
+    assert joined.exceptAll(flat.withColumnRenamed("count", "n")).count() == 0
