@@ -164,12 +164,23 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "compact":
         from metricq_db_hta_spark.operators import maintenance
 
-        action = maintenance.recover_compaction(
-            args.store, force=args.force_recover
-        )
-        if action != "none":
-            print(f"recovered prior compaction: {action}", file=sys.stderr)
-        res = maintenance.compact_raw(spark, args.store, min_batches=args.min_batches)
+        # recover/compact raise RuntimeError with operator-actionable
+        # messages (fresh writing-state journal -> liveness guard, journal
+        # present -> run recover first, post-compact verify mismatch). Those
+        # are expected operational outcomes, not bugs: print the message and
+        # exit nonzero instead of dumping a traceback (round-8 ADVICE).
+        try:
+            action = maintenance.recover_compaction(
+                args.store, force=args.force_recover
+            )
+            if action != "none":
+                print(f"recovered prior compaction: {action}", file=sys.stderr)
+            res = maintenance.compact_raw(
+                spark, args.store, min_batches=args.min_batches
+            )
+        except RuntimeError as e:
+            print(f"compact: {e}", file=sys.stderr)
+            return 2
         if res is None:
             print("nothing to compact", file=sys.stderr)
         else:

@@ -26,6 +26,7 @@ creation).
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import socketserver
@@ -85,6 +86,11 @@ def build_history_service(
 
 
 class HistoryServer:
+    #: size of the round-robin FAIR-pool set (pools are never deregistered
+    #: by Spark, so the set must be bounded; 8 >= local[32]/4 concurrent
+    #: requests keeps fairness without unbounded pool registration)
+    _N_POOLS = 8
+
     def __init__(
         self, spark: SparkSession, store: str, level_widths_ns: list[int]
     ) -> None:
@@ -131,28 +137,44 @@ class HistoryServer:
 
         spark = self.spark
 
+        # Pools come from a BOUNDED round-robin set, not thread idents:
+        # FAIR-scheduler pools are registered on first use and never
+        # removed, so ident-named pools accumulate without bound on a
+        # long-lived server, and OS ident reuse would silently co-schedule
+        # unrelated sequential connections (round-8 ADVICE). A fixed set of
+        # _N_POOLS gives the same fairness property (concurrent requests
+        # land in distinct pools up to the pool count) with O(1) registry.
+        pool_seq = itertools.count()
+
         class _Handler(socketserver.StreamRequestHandler):
             def handle(self) -> None:  # one connection, many requests
-                # each connection thread gets its own scheduler pool: under
+                # each connection gets a pool from the bounded set: under
                 # FAIR mode (SPARK_GRAFT_SCHEDULER=FAIR) concurrent
                 # requests share executor slots fairly instead of queueing
                 # behind the largest scan; a harmless no-op under FIFO
                 spark.sparkContext.setLocalProperty(
-                    "spark.scheduler.pool", f"req-{threading.get_ident()}"
+                    "spark.scheduler.pool",
+                    f"req-{next(pool_seq) % HistoryServer._N_POOLS}",
                 )
-                for line in self.rfile:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    try:
-                        req = json.loads(line)
-                        resp = handle(req)
-                    except Exception as e:  # noqa: BLE001
-                        resp = {"error": f"{type(e).__name__}: {e}"}
-                    self.wfile.write(
-                        (json.dumps(resp, default=_json_default) + "\n").encode()
-                    )
-                    self.wfile.flush()
+                try:
+                    for line in self.rfile:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        try:
+                            req = json.loads(line)
+                            resp = handle(req)
+                        except Exception as e:  # noqa: BLE001
+                            resp = {"error": f"{type(e).__name__}: {e}"}
+                        self.wfile.write(
+                            (json.dumps(resp, default=_json_default) + "\n").encode()
+                        )
+                        self.wfile.flush()
+                finally:
+                    # local properties are inherited by any job the pooled
+                    # handler thread later runs — clear on close so a
+                    # recycled thread doesn't carry a stale pool
+                    spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
 
         class _Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True

@@ -10,6 +10,7 @@ the engine-defined integral/active_time semantics encoded identically
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -57,7 +58,10 @@ def samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SERVICE_LEVELS: dict[tuple[str, str], dict[int, "DataFrame"]] = {}
+# value is (store_path, levels): the store path rides along so the sweep
+# below can rmtree the on-disk level store of an evicted entry — without it
+# each evicted (app, sf_dir) leaked one mkdtemp dir permanently (r8 ADVICE)
+_SERVICE_LEVELS: dict[tuple[str, str], tuple[str, dict[int, "DataFrame"]]] = {}
 
 
 def service(spark: SparkSession, sf_dir: str) -> HistoryService:
@@ -82,10 +86,11 @@ def service(spark: SparkSession, sf_dir: str) -> HistoryService:
     import tempfile
 
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    levels = _SERVICE_LEVELS.get(key)
-    if levels is None:
+    entry = _SERVICE_LEVELS.get(key)
+    if entry is None:
         for stale in [k for k in _SERVICE_LEVELS if k[0] != key[0]]:
-            del _SERVICE_LEVELS[stale]
+            stale_store, _ = _SERVICE_LEVELS.pop(stale)
+            shutil.rmtree(stale_store, ignore_errors=True)
         raw = samples(spark, sf_dir)
         built = hta.build_levels(raw, W0, 10, n_levels=3)
         # fresh unique dir: a hash-derived path could collide with a
@@ -99,8 +104,9 @@ def service(spark: SparkSession, sf_dir: str) -> HistoryService:
             w: spark.read.parquet(os.path.join(store, f"level_{w}"))
             for w in LEVEL_WIDTHS
         }
-        _SERVICE_LEVELS[key] = levels
-    return HistoryService(raw=samples(spark, sf_dir), levels=dict(levels))
+        entry = (store, levels)
+        _SERVICE_LEVELS[key] = entry
+    return HistoryService(raw=samples(spark, sf_dir), levels=dict(entry[1]))
 
 
 # --------------------------------------------------------------------------

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metricq_db_hta_spark.queries.base import (
+    dsum,
     msum,
     register,
     sql_dsum,
@@ -202,8 +203,12 @@ FROM m
     "diverge across engines and even across runs. Exact moments make "
     "the derived statistics bit-identical everywhere; the moment "
     "aggregation is the same single-pass grouped-hash shape as any sum. "
-    "(x up to 1e5 squares to 1e10 at 4dp — within both DECIMAL(38,6) "
-    "and the scaled-long msum envelope.)",
+    "Moment envelopes (round-8 ADVICE fix): x = l_quantity <= 50, so "
+    "x*x and x*y stay well inside msum's scaled-long range (y*x <= 5e6 "
+    "scales to 5e12 < 2^53). y*y is the exception: ~1e10 scales to "
+    "~1e16 > 2^53, where fl(d*1e6) has ulp 2 and rint can differ from "
+    "the oracle's exact CAST(d AS DECIMAL(38,6)) by ~2e-6/row — so syy "
+    "alone uses dsum (per-row decimal cast), byte-matching sql_dsum.",
 )
 def rel_agg_statistical(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -214,7 +219,9 @@ def rel_agg_statistical(spark: SparkSession, sf_dir: str) -> DataFrame:
         msum(x).alias("sx"),
         msum(x * x).alias("sxx"),
         msum(y).alias("sy"),
-        msum(y * y).alias("syy"),
+        # y*y ~ 1e10 overflows msum's 2^53 scaled-long envelope (see the
+        # registry doc) — exact decimal cast per row for this moment only.
+        dsum(y * y).alias("syy"),
         msum(x * y).alias("sxy"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")

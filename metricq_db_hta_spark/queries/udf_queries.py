@@ -10,6 +10,11 @@ Python. All closures are self-contained (workers have no package install).
 
 from __future__ import annotations
 
+# module-level so pyspark's get_type_hints can resolve the stringified
+# `pd.Series` annotations on the grouped-agg pandas UDF (future-import
+# annotations are strings evaluated against the defining module's globals)
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -219,12 +224,13 @@ GROUP BY event_type
     "point; oracle pins it via EXP(AVG(LN(x))).",
 )
 def udf_grouped_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # explicit GROUPED_AGG: with `from __future__ import annotations` the
-    # pd.Series -> float hints are strings Spark cannot resolve here
-    @pandas_udf(DoubleType(), PandasUDFType.GROUPED_AGG)
-    def geomean(v):
+    # pd.Series -> float type hints select the grouped-agg eval type
+    # (PandasUDFType.GROUPED_AGG is deprecated; pyspark resolves the
+    # stringified future-import annotations via get_type_hints)
+    @pandas_udf(DoubleType())
+    def geomean(v: pd.Series) -> float:
         import numpy as _np
 
         return float(_np.exp(_np.log(v.to_numpy(dtype="float64")).mean()))
