@@ -14,7 +14,8 @@ next-step 2): break each query's sf1 RESIDENT wall time into
 Method: resident protocol (DataFrame built once, unmeasured warm run,
 then a measured run inside a fresh job group), stage metrics from the
 Spark UI REST API (run with SPARK_GRAFT_UI=1). Results merge into
-BENCH_DETAIL.json under ``floor_decomposition`` and print as a table.
+FLOOR.json under ``floor_decomposition`` (its own artifact — the driver
+bench overwrites BENCH_DETAIL.json every round) and print as a table.
 
 Usage:
     SPARK_GRAFT_UI=1 python scripts/floor_decompose.py [query ...]
@@ -159,19 +160,25 @@ def main() -> None:
                 f"sr={s['shuffle_read_mb']}MB sw={s['shuffle_write_mb']}MB"
             )
 
-    detail_path = os.path.join(
+    # Own artifact, NOT BENCH_DETAIL.json: the driver's per-round bench
+    # overwrites BENCH_DETAIL.json, which clobbered the round-7 adjudication
+    # data BASELINE.md cites (VERDICT r7 wrongness 1). FLOOR.json is only
+    # ever written here, so the citation stays live across rounds; queries
+    # are merged so partial reruns don't drop earlier rows.
+    floor_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_DETAIL.json",
+        "FLOOR.json",
     )
     try:
-        with open(detail_path) as f:
-            detail = json.load(f)
+        with open(floor_path) as f:
+            floor = json.load(f)
     except (OSError, ValueError):
-        detail = {}
-    detail["floor_decomposition"] = report
-    with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1)
-    print(f"\nwrote floor_decomposition to {detail_path}")
+        floor = {}
+    floor.setdefault("floor_decomposition", {}).update(report)
+    floor["cores"] = cores
+    with open(floor_path, "w") as f:
+        json.dump(floor, f, indent=1)
+    print(f"\nwrote floor_decomposition to {floor_path}")
 
 
 if __name__ == "__main__":
