@@ -30,6 +30,7 @@ from metricq_db_hta_spark.queries.base import (
     register,
     sql_dsum,
 )
+from metricq_db_hta_spark.sources.bucketed import bucketed_table
 from metricq_db_hta_spark.sources.tables import load_table
 
 
@@ -237,4 +238,37 @@ def rel_agg_statistical(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
             6,
         ).alias("qty_price_corr"),
+    )
+
+
+@register(
+    "rel_join_bucketed",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n_lines,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderstatus
+""",
+    doc="The rel_join_sortmerge query over BUCKETED storage: both facts "
+    "persisted bucketBy(32, orderkey).sortBy(orderkey), so the equi-join "
+    "plans with ZERO Exchange and zero Sort (bucket-aligned map-side SMJ) "
+    "— the layout answer to the shuffled-join exchange tax quantified in "
+    "BASELINE.md. Identical oracle to rel_join_sortmerge: same rows, "
+    "different physical strategy (tests/test_bucketing.py pins the "
+    "exchange-free plan; this registry entry makes it driver-verified "
+    "and benchmarked).",
+    bench=True,
+)
+def rel_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = bucketed_table(spark, sf_dir, "orders")
+    li = bucketed_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
     )

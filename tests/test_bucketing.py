@@ -72,3 +72,19 @@ def test_bucketed_fact_join_has_no_exchange(spark, sf_dir, bucketed_tables):
     )
     assert joined.count() == flat.count()
     assert joined.exceptAll(flat.withColumnRenamed("count", "n")).count() == 0
+
+
+def test_rel_join_bucketed_registry_query_is_exchange_free_up_to_agg(spark, sf_dir):
+    """The declared rel_join_bucketed query must get the bucket-aligned
+    join: no Exchange below the SortMergeJoin (the only exchange allowed
+    in the whole plan is the final 5-row o_orderstatus aggregation)."""
+    from metricq_db_hta_spark.queries import REGISTRY
+
+    df = REGISTRY["rel_join_bucketed"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    # split at the join: everything below it (the scan sides) must be
+    # exchange-free; the single partial->final agg exchange sits above
+    below_join = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below_join, plan
+    assert plan.count("Exchange") <= 1, plan
