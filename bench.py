@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -171,7 +172,7 @@ def build_sf1(sf_dir: str) -> str:
     return out_dir
 
 
-def time_spark(spark, names, data_dir, cold_runs=2, resident_runs=3):
+def time_spark(spark, names, data_dir, cold_runs=2, resident_sweeps=3):
     """Cold (plan rebuilt per run) and resident (plan reused) timings.
 
     Cold: one unmeasured run absorbs one-off session costs (codegen/JIT,
@@ -183,9 +184,18 @@ def time_spark(spark, names, data_dir, cold_runs=2, resident_runs=3):
     the full physical pipeline every time (scan, joins, shuffles, AQE,
     noop commit); nothing is cached (spark.catalog caches are cleared
     every run so operators that cache() intermediates recompute them).
+
+    Resident runs as ``resident_sweeps`` interleaved sweeps over ALL
+    queries (not N consecutive runs per query): venue noise on this
+    machine is time-correlated (page-cache drops — see BENCH history:
+    r6->r7 resident ratio moved 3.2x->4.1x with zero plan changes), so
+    spreading each query's samples across separated time windows makes
+    the per-query [min, median, max] spread an honest noise estimate
+    instead of three samples from the same bad moment. Returns
+    ``(cold, resident_min, resident_spread)`` where spread maps each
+    query to ``[min, median, max]`` seconds.
     """
     cold: dict[str, float] = {}
-    resident: dict[str, float] = {}
     for name in names:
         spec = REGISTRY[name]
         runs: list[float] = []
@@ -197,18 +207,25 @@ def time_spark(spark, names, data_dir, cold_runs=2, resident_runs=3):
             if measured:
                 runs.append(time.perf_counter() - t0)
         cold[name] = round(min(runs), 3)
-    for name in names:
-        spec = REGISTRY[name]
-        df = spec.spark(spark, data_dir)
-        runs = []
-        for measured in (False, *([True] * resident_runs)):
+    dfs = {name: REGISTRY[name].spark(spark, data_dir) for name in names}
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for measured in (False, *([True] * resident_sweeps)):
+        for name in names:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
+            dfs[name].write.mode("overwrite").format("noop").save()
             if measured:
-                runs.append(time.perf_counter() - t0)
-        resident[name] = round(min(runs), 3)
-    return cold, resident
+                samples[name].append(time.perf_counter() - t0)
+    resident = {name: round(min(s), 3) for name, s in samples.items()}
+    spread = {
+        name: [
+            round(min(s), 3),
+            round(statistics.median(s), 3),
+            round(max(s), 3),
+        ]
+        for name, s in samples.items()
+    }
+    return cold, resident, spread
 
 
 def time_duckdb(names, data_dir):
@@ -248,19 +265,20 @@ def main() -> None:
     # ---- primary venue: sf1 (10x replicated), Spark vs DuckDB ----
     sf1_cold: dict[str, float] = {}
     sf1_resident: dict[str, float] = {}
+    sf1_spread: dict[str, list[float]] = {}
     sf1_duck: dict[str, float] = {}
     sf1_enabled = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
     if sf1_enabled:
         try:
             big_dir = build_sf1(sf_dir)
-            sf1_cold, sf1_resident = time_spark(spark, names, big_dir)
+            sf1_cold, sf1_resident, sf1_spread = time_spark(spark, names, big_dir)
             sf1_duck = time_duckdb(names, big_dir)
         except Exception as e:  # noqa: BLE001 — fall back to sf0.1-only
             print(f"sf1 bench failed: {e!r}", file=sys.stderr)
             sf1_enabled = False
 
     # ---- secondary: sf0.1 (round-over-round continuity) ----
-    cold01, resident01 = time_spark(spark, names, sf_dir)
+    cold01, resident01, spread01 = time_spark(spark, names, sf_dir)
     try:
         duck01 = time_duckdb(names, sf_dir)
     except Exception:  # noqa: BLE001 — baseline is informational
@@ -442,6 +460,22 @@ def main() -> None:
         out["resident_ratio_vs_duckdb"] = round(
             resident_total / max(dtot, 1e-9), 2
         )
+    # resident spread (VERDICT r7 next-step 3): per-sweep samples are
+    # interleaved across queries, so median/max vs min quantifies the
+    # venue noise a single min hides. The summary line carries the three
+    # totals; per-query [min, med, max] goes to BENCH_DETAIL.json.
+    primary_spread = sf1_spread if (sf1_enabled and sf1_cold) else spread01
+    if primary_spread:
+        out["resident_total_median"] = round(
+            sum(v[1] for v in primary_spread.values()), 3
+        )
+        out["resident_total_max"] = round(
+            sum(v[2] for v in primary_spread.values()), 3
+        )
+        if primary_duck:
+            out["resident_median_ratio_vs_duckdb"] = round(
+                out["resident_total_median"] / max(sum(primary_duck.values()), 1e-9), 2
+            )
     # Full per-query detail goes to a side file: the driver records only
     # the LAST ~2000 chars of stdout, so the one-line JSON contract must
     # stay well under that (round 3's line outgrew the window).
@@ -449,11 +483,13 @@ def main() -> None:
         "sf1": {
             "cold": sf1_cold or None,
             "resident": sf1_resident or None,
+            "resident_spread": sf1_spread or None,
             "duckdb": sf1_duck or None,
         },
         "sf0.1": {
             "cold": cold01,
             "resident": resident01,
+            "resident_spread": spread01,
             "duckdb": duck01 or None,
         },
     }

@@ -21,34 +21,36 @@ from metricq_db_hta_spark.queries import relational3  # noqa: F401
 from metricq_db_hta_spark.queries import llm2  # noqa: F401
 
 # Registry order is part of the driver contract: the correctness harness
-# records the first 50 entries each round. Round 7 window policy
+# records the first 50 entries each round. Round 8 window policy
 # (scripts/window_coverage.py enforces freshness going forward):
 #
-# (1) The four round-6 additions drain from PENDING_NEXT_WINDOW and get
-#     their FIRST driver row (standing rotation contract — VERDICT r6
-#     next-step 1). Until now their only green evidence was the local
-#     pytest oracle suite.
-# (2) All 32 queries whose latest driver row is CORRECTNESS_r05 rotate in
-#     — after this round every query's last green row is r06 or r07,
-#     keeping the rotation one round deep.
-# (3) The remaining 14 slots re-check r06-green queries: every query whose
-#     code path is modified THIS round (llm_repetition_filter's NULL
-#     pinning, the similarity qdim guard behind the top-k paths, the Q3
-#     level decomposition behind hta_q3_aggregate) plus the headline
-#     bench queries, so the hard external signal always covers the
-#     current code and the numbers the bench reports.
-#
-# Queries added this round (if any) sit after the window with the same
-# machine-readable PENDING_NEXT_WINDOW promise: scripts/window_coverage.py
-# exempts them from its never-checked failure, and the round-8 window must
-# include (and thereby drain) them.
-PENDING_NEXT_WINDOW = [
+# (1) ALL 17 round-7 additions drain from PENDING_NEXT_WINDOW and get
+#     their FIRST driver row (VERDICT r7 next-step 1 — the single
+#     blocking gap between "100% local oracle" and the stated bar).
+#     rel_agg_statistical's syy moment was corrected this round (msum
+#     envelope overflow, r8 ADVICE), so its first driver row checks the
+#     fixed code.
+# (2) rel_join_bucketed (new this round) goes straight into the window —
+#     same policy as llm_similarity_recall_ivf last round: no reason to
+#     let a new query wait a full rotation.
+# (3) udf_grouped_agg_geomean re-checks: its UDF was rewritten this round
+#     (deprecated GROUPED_AGG -> type hints), so the r7 green row covers
+#     code that no longer exists.
+# (4) The remaining 31 slots rotate r06-green queries in (37 candidates;
+#     the 6 deferred to round 9 — rel_math_funcs, rel_string_funcs,
+#     rel_date_funcs, rel_date_arithmetic, rel_topk,
+#     rel_agg_approx_distinct — are pure-scalar/topk shapes with
+#     untouched code, at stale(2) after this round, which
+#     window_coverage.py still accepts; the round-9 window MUST schedule
+#     them).
+PENDING_NEXT_WINDOW: list[str] = []
+_WINDOW = [
+    # (1) PENDING_NEXT_WINDOW drain — first driver row ever
     "llm_dedup_survivors",
     "llm_decontaminate",
     "rel_unpivot",
     "rel_window_distribution",
     "rel_join_lateral",
-    # second round-7 batch (relational3.py / llm2.py)
     "rel_q6_forecast_revenue",
     "rel_q10_returned_items",
     "rel_q18_large_volume_customer",
@@ -61,65 +63,42 @@ PENDING_NEXT_WINDOW = [
     "rel_join_asof_tolerance",
     "llm_weighted_sample",
     "rel_agg_statistical",
-]
-_WINDOW = [
-    # (1) PENDING_NEXT_WINDOW drain — first driver row ever
-    "llm_tfidf_top_terms",
-    "llm_char_entropy",
-    "rel_join_asof_forward",
-    "rel_subquery_correlated_scalar",
-    # (2) last green r05 — rotate all 32 in
-    "hta_delta_encode",
-    "hta_metadata_projection",
-    "hta_scope_boundaries",
-    "hta_stats_rates",
-    "hta_subscription_list",
-    "llm_dataset_split",
-    "llm_lang_id",
-    "llm_quality_filter",
-    "llm_sequence_packing",
-    "llm_stratified_sample",
-    "llm_token_count",
-    "rel_agg_distinct",
-    "rel_array_funcs",
-    "rel_join_anti",
-    "rel_join_broadcast_dim",
-    "rel_join_cross",
-    "rel_join_full_outer",
-    "rel_join_left_outer",
-    "rel_join_range_band",
-    "rel_join_semi",
-    "rel_json_funcs",
-    "rel_null_handling",
-    "rel_session_window",
-    "rel_set_except",
-    "rel_set_intersect",
-    "rel_set_union",
-    "rel_window_range_between",
-    "rel_window_sliding_native",
-    "rel_window_tumbling_native",
+    # (2) new this round
+    "rel_join_bucketed",
+    # (3) modified this round
     "udf_grouped_agg_geomean",
-    "udf_pandas_scalar_normalize",
-    "udf_udtf_explode_buckets",
-    # (3) r06-green re-checks: code modified this round + headline bench.
-    # llm_similarity_recall_ivf (added this round) drains here instead of
-    # waiting a round in PENDING_NEXT_WINDOW: it runs brute AND multiprobe
-    # internally and pins their agreement, so it strictly supersedes the
-    # multiprobe re-check slot it takes (multiprobe stays r06-green).
-    "llm_repetition_filter",
-    "llm_similarity_topk_brute",
-    "llm_similarity_recall_ivf",
-    "hta_q3_aggregate",
-    "rel_q1_pricing_summary",
-    "rel_q3_shipping_priority",
-    "rel_q5_local_supplier_volume",
-    "rel_join_asof",
-    "rel_join_sortmerge",
-    "hta_ingest_chain",
-    "hta_level0",
-    "hta_q1_aggregate_timeline",
-    "llm_exact_dedup",
-    "llm_minhash_lsh_pairs",
+    # (4) r06-green rotation (31 of 37)
+    "hta_level1_rollup",
+    "hta_q2_flex_raw",
+    "hta_q4_last_value",
+    "llm_embedding_neardup",
+    "llm_embedding_norms",
+    "llm_fingerprint",
+    "llm_jaccard_blocked_pairs",
+    "llm_minhash_signatures",
+    "llm_multimodal_decode",
+    "llm_neardup_clusters",
+    "llm_normalize_dedup",
+    "llm_simhash",
+    "llm_similarity_topk_ivf",
+    "llm_similarity_topk_ivf_multiprobe",
+    "llm_text_stats",
+    "rel_agg_conditional",
+    "rel_agg_cube",
+    "rel_agg_grouping_sets",
+    "rel_agg_rollup",
+    "rel_agg_scalar_global",
+    "rel_grouping_id",
+    "rel_having",
+    "rel_join_interval_overlap",
+    "rel_percentiles",
+    "rel_pivot",
+    "rel_subquery_scalar_exists",
+    "rel_window_lag_lead",
+    "rel_window_moving_agg",
+    "rel_window_ntile",
+    "rel_window_rank_topn",
+    "udf_apply_in_pandas_zscore",
 ]
 assert len(_WINDOW) == 50, len(_WINDOW)
 _missing = [n for n in _WINDOW if n not in REGISTRY]

@@ -282,3 +282,208 @@ def test_random_window_matches_oracle(spark, duck, sf_dir, spec):
     df = _spark_window(spark, sf_dir, spec)
     mismatch = oracle.compare(df, duck, _oracle_window_sql(spec))
     assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
+
+
+# ---------------------------------------------------------------------------
+# set-operation fuzzing (VERDICT r7 next-step 5): two filtered projections
+# of lineitem combined by UNION / UNION ALL / INTERSECT [ALL] / EXCEPT
+# [ALL], rendered through the DataFrame API (the surface the declared
+# rel_set_* queries use) and as ANSI SQL for the oracle. Projections are
+# low-cardinality column pairs so INTERSECT/EXCEPT produce non-trivial
+# overlaps at every predicate selectivity, including the empty side.
+# ---------------------------------------------------------------------------
+
+SETOP_PROJ = [
+    ("l_returnflag", "l_linestatus"),
+    ("l_returnflag", "l_linenumber"),
+    ("l_linestatus", "l_quantity"),
+]
+
+setop_spec = st.fixed_dictionaries(
+    {
+        "proj": st.sampled_from(SETOP_PROJ),
+        "preds_a": st.lists(
+            st.one_of(num_pred, ts_pred, str_pred), min_size=0, max_size=2
+        ),
+        "preds_b": st.lists(
+            st.one_of(num_pred, ts_pred, str_pred), min_size=0, max_size=2
+        ),
+        "op": st.sampled_from(
+            ["union", "union_all", "intersect", "intersect_all",
+             "except", "except_all"]
+        ),
+    }
+)
+
+
+def _filtered(spark, sf_dir, preds):
+    df = load_table(spark, sf_dir, "lineitem")
+    for col, op, idx in preds:
+        c = _const(col, idx)
+        lhs = F.col(col)
+        rhs = F.lit(c).cast("timestamp") if col == "l_shipdate" else F.lit(c)
+        df = df.filter(
+            {"<": lhs < rhs, "<=": lhs <= rhs, ">": lhs > rhs,
+             ">=": lhs >= rhs, "=": lhs == rhs}[op]
+        )
+    return df
+
+
+def _where_sql(preds) -> str:
+    if not preds:
+        return ""
+    wheres = []
+    for col, op, idx in preds:
+        c = _const(col, idx)
+        if col == "l_shipdate":
+            rhs = f"TIMESTAMP '{c} 00:00:00'"
+        elif col in STR_COLS:
+            rhs = f"'{c}'"
+        else:
+            rhs = repr(c)
+        wheres.append(f"{col} {op} {rhs}")
+    return " WHERE " + " AND ".join(wheres)
+
+
+def _spark_setop(spark, sf_dir, spec):
+    proj = list(spec["proj"])
+    a = _filtered(spark, sf_dir, spec["preds_a"]).select(*proj)
+    b = _filtered(spark, sf_dir, spec["preds_b"]).select(*proj)
+    return {
+        # DataFrame union == UNION ALL; SQL UNION's dedup is .distinct()
+        "union": lambda: a.union(b).distinct(),
+        "union_all": lambda: a.union(b),
+        "intersect": lambda: a.intersect(b),
+        "intersect_all": lambda: a.intersectAll(b),
+        "except": lambda: a.subtract(b),
+        "except_all": lambda: a.exceptAll(b),
+    }[spec["op"]]()
+
+
+def _oracle_setop_sql(spec) -> str:
+    proj = ", ".join(spec["proj"])
+    a = f"SELECT {proj} FROM lineitem{_where_sql(spec['preds_a'])}"
+    b = f"SELECT {proj} FROM lineitem{_where_sql(spec['preds_b'])}"
+    kw = {
+        "union": "UNION",
+        "union_all": "UNION ALL",
+        "intersect": "INTERSECT",
+        "intersect_all": "INTERSECT ALL",
+        "except": "EXCEPT",
+        "except_all": "EXCEPT ALL",
+    }[spec["op"]]
+    return f"({a}) {kw} ({b})"
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=setop_spec)
+def test_random_setop_matches_oracle(spark, duck, sf_dir, spec):
+    df = _spark_setop(spark, sf_dir, spec)
+    mismatch = oracle.compare(df, duck, _oracle_setop_sql(spec))
+    assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
+
+
+# ---------------------------------------------------------------------------
+# subquery fuzzing (VERDICT r7 next-step 5): random [NOT] EXISTS / [NOT]
+# IN / correlated scalar subqueries over customer⟷orders, executed as ONE
+# SQL string through BOTH engines. Running the Spark side via spark.sql
+# (not a hand-built semi/anti-join) is the point: it exercises Catalyst's
+# decorrelation rewrites (RewritePredicateSubquery, scalar-subquery
+# aggregation pull-up) against DuckDB's independent decorrelator — the
+# rewrites the declared rel_subquery_* queries sample only pointwise.
+# ---------------------------------------------------------------------------
+
+ORD_NUM = {
+    "o_totalprice": [1000.0, 50000.0, 150000.0, 300000.0],
+    "o_custkey": [50.0, 500.0, 5000.0],
+}
+ORD_STR = {"o_orderstatus": ["F", "O", "P"]}
+
+ord_num_pred = st.tuples(
+    st.sampled_from(sorted(ORD_NUM)), st.sampled_from(OPS), st.integers(0, 3)
+)
+ord_ts_pred = st.tuples(
+    st.just("o_orderdate"), st.sampled_from(["<", ">="]), st.integers(0, 2)
+)
+ord_str_pred = st.tuples(
+    st.sampled_from(sorted(ORD_STR)), st.just("="), st.integers(0, 2)
+)
+
+subquery_spec = st.fixed_dictionaries(
+    {
+        "kind": st.sampled_from(
+            ["exists", "not_exists", "in", "not_in",
+             "scalar_count", "scalar_max", "scalar_sum"]
+        ),
+        "sub_preds": st.lists(
+            st.one_of(ord_num_pred, ord_ts_pred, ord_str_pred),
+            min_size=0,
+            max_size=2,
+        ),
+        "cust_cap": st.sampled_from([500, 2000, 10**9]),
+        "segment": st.sampled_from(
+            [None, "AUTOMOBILE", "BUILDING", "MACHINERY"]
+        ),
+    }
+)
+
+
+def _ord_where(preds, *, correlated: bool, extra_indent: str = "") -> str:
+    conds = ["o_custkey = c_custkey"] if correlated else []
+    for col, op, idx in preds:
+        if col == "o_orderdate":
+            c = TS_CONSTS[idx % len(TS_CONSTS)]
+            rhs = f"TIMESTAMP '{c} 00:00:00'"
+        elif col in ORD_STR:
+            rhs = f"'{ORD_STR[col][idx % len(ORD_STR[col])]}'"
+        else:
+            grid = ORD_NUM[col]
+            rhs = repr(grid[idx % len(grid)])
+        conds.append(f"{col} {op} {rhs}")
+    return (" WHERE " + " AND ".join(conds)) if conds else ""
+
+
+def _subquery_sql(spec) -> str:
+    outer = [f"c_custkey <= {spec['cust_cap']}"]
+    if spec["segment"] is not None:
+        outer.append(f"c_mktsegment = '{spec['segment']}'")
+    kind = spec["kind"]
+    if kind in ("exists", "not_exists"):
+        neg = "NOT " if kind == "not_exists" else ""
+        sub = f"SELECT 1 FROM orders{_ord_where(spec['sub_preds'], correlated=True)}"
+        outer.append(f"{neg}EXISTS ({sub})")
+        sel = "c_custkey, c_acctbal"
+    elif kind in ("in", "not_in"):
+        # o_custkey is never NULL in the fixture, so NOT IN keeps its
+        # intuitive anti-join meaning identically in both engines
+        neg = "NOT " if kind == "not_in" else ""
+        sub = f"SELECT o_custkey FROM orders{_ord_where(spec['sub_preds'], correlated=False)}"
+        outer.append(f"c_custkey {neg}IN ({sub})")
+        sel = "c_custkey, c_acctbal"
+    else:
+        agg = {
+            "scalar_count": "COUNT(*)",
+            "scalar_max": "MAX(o_totalprice)",
+            "scalar_sum": sql_dsum("o_totalprice"),
+        }[kind]
+        sub = f"SELECT {agg} FROM orders{_ord_where(spec['sub_preds'], correlated=True)}"
+        sel = f"c_custkey, c_acctbal, ({sub}) AS sub_val"
+    return f"SELECT {sel} FROM customer WHERE " + " AND ".join(outer)
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=subquery_spec)
+def test_random_subquery_matches_oracle(spark, duck, sf_dir, spec):
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    df = spark.sql(_subquery_sql(spec))
+    mismatch = oracle.compare(df, duck, _subquery_sql(spec))
+    assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
