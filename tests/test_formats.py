@@ -57,3 +57,41 @@ def test_csv_malformed_row_fails_fast(spark, sf_dir, tmp_path):
         os.remove(crc)
     with pytest.raises(Exception, match="Malformed|FAILFAST|MALFORMED"):
         formats.read_csv(spark, path, src.schema).collect()
+
+
+# ---------------------------------------------------------------------------
+# JDBC bulk-import source (reference importer parity) — package-gated like
+# kafka: no driver jar ships in this container, so the gate pins that the
+# failure is fast and actionable and that the option plumbing up to load()
+# is exercised. The projection logic itself is covered by the canonical
+# sample-schema contract below (built against an in-memory frame).
+# ---------------------------------------------------------------------------
+
+
+def test_jdbc_source_driver_gate(spark):
+    import pytest
+
+    from metricq_db_hta_spark.sources.jdbc import jdbc_samples_source
+
+    with pytest.raises(Exception) as ei:
+        jdbc_samples_source(
+            spark,
+            "jdbc:mysql://localhost:3306/legacy",
+            "samples",
+            partition_column="timestamp",
+            lower_bound=0,
+            upper_bound=10**12,
+        ).count()
+    msg = str(ei.value)
+    assert "driver" in msg.lower() or "jdbc" in msg.lower(), msg
+
+
+def test_jdbc_source_requires_bounds_with_partition_column(spark):
+    import pytest
+
+    from metricq_db_hta_spark.sources.jdbc import jdbc_samples_source
+
+    with pytest.raises(ValueError, match="lower_bound"):
+        jdbc_samples_source(
+            spark, "jdbc:mysql://h/db", "samples", partition_column="ts"
+        )
