@@ -185,15 +185,21 @@ def time_spark(spark, names, data_dir, cold_runs=2, resident_sweeps=3):
     noop commit); nothing is cached (spark.catalog caches are cleared
     every run so operators that cache() intermediates recompute them).
 
-    Resident runs as ``resident_sweeps`` interleaved sweeps over ALL
-    queries (not N consecutive runs per query): venue noise on this
-    machine is time-correlated (page-cache drops — see BENCH history:
-    r6->r7 resident ratio moved 3.2x->4.1x with zero plan changes), so
-    spreading each query's samples across separated time windows makes
-    the per-query [min, median, max] spread an honest noise estimate
-    instead of three samples from the same bad moment. Returns
-    ``(cold, resident_min, resident_spread)`` where spread maps each
-    query to ``[min, median, max]`` seconds.
+    Resident runs as ``resident_sweeps`` SEPARATED sweeps over all
+    queries; within each sweep every query gets one unmeasured warm run
+    (page cache + AQE stats — the same immediately-preceding-run state
+    the old consecutive protocol measured under, so each sample stays
+    comparable to prior rounds' numbers) followed by one measured run.
+    Venue noise on this machine is time-correlated (page-cache drops —
+    BENCH history: r6->r7 resident ratio moved 3.2x->4.1x with zero plan
+    changes), so spreading each query's samples across separated sweeps
+    makes the per-query [min, median, max] spread an honest noise
+    estimate instead of three samples from the same moment. (A fully
+    interleaved no-warm variant was tried first and rejected: it
+    measures page-cache eviction by the *other* queries, inflating
+    resident above cold and breaking round-over-round continuity.)
+    Returns ``(cold, resident_min, resident_spread)`` where spread maps
+    each query to ``[min, median, max]`` seconds.
     """
     cold: dict[str, float] = {}
     for name in names:
@@ -209,13 +215,14 @@ def time_spark(spark, names, data_dir, cold_runs=2, resident_sweeps=3):
         cold[name] = round(min(runs), 3)
     dfs = {name: REGISTRY[name].spark(spark, data_dir) for name in names}
     samples: dict[str, list[float]] = {name: [] for name in names}
-    for measured in (False, *([True] * resident_sweeps)):
+    for _sweep in range(resident_sweeps):
         for name in names:
+            spark.catalog.clearCache()
+            dfs[name].write.mode("overwrite").format("noop").save()  # warm
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             dfs[name].write.mode("overwrite").format("noop").save()
-            if measured:
-                samples[name].append(time.perf_counter() - t0)
+            samples[name].append(time.perf_counter() - t0)
     resident = {name: round(min(s), 3) for name, s in samples.items()}
     spread = {
         name: [

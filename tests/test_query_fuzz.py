@@ -487,3 +487,98 @@ def test_random_subquery_matches_oracle(spark, duck, sf_dir, spec):
     df = spark.sql(_subquery_sql(spec))
     mismatch = oracle.compare(df, duck, _subquery_sql(spec))
     assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
+
+
+# ---------------------------------------------------------------------------
+# as-of join fuzzing: the union-trick operator (operators/asof.py) is the
+# engine's most intricate custom operator — direction, inclusive tie
+# handling, equal-ts reference dedup, and tolerance nullification all
+# interact. Random (probe type, reference type, direction, tolerance)
+# specs run the fused one-exchange Spark operator against DuckDB's native
+# ASOF JOIN; the declared rel_join_asof* queries pin only 3 points of
+# this space.
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["signup", "click", "error", "view", "purchase"]
+HOUR_NS = 3_600_000_000_000
+TOLERANCES = [None, HOUR_NS, 28 * HOUR_NS, 30 * 24 * HOUR_NS]
+
+asof_spec = st.fixed_dictionaries(
+    {
+        # index pair with i != j so probe and reference predicates are
+        # disjoint (a row matching both would be tagged reference-only)
+        "probe_i": st.integers(0, 4),
+        "ref_off": st.integers(1, 4),
+        "forward": st.booleans(),
+        "tol_i": st.integers(0, 3),
+    }
+)
+
+
+def _spark_asof(spark, sf_dir, spec):
+    from metricq_db_hta_spark.operators.asof import (
+        asof_self_join_backward,
+        asof_self_join_forward,
+    )
+    from metricq_db_hta_spark.queries.relational import events_df
+
+    probe = EVENT_TYPES[spec["probe_i"]]
+    ref = EVENT_TYPES[(spec["probe_i"] + spec["ref_off"]) % 5]
+    tol = TOLERANCES[spec["tol_i"]]
+    fn = asof_self_join_forward if spec["forward"] else asof_self_join_backward
+    return fn(
+        events_df(spark, sf_dir),
+        by=["user_id"],
+        ts_col="ts_ns",
+        probe_pred=F.col("event_type") == probe,
+        ref_pred=F.col("event_type") == ref,
+        right_payload={"r_ts_ns": "ts_ns", "r_value": "value"},
+        order_col="event_id",
+        probe_cols=["event_id", "user_id", "ts_ns", "value"],
+        tolerance_ns=tol,
+        payload_ts="r_ts_ns" if tol is not None else None,
+    )
+
+
+def _oracle_asof_sql(spec) -> str:
+    probe = EVENT_TYPES[spec["probe_i"]]
+    ref = EVENT_TYPES[(spec["probe_i"] + spec["ref_off"]) % 5]
+    tol = TOLERANCES[spec["tol_i"]]
+    cmp_op = "<=" if spec["forward"] else ">="
+    if tol is None:
+        sel = "r.r_ts_ns, r.r_value"
+    else:
+        gap = (
+            "r.r_ts_ns - p.ts_ns" if spec["forward"] else "p.ts_ns - r.r_ts_ns"
+        )
+        sel = (
+            f"CASE WHEN {gap} <= {tol} THEN r.r_ts_ns END AS r_ts_ns, "
+            f"CASE WHEN {gap} <= {tol} THEN r.r_value END AS r_value"
+        )
+    return f"""
+WITH ev AS (
+  SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, event_type, value
+  FROM events
+),
+p AS (SELECT event_id, user_id, ts_ns, value FROM ev
+      WHERE event_type = '{probe}'),
+r AS (SELECT user_id, ts_ns AS r_ts_ns, value AS r_value FROM ev
+      WHERE event_type = '{ref}'
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts_ns
+                                 ORDER BY event_id DESC) = 1)
+SELECT p.event_id, p.user_id, p.ts_ns, p.value, {sel}
+FROM p ASOF LEFT JOIN r
+  ON p.user_id = r.user_id AND p.ts_ns {cmp_op} r.r_ts_ns
+"""
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=asof_spec)
+def test_random_asof_matches_oracle(spark, duck, sf_dir, spec):
+    df = _spark_asof(spark, sf_dir, spec)
+    mismatch = oracle.compare(df, duck, _oracle_asof_sql(spec))
+    assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
