@@ -54,10 +54,11 @@ BUCKETED_FACTS = (("orders", "o_orderkey"), ("lineitem", "l_orderkey"))
 
 # Build memo, same policy as tables._RELATION_CACHE / hta_queries.service():
 # keyed by (applicationId, sf_dir); stale-app entries swept on insert. The
-# value is the table-name prefix the build registered. Managed-table data
-# lands in the session's warehouse dir; rebuilds overwrite in place (names
-# are deterministic per sf_dir), so cycling sessions never accumulates
-# orphan copies.
+# value is the table-name prefix the build registered. Table data lands at
+# an explicit external path under /tmp (see _table_path — NOT the
+# cwd-dependent warehouse dir); rebuilds overwrite in place (names are
+# deterministic per sf_dir), so cycling sessions never accumulates orphan
+# copies.
 _BUCKETED: dict[tuple[str, str], str] = {}
 
 
@@ -66,6 +67,15 @@ def _prefix(sf_dir: str) -> str:
     # window, and the sf1 bench replica each get their own table set
     key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     return f"bkt_{key}"
+
+
+def _table_path(prefix: str, tbl: str) -> str:
+    # explicit external-table location: the default (managed) location is
+    # $CWD/spark-warehouse via the STATIC warehouse conf, which breaks
+    # under a harness whose cwd is read-only or varies between processes.
+    # /tmp is writable everywhere this runs; the deterministic name lets
+    # rebuilds overwrite instead of accumulating copies.
+    return os.path.join("/tmp", "metricq_bucketed", f"{prefix}_{tbl}")
 
 
 def bucketed_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -79,14 +89,13 @@ def bucketed_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             del _BUCKETED[stale]
         prefix = _prefix(sf_dir)
         for tbl, key in BUCKETED_FACTS:
-            # a previous PROCESS's table files survive in the warehouse dir
-            # while its in-memory catalog entry did not — saveAsTable then
-            # fails with LOCATION_ALREADY_EXISTS. Deterministic names make
-            # the stale location identifiable: drop any current-session
+            # a previous PROCESS's table files survive on disk while its
+            # in-memory catalog entry did not — saveAsTable then fails
+            # with LOCATION_ALREADY_EXISTS. Deterministic names make the
+            # stale location identifiable: drop any current-session
             # entry, then remove the orphan directory.
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{tbl}")
-            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-            loc = os.path.join(wh.removeprefix("file:"), f"{prefix}_{tbl}")
+            loc = _table_path(prefix, tbl)
             shutil.rmtree(loc, ignore_errors=True)
             (
                 load_table(spark, sf_dir, tbl)
@@ -97,6 +106,7 @@ def bucketed_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 .repartition(N_BUCKETS, key)
                 .write.bucketBy(N_BUCKETS, key)
                 .sortBy(key)
+                .option("path", loc)
                 .mode("overwrite")
                 .saveAsTable(f"{prefix}_{tbl}")
             )
