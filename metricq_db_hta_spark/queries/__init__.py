@@ -33,16 +33,17 @@ from metricq_db_hta_spark.queries import llm2  # noqa: F401
 # (2) rel_join_bucketed (new this round) goes straight into the window —
 #     same policy as llm_similarity_recall_ivf last round: no reason to
 #     let a new query wait a full rotation.
-# (3) udf_grouped_agg_geomean re-checks: its UDF was rewritten this round
-#     (deprecated GROUPED_AGG -> type hints), so the r7 green row covers
-#     code that no longer exists.
-# (4) The remaining 31 slots rotate r06-green queries in (37 candidates;
-#     the 6 deferred to round 9 — rel_math_funcs, rel_string_funcs,
+# (3) modified-this-round re-checks: udf_grouped_agg_geomean's UDF was
+#     rewritten (deprecated GROUPED_AGG -> type hints) and
+#     rel_q5_local_supplier_volume's physical plan moved to bucketed fact
+#     storage — their r7 green rows cover code that no longer exists.
+# (4) The remaining 30 slots rotate r06-green queries in (37 candidates;
+#     the 7 deferred to round 9 — rel_math_funcs, rel_string_funcs,
 #     rel_date_funcs, rel_date_arithmetic, rel_topk,
-#     rel_agg_approx_distinct — are pure-scalar/topk shapes with
-#     untouched code, at stale(2) after this round, which
-#     window_coverage.py still accepts; the round-9 window MUST schedule
-#     them).
+#     rel_agg_approx_distinct, rel_agg_conditional — are pure-scalar/
+#     topk/conditional shapes with untouched code, at stale(2) after this
+#     round, which window_coverage.py still accepts; the round-9 window
+#     MUST schedule them).
 PENDING_NEXT_WINDOW: list[str] = []
 _WINDOW = [
     # (1) PENDING_NEXT_WINDOW drain — first driver row ever
@@ -67,6 +68,7 @@ _WINDOW = [
     "rel_join_bucketed",
     # (3) modified this round
     "udf_grouped_agg_geomean",
+    "rel_q5_local_supplier_volume",
     # (4) r06-green rotation (31 of 37)
     "hta_level1_rollup",
     "hta_q2_flex_raw",
@@ -83,7 +85,6 @@ _WINDOW = [
     "llm_similarity_topk_ivf",
     "llm_similarity_topk_ivf_multiprobe",
     "llm_text_stats",
-    "rel_agg_conditional",
     "rel_agg_cube",
     "rel_agg_grouping_sets",
     "rel_agg_rollup",

