@@ -88,3 +88,18 @@ def test_rel_join_bucketed_registry_query_is_exchange_free_up_to_agg(spark, sf_d
     below_join = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange" not in below_join, plan
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_rel_q5_fact_chain_is_exchange_free(spark, sf_dir):
+    """rel_q5 over the bucketed facts: no Exchange anywhere below the
+    final n_name aggregation — the broadcast dim joins must preserve the
+    bucket partitioning of the orders⋈lineitem chain."""
+    from metricq_db_hta_spark.queries import REGISTRY
+
+    df = REGISTRY["rel_q5_local_supplier_volume"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # BroadcastExchange nodes are expected (the four dims); shuffle
+    # exchanges are "Exchange hashpartitioning(...)" — exactly one, for
+    # the 25-row aggregate
+    shuffles = plan.count("Exchange hashpartitioning")
+    assert shuffles == 1, plan
