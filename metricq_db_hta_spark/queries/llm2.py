@@ -243,7 +243,7 @@ def llm_source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs(spark, sf_dir)
     s = d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        bsum(F.size(F.split("text", " "))).alias("n_tokens"),
+        bsum("size(split(text, ' '))").alias("n_tokens"),
     )
     tot = s.agg(
         F.sum("n_tokens").cast("double").alias("t"),
@@ -334,7 +334,7 @@ FROM kept GROUP BY source
 def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs(spark, sf_dir)
     s = d.groupBy("source").agg(
-        bsum(F.size(F.split("text", " "))).alias("n_tokens")
+        bsum("size(split(text, ' '))").alias("n_tokens")
     )
     tot = s.agg(
         F.sum("n_tokens").cast("double").alias("t"),

@@ -83,8 +83,10 @@ GROUP BY l_returnflag, l_linestatus
 )
 def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # SQL-text expressions: msum/mavg's fast path composes one F.expr
+    # instead of ~15 py4j Column calls per measure (base.py _sql_of)
+    disc_price = "l_extendedprice * (1 - l_discount)"
+    charge = "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -151,7 +153,7 @@ def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(msum("l_extendedprice * (1 - l_discount)").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -206,7 +208,7 @@ def rel_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(msum("l_extendedprice * (1 - l_discount)").alias("revenue"))
     )
 
 
@@ -255,7 +257,7 @@ def rel_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_lines"),
-            msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            msum("l_extendedprice * (1 - l_discount)").alias("revenue"),
         )
     )
 
@@ -284,7 +286,7 @@ def rel_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_without_orders"),
-            msum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias("total_spend"),
+            msum("coalesce(o_totalprice, 0.0D)").alias("total_spend"),
         )
     )
 
@@ -672,7 +674,7 @@ def rel_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_finished"),
         msum(
-            F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(0.0)
+            "CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0D END"
         ).alias("open_value"),
     )
 

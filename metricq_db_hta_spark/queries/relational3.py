@@ -64,7 +64,7 @@ def rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            msum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            msum("l_extendedprice * l_discount").alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -107,7 +107,7 @@ def rel_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = "l_extendedprice * (1 - l_discount)"
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cu, F.col("o_custkey") == F.col("c_custkey"))
@@ -213,17 +213,15 @@ FROM m
 )
 def rel_agg_statistical(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity")
-    y = F.col("l_extendedprice")
     m = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        msum(x).alias("sx"),
-        msum(x * x).alias("sxx"),
-        msum(y).alias("sy"),
+        msum("l_quantity").alias("sx"),
+        msum("l_quantity * l_quantity").alias("sxx"),
+        msum("l_extendedprice").alias("sy"),
         # y*y ~ 1e10 overflows msum's 2^53 scaled-long envelope (see the
         # registry doc) — exact decimal cast per row for this moment only.
-        dsum(y * y).alias("syy"),
-        msum(x * y).alias("sxy"),
+        dsum("l_extendedprice * l_extendedprice").alias("syy"),
+        msum("l_quantity * l_extendedprice").alias("sxy"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
@@ -267,8 +265,6 @@ def rel_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_lines"),
-            msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            msum("l_extendedprice * (1 - l_discount)").alias("revenue"),
         )
     )
