@@ -34,16 +34,16 @@ from metricq_db_hta_spark.queries import llm2  # noqa: F401
 #     same policy as llm_similarity_recall_ivf last round: no reason to
 #     let a new query wait a full rotation.
 # (3) modified-this-round re-checks: udf_grouped_agg_geomean's UDF was
-#     rewritten (deprecated GROUPED_AGG -> type hints) and
-#     rel_q5_local_supplier_volume's physical plan moved to bucketed fact
-#     storage — their r7 green rows cover code that no longer exists.
-# (4) The remaining 30 slots rotate r06-green queries in (37 candidates;
-#     the 7 deferred to round 9 — rel_math_funcs, rel_string_funcs,
+#     rewritten (deprecated GROUPED_AGG -> type hints) and rel_q3/rel_q5's
+#     physical plans moved to bucketed fact storage — their r7 green rows
+#     cover code that no longer exists.
+# (4) The remaining 29 slots rotate r06-green queries in (37 candidates;
+#     the 8 deferred to round 9 — rel_math_funcs, rel_string_funcs,
 #     rel_date_funcs, rel_date_arithmetic, rel_topk,
-#     rel_agg_approx_distinct, rel_agg_conditional — are pure-scalar/
-#     topk/conditional shapes with untouched code, at stale(2) after this
-#     round, which window_coverage.py still accepts; the round-9 window
-#     MUST schedule them).
+#     rel_agg_approx_distinct, rel_agg_conditional, rel_agg_cube — are
+#     pure-scalar/topk/conditional/cube shapes with untouched code, at
+#     stale(2) after this round, which window_coverage.py still accepts;
+#     the round-9 window MUST schedule them).
 PENDING_NEXT_WINDOW: list[str] = []
 _WINDOW = [
     # (1) PENDING_NEXT_WINDOW drain — first driver row ever
@@ -69,7 +69,8 @@ _WINDOW = [
     # (3) modified this round
     "udf_grouped_agg_geomean",
     "rel_q5_local_supplier_volume",
-    # (4) r06-green rotation (31 of 37)
+    "rel_q3_shipping_priority",
+    # (4) r06-green rotation (29 of 37)
     "hta_level1_rollup",
     "hta_q2_flex_raw",
     "hta_q4_last_value",
@@ -85,7 +86,6 @@ _WINDOW = [
     "llm_similarity_topk_ivf",
     "llm_similarity_topk_ivf_multiprobe",
     "llm_text_stats",
-    "rel_agg_cube",
     "rel_agg_grouping_sets",
     "rel_agg_rollup",
     "rel_agg_scalar_global",

@@ -126,7 +126,11 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
     doc="TPC-H-Q3 shape: 3-way join, grouped revenue, deterministic top-10 "
-    "(TakeOrderedAndProject).",
+    "(TakeOrderedAndProject), over BUCKETED fact storage (r8, same "
+    "rationale as rel_q5): the orders⋈lineitem chain joins bucket-aligned "
+    "with zero exchange; predicate pushdown applies to the bucketed scans "
+    "unchanged. The query-time shuffled path is pinned by "
+    "rel_join_sortmerge, the purpose-built sentinel for that plan shape.",
     bench=True,
 )
 def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,10 +147,10 @@ def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment") == "BUILDING"
         )
     )
-    o = load_table(spark, sf_dir, "orders").filter(
+    o = bucketed_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = bucketed_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
     return (
@@ -181,7 +185,7 @@ GROUP BY n_name
     "preserve the bucket partitioning, leaving only the 25-row n_name "
     "aggregation exchange. Measured sf1 resident 0.60 s vs 1.11 s flat; "
     "answers identical (the layout changes the physical plan only). The "
-    "query-time shuffled path stays pinned by rel_q3/rel_join_sortmerge.",
+    "query-time shuffled path stays pinned by rel_join_sortmerge.",
     bench=True,
 )
 def rel_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:

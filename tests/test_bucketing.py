@@ -103,3 +103,14 @@ def test_rel_q5_fact_chain_is_exchange_free(spark, sf_dir):
     # the 25-row aggregate
     shuffles = plan.count("Exchange hashpartitioning")
     assert shuffles == 1, plan
+
+
+def test_rel_q3_has_no_shuffle_exchange(spark, sf_dir):
+    """rel_q3 over the bucketed facts: zero shuffle exchanges in the
+    ENTIRE plan — broadcast customer preserves the bucket partitioning
+    and the top-10 is TakeOrderedAndProject (no sort exchange)."""
+    from metricq_db_hta_spark.queries import REGISTRY
+
+    df = REGISTRY["rel_q3_shipping_priority"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 0, plan
