@@ -9,6 +9,7 @@ conversion for everything else.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from metricq_db_hta_spark.sources.tables import load_table
@@ -124,3 +125,52 @@ def test_unigram_lm_is_broadcast_not_shuffled(spark, sf_dir):
 
     plan = _initial_plan(REGISTRY["llm_unigram_logprob"].spark(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# Exchange budget (r8): every headline query's shuffle-exchange count is
+# pinned. Plans regress silently — a lost broadcast hint or a layout
+# change re-inserts fact shuffles without failing any correctness test,
+# and only shows up as a bench regression a round later. The counts come
+# from the initial (pre-AQE-finalization) executedPlan, which is
+# deterministic across scale factors because static broadcasts are
+# disabled and the declared hints/buckets fully determine the shape.
+# ---------------------------------------------------------------------------
+
+EXCHANGE_BUDGET = {
+    "rel_join_bucketed": 1,            # agg only; fact join is bucket-aligned
+    "rel_q5_local_supplier_volume": 1, # agg only; facts bucketed, dims broadcast
+    "rel_q3_shipping_priority": 0,     # facts bucketed + TakeOrderedAndProject
+    "llm_text_stats": 1,
+    "llm_exact_dedup": 1,              # the content-hash window
+    "llm_minhash_lsh_pairs": 3,        # shingle window, band-key join, distinct
+    "llm_similarity_topk_brute": 0,    # mapInPandas partial top-k, no shuffle
+    "hta_ingest_chain": 1,             # the metric window
+    "hta_level0": 1,                   # window + rollup reuse one partitioning
+    "hta_q1_aggregate_timeline": 0,    # pruned level scan
+    "hta_q3_aggregate": 1,
+    "rel_q1_pricing_summary": 1,
+    "rel_join_sortmerge": 3,           # 2 fact maps + agg: the shuffled sentinel
+    "rel_join_asof": 1,                # ONE keyed window (union trick)
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGET))
+def test_headline_query_exchange_budget(spark, sf_dir, name):
+    from metricq_db_hta_spark.queries import REGISTRY
+
+    df = REGISTRY[name].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning")
+    assert n == EXCHANGE_BUDGET[name], (
+        f"{name}: {n} shuffle exchanges, budget {EXCHANGE_BUDGET[name]}\n{plan}"
+    )
+
+
+def test_exchange_budget_covers_all_bench_queries():
+    from metricq_db_hta_spark.queries import REGISTRY
+
+    bench = {n for n, s in REGISTRY.items() if s.bench}
+    assert bench == set(EXCHANGE_BUDGET), (
+        bench ^ set(EXCHANGE_BUDGET)
+    )
