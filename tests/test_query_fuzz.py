@@ -582,3 +582,109 @@ def test_random_asof_matches_oracle(spark, duck, sf_dir, spec):
     df = _spark_asof(spark, sf_dir, spec)
     mismatch = oracle.compare(df, duck, _oracle_asof_sql(spec))
     assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
+
+
+# ---------------------------------------------------------------------------
+# HTA history-service fuzzing: the level router (Q1) and the cost-routed
+# range decomposition (Q3) are the reference's core read path
+# (async_hta_service.hpp:361-464). Random (metric, hour-aligned range,
+# interval_max) specs run the service against the DuckDB level CTEs; the
+# expected level in the oracle follows the REFERENCE rule (coarsest width
+# <= interval_max, finest if none), so a routing bug surfaces as a width
+# mismatch, not a silently-agreeing comparison.
+# ---------------------------------------------------------------------------
+
+from metricq_db_hta_spark.queries.hta_queries import (  # noqa: E402
+    LEVEL_WIDTHS,
+    LEVELS_SQL,
+    W0,
+    service as hta_service,
+)
+from metricq_db_hta_spark.queries.base import sql_bsum  # noqa: E402
+
+#: 2024-01-01T00:00:00Z — the fixture events start here
+HTA_T0 = 1_704_067_200_000_000_000
+IMAX_GRID = [
+    W0 // 2,            # finer than finest: Q1 falls back to level0
+    W0,                 # exactly level0
+    5 * W0,             # between levels -> level0
+    LEVEL_WIDTHS[1],    # exactly level1
+    3 * LEVEL_WIDTHS[1],
+    LEVEL_WIDTHS[2],    # exactly level2
+    10 * LEVEL_WIDTHS[2],
+]
+
+hta_spec = st.fixed_dictionaries(
+    {
+        "metric": st.sampled_from([None, *EVENT_TYPES]),
+        "h0": st.integers(0, 700),
+        "span_h": st.integers(1, 400),
+        "imax_i": st.integers(0, len(IMAX_GRID) - 1),
+    }
+)
+
+
+def _hta_range(spec):
+    start = HTA_T0 + spec["h0"] * W0
+    end = start + spec["span_h"] * W0
+    return start, end
+
+
+def _expected_level(imax: int) -> int:
+    fitting = [i for i, w in enumerate(LEVEL_WIDTHS) if w <= imax]
+    return max(fitting) if fitting else 0
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=hta_spec)
+def test_random_hta_q1_matches_oracle(spark, duck, sf_dir, spec):
+    from metricq_db_hta_spark.queries.hta_queries import _present
+
+    start, end = _hta_range(spec)
+    imax = IMAX_GRID[spec["imax_i"]]
+    svc = hta_service(spark, sf_dir)
+    df = _present(svc.aggregate_timeline(spec["metric"], start, end, imax))
+    where = f"bucket_start_ns >= {start} AND bucket_start_ns < {end}"
+    if spec["metric"] is not None:
+        where += f" AND metric = '{spec['metric']}'"
+    sql = LEVELS_SQL + f"""
+SELECT metric, bucket_start_ns, minimum, maximum,
+       CAST("sum" AS DOUBLE) AS "sum", "count",
+       integral, active_time
+FROM level{_expected_level(imax)}
+WHERE {where}
+"""
+    mismatch = oracle.compare(df, duck, sql)
+    assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=hta_spec)
+def test_random_hta_q3_matches_oracle(spark, duck, sf_dir, spec):
+    from metricq_db_hta_spark.queries.hta_queries import _present
+
+    start, end = _hta_range(spec)
+    svc = hta_service(spark, sf_dir)
+    df = _present(svc.aggregate(spec["metric"], start, end))
+    where = f"bucket_start_ns >= {start} AND bucket_start_ns < {end}"
+    if spec["metric"] is not None:
+        where += f" AND metric = '{spec['metric']}'"
+    sql = LEVELS_SQL + f"""
+SELECT metric, MIN(minimum) AS minimum, MAX(maximum) AS maximum,
+       CAST(SUM("sum") AS DOUBLE) AS "sum", {sql_bsum('"count"')} AS "count",
+       CAST(SUM(integral) AS BIGINT) AS integral,
+       {sql_bsum('active_time')} AS active_time
+FROM level0
+WHERE {where}
+GROUP BY metric
+"""
+    mismatch = oracle.compare(df, duck, sql)
+    assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
