@@ -31,3 +31,42 @@ def test_query_is_run_to_run_deterministic(name, spark, sf_dir):
     df2 = spec.spark(spark, sf_dir)
     r2 = canon_rows(df2.columns, [tuple(r) for r in df2.collect()])
     assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# Text fast path (r8): msum/mavg/dsum accept the expression as SQL text and
+# compose one F.expr instead of the Column construction. The two forms must
+# stay BIT-identical (the text form is what the hot queries use; the Column
+# form is the fallback and the reference semantics). Pinned per expression
+# over real data, compared at full double precision via struct packing.
+# ---------------------------------------------------------------------------
+
+
+def test_msum_text_path_bit_identical_to_column_path(spark, sf_dir):
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from metricq_db_hta_spark.queries import base
+    from metricq_db_hta_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cases = [
+        ("l_quantity", F.col("l_quantity")),
+        (
+            "l_extendedprice * (1 - l_discount)",
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        ),
+        (
+            "l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+        ),
+        ("-l_extendedprice", -F.col("l_extendedprice")),
+    ]
+    for text, col in cases:
+        for fn in (base.msum, base.mavg, base.dsum):
+            a = li.groupBy("l_returnflag").agg(fn(text).alias("v")).collect()
+            b = li.groupBy("l_returnflag").agg(fn(col).alias("v")).collect()
+            av = sorted((r["l_returnflag"], struct.pack("d", r["v"]).hex()) for r in a)
+            bv = sorted((r["l_returnflag"], struct.pack("d", r["v"]).hex()) for r in b)
+            assert av == bv, (fn.__name__, text, av, bv)
