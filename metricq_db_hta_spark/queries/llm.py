@@ -157,6 +157,94 @@ def llm_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_minhash_jaccard_estimate",
+    oracle=f"""
+WITH {SHINGLES_CTE.strip()},
+{MINHASH_CTE.strip()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+agree AS (
+  SELECT p.id_a, p.id_b,
+         CAST(SUM(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_agree
+  FROM pairs p
+  JOIN mh ma ON ma.doc_id = p.id_a
+  JOIN mh mb ON mb.doc_id = p.id_b AND mb.seed = ma.seed
+  GROUP BY p.id_a, p.id_b),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN tok ta ON ta.doc_id = p.id_a
+  JOIN tok tb ON tb.doc_id = p.id_b AND tb.token = ta.token
+  GROUP BY p.id_a, p.id_b)
+SELECT a.id_a, a.id_b, a.n_agree,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union
+FROM agree a
+LEFT JOIN inter i ON i.id_a = a.id_a AND i.id_b = a.id_b
+JOIN sizes sa ON sa.doc_id = a.id_a
+JOIN sizes sb ON sb.doc_id = a.id_b
+""",
+    doc="MinHash Jaccard ESTIMATION for the LSH candidate pairs: n_agree "
+    "(of 16 signature positions) is the standard unbiased estimator of "
+    "Jaccard similarity, emitted next to the EXACT shingle-set overlap "
+    "(n_inter, n_union) so the estimator quality is itself pinned by the "
+    "oracle. All-integer outputs (cross-engine exact). At 100 TB this is "
+    "THE scalable scoring path: signature agreement costs 16 rows per "
+    "candidate pair, independent of document length, where the exact "
+    "token join costs O(|doc|) per pair — verify-by-signature first, "
+    "exact-verify only the survivors.",
+)
+def llm_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = docs(spark, sf_dir)
+    toks = dedup.doc_shingles(d, distinct=False)
+    pairs = dedup.lsh_candidate_pairs_from_tokens(toks, N_HASHES, BANDS)
+    sig = dedup.minhash_signatures(toks, N_HASHES)
+    sa = sig.select(F.col("doc_id").alias("id_a"), "seed", F.col("minhash").alias("mh_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), "seed", F.col("minhash").alias("mh_b"))
+    agree = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "seed"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree")
+        )
+    )
+    # exact shingle-set overlap, restricted to the candidate pairs (the
+    # join on pairs is what bounds this at scale — same pattern as
+    # llm_jaccard_blocked_pairs)
+    stok = dedup.doc_shingles(d, distinct=True)
+    sizes = stok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = stok.select(F.col("doc_id").alias("id_a"), "token")
+    tb = stok.select(F.col("doc_id").alias("id_b"), "token")
+    inter = (
+        pairs.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        agree.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_agree",
+            F.coalesce(F.col("n_inter"), F.lit(0)).cast("long").alias("n_inter"),
+            (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0)))
+            .cast("long")
+            .alias("n_union"),
+        )
+    )
+
+
+@register(
     "llm_jaccard_blocked_pairs",
     oracle=f"""
 WITH blocked AS (
