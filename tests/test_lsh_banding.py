@@ -160,3 +160,23 @@ def test_wide_path_equals_narrow_path(spark, sf_dir):
     )
     wide = dedup.lsh_candidate_pairs_from_tokens(toks, N_HASHES, BANDS)
     assert {tuple(r) for r in narrow.collect()} == {tuple(r) for r in wide.collect()}
+
+
+def test_minhash_jaccard_estimator_concentrates(spark, sf_dir):
+    """The 16-position agreement fraction must track the exact shingle
+    Jaccard: with 16 independent-enough hashes the per-pair standard
+    error is sqrt(J(1-J)/16) <= 0.125, so the MEAN absolute error over
+    all candidate pairs concentrates well below it. This pins estimator
+    QUALITY (the oracle comparison only pins cross-engine equality)."""
+    from metricq_db_hta_spark.queries import REGISTRY
+
+    rows = REGISTRY["llm_minhash_jaccard_estimate"].spark(spark, sf_dir).collect()
+    assert rows, "no LSH candidate pairs in fixture corpus"
+    errs = [
+        abs(r["n_agree"] / 16 - r["n_inter"] / r["n_union"])
+        for r in rows
+        if r["n_union"] > 0
+    ]
+    assert errs
+    mean_err = sum(errs) / len(errs)
+    assert mean_err <= 0.2, (mean_err, len(errs))
