@@ -21,88 +21,82 @@ from metricq_db_hta_spark.queries import relational3  # noqa: F401
 from metricq_db_hta_spark.queries import llm2  # noqa: F401
 
 # Registry order is part of the driver contract: the correctness harness
-# records the first 50 entries each round. Round 8 window policy
+# records the first 50 entries each round. Round 9 window policy
 # (scripts/window_coverage.py enforces freshness going forward):
 #
-# (1) ALL 17 round-7 additions drain from PENDING_NEXT_WINDOW and get
-#     their FIRST driver row (VERDICT r7 next-step 1 — the single
-#     blocking gap between "100% local oracle" and the stated bar).
-#     rel_agg_statistical's syy moment was corrected this round (msum
-#     envelope overflow, r8 ADVICE), so its first driver row checks the
-#     fixed code.
-# (2) rel_join_bucketed (new this round) goes straight into the window —
-#     same policy as llm_similarity_recall_ivf last round: no reason to
-#     let a new query wait a full rotation.
-# (3) modified-this-round re-checks: udf_grouped_agg_geomean's UDF was
-#     rewritten (deprecated GROUPED_AGG -> type hints) and rel_q3/rel_q5's
-#     physical plans moved to bucketed fact storage — their r7 green rows
-#     cover code that no longer exists.
-# (4) The remaining 29 slots rotate r06-green queries in (37 candidates;
-#     the 8 deferred to round 9 — rel_math_funcs, rel_string_funcs,
+# (1) llm_minhash_jaccard_estimate drains from PENDING_NEXT_WINDOW and
+#     gets its FIRST driver row (VERDICT r8 next-step 1 — the single
+#     remaining query with local-oracle evidence only).
+# (2) The 8 queries deferred in round 8 (green-since-r6, stale(2)) are
+#     scheduled as promised: rel_math_funcs, rel_string_funcs,
 #     rel_date_funcs, rel_date_arithmetic, rel_topk,
-#     rel_agg_approx_distinct, rel_agg_conditional, rel_agg_cube — are
-#     pure-scalar/topk/conditional/cube shapes with untouched code, at
-#     stale(2) after this round, which window_coverage.py still accepts;
-#     the round-9 window MUST schedule them).
-# Added after the round-8 window filled; the round-9 window must drain it
-# (scripts/window_coverage.py exempts listed names from its never-checked
-# failure until then).
-PENDING_NEXT_WINDOW: list[str] = ["llm_minhash_jaccard_estimate"]
+#     rel_agg_approx_distinct, rel_agg_conditional, rel_agg_cube
+#     (VERDICT r8 next-step 6).
+# (3) The remaining 41 slots rotate r07-green queries in (47 candidates;
+#     the 6 deferred to round 10 — rel_set_union, rel_set_intersect,
+#     rel_set_except, rel_json_funcs, rel_array_funcs,
+#     rel_null_handling — are pure set-op/scalar shapes with untouched
+#     code, all additionally covered by the r8 set-op differential
+#     fuzzer, at stale(2) after this round, which window_coverage.py
+#     still accepts; the round-10 window MUST schedule them).
+#     rel_q1_pricing_summary is kept in-window deliberately: its
+#     resident-vs-cold anomaly was profiled this round (FLOOR.json) and
+#     any plan change needs a fresh driver row.
+PENDING_NEXT_WINDOW: list[str] = []
 _WINDOW = [
     # (1) PENDING_NEXT_WINDOW drain — first driver row ever
-    "llm_dedup_survivors",
-    "llm_decontaminate",
-    "rel_unpivot",
-    "rel_window_distribution",
-    "rel_join_lateral",
-    "rel_q6_forecast_revenue",
-    "rel_q10_returned_items",
-    "rel_q18_large_volume_customer",
-    "llm_pii_redact",
-    "llm_url_domain_filter",
-    "llm_chunk_dedup",
-    "llm_length_histogram",
-    "llm_source_mixing_weights",
-    "llm_unigram_logprob",
-    "rel_join_asof_tolerance",
-    "llm_weighted_sample",
-    "rel_agg_statistical",
-    # (2) new this round
-    "rel_join_bucketed",
-    # (3) modified this round
-    "udf_grouped_agg_geomean",
-    "rel_q5_local_supplier_volume",
-    "rel_q3_shipping_priority",
-    # (4) r06-green rotation (29 of 37)
-    "hta_level1_rollup",
-    "hta_q2_flex_raw",
-    "hta_q4_last_value",
-    "llm_embedding_neardup",
-    "llm_embedding_norms",
-    "llm_fingerprint",
-    "llm_jaccard_blocked_pairs",
-    "llm_minhash_signatures",
-    "llm_multimodal_decode",
-    "llm_neardup_clusters",
-    "llm_normalize_dedup",
-    "llm_simhash",
-    "llm_similarity_topk_ivf",
-    "llm_similarity_topk_ivf_multiprobe",
-    "llm_text_stats",
-    "rel_agg_grouping_sets",
-    "rel_agg_rollup",
-    "rel_agg_scalar_global",
-    "rel_grouping_id",
-    "rel_having",
-    "rel_join_interval_overlap",
-    "rel_percentiles",
-    "rel_pivot",
-    "rel_subquery_scalar_exists",
-    "rel_window_lag_lead",
-    "rel_window_moving_agg",
-    "rel_window_ntile",
-    "rel_window_rank_topn",
-    "udf_apply_in_pandas_zscore",
+    "llm_minhash_jaccard_estimate",
+    # (2) round-8 deferral promise (green-since-r6)
+    "rel_math_funcs",
+    "rel_string_funcs",
+    "rel_date_funcs",
+    "rel_date_arithmetic",
+    "rel_topk",
+    "rel_agg_approx_distinct",
+    "rel_agg_conditional",
+    "rel_agg_cube",
+    # (3) r07-green rotation (41 of 47)
+    "hta_delta_encode",
+    "hta_ingest_chain",
+    "hta_level0",
+    "hta_metadata_projection",
+    "hta_q1_aggregate_timeline",
+    "hta_q3_aggregate",
+    "hta_scope_boundaries",
+    "hta_stats_rates",
+    "hta_subscription_list",
+    "llm_char_entropy",
+    "llm_dataset_split",
+    "llm_exact_dedup",
+    "llm_lang_id",
+    "llm_minhash_lsh_pairs",
+    "llm_quality_filter",
+    "llm_repetition_filter",
+    "llm_sequence_packing",
+    "llm_similarity_recall_ivf",
+    "llm_similarity_topk_brute",
+    "llm_stratified_sample",
+    "llm_tfidf_top_terms",
+    "llm_token_count",
+    "rel_agg_distinct",
+    "rel_join_anti",
+    "rel_join_asof",
+    "rel_join_asof_forward",
+    "rel_join_broadcast_dim",
+    "rel_join_cross",
+    "rel_join_full_outer",
+    "rel_join_left_outer",
+    "rel_join_range_band",
+    "rel_join_semi",
+    "rel_join_sortmerge",
+    "rel_q1_pricing_summary",
+    "rel_session_window",
+    "rel_subquery_correlated_scalar",
+    "rel_window_range_between",
+    "rel_window_sliding_native",
+    "rel_window_tumbling_native",
+    "udf_pandas_scalar_normalize",
+    "udf_udtf_explode_buckets",
 ]
 assert len(_WINDOW) == 50, len(_WINDOW)
 _missing = [n for n in _WINDOW if n not in REGISTRY]
