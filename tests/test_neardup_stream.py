@@ -66,6 +66,115 @@ def test_streaming_gate_matches_batch_lsh(spark, sf_dir, tmp_path, doc_batches):
     assert streamed == batch
 
 
+def test_replay_produces_no_self_matches(spark, sf_dir, tmp_path, doc_batches):
+    """foreachBatch is at-least-once: re-running a batch whose keys already
+    landed (checkpoint commit failed) must rewrite the SAME matches — the
+    r8 ADVICE failure mode was the replayed batch joining against its own
+    stored keys, emitting id_new == id_existing self-pairs and reversed
+    duplicates."""
+    docs, inp = doc_batches
+    store = str(tmp_path / "neardup_store_replay")
+    svc = StreamingNearDup(spark, store)
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    svc.process_batch(even, 0)
+    svc.process_batch(odd, 1)
+    first = _pairs(svc.matches(), "id_new", "id_existing")
+    assert first, "fixture corpus has no near-dup candidates — test is vacuous"
+
+    # replay batch 1: its keys/ingest_batch=1 partition already exists
+    svc.process_batch(odd, 1)
+    rows = svc.matches().collect()
+    assert all(r["id_new"] != r["id_existing"] for r in rows)
+    assert _pairs(svc.matches(), "id_new", "id_existing") == first
+    # and the replay didn't inflate the row count (reversed duplicates)
+    assert svc.matches().count() == len(rows)
+
+
+def test_matches_readable_before_any_candidate(spark, sf_dir, tmp_path):
+    """matches() must return a typed empty frame both before any batch ran
+    and after a batch that emitted zero candidates (dynamic overwrite of a
+    zero-row frame writes no part files — schema inference would fail)."""
+    store = str(tmp_path / "neardup_store_empty")
+    svc = StreamingNearDup(spark, store)
+    assert svc.matches().count() == 0
+
+    one = spark.createDataFrame(
+        [(1, "a lone document that matches nothing at all")],
+        "doc_id long, text string",
+    )
+    svc.process_batch(one, 0)
+    m = svc.matches()
+    assert m.count() == 0
+    assert set(m.columns) >= {"id_new", "id_existing", "band_key"}
+
+
+def test_bucketed_store_probe_never_shuffles_the_store(spark, sf_dir, tmp_path, doc_batches):
+    """The scale story demonstrated (VERDICT r8 next-step 4): with the key
+    store written bucketBy(N, band_key), the per-batch probe join plans
+    with exactly ONE shuffle exchange — the small new-batch side — while
+    the plain-parquet store needs two. Mirrors tests/test_bucketing.py."""
+    from metricq_db_hta_spark.streaming.neardup_stream import band_keys_for
+
+    docs, inp = doc_batches
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+
+    bsvc = StreamingNearDup(spark, str(tmp_path / "bstore"), bucketed=True)
+    psvc = StreamingNearDup(spark, str(tmp_path / "pstore"))
+    bsvc.process_batch(even, 0)
+    psvc.process_batch(even, 0)
+
+    # stage the new side as a plain scan so the probe plan is just
+    # scan ⋈ store (band_keys_for's own groupBy would muddy the count)
+    keys_path = str(tmp_path / "batch1_keys")
+    band_keys_for(odd).write.parquet(keys_path)
+    new_keys = spark.read.parquet(keys_path)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bplan = (
+            bsvc.store_probe(new_keys, 1)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        pplan = (
+            psvc.store_probe(new_keys, 1)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    assert bplan.count("Exchange hashpartitioning") == 1, bplan
+    assert "Bucketed: true" in bplan, bplan
+    assert pplan.count("Exchange hashpartitioning") == 2, pplan
+
+
+def test_bucketed_gate_equals_plain_gate_and_replays_clean(
+    spark, sf_dir, tmp_path, doc_batches
+):
+    """The bucketed store is a layout change only: same matches as the
+    plain store over the same batches, and replaying a batch against the
+    append-only bucketed table is a no-op (the visible-rows guard)."""
+    docs, inp = doc_batches
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+
+    bsvc = StreamingNearDup(spark, str(tmp_path / "bstore_eq"), bucketed=True)
+    psvc = StreamingNearDup(spark, str(tmp_path / "pstore_eq"))
+    for svc in (bsvc, psvc):
+        svc.process_batch(even, 0)
+        svc.process_batch(odd, 1)
+    bpairs = _pairs(bsvc.matches(), "id_new", "id_existing")
+    assert bpairs == _pairs(psvc.matches(), "id_new", "id_existing")
+    assert bpairs, "fixture corpus has no near-dup candidates — test is vacuous"
+
+    stored_before = spark.table(bsvc.keys_table).count()
+    bsvc.process_batch(odd, 1)  # replay: append guard must skip
+    assert spark.table(bsvc.keys_table).count() == stored_before
+    assert _pairs(bsvc.matches(), "id_new", "id_existing") == bpairs
+
+
 def test_streaming_gate_cross_batch_match_present(spark, sf_dir, tmp_path, doc_batches):
     """At least one emitted match must span the batch boundary (one even,
     one odd doc_id) — the incremental store probe, not just the
