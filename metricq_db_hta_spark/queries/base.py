@@ -12,6 +12,7 @@ exact in IEEE/bigint and need no special handling.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -53,14 +54,30 @@ def register(
 
 DEC = "decimal(38,6)"
 
+# Argument contract for every helper below (dsum/davg/bsum/msum/mavg/r6/
+# md5_bucket): a *string* argument is a SQL EXPRESSION, parsed by F.expr —
+# NOT a column name looked up verbatim. To keep the old F.col semantics for
+# bare names (a column called ``order`` or ``select`` must not parse as a
+# keyword — r8 ADVICE), anything matching a plain identifier is
+# backtick-quoted before parsing, which makes F.expr resolve it exactly as
+# F.col would. Strings with operators/spaces/dots pass through as SQL text.
+_PLAIN_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _quoted(s: str) -> str:
+    return f"`{s}`" if _PLAIN_IDENT.match(s) else s
+
 
 def _c(col: str | Column) -> Column:
-    # str args are SQL EXPRESSIONS (for a bare column name F.expr ≡ F.col)
-    return F.expr(col) if isinstance(col, str) else col
+    # str args are SQL EXPRESSIONS (bare identifiers backticked -> ≡ F.col)
+    return F.expr(_quoted(col)) if isinstance(col, str) else col
 
 
 def _sql_of(col: str | Column) -> str | None:
     """The SQL text of the argument when the caller passed one, else None.
+    Bare identifiers come back backtick-quoted (see contract note above) so
+    the composed fast-path SQL resolves them as column references even when
+    the name collides with a SQL keyword.
 
     Why a text fast path exists: every classic-pyspark Column operation
     is a py4j round trip (~1-3 ms each); msum built ~15 JVM calls per
@@ -73,7 +90,7 @@ def _sql_of(col: str | Column) -> str | None:
     (the JVM node prints function-call form), so the fast path applies
     only when the call site passes the expression AS TEXT; Column args
     keep the original construction."""
-    return col if isinstance(col, str) else None
+    return _quoted(col) if isinstance(col, str) else None
 
 
 def dsum(col: str | Column) -> Column:

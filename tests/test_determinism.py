@@ -70,3 +70,37 @@ def test_msum_text_path_bit_identical_to_column_path(spark, sf_dir):
             av = sorted((r["l_returnflag"], struct.pack("d", r["v"]).hex()) for r in a)
             bv = sorted((r["l_returnflag"], struct.pack("d", r["v"]).hex()) for r in b)
             assert av == bv, (fn.__name__, text, av, bv)
+
+
+def test_helpers_treat_keyword_named_columns_as_columns(spark):
+    """r8 ADVICE: _c()'s string->F.expr change must not break bare column
+    names that are SQL reserved words — the helpers backtick-quote plain
+    identifiers, so a column literally named ``order`` or ``select``
+    resolves as a column reference, while operator-bearing strings stay
+    SQL expressions."""
+    from pyspark.sql import functions as F
+
+    from metricq_db_hta_spark.queries import base
+
+    df = spark.createDataFrame(
+        [(1.5, 2, "a"), (2.5, 3, "a"), (4.0, 5, "b")],
+        "order double, `select` bigint, grp string",
+    )
+    got = (
+        df.groupBy("grp")
+        .agg(
+            base.dsum("order").alias("d"),
+            base.msum("order").alias("m"),
+            base.bsum("select").alias("b"),
+            base.dsum("order + select").alias("expr_mix"),
+        )
+        .orderBy("grp")
+        .collect()
+    )
+    assert [(r["d"], r["m"], r["b"], r["expr_mix"]) for r in got] == [
+        (4.0, 4.0, 5, 9.0),
+        (4.0, 4.0, 5, 9.0),
+    ]
+    # r6/md5_bucket go through _c() too
+    one = df.select(base.r6("order").alias("r"), base.md5_bucket("select", mod=7).alias("h"))
+    assert one.count() == 3
