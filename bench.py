@@ -467,6 +467,14 @@ def main() -> None:
         out["resident_ratio_vs_duckdb"] = round(
             resident_total / max(dtot, 1e-9), 2
         )
+        # layout disclosure (r8 ADVICE): these queries are timed over
+        # pre-built bucketBy fact copies (one-time layout cost paid at
+        # write time, outside the timed window) while DuckDB scans flat
+        # parquet — not a same-layout comparison; sortmerge is the
+        # identical-layout shuffled sentinel.
+        out["layout_note"] = (
+            "q3/q5/join_bucketed read prebuilt bucketed facts; duckdb reads flat parquet"
+        )
     # resident spread (VERDICT r7 next-step 3): per-sweep samples are
     # interleaved across queries, so median/max vs min quantifies the
     # venue noise a single min hides. The summary line carries the three
