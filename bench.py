@@ -41,21 +41,24 @@ SF1_RECIPE = "v4"
 REPS = 10
 
 
-def sf1_cache_dir(sf_dir: str) -> str:
+def sf1_cache_dir(sf_dir: str, reps: int = REPS) -> str:
     """Cache dir keyed on recipe version AND source dir, with a provenance
     marker double-check: per-table existence checks alone would silently
     reuse a replica built from DIFFERENT source data when
     SPARK_GRAFT_SF_DIR changes (ADVICE r6). The basename key separates
     sf0.1/sf0.01 caches; the marker catches same-basename different-path
-    sources and recipe drift, wiping the dir for a rebuild."""
+    sources and recipe drift, wiping the dir for a rebuild. ``reps`` other
+    than the bench default gets its own dir (scripts/scale_sweep.py builds
+    30x/100x replicas through the same recipe)."""
     import hashlib
     import shutil
 
     src = os.path.abspath(sf_dir)
     key = hashlib.sha256(src.encode()).hexdigest()[:8]
-    d = f"/tmp/metricq_bench_sf1_{SF1_RECIPE}_{os.path.basename(src)}_{key}"
+    tag = "sf1" if reps == REPS else f"rep{reps}"
+    d = f"/tmp/metricq_bench_{tag}_{SF1_RECIPE}_{os.path.basename(src)}_{key}"
     marker = os.path.join(d, "_provenance.json")
-    want = {"recipe": SF1_RECIPE, "src": src}
+    want = {"recipe": SF1_RECIPE, "src": src, "reps": reps}
     if os.path.isdir(d):
         try:
             with open(marker) as f:
@@ -72,8 +75,14 @@ def sf1_cache_dir(sf_dir: str) -> str:
 
 
 def build_sf1(sf_dir: str) -> str:
-    """Deterministic 10x replication of the fixture tables into the keyed
-    cache dir (sf1_cache_dir).
+    return build_replica(sf_dir, REPS)
+
+
+def build_replica(sf_dir: str, reps: int) -> str:
+    """Deterministic ``reps``x replication of the fixture tables into the
+    keyed cache dir (sf1_cache_dir). The bench uses reps=10 (sf1);
+    scripts/scale_sweep.py reuses the identical recipe at 30x/100x so the
+    ratio-vs-scale curve is measured on the same data family.
 
     Replication recipe (v4 — v3 plus explicit row-group sizing below):
 
@@ -104,7 +113,7 @@ def build_sf1(sf_dir: str) -> str:
     """
     import duckdb
 
-    out_dir = sf1_cache_dir(sf_dir)
+    out_dir = sf1_cache_dir(sf_dir, reps)
     gen = duckdb.connect()
     gen.execute(f"SET threads TO {os.cpu_count() or 8}")
     for t, key, rgs in (
@@ -116,7 +125,7 @@ def build_sf1(sf_dir: str) -> str:
         if not os.path.exists(dst):
             gen.execute(
                 f"COPY (SELECT * REPLACE ({key} + r * 10000000 AS {key}) "
-                f"FROM read_parquet('{sf_dir}/{t}.parquet'), range({REPS}) t(r)) "
+                f"FROM read_parquet('{sf_dir}/{t}.parquet'), range({reps}) t(r)) "
                 f"TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE {rgs})"
             )
     dst = os.path.join(out_dir, "documents.parquet")
@@ -126,6 +135,23 @@ def build_sf1(sf_dir: str) -> str:
             "uaeiornst", "aeiourtsn", "eiouatsrn", "iouaentsr",
             "ouaeisntr", "uaeiostrn",
         ]
+        if reps > len(perms):
+            # extend deterministically with seeded shuffles — shuffled
+            # 9-letter permutations differ from each other in most
+            # positions, keeping replicas non-near-dup of one another
+            # (lexicographic itertools order would NOT: adjacent perms
+            # differ in 2 letters)
+            import random
+
+            rng = random.Random(42)
+            seen = set(perms)
+            while len(perms) < reps:
+                p = list("aeiounrst")
+                rng.shuffle(p)
+                p = "".join(p)
+                if p not in seen:
+                    seen.add(p)
+                    perms.append(p)
         cases = " ".join(
             f"WHEN {i} THEN translate(text, 'aeiounrst', '{p}')"
             for i, p in enumerate(perms)
@@ -133,7 +159,7 @@ def build_sf1(sf_dir: str) -> str:
         gen.execute(
             f"COPY (SELECT * REPLACE (doc_id + r * 10000000 AS doc_id, "
             f"CASE r {cases} END AS text) "
-            f"FROM read_parquet('{sf_dir}/documents.parquet'), range({REPS}) t(r)) "
+            f"FROM read_parquet('{sf_dir}/documents.parquet'), range({reps}) t(r)) "
             f"TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 1536)"
         )
     # events: pyarrow, not a DuckDB COPY — preserves events.ts's on-disk
@@ -147,7 +173,7 @@ def build_sf1(sf_dir: str) -> str:
 
         tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
         parts = [tbl]  # replica 0: verbatim (see docstring)
-        for r in range(1, REPS):
+        for r in range(1, reps):
             et = pc.binary_join_element_wise(
                 pc.cast(tbl["event_type"], pa.string()), pa.scalar(f"_{r}"), ""
             )
