@@ -688,3 +688,97 @@ GROUP BY metric
 """
     mismatch = oracle.compare(df, duck, sql)
     assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
+
+
+# ---------------------------------------------------------------------------
+# regexp parity fuzzing (VERDICT r8 next-step 7): the LLM text surface
+# (PII redaction, URL extraction, normalize-dedup) is regex-heavy, and
+# regex semantics are a classic cross-engine divergence site — Spark runs
+# java.util.regex, DuckDB runs RE2. The hand-written queries pin specific
+# patterns pointwise; this generator sweeps the COMMON SUBSET grammar both
+# engines document identically (literals, classes, \d/\w/\s, greedy
+# quantifiers, non-capturing alternation, anchors, dot) over the real
+# documents text, and requires regexp_extract / regexp_replace(g) /
+# match-count parity row-for-row. Deliberately excluded from the grammar,
+# with the engine reason: backreferences and lookaround (absent from RE2),
+# capturing-group replacement ($1 vs \1 syntax), non-ASCII classes (UTF-16
+# vs UTF-8 code-unit semantics), and NULLABLE patterns — ones that can
+# match the empty string. The nullable exclusion is not hypothetical: this
+# fuzzer's first unseeded sweep found it (pattern 'a?', global replace:
+# java.util.regex and RE2 place zero-width matches differently next to
+# non-empty matches, e.g. Spark '<R>f<R><R>s<R>' vs DuckDB '<R>f<R>s<R>'),
+# so _rx_pattern forces at least one non-optional piece. The engine
+# queries' own patterns (PII/URL/normalize) are all non-nullable.
+# ---------------------------------------------------------------------------
+
+_RX_ATOMS = [
+    "a", "e", "t", "th", " ", r"\d", r"\w", r"\s",
+    "[a-m]", "[aeiou]", "[^aeiou ]", ".",
+]
+_RX_QUANTS = ["", "?", "*", "+", "{2}", "{1,3}"]
+
+_rx_piece = st.tuples(st.sampled_from(_RX_ATOMS), st.sampled_from(_RX_QUANTS))
+
+regexp_spec = st.fixed_dictionaries(
+    {
+        "pieces": st.lists(_rx_piece, min_size=1, max_size=4),
+        "alt": st.one_of(st.none(), st.sampled_from(["or", "and|or", "ing"])),
+        "anchor": st.sampled_from(["", "^", "$"]),
+        "func": st.sampled_from(["extract", "replace", "count"]),
+    }
+)
+
+
+def _rx_pattern(spec) -> str:
+    pieces = list(spec["pieces"])
+    if all(q in ("?", "*") for _, q in pieces):
+        # nullable pattern — zero-width global-match semantics diverge
+        # between java.util.regex and RE2 (see section comment); pin the
+        # first piece to one-or-more so the pattern never matches empty
+        pieces[0] = (pieces[0][0], "+")
+    body = "".join(a + q for a, q in pieces)
+    if spec["alt"] is not None:
+        body = f"(?:{body}|{spec['alt']})"
+    if spec["anchor"] == "^":
+        body = "^" + body
+    elif spec["anchor"] == "$":
+        body = body + "$"
+    return body
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=regexp_spec)
+def test_random_regexp_matches_oracle(spark, duck, sf_dir, spec):
+    pat = _rx_pattern(spec)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    lit = pat  # grammar emits no single quotes; safe to inline in SQL
+    if spec["func"] == "extract":
+        df = docs.select(
+            "doc_id", F.regexp_extract(F.col("text"), pat, 0).alias("m")
+        )
+        sql = (
+            "SELECT doc_id, regexp_extract(text, '" + lit + "', 0) AS m "
+            "FROM documents WHERE doc_id < 60"
+        )
+    elif spec["func"] == "replace":
+        df = docs.select(
+            "doc_id", F.regexp_replace(F.col("text"), pat, "<R>").alias("m")
+        )
+        sql = (
+            "SELECT doc_id, regexp_replace(text, '" + lit + "', '<R>', 'g') AS m "
+            "FROM documents WHERE doc_id < 60"
+        )
+    else:
+        df = docs.select(
+            "doc_id", F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias("m")
+        )
+        sql = (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '" + lit + "')) AS BIGINT) AS m "
+            "FROM documents WHERE doc_id < 60"
+        )
+    mismatch = oracle.compare(df, duck, sql)
+    assert mismatch is None, (pat, spec["func"], mismatch.kind, mismatch.detail)
