@@ -1,0 +1,155 @@
+"""CLI service-path smoke tests (VERDICT r8 next-step 8): every
+``python -m metricq_db_hta_spark`` subcommand driven end-to-end in a real
+subprocess — the one operator surface COVERAGE.md previously carried as
+"verified manually". Each test is a true process boundary (own JVM, own
+argv parsing), kept cheap with a small sample store and 4-core sessions.
+
+Reference parity: the reference's CLI is main.cpp (flag parsing ->
+construct service -> run); these tests play the operator's role.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _env() -> dict[str, str]:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = "4"
+    env["SPARK_GRAFT_DRIVER_MEM"] = "2g"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _cli(*args: str, timeout: int = 240) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "metricq_db_hta_spark", *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=_env(),
+        cwd=REPO,
+    )
+
+
+@pytest.fixture(scope="module")
+def sample_input(spark, sf_dir, tmp_path_factory):
+    """A small canonical-sample parquet dir (the ingest/backfill input
+    contract) written from the fixture events."""
+    from metricq_db_hta_spark.queries.hta_queries import samples
+
+    d = tmp_path_factory.mktemp("cli_samples")
+    samples(spark, sf_dir).orderBy("event_id").limit(400).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "chunk0"))
+    return str(d / "chunk0")
+
+
+@pytest.fixture(scope="module")
+def backfilled_store(sample_input, tmp_path_factory):
+    """One real `backfill` subprocess; its store feeds the read-side tests
+    (history/store-stats/compact) without paying a JVM start per test."""
+    store = str(tmp_path_factory.mktemp("cli_store") / "hta")
+    r = _cli(
+        "backfill", "--source", sample_input, "--store", store,
+        "--width-ns", "3600000000000", "--levels", "2",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return store
+
+
+def test_backfill_writes_levels(backfilled_store):
+    names = os.listdir(backfilled_store)
+    assert any(n.startswith("level_") for n in names), names
+    assert "raw" in names, names
+
+
+def test_ingest_drains_input(sample_input, tmp_path):
+    store = str(tmp_path / "hta_ingest")
+    r = _cli(
+        "ingest", "--input", os.path.dirname(sample_input), "--store", store,
+        "--width-ns", "3600000000000", "--levels", "2",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert any(n.startswith("level_") for n in os.listdir(store)), os.listdir(store)
+
+
+@pytest.mark.parametrize(
+    "htype", ["aggregate_timeline", "flex_timeline", "aggregate", "last_value"]
+)
+def test_history_types(backfilled_store, htype):
+    r = _cli(
+        "history", "--store", backfilled_store, "--type", htype,
+        "--width-ns", "3600000000000", "--levels", "2",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    # df.show() table output reaches stdout
+    assert "+" in r.stdout and "|" in r.stdout, r.stdout[-500:]
+
+
+def test_query_subcommand(tmp_path):
+    r = _cli("query", "--name", "rel_topk", "--sf-dir", "/root/testdata/sf0.001")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "|" in r.stdout
+
+
+def test_query_unknown_name_exits_2():
+    r = _cli("query", "--name", "no_such_query")
+    assert r.returncode == 2
+    assert "unknown query" in r.stderr
+
+
+def test_store_stats_is_json(backfilled_store):
+    r = _cli("store-stats", "--store", backfilled_store)
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout)
+    assert "batches_on_disk" in stats and "compaction_journal_pending" in stats
+
+
+def test_compact_nothing_to_do(backfilled_store):
+    # backfill writes a single batch -> below --min-batches; the CLI's
+    # "nothing to compact" operational path must exit 0, not traceback
+    r = _cli("compact", "--store", backfilled_store, "--min-batches", "2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "nothing to compact" in r.stderr
+
+
+def test_serve_starts_and_listens(backfilled_store):
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "metricq_db_hta_spark", "serve",
+            "--store", backfilled_store, "--port", "0",
+            "--width-ns", "3600000000000", "--levels", "2",
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        env=_env(),
+        cwd=REPO,
+    )
+    try:
+        deadline = time.time() + 180
+        line = ""
+        while time.time() < deadline:
+            line = proc.stderr.readline()
+            if "listening on" in line:
+                break
+            if proc.poll() is not None:
+                pytest.fail(f"serve exited early: {proc.stderr.read()[-2000:]}")
+        assert "listening on" in line, "serve never reported listening"
+    finally:
+        proc.send_signal(signal.SIGINT)
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait(timeout=30)
