@@ -32,16 +32,21 @@ from metricq_db_hta_spark.queries import llm2  # noqa: F401
 #     rel_date_funcs, rel_date_arithmetic, rel_topk,
 #     rel_agg_approx_distinct, rel_agg_conditional, rel_agg_cube
 #     (VERDICT r8 next-step 6).
-# (3) The remaining 41 slots rotate r07-green queries in (47 candidates;
-#     the 6 deferred to round 10 — rel_set_union, rel_set_intersect,
+# (3) modified-this-round re-checks: rel_q3 / rel_q5 /
+#     rel_join_bucketed moved their fact joins to the bucket-aligned
+#     shuffled-hash plan (r9) — their r8 green rows cover plans that no
+#     longer exist.
+# (4) The remaining 38 slots rotate r07-green queries in (47 candidates;
+#     the 9 deferred to round 10 — rel_set_union, rel_set_intersect,
 #     rel_set_except, rel_json_funcs, rel_array_funcs,
-#     rel_null_handling — are pure set-op/scalar shapes with untouched
-#     code, all additionally covered by the r8 set-op differential
-#     fuzzer, at stale(2) after this round, which window_coverage.py
-#     still accepts; the round-10 window MUST schedule them).
-#     rel_q1_pricing_summary is kept in-window deliberately: its
-#     resident-vs-cold anomaly was profiled this round (FLOOR.json) and
-#     any plan change needs a fresh driver row.
+#     rel_null_handling, llm_char_entropy, llm_tfidf_top_terms,
+#     llm_token_count — are pure set-op/scalar/pointwise-text shapes
+#     with untouched code, covered by the r8 set-op fuzzer and the r9
+#     regexp fuzzer, at stale(2) after this round, which
+#     window_coverage.py still accepts; the round-10 window MUST
+#     schedule them). rel_q1_pricing_summary is kept in-window
+#     deliberately: its resident-vs-cold anomaly was profiled this
+#     round (FLOOR.json) and any plan change needs a fresh driver row.
 PENDING_NEXT_WINDOW: list[str] = []
 _WINDOW = [
     # (1) PENDING_NEXT_WINDOW drain — first driver row ever
@@ -55,7 +60,11 @@ _WINDOW = [
     "rel_agg_approx_distinct",
     "rel_agg_conditional",
     "rel_agg_cube",
-    # (3) r07-green rotation (41 of 47)
+    # (3) modified this round — bucket-aligned hash-join plans
+    "rel_q3_shipping_priority",
+    "rel_q5_local_supplier_volume",
+    "rel_join_bucketed",
+    # (4) r07-green rotation (38 of 47)
     "hta_delta_encode",
     "hta_ingest_chain",
     "hta_level0",
@@ -65,7 +74,6 @@ _WINDOW = [
     "hta_scope_boundaries",
     "hta_stats_rates",
     "hta_subscription_list",
-    "llm_char_entropy",
     "llm_dataset_split",
     "llm_exact_dedup",
     "llm_lang_id",
@@ -76,8 +84,6 @@ _WINDOW = [
     "llm_similarity_recall_ivf",
     "llm_similarity_topk_brute",
     "llm_stratified_sample",
-    "llm_tfidf_top_terms",
-    "llm_token_count",
     "rel_agg_distinct",
     "rel_join_anti",
     "rel_join_asof",

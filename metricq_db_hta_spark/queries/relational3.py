@@ -249,19 +249,24 @@ GROUP BY o_orderstatus
 """,
     doc="The rel_join_sortmerge query over BUCKETED storage: both facts "
     "persisted bucketBy(32, orderkey).sortBy(orderkey), so the equi-join "
-    "plans with ZERO Exchange and zero Sort (bucket-aligned map-side SMJ) "
-    "— the layout answer to the shuffled-join exchange tax quantified in "
-    "BASELINE.md. Identical oracle to rel_join_sortmerge: same rows, "
-    "different physical strategy (tests/test_bucketing.py pins the "
-    "exchange-free plan; this registry entry makes it driver-verified "
-    "and benchmarked).",
+    "plans with ZERO Exchange — the layout answer to the shuffled-join "
+    "exchange tax quantified in BASELINE.md. r9: the join is a "
+    "bucket-aligned SHUFFLED-HASH join (hint, build on the smaller "
+    "orders side) instead of sort-merge — Spark re-sorts both bucketed "
+    "scans for SMJ despite the on-disk sortBy order (SPARK-28595), and "
+    "hashing deletes both Sort nodes (see rel_q3 for measurements and "
+    "the 100 TB build-side sizing note). Identical oracle to "
+    "rel_join_sortmerge: same rows, different physical strategy "
+    "(tests/test_bucketing.py pins the exchange-free hash plan; this "
+    "registry entry makes it driver-verified and benchmarked).",
     bench=True,
 )
 def rel_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = bucketed_table(spark, sf_dir, "orders")
     li = bucketed_table(spark, sf_dir, "lineitem")
     return (
-        o.join(li, o.o_orderkey == li.l_orderkey)
+        o.hint("shuffle_hash")
+        .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n_lines"),

@@ -76,24 +76,29 @@ def test_bucketed_fact_join_has_no_exchange(spark, sf_dir, bucketed_tables):
 
 def test_rel_join_bucketed_registry_query_is_exchange_free_up_to_agg(spark, sf_dir):
     """The declared rel_join_bucketed query must get the bucket-aligned
-    join: no Exchange below the SortMergeJoin (the only exchange allowed
-    in the whole plan is the final 5-row o_orderstatus aggregation)."""
+    HASH join (r9: shuffled-hash instead of sort-merge — SPARK-28595
+    makes SMJ re-sort both bucketed scans; hashing deletes both Sorts):
+    no Exchange and no Sort below the join; the only exchange allowed in
+    the whole plan is the final 5-row o_orderstatus aggregation."""
     from metricq_db_hta_spark.queries import REGISTRY
 
     df = REGISTRY["rel_join_bucketed"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
     # split at the join: everything below it (the scan sides) must be
-    # exchange-free; the single partial->final agg exchange sits above
-    below_join = plan.split("SortMergeJoin", 1)[1]
+    # exchange-free AND sort-free; the single partial->final agg exchange
+    # sits above
+    below_join = plan.split("ShuffledHashJoin", 1)[1]
     assert "Exchange" not in below_join, plan
+    assert "Sort " not in below_join, plan
     assert plan.count("Exchange") <= 1, plan
 
 
 def test_rel_q5_fact_chain_is_exchange_free(spark, sf_dir):
     """rel_q5 over the bucketed facts: no Exchange anywhere below the
     final n_name aggregation — the broadcast dim joins must preserve the
-    bucket partitioning of the orders⋈lineitem chain."""
+    bucket partitioning of the orders⋈lineitem chain — and the fact join
+    is the sort-free bucket-aligned hash join (r9)."""
     from metricq_db_hta_spark.queries import REGISTRY
 
     df = REGISTRY["rel_q5_local_supplier_volume"].spark(spark, sf_dir)
@@ -103,14 +108,19 @@ def test_rel_q5_fact_chain_is_exchange_free(spark, sf_dir):
     # the 25-row aggregate
     shuffles = plan.count("Exchange hashpartitioning")
     assert shuffles == 1, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_rel_q3_has_no_shuffle_exchange(spark, sf_dir):
     """rel_q3 over the bucketed facts: zero shuffle exchanges in the
     ENTIRE plan — broadcast customer preserves the bucket partitioning
-    and the top-10 is TakeOrderedAndProject (no sort exchange)."""
+    and the top-10 is TakeOrderedAndProject (no sort exchange) — and the
+    fact join is the sort-free bucket-aligned hash join (r9)."""
     from metricq_db_hta_spark.queries import REGISTRY
 
     df = REGISTRY["rel_q3_shipping_priority"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "Sort " not in plan, plan

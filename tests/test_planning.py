@@ -65,10 +65,10 @@ def test_q3_q5_broadcast_exactly_the_dims(spark, sf_dir):
     ):
         plan = _initial_plan(REGISTRY[name].spark(spark, sf_dir))
         assert plan.count("BroadcastHashJoin") == n_bcast, (name, plan)
-        # the fact edge stays shuffled
-        assert "SortMergeJoin [o_orderkey" in plan or (
-            "SortMergeJoin" in plan and "l_orderkey" in plan
-        ), (name, plan)
+        # the fact edge stays a non-broadcast co-located join (r9: the
+        # bucket-aligned shuffled-hash join — see test_bucketing.py for
+        # the zero-exchange/zero-sort pin)
+        assert "ShuffledHashJoin" in plan and "l_orderkey" in plan, (name, plan)
         # lineitem is never a broadcast build side: its scan must feed an
         # Exchange, not a BroadcastExchange (check via the build-side
         # relation list: no broadcast exchange subtree scans lineitem)
