@@ -34,13 +34,14 @@ from metricq_db_hta_spark.queries import llm2  # noqa: F401
 #     (VERDICT r8 next-step 6).
 # (3) modified-this-round re-checks: rel_q3 / rel_q5 /
 #     rel_join_bucketed moved their fact joins to the bucket-aligned
-#     shuffled-hash plan (r9) — their r8 green rows cover plans that no
-#     longer exist.
+#     shuffled-hash plan (r9), and llm_token_count's ws_tokens moved to
+#     the allocation-free arithmetic form — their r8/r7 green rows cover
+#     plans that no longer exist.
 # (4) The remaining 38 slots rotate r07-green queries in (47 candidates;
 #     the 9 deferred to round 10 — rel_set_union, rel_set_intersect,
 #     rel_set_except, rel_json_funcs, rel_array_funcs,
 #     rel_null_handling, llm_char_entropy, llm_tfidf_top_terms,
-#     llm_token_count — are pure set-op/scalar/pointwise-text shapes
+#     rel_join_cross — are pure set-op/scalar/pointwise-text/cross shapes
 #     with untouched code, covered by the r8 set-op fuzzer and the r9
 #     regexp fuzzer, at stale(2) after this round, which
 #     window_coverage.py still accepts; the round-10 window MUST
@@ -89,7 +90,7 @@ _WINDOW = [
     "rel_join_asof",
     "rel_join_asof_forward",
     "rel_join_broadcast_dim",
-    "rel_join_cross",
+    "llm_token_count",
     "rel_join_full_outer",
     "rel_join_left_outer",
     "rel_join_range_band",
