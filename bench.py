@@ -501,6 +501,18 @@ def main() -> None:
         out["layout_note"] = (
             "q3/q5/join_bucketed read prebuilt bucketed facts; duckdb reads flat parquet"
         )
+        # the measured ratio-vs-scale curve (scripts/scale_sweep.py, full
+        # 14-query set, same replication recipe): surfaced on the summary
+        # line so the per-round artifact records where the 2x bar is met
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "SCALE_SWEEP.json")) as f:
+                sweep = json.load(f)
+            out["scale_curve_resident_ratio"] = {
+                s: sweep[s]["ratio_resident"] for s in sorted(sweep)
+            }
+        except (OSError, ValueError, KeyError):
+            pass
     # resident spread (VERDICT r7 next-step 3): per-sweep samples are
     # interleaved across queries, so median/max vs min quantifies the
     # venue noise a single min hides. The summary line carries the three
