@@ -782,3 +782,111 @@ def test_random_regexp_matches_oracle(spark, duck, sf_dir, spec):
         )
     mismatch = oracle.compare(df, duck, sql)
     assert mismatch is None, (pat, spec["func"], mismatch.kind, mismatch.detail)
+
+
+# ---------------------------------------------------------------------------
+# join-type fuzzing (r9): the query fuzzer above only exercises INNER
+# join+agg; the declared rel_join_* queries pin each join type pointwise.
+# This closes the combinatorial gap: every join type x filter-on-either-
+# side x selectivity (empty left, empty right, full overlap), with
+# filters applied BEFORE the join on both engines (subselects in the SQL
+# rendering — for outer joins, filter-then-join and join-then-filter are
+# semantically different, and the DataFrame pipeline does the former).
+# Null-extended rows from LEFT/RIGHT/FULL and the EXISTS/NOT EXISTS
+# renderings of semi/anti are the interesting edges.
+# ---------------------------------------------------------------------------
+
+JOIN_TYPES = ["inner", "left", "right", "full", "left_semi", "left_anti"]
+
+# (sql predicate, spark builder) pairs per side; index 0 = no filter
+LEFT_PREDS = [
+    None,
+    ("l_quantity <= 25.0", lambda d: d.filter(F.col("l_quantity") <= 25.0)),
+    ("l_returnflag = 'R'", lambda d: d.filter(F.col("l_returnflag") == "R")),
+    ("l_orderkey < 0", lambda d: d.filter(F.col("l_orderkey") < 0)),  # empty
+]
+RIGHT_PREDS = [
+    None,
+    (
+        "o_orderpriority = '1-URGENT'",
+        lambda d: d.filter(F.col("o_orderpriority") == "1-URGENT"),
+    ),
+    (
+        "o_totalprice >= 150000.0",
+        lambda d: d.filter(F.col("o_totalprice") >= 150000.0),
+    ),
+    ("o_orderkey < 0", lambda d: d.filter(F.col("o_orderkey") < 0)),  # empty
+]
+
+join_fuzz_spec = st.fixed_dictionaries(
+    {
+        "how": st.sampled_from(JOIN_TYPES),
+        "lpred": st.integers(0, len(LEFT_PREDS) - 1),
+        "rpred": st.integers(0, len(RIGHT_PREDS) - 1),
+        "key_cap": st.sampled_from([500, 2000]),
+    }
+)
+
+
+def _join_fuzz_frames(spark, sf_dir, spec):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") <= spec["key_cap"]
+    )
+    o = load_table(spark, sf_dir, "orders")
+    if LEFT_PREDS[spec["lpred"]] is not None:
+        li = LEFT_PREDS[spec["lpred"]][1](li)
+    if RIGHT_PREDS[spec["rpred"]] is not None:
+        o = RIGHT_PREDS[spec["rpred"]][1](o)
+    return li, o
+
+
+def _spark_join_fuzz(spark, sf_dir, spec):
+    li, o = _join_fuzz_frames(spark, sf_dir, spec)
+    how = spec["how"]
+    joined = li.join(o, li.l_orderkey == o.o_orderkey, how)
+    if how in ("left_semi", "left_anti"):
+        return joined.select("l_orderkey", "l_linenumber", "l_quantity")
+    return joined.select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+    )
+
+
+def _oracle_join_fuzz_sql(spec) -> str:
+    lw = f"l_orderkey <= {spec['key_cap']}"
+    if LEFT_PREDS[spec["lpred"]] is not None:
+        lw += " AND " + LEFT_PREDS[spec["lpred"]][0]
+    lsub = f"(SELECT * FROM lineitem WHERE {lw}) l"
+    rw = (
+        RIGHT_PREDS[spec["rpred"]][0]
+        if RIGHT_PREDS[spec["rpred"]] is not None
+        else "TRUE"
+    )
+    rsub = f"(SELECT * FROM orders WHERE {rw}) o"
+    how = spec["how"]
+    if how in ("left_semi", "left_anti"):
+        neg = "NOT " if how == "left_anti" else ""
+        return (
+            f"SELECT l_orderkey, l_linenumber, l_quantity FROM {lsub} "
+            f"WHERE {neg}EXISTS (SELECT 1 FROM {rsub} "
+            f"WHERE o.o_orderkey = l.l_orderkey)"
+        )
+    kw = {"inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
+          "full": "FULL OUTER JOIN"}[how]
+    return (
+        f"SELECT l_orderkey, l_linenumber, l_quantity, "
+        f"o_orderkey, o_orderpriority, o_totalprice "
+        f"FROM {lsub} {kw} {rsub} ON l.l_orderkey = o.o_orderkey"
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=join_fuzz_spec)
+def test_random_join_matches_oracle(spark, duck, sf_dir, spec):
+    df = _spark_join_fuzz(spark, sf_dir, spec)
+    mismatch = oracle.compare(df, duck, _oracle_join_fuzz_sql(spec))
+    assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
