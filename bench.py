@@ -22,6 +22,7 @@ the whole plan without driver-collect overhead.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import statistics
@@ -198,6 +199,30 @@ def build_replica(sf_dir: str, reps: int) -> str:
     return out_dir
 
 
+@contextlib.contextmanager
+def _static_plan_policy(spark, spec):
+    """Run a declared static-plan query with AQE off (QuerySpec.static_plan).
+
+    AQE's materialization-sync rounds cost 13-179 ms/query at sf1 on plans
+    with nothing to adapt (zero exchanges or layout/broadcast-pinned ones —
+    the shapes EXCHANGE_BUDGET pins); queries that genuinely re-plan at
+    runtime (lsh_pairs' banded self-join coalescing: AQE is 332 ms FASTER
+    there; the shuffled sentinel) keep it on. Results are identical either
+    way (tests/test_planning.py::test_static_plan_policy). Conf is restored
+    on exit so the session default (AQE on) governs everything else.
+    """
+    if not getattr(spec, "static_plan", False):
+        yield
+        return
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def time_spark(spark, names, data_dir, cold_runs=2, resident_sweeps=3):
     """Cold (plan rebuilt per run) and resident (plan reused) timings.
 
@@ -231,24 +256,26 @@ def time_spark(spark, names, data_dir, cold_runs=2, resident_sweeps=3):
     for name in names:
         spec = REGISTRY[name]
         runs: list[float] = []
-        for measured in (False, *([True] * cold_runs)):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df = spec.spark(spark, data_dir)
-            df.write.mode("overwrite").format("noop").save()
-            if measured:
-                runs.append(time.perf_counter() - t0)
+        with _static_plan_policy(spark, spec):
+            for measured in (False, *([True] * cold_runs)):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                df = spec.spark(spark, data_dir)
+                df.write.mode("overwrite").format("noop").save()
+                if measured:
+                    runs.append(time.perf_counter() - t0)
         cold[name] = round(min(runs), 3)
     dfs = {name: REGISTRY[name].spark(spark, data_dir) for name in names}
     samples: dict[str, list[float]] = {name: [] for name in names}
     for _sweep in range(resident_sweeps):
         for name in names:
-            spark.catalog.clearCache()
-            dfs[name].write.mode("overwrite").format("noop").save()  # warm
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            dfs[name].write.mode("overwrite").format("noop").save()
-            samples[name].append(time.perf_counter() - t0)
+            with _static_plan_policy(spark, REGISTRY[name]):
+                spark.catalog.clearCache()
+                dfs[name].write.mode("overwrite").format("noop").save()  # warm
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                dfs[name].write.mode("overwrite").format("noop").save()
+                samples[name].append(time.perf_counter() - t0)
     resident = {name: round(min(s), 3) for name, s in samples.items()}
     spread = {
         name: [

@@ -31,15 +31,34 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL; None => rows-only weaker check
     doc: str = ""
     bench: bool = False  # include in bench.py headline set
+    #: Declares the physical plan fully determined at compile time (zero
+    #: exchanges, or exchanges whose partitioning is pinned by layout /
+    #: broadcast hints — the shapes tests/test_planning.py EXCHANGE_BUDGET
+    #: pins). Executors (bench.py, serve) run these with AQE disabled:
+    #: adaptive re-planning has nothing to adapt on a static plan and
+    #: costs a measured 13-179 ms/query in materialization-sync rounds at
+    #: sf1 (r9 A/B, all 14 headline queries). Queries that genuinely
+    #: benefit from runtime re-planning (skewed/banded self-joins, the
+    #: shuffled sentinel) leave this False and keep AQE. On a shared
+    #: cluster leave AQE on regardless if input skew is unknown — this is
+    #: an interactive-latency policy, not a correctness knob (results are
+    #: identical; pinned by test_static_plan_policy).
+    static_plan: bool = False
 
 
 def register(
-    name: str, oracle: str | None, doc: str = "", bench: bool = False
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    bench: bool = False,
+    static_plan: bool = False,
 ) -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""), bench)
+        REGISTRY[name] = QuerySpec(
+            name, fn, oracle, doc or (fn.__doc__ or ""), bench, static_plan
+        )
         return fn
 
     return deco

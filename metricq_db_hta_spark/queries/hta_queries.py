@@ -205,6 +205,7 @@ FROM kept GROUP BY metric
     "filter, per-metric monotonicity high-watermark) — batch flavor; "
     "/root/reference/src/async_hta_service.hpp:251-328.",
     bench=True,
+    static_plan=True,
 )
 def hta_ingest_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = samples(spark, sf_dir)
@@ -232,6 +233,7 @@ FROM level0
     doc="Level-0 rollup: six-field Aggregate record per (metric, 1h epoch "
     "bucket) — reference A5 with engine-defined integral semantics.",
     bench=True,
+    static_plan=True,
 )
 def hta_level0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _present(hta.level0(samples(spark, sf_dir), W0))
@@ -271,6 +273,7 @@ WHERE metric = 'click' AND bucket_start_ns >= {START_NS} AND bucket_start_ns < {
     "<= interval_max (here 12h -> level1=10h); "
     "/root/reference/src/async_hta_service.hpp:361-392.",
     bench=True,
+    static_plan=True,
 )
 def hta_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     svc = service(spark, sf_dir)
@@ -310,6 +313,7 @@ GROUP BY metric
     doc="Q3 AGGREGATE: one merged Aggregate per metric over [start, end); "
     "/root/reference/src/async_hta_service.hpp:442-464.",
     bench=True,
+    static_plan=True,
 )
 def hta_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     svc = service(spark, sf_dir)

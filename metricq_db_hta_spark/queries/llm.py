@@ -59,6 +59,7 @@ JOIN (SELECT sha256(text) AS h, MIN(doc_id) AS keep_id
     doc="Exact dedup via content hash: lowest doc_id per distinct text "
     "survives (hash-groupBy, one shuffle).",
     bench=True,
+    static_plan=True,
 )
 def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs(spark, sf_dir)).select(
@@ -378,6 +379,7 @@ SELECT query_id, rank, vec_id, sim FROM (
     doc="Brute-force exact cosine top-5 for 8 query vectors (broadcast "
     "queries, JVM-side fold dot product — the ANN correctness baseline).",
     bench=True,
+    static_plan=True,
 )
 def llm_similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = embs(spark, sf_dir)
@@ -504,6 +506,7 @@ FROM documents GROUP BY lang
     doc="Per-language corpus stats: doc counts, token counts, stopword "
     "ratio (quality signal).",
     bench=True,
+    static_plan=True,
 )
 def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metricq_db_hta_spark.queries.base import davg

@@ -80,6 +80,7 @@ GROUP BY l_returnflag, l_linestatus
     doc="TPC-H-Q1-shaped pricing summary: filtered scan + grouped "
     "aggregation with computed measures (HashAggregate, partial+final).",
     bench=True,
+    static_plan=True,
 )
 def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -137,6 +138,7 @@ LIMIT 10
     "query-time shuffled path is pinned by rel_join_sortmerge, the "
     "purpose-built sentinel for that plan shape.",
     bench=True,
+    static_plan=True,
 )
 def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer is a dimension in this engine's data model (TESTDATA/
@@ -201,6 +203,7 @@ GROUP BY n_name
     "measurements as rel_q3 — SPARK-28595 re-sorts are deleted). The "
     "query-time shuffled path stays pinned by rel_join_sortmerge.",
     bench=True,
+    static_plan=True,
 )
 def rel_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer broadcast for the same reason as rel_q3: it is a declared
@@ -473,6 +476,7 @@ FROM purch p ASOF LEFT JOIN clicks c
     "same-source form (operators/asof.py asof_self_join_backward: one "
     "scan, ONE exchange); oracle uses native ASOF JOIN.",
     bench=True,
+    static_plan=True,
 )
 def rel_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_df(spark, sf_dir)

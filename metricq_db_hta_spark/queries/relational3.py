@@ -260,6 +260,7 @@ GROUP BY o_orderstatus
     "(tests/test_bucketing.py pins the exchange-free hash plan; this "
     "registry entry makes it driver-verified and benchmarked).",
     bench=True,
+    static_plan=True,
 )
 def rel_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = bucketed_table(spark, sf_dir, "orders")

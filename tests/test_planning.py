@@ -174,3 +174,51 @@ def test_exchange_budget_covers_all_bench_queries():
     assert bench == set(EXCHANGE_BUDGET), (
         bench ^ set(EXCHANGE_BUDGET)
     )
+
+
+# ---------------------------------------------------------------------------
+# Static-plan policy (r9): QuerySpec.static_plan declares the physical plan
+# fully compile-time-determined, and executors (bench.time_spark) run those
+# queries with AQE off — its materialization-sync rounds cost a measured
+# 13-179 ms/query at sf1 on plans with nothing to adapt. The two checks:
+# the flag's extent equals the pinned-budget queries minus the two that
+# measurably BENEFIT from runtime re-planning, and the policy is
+# result-invariant (AQE never changes answers, only physical strategy).
+# ---------------------------------------------------------------------------
+
+
+def test_static_plan_flag_extent():
+    from metricq_db_hta_spark.queries import REGISTRY
+
+    static = {n for n, s in REGISTRY.items() if s.static_plan}
+    adaptive_wins = {"llm_minhash_lsh_pairs", "rel_join_sortmerge"}
+    assert static == set(EXCHANGE_BUDGET) - adaptive_wins, (
+        static ^ (set(EXCHANGE_BUDGET) - adaptive_wins)
+    )
+    # the flag only ever marks bench queries whose exchange count is
+    # pinned above — an unpinned static_plan query has no plan evidence
+    for n in static:
+        assert n in EXCHANGE_BUDGET
+
+
+def test_static_plan_policy(spark, sf_dir):
+    """bench._static_plan_policy toggles AQE off inside, restores after,
+    and the answer is byte-identical under both settings."""
+    import bench
+    from metricq_db_hta_spark.queries import REGISTRY
+
+    spec = REGISTRY["rel_q3_shipping_priority"]
+    assert spec.static_plan
+    key = "spark.sql.adaptive.enabled"
+    assert spark.conf.get(key) == "true"
+    with bench._static_plan_policy(spark, spec):
+        assert spark.conf.get(key) == "false"
+        rows_off = REGISTRY["rel_q3_shipping_priority"].spark(
+            spark, sf_dir
+        ).collect()
+    assert spark.conf.get(key) == "true"
+    rows_on = REGISTRY["rel_q3_shipping_priority"].spark(spark, sf_dir).collect()
+    assert rows_off == rows_on
+    # non-flagged spec: context manager is a no-op
+    with bench._static_plan_policy(spark, REGISTRY["rel_join_sortmerge"]):
+        assert spark.conf.get(key) == "true"
