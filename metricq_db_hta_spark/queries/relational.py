@@ -156,10 +156,16 @@ def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to ~128 MB-1 GB files (sources/bucketed.py), so a per-bucket orders
     # slice is bounded by layout; if a deployment can't bound it, drop
     # the hint and the planner falls back to the sort-merge plan.
+    # r9 dim-pushdown (same move as rel_q5): the BUILDING-segment filter
+    # keeps ~1/5 of customers, and joining it BEFORE the fact join
+    # shrinks both the orders-side hash build and the join output 5x —
+    # a map-side broadcast probe that preserves the bucket partitioning.
+    # Measured sf1 resident 0.37 -> 0.26 s, sf10 0.78 -> 0.58 s, same
+    # answers, still ZERO exchanges (EXCHANGE_BUDGET pin).
     c = F.broadcast(
-        load_table(spark, sf_dir, "customer").filter(
-            F.col("c_mktsegment") == "BUILDING"
-        )
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
     )
     o = bucketed_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
@@ -167,10 +173,10 @@ def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = bucketed_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
     )
-    oli = o.hint("shuffle_hash").join(li, o.o_orderkey == li.l_orderkey)
+    o2 = o.join(c, o.o_custkey == c.c_custkey)
+    oli = o2.hint("shuffle_hash").join(li, o2.o_orderkey == li.l_orderkey)
     return (
-        oli.join(c, oli.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate")
+        oli.groupBy("l_orderkey", "o_orderdate")
         .agg(msum("l_extendedprice * (1 - l_discount)").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -211,24 +217,45 @@ def rel_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders-side shuffle write that AQE conversion would still pay.
     # Fact join: bucket-aligned shuffled-hash, building on the
     # date-filtered orders side (see rel_q3 sizing note).
-    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    #
+    # r9 dim-pushdown: the selective predicate in this query is
+    # c_nationkey = s_nationkey (keeps ~1/|nation| of joined rows), and
+    # it used to apply two broadcast joins AFTER the fact join — the
+    # wide orders x lineitem output (27M rows at sf10) was fully
+    # materialized first. Attaching c_nationkey to orders and
+    # s_nationkey to lineitem (map-side broadcast probes, no row-count
+    # change, bucketing preserved) lets the guard run INSIDE the fact
+    # join's probe loop, so only the ~1/25 surviving rows materialize:
+    # sf10 resident 2.14 -> 0.79 s, sf1 0.49 -> 0.39 s, same answers.
+    # The guard is written (c_nationkey - s_nationkey) = 0 ON PURPOSE:
+    # a bare attr = attr equality is extracted by ExtractEquiJoinKeys
+    # into the join KEYS, which re-keys the hash partitioning to
+    # (orderkey, nationkey) and breaks bucket alignment (measured: +2
+    # fact exchanges, slower than the un-pushed plan); the arithmetic
+    # form stays a non-equi join condition. Plan pinned: 1 exchange
+    # (EXCHANGE_BUDGET), 1 ShuffledHashJoin, 4 broadcasts.
+    c = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
     o = bucketed_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
     )
     li = bucketed_table(spark, sf_dir, "lineitem")
-    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    s = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
     r = F.broadcast(load_table(spark, sf_dir, "region"))
-    oli = o.hint("shuffle_hash").join(li, o.o_orderkey == F.col("l_orderkey"))
+    o2 = o.join(c, o.o_custkey == c.c_custkey)
+    li2 = li.join(s, li.l_suppkey == s.s_suppkey)
+    oli = o2.hint("shuffle_hash").join(
+        li2,
+        (o2.o_orderkey == li2.l_orderkey)
+        & ((F.col("c_nationkey") - F.col("s_nationkey")) == 0),
+    )
     return (
-        oli.join(c, oli.o_custkey == c.c_custkey)
-        .join(
-            s,
-            (F.col("l_suppkey") == s.s_suppkey)
-            & (c.c_nationkey == s.s_nationkey),
-        )
-        .join(n, c.c_nationkey == n.n_nationkey)
+        oli.join(n, F.col("c_nationkey") == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(msum("l_extendedprice * (1 - l_discount)").alias("revenue"))
