@@ -222,3 +222,26 @@ def test_static_plan_policy(spark, sf_dir):
     # non-flagged spec: context manager is a no-op
     with bench._static_plan_policy(spark, REGISTRY["rel_join_sortmerge"]):
         assert spark.conf.get(key) == "true"
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n in EXCHANGE_BUDGET
+        if n not in ("llm_minhash_lsh_pairs", "rel_join_sortmerge")
+    ),
+)
+def test_static_plan_queries_aqe_invariant(spark, sf_dir, name):
+    """Every static_plan query returns the identical answer with AQE off —
+    the full result-invariance pin behind the policy (the one-query check
+    above pins the conf mechanics; this pins the claim per query)."""
+    import bench
+    from metricq_db_hta_spark.queries import REGISTRY
+
+    spec = REGISTRY[name]
+    assert spec.static_plan
+    rows_on = sorted(map(tuple, spec.spark(spark, sf_dir).collect()))
+    with bench._static_plan_policy(spark, spec):
+        rows_off = sorted(map(tuple, spec.spark(spark, sf_dir).collect()))
+    assert rows_on == rows_off
