@@ -198,9 +198,11 @@ def main(argv: list[str] | None = None) -> int:
         from metricq_db_hta_spark.plans.serve import HistoryServer
 
         widths = [args.width_ns * 10**k for k in range(args.levels)]
-        server, port = HistoryServer(spark, args.store, widths).start_background(
-            args.host, args.port
-        )
+        # dedicated serving session -> static-plan policy on (see
+        # HistoryServer.__init__): every request is a level-router plan
+        server, port = HistoryServer(
+            spark, args.store, widths, static_plans=True
+        ).start_background(args.host, args.port)
         print(f"history service listening on {args.host}:{port}", file=sys.stderr)
         try:
             while True:

@@ -92,11 +92,28 @@ class HistoryServer:
     _N_POOLS = 8
 
     def __init__(
-        self, spark: SparkSession, store: str, level_widths_ns: list[int]
+        self,
+        spark: SparkSession,
+        store: str,
+        level_widths_ns: list[int],
+        static_plans: bool = False,
     ) -> None:
+        """``static_plans=True`` runs the server's session with AQE off —
+        the same execution policy as ``QuerySpec.static_plan`` (queries/
+        base.py): every history request is a level-router plan whose shape
+        is fully compile-time-determined (pruned scan + filter + agg, no
+        join to adapt), and AQE's materialization-sync rounds are a
+        measured 35+ ms per request of pure latency against the
+        reference's <1 s read expectation. The flag mutates SESSION conf
+        for the server's lifetime (concurrent FAIR-pool handler threads
+        share it, so a per-request toggle would race) — leave it False
+        when embedding in a session that also runs adaptive queries; the
+        serving CLI (a dedicated session) turns it on."""
         self.spark = spark
         self.store = store
         self.widths = list(level_widths_ns)
+        if static_plans:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
         self._svc = self._build()
 
     def _build(self) -> HistoryService:

@@ -46,8 +46,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 from metricq_db_hta_spark.sources.tables import load_table
 
-#: local bucket count == local[32] core count (see module docstring)
+#: local bucket count == local[32] core count (see module docstring).
+#: ``SPARK_GRAFT_BUCKETS`` overrides it: the bucket count is the layout's
+#: scan-parallelism cap AND its per-file size knob, so a deployment sizes
+#: it to ~128 MB-1 GB per bucket file (far more than 32 at 100 TB), not
+#: to the core count. Read per build (not import) so one process can
+#: build differently-sized layouts; the count is part of the on-disk
+#: table name, so layouts with different counts never collide.
 N_BUCKETS = 32
+
+
+def _n_buckets() -> int:
+    return int(os.environ.get("SPARK_GRAFT_BUCKETS", str(N_BUCKETS)))
 
 #: (table, bucket key) pairs the engine keeps bucketed copies of
 BUCKETED_FACTS = (("orders", "o_orderkey"), ("lineitem", "l_orderkey"))
@@ -63,10 +73,12 @@ _BUCKETED: dict[tuple[str, str], str] = {}
 
 
 def _prefix(sf_dir: str) -> str:
-    # deterministic per source dir: sf0.001 tests, the sf0.01 driver
-    # window, and the sf1 bench replica each get their own table set
+    # deterministic per (source dir, bucket count): sf0.001 tests, the
+    # sf0.01 driver window, and the sf1 bench replica each get their own
+    # table set, and a SPARK_GRAFT_BUCKETS override never collides with
+    # the default layout
     key = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    return f"bkt_{key}"
+    return f"bkt_{key}_{_n_buckets()}"
 
 
 def _table_path(prefix: str, tbl: str) -> str:
@@ -103,8 +115,8 @@ def bucketed_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # one bucket's rows -> one file per bucket (without it,
                 # every task writes a file per bucket it touches: up to
                 # tasks x buckets small files)
-                .repartition(N_BUCKETS, key)
-                .write.bucketBy(N_BUCKETS, key)
+                .repartition(_n_buckets(), key)
+                .write.bucketBy(_n_buckets(), key)
                 .sortBy(key)
                 .option("path", loc)
                 .mode("overwrite")

@@ -124,3 +124,34 @@ def test_rel_q3_has_no_shuffle_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 0, plan
     assert "ShuffledHashJoin" in plan, plan
     assert "Sort " not in plan, plan
+
+
+def test_bucket_count_env_override(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_BUCKETS resizes the layout (the 100 TB file-size knob):
+    the override builds its own non-colliding table set, the scan reports
+    the requested bucket count, and the bucket-aligned join still plans
+    with zero fact exchanges."""
+    from metricq_db_hta_spark.sources import bucketed as B
+
+    monkeypatch.setenv("SPARK_GRAFT_BUCKETS", "8")
+    # force a rebuild under the override (memo is per (app, sf_dir))
+    B._BUCKETED.clear()
+    try:
+        t = B.bucketed_table(spark, sf_dir, "orders")
+        # layout is its own table set (name carries the count) at 8 buckets
+        assert "_8_orders" in t._jdf.queryExecution().executedPlan().toString()
+        [desc] = [
+            r
+            for r in spark.sql(
+                f"DESCRIBE TABLE EXTENDED {B._prefix(sf_dir)}_orders"
+            ).collect()
+            if r.col_name == "Num Buckets"
+        ]
+        assert desc.data_type.strip() == "8", desc
+        li = B.bucketed_table(spark, sf_dir, "lineitem")
+        j = t.hint("shuffle_hash").join(li, t.o_orderkey == li.l_orderkey)
+        jplan = j._jdf.queryExecution().executedPlan().toString()
+        assert jplan.count("Exchange hashpartitioning") == 0, jplan
+        assert j.count() > 0
+    finally:
+        B._BUCKETED.clear()  # do not leak the 8-bucket layout to other tests

@@ -91,3 +91,26 @@ def test_history_server_concurrent_connections(spark, sf_dir, tmp_path):
         assert not any(t.is_alive() for t in threads), "client hung"
     finally:
         server.shutdown()
+
+
+def test_history_server_static_plans_policy(spark, sf_dir, tmp_path):
+    """static_plans=True serves identical answers with AQE off for the
+    server session's lifetime (the serving CLI's dedicated-session
+    default; embedded default stays False and touches nothing)."""
+    src = samples(spark, sf_dir).limit(500)
+    store = str(tmp_path / "store_static")
+    StreamingIngest(spark, store, level_widths_ns=(W0,)).backfill(src)
+
+    key = "spark.sql.adaptive.enabled"
+    assert spark.conf.get(key) == "true"
+    try:
+        plain = HistoryServer(spark, store, [W0])
+        assert spark.conf.get(key) == "true"  # default mutates nothing
+        want = plain.handle({"type": "aggregate", "metric": "click"})
+
+        srv = HistoryServer(spark, store, [W0], static_plans=True)
+        assert spark.conf.get(key) == "false"
+        got = srv.handle({"type": "aggregate", "metric": "click"})
+        assert got == want and got.get("n") == 1
+    finally:
+        spark.conf.set(key, "true")
