@@ -890,3 +890,110 @@ def test_random_join_matches_oracle(spark, duck, sf_dir, spec):
     df = _spark_join_fuzz(spark, sf_dir, spec)
     mismatch = oracle.compare(df, duck, _oracle_join_fuzz_sql(spec))
     assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
+
+
+# ---------------------------------------------------------------------------
+# grouping-structure fuzzing (r9): random GROUPING SETS / ROLLUP / CUBE
+# over low-cardinality lineitem columns, optional pre-filter, sum+count
+# aggregates, GROUPING() disambiguation. The declared rel_agg_rollup/
+# cube/grouping_sets queries pin one structure each; this samples the
+# lattice space — empty sets, the grand-total-only set, duplicated
+# member columns across sets, and the NULL-vs-"NULL group" ambiguity
+# GROUPING() exists to resolve.
+# ---------------------------------------------------------------------------
+
+GCOLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+
+grouping_spec = st.fixed_dictionaries(
+    {
+        "kind": st.sampled_from(["sets", "rollup", "cube"]),
+        # indexes into GCOLS; for "sets" each inner tuple is one set
+        "cols": st.lists(
+            st.integers(0, len(GCOLS) - 1), min_size=1, max_size=3, unique=True
+        ),
+        "sets": st.lists(
+            st.lists(
+                st.integers(0, len(GCOLS) - 1),
+                min_size=0,
+                max_size=2,
+                unique=True,
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+        "filtered": st.booleans(),
+    }
+)
+
+
+def _grouping_frames(spec):
+    cols = [GCOLS[i] for i in spec["cols"]]
+    sets = [tuple(GCOLS[i] for i in s) for s in spec["sets"]]
+    # grouped output columns: union of set members, in GCOLS order
+    if spec["kind"] == "sets":
+        used = sorted({c for s in sets for c in s}, key=GCOLS.index)
+        if not used:  # all sets empty = grand total only; group cols absent
+            used = []
+    else:
+        used = cols
+    return cols, sets, used
+
+
+def _spark_grouping(spark, sf_dir, spec):
+    cols, sets, used = _grouping_frames(spec)
+    df = load_table(spark, sf_dir, "lineitem")
+    if spec["filtered"]:
+        df = df.filter(F.col("l_quantity") <= 25.0)
+    df.createOrReplaceTempView("v_li_gfuzz")
+    if spec["kind"] == "sets":
+        sets_sql = ", ".join("(" + ", ".join(s) + ")" for s in sets)
+        by = f"GROUPING SETS ({sets_sql})"
+    elif spec["kind"] == "rollup":
+        by = "ROLLUP (" + ", ".join(cols) + ")"
+    else:
+        by = "CUBE (" + ", ".join(cols) + ")"
+    sel = used + [f"GROUPING({c}) AS g_{c}" for c in used]
+    # the filter lives inside the view, so the SQL is pure grouping
+    sql = (
+        "SELECT "
+        + ", ".join(sel + [
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty",
+            "COUNT(*) AS n",
+        ])
+        + f" FROM v_li_gfuzz GROUP BY {by}"
+    )
+    return spark.sql(sql)
+
+
+def _oracle_grouping_sql(spec) -> str:
+    cols, sets, used = _grouping_frames(spec)
+    if spec["kind"] == "sets":
+        sets_sql = ", ".join("(" + ", ".join(s) + ")" for s in sets)
+        by = f"GROUPING SETS ({sets_sql})"
+    elif spec["kind"] == "rollup":
+        by = "ROLLUP (" + ", ".join(cols) + ")"
+    else:
+        by = "CUBE (" + ", ".join(cols) + ")"
+    sel = used + [f"GROUPING({c}) AS g_{c}" for c in used]
+    return (
+        "SELECT "
+        + ", ".join(sel + [
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty",
+            "CAST(COUNT(*) AS BIGINT) AS n",
+        ])
+        + " FROM lineitem"
+        + (" WHERE l_quantity <= 25.0" if spec["filtered"] else "")
+        + f" GROUP BY {by}"
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=grouping_spec)
+def test_random_grouping_structure_matches_oracle(spark, duck, sf_dir, spec):
+    df = _spark_grouping(spark, sf_dir, spec)
+    mismatch = oracle.compare(df, duck, _oracle_grouping_sql(spec))
+    assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
