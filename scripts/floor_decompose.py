@@ -113,7 +113,13 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     report = {}
+    import bench
+
     for name in names:
+        # measure under the shipped execution policy (QuerySpec.static_plan
+        # -> AQE off), so FLOOR.json decomposes the same plans bench times
+        policy = bench._static_plan_policy(spark, REGISTRY[name])
+        policy.__enter__()
         df = REGISTRY[name].spark(spark, data_dir)
         # resident warm-ups (codegen, AQE stats, footers)
         for _ in range(2):
@@ -126,6 +132,7 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         wall = time.perf_counter() - t0
         spark.sparkContext.setJobGroup(None, None)
+        policy.__exit__(None, None, None)
 
         stages = stage_metrics(spark, group)
         spans = [s["span_s"] for s in stages if s["span_s"] is not None]
