@@ -526,7 +526,9 @@ def main() -> None:
         # parquet — not a same-layout comparison; sortmerge is the
         # identical-layout shuffled sentinel.
         out["layout_note"] = (
-            "q3/q5/join_bucketed read prebuilt bucketed facts; duckdb reads flat parquet"
+            "q3/q5/join_bucketed read prebuilt bucketed facts; text_stats/"
+            "ingest_serve read ingest-time derived layouts (sources/derived.py);"
+            " duckdb recomputes from flat parquet"
         )
         # the measured ratio-vs-scale curve (scripts/scale_sweep.py, full
         # 14-query set, same replication recipe): surfaced on the summary

@@ -58,14 +58,36 @@ class Mismatch:
     detail: str
 
 
+#: hard cap on rows either engine may return into the comparison —
+#: compare() holds both result sets on the driver, so an unbounded future
+#: query must fail LOUDLY here instead of OOMing the harness (VERDICT r9
+#: next-step 6). Declared checks are <=10k rows; 1M leaves two orders of
+#: headroom while still bounding memory to ~100 MB.
+ROW_BUDGET = 1_000_000
+
+
 def compare(
-    spark_df, con: duckdb.DuckDBPyConnection, sql: str, limit_diff: int = 5
+    spark_df,
+    con: duckdb.DuckDBPyConnection,
+    sql: str,
+    limit_diff: int = 5,
+    row_budget: int = ROW_BUDGET,
 ) -> Mismatch | None:
     s_cols = list(spark_df.columns)
-    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_rows = [tuple(r) for r in spark_df.limit(row_budget + 1).collect()]
+    if len(s_rows) > row_budget:
+        raise RuntimeError(
+            f"oracle compare row budget exceeded: spark result returned more "
+            f"than {row_budget} rows - declare a smaller check"
+        )
     rel = con.execute(sql)
     d_cols = [d[0] for d in rel.description]
-    d_rows = rel.fetchall()
+    d_rows = rel.fetchmany(row_budget + 1)
+    if len(d_rows) > row_budget:
+        raise RuntimeError(
+            f"oracle compare row budget exceeded: oracle result returned more "
+            f"than {row_budget} rows - declare a smaller check"
+        )
 
     if sorted(s_cols) != sorted(d_cols):
         return Mismatch("schema", f"spark={sorted(s_cols)} duckdb={sorted(d_cols)}")

@@ -178,10 +178,10 @@ def _present(df: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register(
-    "hta_ingest_chain",
-    oracle=f"""
-WITH {SAMPLES_CTE.split('AS', 1)[0].strip()} AS (
+#: the chain A2->A4->A3 as oracle CTEs, shared by the from-scratch chain
+#: query and the serving-path query (which must agree with it exactly)
+_CHAIN_CTES = f"""
+samples AS (
   SELECT event_type AS metric, epoch_ns(ts) AS ts_ns, value, event_id FROM events
 ),
 mapping(input, mapped) AS (VALUES {", ".join(f"('{i}', '{n}')" for i, n in MAPPING)}),
@@ -197,7 +197,13 @@ kept AS (
   QUALIFY ts_ns > COALESCE(MAX(ts_ns) OVER (
       PARTITION BY metric ORDER BY event_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808)
-)
+)"""
+
+
+@register(
+    "hta_ingest_chain",
+    oracle=f"""
+WITH {_CHAIN_CTES.strip()}
 SELECT metric, COUNT(*) AS n, MIN(ts_ns) AS min_ts_ns, MAX(ts_ns) AS max_ts_ns
 FROM kept GROUP BY metric
 """,
@@ -214,6 +220,44 @@ def hta_ingest_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.min("ts_ns").alias("min_ts_ns"),
         F.max("ts_ns").alias("max_ts_ns"),
+    )
+
+
+@register(
+    "hta_ingest_serve",
+    oracle=f"""
+WITH {_CHAIN_CTES.strip()},
+served AS (
+  SELECT metric, ts_ns, value, event_id,
+         COALESCE(ts_ns - LAG(ts_ns) OVER (PARTITION BY metric ORDER BY ts_ns), 0) AS delta_ns
+  FROM kept
+)
+SELECT metric, COUNT(*) AS n, MIN(ts_ns) AS min_ts_ns, MAX(ts_ns) AS max_ts_ns,
+       {sql_bsum('delta_ns')} AS active_time_ns
+FROM served GROUP BY metric
+""",
+    doc="Serving-path per-metric summary over the COMMITTED raw store "
+    "(sources/derived.py::raw_serve_table): the chain A2->A4->A3 plus the "
+    "per-metric delta_ns lag ran once at write time — exactly what "
+    "streaming ingest persists per microbatch (KEPT_SCHEMA/RAW_COLS carry "
+    "delta_ns) — so a request is a zero-exchange bucket-aligned scan+agg "
+    "with NO monotonicity window and NO lag (VERDICT r9 next-step 4). "
+    "hta_ingest_chain stays as the from-scratch ingest-correctness query; "
+    "DuckDB's oracle re-runs the full chain (bench layout_note). "
+    "Reference parity: queries read the maintained store, never re-ingest "
+    "(/root/reference/src/async_hta_service.hpp:361-441).",
+    bench=True,
+    static_plan=True,
+)
+def hta_ingest_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metricq_db_hta_spark.sources.derived import raw_serve_table
+
+    kept = raw_serve_table(spark, sf_dir, samples, MAPPING)
+    return kept.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        F.min("ts_ns").alias("min_ts_ns"),
+        F.max("ts_ns").alias("max_ts_ns"),
+        bsum("delta_ns").alias("active_time_ns"),
     )
 
 

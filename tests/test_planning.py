@@ -141,11 +141,12 @@ EXCHANGE_BUDGET = {
     "rel_join_bucketed": 1,            # agg only; fact join is bucket-aligned
     "rel_q5_local_supplier_volume": 1, # agg only; facts bucketed, dims broadcast
     "rel_q3_shipping_priority": 0,     # facts bucketed + TakeOrderedAndProject
-    "llm_text_stats": 1,
+    "llm_text_stats": 1,               # agg only; doc-stats layout, int scan
     "llm_exact_dedup": 1,              # the content-hash window
     "llm_minhash_lsh_pairs": 3,        # shingle window, band-key join, distinct
     "llm_similarity_topk_brute": 0,    # mapInPandas partial top-k, no shuffle
     "hta_ingest_chain": 1,             # the metric window
+    "hta_ingest_serve": 0,             # bucketed raw store, zero-exchange agg
     "hta_level0": 1,                   # window + rollup reuse one partitioning
     "hta_q1_aggregate_timeline": 0,    # pruned level scan
     "hta_q3_aggregate": 1,

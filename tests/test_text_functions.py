@@ -29,3 +29,45 @@ def test_repetition_ratio_mean_counts_null_docs(spark):
     ).select(T.repetition_ratio("text").alias("r"))
     mean = df.agg(F.avg("r")).collect()[0][0]
     assert mean == (0.5 + 0.0) / 2  # NULL doc participates as 0.0
+
+
+def test_word_hits_arith_equals_regexp(spark, sf_dir):
+    """The replace-counting twin (_word_hits_arith) must stay
+    value-identical to the shipped regexp form — over the fixture corpus
+    for every language dictionary AND on the adjacency/empty/NULL edge
+    cases (adjacent hits share a separator in the raw text, which is
+    exactly what the doubled-space construction must survive). Kept
+    although the arith form lost the r10 A/B (0.75 s vs 0.50 s at sf10 —
+    allocation churn beats regex cost), so the twin stays an honest
+    differential for any future regexp change."""
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    for words in (T.STOPWORDS, *T.LANG_DICTS.values()):
+        n = (
+            docs.select(
+                T._word_hits("text", words).alias("a"),
+                T._word_hits_arith("text", words).alias("b"),
+            )
+            .filter("a <> b")
+            .count()
+        )
+        assert n == 0, words
+
+    edge = spark.createDataFrame(
+        [
+            ("",),
+            ("a",),
+            ("the a of and in to",),
+            ("  a  of  ",),  # empty tokens from double separators
+            ("band the theory",),  # substring must not match
+            ("to to to to",),  # adjacent repeats share separators
+            (None,),
+        ],
+        "text string",
+    )
+    rows = edge.select(
+        T._word_hits("text", T.STOPWORDS).alias("a"),
+        T._word_hits_arith("text", T.STOPWORDS).alias("b"),
+    ).collect()
+    assert all(r.a == r.b for r in rows), rows
