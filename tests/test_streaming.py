@@ -522,9 +522,15 @@ def test_stream_100k_key_state_rocksdb(spark, tmp_path):
 
         # the state lived in RocksDB, and its footprint is bounded: the
         # provider's custom metrics only exist under RocksDB, memory usage
-        # stays far below executor heap for 100k keys
+        # stays far below executor heap for 100k keys. State rows ==
+        # STATE_BUCKETS, not metric count: the r10 bucketed re-key holds
+        # 100k per-metric watermarks inside ~1024 bucket blobs (the
+        # 2.8x-cold / ~9x-warm throughput redesign —
+        # ingest_stream.monotonic_stateful docstring has the numbers).
+        from metricq_db_hta_spark.streaming.ingest_stream import STATE_BUCKETS
+
         ops = progress["stateOperators"]
-        assert ops and ops[0]["numRowsTotal"] == n_keys
+        assert ops and ops[0]["numRowsTotal"] == STATE_BUCKETS
         custom = ops[0]["customMetrics"]
         assert any(k.startswith("rocksdb") for k in custom), (
             "state store was not RocksDB: " + ",".join(sorted(custom))
