@@ -69,7 +69,7 @@ BUCKETED_FACTS = (("orders", "o_orderkey"), ("lineitem", "l_orderkey"))
 # cwd-dependent warehouse dir); rebuilds overwrite in place (names are
 # deterministic per sf_dir), so cycling sessions never accumulates orphan
 # copies.
-_BUCKETED: dict[tuple[str, str], str] = {}
+_BUCKETED: dict[tuple[str, str, int], str] = {}
 
 
 def _prefix(sf_dir: str) -> str:
@@ -94,7 +94,10 @@ def bucketed_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan DataFrame over the bucketed copy of ``name``, building the
     bucketed tables for ``sf_dir`` on first use (memoized per session)."""
     app_id = spark.sparkContext.applicationId
-    mkey = (app_id, os.path.abspath(sf_dir))
+    # the bucket count is part of the key: _n_buckets() reads the env per
+    # build, so one process flipping SPARK_GRAFT_BUCKETS must build the
+    # new layout, not silently serve the previously memoized one
+    mkey = (app_id, os.path.abspath(sf_dir), _n_buckets())
     prefix = _BUCKETED.get(mkey)
     if prefix is None:
         for stale in [k for k in _BUCKETED if k[0] != app_id]:

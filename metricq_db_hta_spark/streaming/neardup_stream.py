@@ -177,6 +177,9 @@ class StreamingNearDup:
                 return None
         return stored.filter(F.col("ingest_batch") < F.lit(int(before_batch)))
 
+    def _append_marker(self, batch_id: int) -> str:
+        return os.path.join(self.store, "keys_markers", f"batch_{int(batch_id)}")
+
     def _append_keys(self, keys: DataFrame, batch_id: int) -> None:
         """Accept the batch's keys into the store, idempotently."""
         tagged = keys.withColumn("ingest_batch", F.lit(int(batch_id)))
@@ -187,18 +190,21 @@ class StreamingNearDup:
                 self.keys_dir
             )
             return
-        # Bucketed table: parquet appends commit atomically via the job
-        # commit protocol, so "any visible row for this batch" means the
-        # previous attempt's append landed — skip (idempotent replay).
-        self._ensure_keys_table()
-        already = (
-            self.spark.table(self.keys_table)
-            .filter(F.col("ingest_batch") == F.lit(int(batch_id)))
-            .limit(1)
-            .count()
-        )
-        if already:
+        # Bucketed table: the replay guard is a marker committed AFTER the
+        # append (atomic tmp+rename, the store_meta A6 pattern) — not "any
+        # visible row for this batch", because a crash during job commit
+        # can leave a PARTIAL file set visible, and skipping on that
+        # evidence would silently drop the rest of the batch's keys
+        # forever (r9 ADVICE). Marker present -> the whole append landed,
+        # skip. Marker absent -> append again, even if a torn attempt left
+        # rows behind: the possible duplicate store rows only ever surface
+        # as duplicate candidate matches, which process_batch's
+        # ``matches.distinct()`` already collapses, so re-appending is the
+        # self-healing path rather than a correctness risk.
+        marker = self._append_marker(batch_id)
+        if os.path.exists(marker):
             return
+        self._ensure_keys_table()
         (
             tagged.select("doc_id", "band_key", "ingest_batch")
             .write.mode("append")
@@ -206,6 +212,11 @@ class StreamingNearDup:
             .sortBy("band_key")
             .saveAsTable(self.keys_table)
         )
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("committed\n")
+        os.replace(tmp, marker)
 
     # -- the per-batch gate ------------------------------------------------
     def store_probe(self, keys: DataFrame, batch_id: int) -> DataFrame | None:

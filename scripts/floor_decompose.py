@@ -117,22 +117,23 @@ def main() -> None:
 
     for name in names:
         # measure under the shipped execution policy (QuerySpec.static_plan
-        # -> AQE off), so FLOOR.json decomposes the same plans bench times
-        policy = bench._static_plan_policy(spark, REGISTRY[name])
-        policy.__enter__()
-        df = REGISTRY[name].spark(spark, data_dir)
-        # resident warm-ups (codegen, AQE stats, footers)
-        for _ in range(2):
-            spark.catalog.clearCache()
-            df.write.mode("overwrite").format("noop").save()
+        # -> AQE off), so FLOOR.json decomposes the same plans bench times;
+        # the with-block restores the session conf even when a query
+        # measurement raises (r9 ADVICE: a manual __enter__/__exit__ left
+        # AQE off for the rest of the process on error)
         group = f"floor::{name}"
-        spark.catalog.clearCache()
-        spark.sparkContext.setJobGroup(group, name)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        wall = time.perf_counter() - t0
-        spark.sparkContext.setJobGroup(None, None)
-        policy.__exit__(None, None, None)
+        with bench._static_plan_policy(spark, REGISTRY[name]):
+            df = REGISTRY[name].spark(spark, data_dir)
+            # resident warm-ups (codegen, AQE stats, footers)
+            for _ in range(2):
+                spark.catalog.clearCache()
+                df.write.mode("overwrite").format("noop").save()
+            spark.catalog.clearCache()
+            spark.sparkContext.setJobGroup(group, name)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            wall = time.perf_counter() - t0
+            spark.sparkContext.setJobGroup(None, None)
 
         stages = stage_metrics(spark, group)
         spans = [s["span_s"] for s in stages if s["span_s"] is not None]

@@ -134,8 +134,8 @@ def test_bucket_count_env_override(spark, sf_dir, monkeypatch):
     from metricq_db_hta_spark.sources import bucketed as B
 
     monkeypatch.setenv("SPARK_GRAFT_BUCKETS", "8")
-    # force a rebuild under the override (memo is per (app, sf_dir))
-    B._BUCKETED.clear()
+    # no memo clear: the bucket count is part of the memo key, so the
+    # override itself forces the 8-bucket build (r9 ADVICE)
     try:
         t = B.bucketed_table(spark, sf_dir, "orders")
         # layout is its own table set (name carries the count) at 8 buckets
@@ -154,4 +154,7 @@ def test_bucket_count_env_override(spark, sf_dir, monkeypatch):
         assert jplan.count("Exchange hashpartitioning") == 0, jplan
         assert j.count() > 0
     finally:
-        B._BUCKETED.clear()  # do not leak the 8-bucket layout to other tests
+        # drop only the override's entries: the default layout's memo (and
+        # its built tables) stay valid for later tests
+        for k in [k for k in B._BUCKETED if k[2] == 8]:
+            del B._BUCKETED[k]

@@ -137,15 +137,35 @@ def test_serve_starts_and_listens(backfilled_store):
         cwd=REPO,
     )
     try:
+        # stderr is drained on a helper thread: a blocking readline() on
+        # the main thread would never re-check the deadline while the
+        # child stays alive but silent (r9 ADVICE), hanging the test
+        # until the harness timeout
+        import queue
+        import threading
+
+        lines: queue.Queue[str] = queue.Queue()
+
+        def _drain() -> None:
+            for ln in proc.stderr:
+                lines.put(ln)
+
+        threading.Thread(target=_drain, daemon=True).start()
         deadline = time.time() + 180
-        line = ""
-        while time.time() < deadline:
-            line = proc.stderr.readline()
-            if "listening on" in line:
-                break
-            if proc.poll() is not None:
-                pytest.fail(f"serve exited early: {proc.stderr.read()[-2000:]}")
-        assert "listening on" in line, "serve never reported listening"
+        seen: list[str] = []
+        listening = False
+        while time.time() < deadline and not listening:
+            try:
+                line = lines.get(timeout=1.0)
+            except queue.Empty:
+                if proc.poll() is not None and lines.empty():
+                    pytest.fail(
+                        "serve exited early: " + "".join(seen)[-2000:]
+                    )
+                continue
+            seen.append(line)
+            listening = "listening on" in line
+        assert listening, "serve never reported listening"
     finally:
         proc.send_signal(signal.SIGINT)
         try:

@@ -155,7 +155,8 @@ def test_bucketed_gate_equals_plain_gate_and_replays_clean(
 ):
     """The bucketed store is a layout change only: same matches as the
     plain store over the same batches, and replaying a batch against the
-    append-only bucketed table is a no-op (the visible-rows guard)."""
+    append-only bucketed table is a no-op (the post-append commit
+    marker)."""
     docs, inp = doc_batches
     even = docs.filter(F.col("doc_id") % 2 == 0)
     odd = docs.filter(F.col("doc_id") % 2 == 1)
@@ -173,6 +174,47 @@ def test_bucketed_gate_equals_plain_gate_and_replays_clean(
     bsvc.process_batch(odd, 1)  # replay: append guard must skip
     assert spark.table(bsvc.keys_table).count() == stored_before
     assert _pairs(bsvc.matches(), "id_new", "id_existing") == bpairs
+
+
+def test_bucketed_torn_append_self_heals(spark, sf_dir, tmp_path, doc_batches):
+    """A crash between the keys append and its commit marker (the torn
+    window a partial job commit can also land in — r9 ADVICE) must not
+    drop the batch's keys: the replay re-appends, the marker lands, and
+    the duplicate store rows the worst case leaves behind are invisible
+    in the matches output (process_batch distincts candidates)."""
+    docs, inp = doc_batches
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+
+    svc = StreamingNearDup(spark, str(tmp_path / "bstore_torn"), bucketed=True)
+    svc.process_batch(even, 0)
+    svc.process_batch(odd, 1)
+    pairs = _pairs(svc.matches(), "id_new", "id_existing")
+    assert pairs, "fixture corpus has no near-dup candidates — test is vacuous"
+
+    # simulate the torn commit at its worst: every row of batch 1 is
+    # visible but the marker never landed — the old visible-rows guard
+    # would skip here (and silently drop a genuinely partial batch)
+    os.remove(svc._append_marker(1))
+    before = spark.table(svc.keys_table).count()
+    svc.process_batch(odd, 1)  # replay heals: re-append + marker
+    assert os.path.exists(svc._append_marker(1))
+    batch1 = (
+        spark.table(svc.keys_table).filter(F.col("ingest_batch") == 1).count()
+    )
+    assert spark.table(svc.keys_table).count() > before  # re-appended
+    assert batch1 % 2 == 0  # worst case: exactly doubled
+
+    # the duplicates never surface: a later batch probing the store emits
+    # the same distinct matches as a clean store would
+    clean = StreamingNearDup(spark, str(tmp_path / "bstore_clean"), bucketed=True)
+    clean.process_batch(even, 0)
+    clean.process_batch(odd, 1)
+    for s in (svc, clean):
+        s.process_batch(docs, 2)
+    assert _pairs(svc.matches(), "id_new", "id_existing") == _pairs(
+        clean.matches(), "id_new", "id_existing"
+    )
 
 
 def test_streaming_gate_cross_batch_match_present(spark, sf_dir, tmp_path, doc_batches):
