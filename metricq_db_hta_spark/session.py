@@ -93,7 +93,14 @@ def get_spark(
         # 160k-pair scoring microbench: 2.85 s -> 0.71 s (4x) with the flag.
         # local[:] the driver JVM hosts the executors; set both for cluster
         # deployments (executor JVMs are where codegen runs).
-        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
-        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        # SPARK_GRAFT_JAVA_OPTS appends further JVM flags (A/B harness for
+        # JIT/code-cache experiments; cluster operators can inject GC or
+        # code-cache sizing without editing code).
+        .config(
+            "spark.driver.extraJavaOptions",
+            _java_opts := "-XX:-DontCompileHugeMethods "
+            + os.environ.get("SPARK_GRAFT_JAVA_OPTS", ""),
+        )
+        .config("spark.executor.extraJavaOptions", _java_opts)
     )
     return builder.getOrCreate()
