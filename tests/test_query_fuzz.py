@@ -383,7 +383,14 @@ def _oracle_setop_sql(spec) -> str:
 @given(spec=setop_spec)
 def test_random_setop_matches_oracle(spark, duck, sf_dir, spec):
     df = _spark_setop(spark, sf_dir, spec)
-    mismatch = oracle.compare(df, duck, _oracle_setop_sql(spec))
+    # UNION ALL of two unfiltered lineitem scans is ~2x the table — at the
+    # sf0.1 soak scale that is ~1.2M rows, over oracle.ROW_BUDGET's 1M
+    # default (sized for declared <=10k-row checks). Declare the fuzzer's
+    # true worst case explicitly so the budget guard keeps protecting
+    # declared queries without vetoing this soak.
+    mismatch = oracle.compare(
+        df, duck, _oracle_setop_sql(spec), row_budget=2_500_000
+    )
     assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
 
 
