@@ -9,6 +9,8 @@ Subcommands:
            [--start NS] [--end NS] [--interval-max NS]
   query    --name NAME [--sf-dir DIR]               any declared query
   compact  --store DIR [--min-batches N]            raw small-file OPTIMIZE
+           [--defer-delete]                         snapshot-isolated mode
+  vacuum   --store DIR [--grace-s S]                delete expired retired batches (no Spark)
   store-stats --store DIR                           batch/file/journal health (no Spark)
   serve    --store DIR [--host H] [--port P]        resident history RPC
 
@@ -76,6 +78,13 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--store", required=True)
     pc.add_argument("--min-batches", type=int, default=2)
     pc.add_argument(
+        "--defer-delete",
+        action="store_true",
+        help="retire sources instead of deleting them (snapshot-isolated "
+        "compaction: concurrent readers keep their pinned version; run "
+        "'vacuum' after the grace period to reclaim space)",
+    )
+    pc.add_argument(
         "--force-recover",
         action="store_true",
         help="roll back a fresh writing-state journal even though a live "
@@ -84,6 +93,16 @@ def main(argv: list[str] | None = None) -> int:
 
     pst = sub.add_parser("store-stats")
     pst.add_argument("--store", required=True)
+
+    pv = sub.add_parser("vacuum")
+    pv.add_argument("--store", required=True)
+    pv.add_argument(
+        "--grace-s",
+        type=float,
+        default=15 * 60.0,
+        help="minimum age (s) of a retired batch before deletion; size "
+        "above the longest-running read against this store",
+    )
 
     ps = sub.add_parser("serve")
     ps.add_argument("--store", required=True)
@@ -124,8 +143,25 @@ def main(argv: list[str] | None = None) -> int:
             "compaction_journal_pending": os.path.exists(
                 store_meta.journal_path(args.store)
             ),
+            "retired_awaiting_vacuum": sorted(
+                store_meta.retired_batches(args.store)
+            ),
+            "snapshot_version": (
+                store_meta.current_snapshot(args.store) or {}
+            ).get("version"),
         }
         print(_json.dumps(stats, indent=2))
+        return 0
+
+    if args.cmd == "vacuum":
+        from metricq_db_hta_spark.operators import maintenance
+
+        try:
+            gone = maintenance.vacuum(args.store, grace_s=args.grace_s)
+        except RuntimeError as e:
+            print(f"vacuum: {e}", file=sys.stderr)
+            return 2
+        print(f"vacuumed {len(gone)} retired batches: {gone}", file=sys.stderr)
         return 0
 
     spark = get_spark("metricq-db-hta-spark-cli")
@@ -176,7 +212,10 @@ def main(argv: list[str] | None = None) -> int:
             if action != "none":
                 print(f"recovered prior compaction: {action}", file=sys.stderr)
             res = maintenance.compact_raw(
-                spark, args.store, min_batches=args.min_batches
+                spark,
+                args.store,
+                min_batches=args.min_batches,
+                defer_source_delete=args.defer_delete,
             )
         except RuntimeError as e:
             print(f"compact: {e}", file=sys.stderr)

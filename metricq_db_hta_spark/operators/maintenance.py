@@ -155,6 +155,7 @@ def compact_raw(
     store_dir: str,
     min_batches: int = 2,
     target_file_bytes: int = TARGET_FILE_BYTES,
+    defer_source_delete: bool = False,
 ) -> CompactionResult | None:
     """Execute the journaled write-new-then-delete protocol. One shuffle
     keyed on the physical partition columns (metric, month) — every output
@@ -163,7 +164,15 @@ def compact_raw(
     ``target_file_bytes``: ``maxRecordsPerFile`` (records estimated from
     the sources' measured bytes/row) rolls such partitions into multiple
     right-sized files, so a 10 GB metric-month at 100 TB never becomes
-    one 10 GB file."""
+    one 10 GB file.
+
+    ``defer_source_delete=True`` is the snapshot-isolated mode (the
+    store_meta manifest protocol): instead of deleting the verified
+    sources it RETIRES them — readers skip them immediately (via the
+    manifest or ``excluded_batches_for_read``), a reader pinned to the
+    previous snapshot version keeps its files on disk, and
+    :func:`vacuum` deletes them after a grace period. This closes the
+    concurrent-reader window the plain delete path documents below."""
     if os.path.exists(_journal_path(store_dir)):
         raise RuntimeError(
             "unfinished compaction journal present - run recover_compaction()"
@@ -187,7 +196,12 @@ def compact_raw(
 
     _write_journal(
         store_dir,
-        {"state": "writing", "sources": plan.sources, "dest": plan.dest},
+        {
+            "state": "writing",
+            "sources": plan.sources,
+            "dest": plan.dest,
+            "defer": bool(defer_source_delete),
+        },
     )
     # heartbeat the journal mtime while the dest write runs, so the
     # recover_compaction liveness guard can distinguish a live long write
@@ -233,9 +247,17 @@ def compact_raw(
         )
     _write_journal(
         store_dir,
-        {"state": "written", "sources": plan.sources, "dest": plan.dest},
+        {
+            "state": "written",
+            "sources": plan.sources,
+            "dest": plan.dest,
+            "defer": bool(defer_source_delete),
+        },
     )
-    _finish_deletes(store_dir, plan.sources, plan.dest)
+    if defer_source_delete:
+        _finish_retire(store_dir, plan.sources, plan.dest)
+    else:
+        _finish_deletes(store_dir, plan.sources, plan.dest)
     n_after = _count_data_files(store_meta.batch_dir(store_dir, plan.dest))
     return CompactionResult(
         sources=plan.sources,
@@ -244,6 +266,43 @@ def compact_raw(
         n_files_after=n_after,
         n_rows=n_src_rows,
     )
+
+
+def _finish_retire(store_dir: str, sources: list[int], dest: int) -> None:
+    """The deferred-delete roll-forward tail (compact_raw and recovery
+    share it; every step idempotent): retire the sources FIRST — from
+    that instant every reader path skips them, before they leave the
+    committed set — then the marker update (which republishes the
+    snapshot manifest: the new CURRENT has dest, not sources), then the
+    journal drop. Source dirs stay on disk for pinned readers until
+    :func:`vacuum`'s grace expires."""
+    store_meta.retire_batches(store_dir, set(sources))
+    store_meta.update_commit_marker(store_dir, add={dest}, remove=set(sources))
+    try:
+        os.remove(_journal_path(store_dir))
+    except FileNotFoundError:
+        pass
+
+
+def vacuum(store_dir: str, grace_s: float = 15 * 60.0) -> list[int]:
+    """Delete retired batch dirs whose grace period has expired (Delta's
+    VACUUM analogue for the deferred-delete compaction mode). Size
+    ``grace_s`` above the longest-running read against this store — a
+    reader pinned to an older snapshot version keeps working for exactly
+    that long after its data was compacted away. Strict deletes, entry
+    cleared per batch after its delete verifies, so a crash mid-vacuum
+    retries the remainder on the next call. Returns the vacuumed ids."""
+    snap = store_meta.current_snapshot(store_dir)
+    keep = set(snap["batches"]) if snap is not None else set()
+    now = time.time()
+    vacuumed: list[int] = []
+    for b, retired_at in sorted(store_meta.retired_batches(store_dir).items()):
+        if b in keep or (now - retired_at) < grace_s:
+            continue
+        _rmtree_strict(store_meta.batch_dir(store_dir, b))
+        store_meta.clear_retired(store_dir, {b})
+        vacuumed.append(b)
+    return vacuumed
 
 
 def _finish_deletes(store_dir: str, sources: list[int], dest: int) -> None:
@@ -306,6 +365,11 @@ def recover_compaction(store_dir: str, force: bool = False) -> str:
         except FileNotFoundError:
             pass
         return "rolled_back"
-    # state == written: dest verified complete -> roll forward
-    _finish_deletes(store_dir, j["sources"], j["dest"])
+    # state == written: dest verified complete -> roll forward, honoring
+    # the journaled delete mode (a deferred compaction's crash recovery
+    # must retire, not delete — pinned readers may hold the sources)
+    if j.get("defer"):
+        _finish_retire(store_dir, j["sources"], j["dest"])
+    else:
+        _finish_deletes(store_dir, j["sources"], j["dest"])
     return "completed"

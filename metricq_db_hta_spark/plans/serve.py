@@ -59,7 +59,8 @@ def _json_default(o):
 
 
 def build_history_service(
-    spark: SparkSession, store: str, level_widths_ns: list[int]
+    spark: SparkSession, store: str, level_widths_ns: list[int],
+    snapshot: bool = False,
 ) -> HistoryService:
     """The one owner of the store READ path (HistoryServer + the history
     CLI both build through here): load raw honoring a pending compaction
@@ -67,16 +68,30 @@ def build_history_service(
 
     Reader-side journal honoring: while a compaction journal is pending,
     raw briefly holds a row twice (dest copy + undeleted sources) or a
-    partial dest — skip the journal's excluded side so serving never
-    double-counts, without mutating the store from a read path."""
+    partial dest — skip the journal's excluded side (which also covers
+    retired deferred-delete sources) so serving never double-counts,
+    without mutating the store from a read path.
+
+    ``snapshot=True`` reads raw pinned to the CURRENT manifest version
+    instead of listing the root (sources/snapshots.py): one atomic
+    decision point, immune to the journal-read/file-listing TOCTOU, and
+    stable for the service's lifetime under concurrent deferred-delete
+    compaction. Requires a store that has published (any commit does)."""
     from pyspark.sql import functions as F
 
     from metricq_db_hta_spark.streaming import store_meta
 
-    raw = spark.read.parquet(os.path.join(store, "raw"))
-    excluded = store_meta.excluded_batches_for_read(store)
-    if excluded:
-        raw = raw.filter(~F.col("ingest_batch").isin([int(b) for b in excluded]))
+    if snapshot:
+        from metricq_db_hta_spark.sources.snapshots import read_raw_snapshot
+
+        raw = read_raw_snapshot(spark, store)
+    else:
+        raw = spark.read.parquet(os.path.join(store, "raw"))
+        excluded = store_meta.excluded_batches_for_read(store)
+        if excluded:
+            raw = raw.filter(
+                ~F.col("ingest_batch").isin([int(b) for b in excluded])
+            )
     levels = {
         w: spark.read.parquet(os.path.join(store, f"level_{w}"))
         for w in level_widths_ns
@@ -97,6 +112,7 @@ class HistoryServer:
         store: str,
         level_widths_ns: list[int],
         static_plans: bool = False,
+        snapshot: bool = False,
     ) -> None:
         """``static_plans=True`` runs the server's session with AQE off —
         the same execution policy as ``QuerySpec.static_plan`` (queries/
@@ -112,12 +128,15 @@ class HistoryServer:
         self.spark = spark
         self.store = store
         self.widths = list(level_widths_ns)
+        self.snapshot = snapshot
         if static_plans:
             spark.conf.set("spark.sql.adaptive.enabled", "false")
         self._svc = self._build()
 
     def _build(self) -> HistoryService:
-        return build_history_service(self.spark, self.store, self.widths)
+        return build_history_service(
+            self.spark, self.store, self.widths, snapshot=self.snapshot
+        )
 
     # -- request router (src/async_hta_service.hpp:359 switch parity) ------
     def handle(self, req: dict) -> dict:

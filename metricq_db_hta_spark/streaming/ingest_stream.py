@@ -464,6 +464,21 @@ class StreamingIngest:
     def _raw_batches_on_disk(self) -> set[int]:
         return store_meta.raw_batches_on_disk(self.store)
 
+    def _read_raw(self) -> DataFrame:
+        """The writer-side authoritative raw view: everything on disk
+        MINUS retired batches (deferred-delete compaction sources whose
+        rows live on in the compaction dest — including them would
+        double-count level recomputes and watermark seeds). No filter is
+        added when nothing is retired, keeping the common-case plan
+        byte-identical to a bare read."""
+        raw = self.spark.read.parquet(self.raw_path)
+        retired = store_meta.retired_batches(self.store)
+        if retired:
+            raw = raw.filter(
+                ~F.col("ingest_batch").isin([int(b) for b in retired])
+            )
+        return raw
+
     def _commit(self, batch_ids: set[int]) -> None:
         """Atomic durability barrier (reference A6, metric.flush() at
         async_hta_service.hpp:308): after the level writes complete, add
@@ -491,7 +506,15 @@ class StreamingIngest:
         store whose writer died and has not restarted.
         """
         self._settle_pending_compaction()
-        suspect = self._raw_batches_on_disk() - self._committed_batches()
+        # retired dirs (deferred-delete compaction sources awaiting
+        # vacuum) are on disk but deliberately uncommitted — their rows
+        # live on in the compaction dest, so "repairing" them here would
+        # double-count level buckets and re-commit duplicates
+        suspect = (
+            self._raw_batches_on_disk()
+            - self._committed_batches()
+            - set(store_meta.retired_batches(self.store))
+        )
         if not suspect:
             return set()
         raw = self.spark.read.parquet(self.raw_path)
@@ -615,7 +638,7 @@ class StreamingIngest:
                     "metric", "ts_ns", "value", "event_id", "delta_ns"
                 )
             else:
-                raw = spark.read.parquet(self.raw_path)
+                raw = self._read_raw()
             self._update_levels(kept, raw, fresh_store=fresh_store)
             # A6 durability barrier: the marker certifies THIS batch's
             # derived level state is fully on disk (see recover())
@@ -751,7 +774,7 @@ class StreamingIngest:
         own writes."""
         if not os.path.exists(self.raw_path):
             return None
-        raw = self.spark.read.parquet(self.raw_path)
+        raw = self._read_raw()
         # exclude batches the checkpoint WILL replay (offsets entry with
         # no commit record — crash between the raw write and the
         # checkpoint commit; at most one id): seeding their own rows into
@@ -844,7 +867,7 @@ class StreamingIngest:
         batch_id = -1
         wm = None
         if os.path.exists(self.raw_path):
-            raw = self.spark.read.parquet(self.raw_path)
+            raw = self._read_raw()
             low = raw.agg(F.min("ingest_batch")).collect()[0][0]
             batch_id = min(int(low or 0), 0) - 1
             wm = raw.groupBy("metric").agg(F.max("ts_ns").alias("__wm_ts"))

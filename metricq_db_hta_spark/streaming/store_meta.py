@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 
 def raw_path(store_dir: str) -> str:
@@ -65,6 +66,10 @@ def update_commit_marker(
     with open(tmp, "w") as f:
         json.dump({"committed_batches": sorted(new)}, f)
     os.replace(tmp, path)
+    # every durable state change republishes the snapshot manifest, so
+    # CURRENT always points at the latest consistent readable set — the
+    # per-microbatch cost is two tiny json writes + a rename
+    publish_snapshot(store_dir)
     return new
 
 
@@ -125,14 +130,18 @@ def excluded_batches_for_read(store_dir: str) -> set[int]:
     counterpart of recover_compaction: in the ``writing`` state the dest
     may be partial and the sources are authoritative (skip dest); in the
     ``written`` state the dest is verified complete and any surviving
-    source dirs are its duplicates (skip sources). Empty when no journal
-    is pending."""
+    source dirs are its duplicates (skip sources). Also always excludes
+    RETIRED batches (deferred-delete compaction sources awaiting vacuum —
+    their rows live on in the compaction dest), so a root-listing reader
+    stays exactly-once for the whole retire-to-vacuum window, not just
+    while the journal is pending."""
+    ex = set(retired_batches(store_dir))
     j = read_journal(store_dir)
     if j is None:
-        return set()
+        return ex
     if j["state"] == "writing":
-        return {int(j["dest"])}
-    return {int(b) for b in j["sources"]}
+        return ex | {int(j["dest"])}
+    return ex | {int(b) for b in j["sources"]}
 
 
 def data_file_count(root: str) -> int:
@@ -142,3 +151,143 @@ def data_file_count(root: str) -> int:
     for _, _, files in os.walk(root):
         n += sum(1 for f in files if f.endswith(".parquet"))
     return n
+
+
+# -- snapshot manifests (versioned readable batch sets) --------------------
+#
+# The plain-parquet answer to the one concurrency gap a transactional
+# table format would close (README / maintenance.py "Concurrency
+# contract"): a reader that LISTS the raw root races compaction twice —
+# between its journal read and its file listing (TOCTOU), and between the
+# dest write and the source deletes (double copy). A snapshot manifest
+# removes both races the way Delta/Iceberg do: each version file pins an
+# immutable batch set, ``CURRENT`` is swapped atomically (tmp+rename),
+# and a reader that opens CURRENT once sees exactly one consistent
+# version no matter what compaction does concurrently. Batch-granular
+# (not file-granular) manifests suffice because batch dirs are immutable
+# once committed — the manifest is a few hundred bytes at any scale.
+#
+# Writers publish implicitly: every ``update_commit_marker`` call (the
+# streaming commit, backfill, compaction, recover repair) republishes,
+# so CURRENT is always the latest consistent committed set. Deleting
+# data out from under a pinned reader is prevented by DEFERRED deletes:
+# ``compact_raw(defer_source_delete=True)`` retires its sources instead
+# of deleting them, and ``maintenance.vacuum`` removes them only after a
+# grace period — size the grace above the longest read, exactly like
+# Delta's VACUUM retention.
+
+#: manifest versions kept on disk — readers only ever open CURRENT, so
+#: history depth just bounds how stale a pinned version can be and still
+#: have its manifest file (its DATA durability is governed by vacuum
+#: grace, not by this)
+SNAPSHOT_KEEP = 8
+
+
+def snapshots_dir(store_dir: str) -> str:
+    return os.path.join(store_dir, "_snapshots")
+
+
+def _current_path(store_dir: str) -> str:
+    return os.path.join(snapshots_dir(store_dir), "CURRENT")
+
+
+def _version_path(store_dir: str, version: int) -> str:
+    return os.path.join(snapshots_dir(store_dir), f"v{version}.json")
+
+
+def retired_path(store_dir: str) -> str:
+    return os.path.join(snapshots_dir(store_dir), "retired.json")
+
+
+def _write_json_atomic(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def retired_batches(store_dir: str) -> dict[int, float]:
+    """Deferred-delete compaction sources awaiting vacuum, with their
+    retirement time (unix seconds). Their rows are duplicated by a
+    compaction dest, so every reader path must skip them and recover()
+    must not mistake them for torn batches."""
+    try:
+        with open(retired_path(store_dir)) as f:
+            return {
+                int(k): float(v) for k, v in json.load(f)["retired"].items()
+            }
+    except FileNotFoundError:
+        return {}
+
+
+def retire_batches(store_dir: str, ids: set[int]) -> None:
+    """Atomic merge-write; idempotent — a re-run (crash-recovery
+    roll-forward) keeps the FIRST retirement time so the vacuum grace
+    clock is never reset by replays."""
+    cur = retired_batches(store_dir)
+    now = time.time()
+    for b in ids:
+        cur.setdefault(int(b), now)
+    os.makedirs(snapshots_dir(store_dir), exist_ok=True)
+    _write_json_atomic(
+        retired_path(store_dir),
+        {"retired": {str(k): v for k, v in sorted(cur.items())}},
+    )
+
+
+def clear_retired(store_dir: str, ids: set[int]) -> None:
+    cur = {
+        k: v for k, v in retired_batches(store_dir).items() if k not in ids
+    }
+    os.makedirs(snapshots_dir(store_dir), exist_ok=True)
+    _write_json_atomic(
+        retired_path(store_dir),
+        {"retired": {str(k): v for k, v in sorted(cur.items())}},
+    )
+
+
+def current_snapshot(store_dir: str) -> dict | None:
+    """The manifest CURRENT points at: ``{"version": N, "batches": [...],
+    "published_unix": ts}`` — or None when the store has never published
+    (pre-snapshot stores keep working through the listing readers)."""
+    try:
+        with open(_current_path(store_dir)) as f:
+            version = int(f.read().strip())
+        with open(_version_path(store_dir, version)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def publish_snapshot(store_dir: str) -> dict:
+    """Pin the current consistent readable set — committed minus retired
+    minus any pending-journal exclusion — as the next manifest version
+    and swap CURRENT to it. No-op (returns the existing manifest) when
+    the set is unchanged, so idempotent recovery replays don't churn
+    versions. The version file is fully written before CURRENT moves, so
+    a crash between the two writes leaves CURRENT on the previous valid
+    version."""
+    batches = sorted(
+        committed_batches(store_dir) - excluded_batches_for_read(store_dir)
+    )
+    cur = current_snapshot(store_dir)
+    if cur is not None and cur["batches"] == batches:
+        return cur
+    version = (cur["version"] + 1) if cur is not None else 1
+    snap = {
+        "version": version,
+        "batches": batches,
+        "published_unix": time.time(),
+    }
+    os.makedirs(snapshots_dir(store_dir), exist_ok=True)
+    _write_json_atomic(_version_path(store_dir, version), snap)
+    tmp = _current_path(store_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _current_path(store_dir))
+    stale = _version_path(store_dir, version - SNAPSHOT_KEEP)
+    try:
+        os.remove(stale)
+    except FileNotFoundError:
+        pass
+    return snap
