@@ -210,17 +210,26 @@ def _static_plan_policy(spark, spec):
     there; the shuffled sentinel) keep it on. Results are identical either
     way (tests/test_planning.py::test_static_plan_policy). Conf is restored
     on exit so the session default (AQE on) governs everything else.
+
+    QuerySpec.conf pairs (r10) are applied the same way: per-query pinned
+    execution conf, restored on exit — e.g. llm_text_stats runs its
+    5-group partials merge with shuffle.partitions=1 instead of paying 32
+    scheduled reduce tasks for 5 rows.
     """
-    if not getattr(spec, "static_plan", False):
+    pairs = dict(getattr(spec, "conf", ()) or ())
+    if getattr(spec, "static_plan", False):
+        pairs.setdefault("spark.sql.adaptive.enabled", "false")
+    if not pairs:
         yield
         return
-    key = "spark.sql.adaptive.enabled"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
+    prev = {k: spark.conf.get(k) for k in pairs}
+    for k, v in pairs.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        spark.conf.set(key, prev)
+        for k, v in prev.items():
+            spark.conf.set(k, v)
 
 
 def time_spark(spark, names, data_dir, cold_runs=2, resident_sweeps=3):

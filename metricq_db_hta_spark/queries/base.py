@@ -44,6 +44,14 @@ class QuerySpec:
     #: an interactive-latency policy, not a correctness knob (results are
     #: identical; pinned by test_static_plan_policy).
     static_plan: bool = False
+    #: Per-query session conf the executor pins for the query's runs and
+    #: restores afterwards (applied by bench._static_plan_policy alongside
+    #: the AQE flag). Same contract as static_plan: execution-shape only,
+    #: never results (the policy invariance test covers declared pairs).
+    #: Canonical use: shuffle.partitions=1 on a partials-merge whose
+    #: reduce side has a handful of groups — 32 scheduled reduce tasks
+    #: for 5 rows is pure floor.
+    conf: tuple[tuple[str, str], ...] = ()
 
 
 def register(
@@ -52,12 +60,14 @@ def register(
     doc: str = "",
     bench: bool = False,
     static_plan: bool = False,
+    conf: dict[str, str] | None = None,
 ) -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = QuerySpec(
-            name, fn, oracle, doc or (fn.__doc__ or ""), bench, static_plan
+            name, fn, oracle, doc or (fn.__doc__ or ""), bench, static_plan,
+            tuple(sorted((conf or {}).items())),
         )
         return fn
 

@@ -114,6 +114,46 @@ def doc_stats_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(_memoized(spark, sf_dir, "docstats", build))
 
 
+def lang_stats_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language MERGEABLE PARTIAL aggregates over the doc stats — the
+    rollup-cube design the HTA level tables already use (operators/hta.py
+    mergeability property), applied to corpus stats. One partial row per
+    (lang, write partition): exact long sums for counts/tokens/chars and
+    the exact ``decimal(38,6)`` sum + count behind ``davg`` — decimal
+    addition is associative, so merging partials is bit-identical to the
+    one-shot aggregate (pinned by the served==scan equality test). Kept
+    per-write-partition (not collapsed to one row per lang) because that
+    is the incremental shape: a streaming append writes ITS batch's
+    partials without touching prior ones, and a request merges ~langs x
+    partials rows — milliseconds regardless of corpus size. At 100 TB a
+    stats request reads KB of partials instead of 100 TB of text (or
+    100 GB of per-doc ints)."""
+
+    def build(name: str, loc: str) -> None:
+        d = doc_stats_table(spark, sf_dir)
+        ratio_dec = (F.col("sw_hits") / F.col("ws_tokens")).cast(
+            "decimal(38,6)"
+        )
+        (
+            d.groupBy("lang", F.spark_partition_id().alias("pid"))
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.count("ws_tokens").alias("cnt_tokens"),
+                F.sum("ws_tokens").alias("sum_tokens"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.sum(ratio_dec).alias("sum_ratio"),
+                F.count(ratio_dec).alias("cnt_ratio"),
+            )
+            .drop("pid")
+            .coalesce(1)
+            .write.option("path", loc)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+
+    return spark.table(_memoized(spark, sf_dir, "langstats", build))
+
+
 def raw_serve_table(
     spark: SparkSession, sf_dir: str, samples_of, mapping
 ) -> DataFrame:

@@ -141,7 +141,7 @@ EXCHANGE_BUDGET = {
     "rel_join_bucketed": 1,            # agg only; fact join is bucket-aligned
     "rel_q5_local_supplier_volume": 1, # agg only; facts bucketed, dims broadcast
     "rel_q3_shipping_priority": 0,     # facts bucketed + TakeOrderedAndProject
-    "llm_text_stats": 1,               # agg only; doc-stats layout, int scan
+    "llm_text_stats": 1,               # partials merge only (lang_stats layout)
     "llm_exact_dedup": 1,              # the content-hash window
     "llm_minhash_lsh_pairs": 3,        # shingle window, band-key join, distinct
     "llm_similarity_topk_brute": 0,    # mapInPandas partial top-k, no shuffle
