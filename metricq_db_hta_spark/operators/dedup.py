@@ -306,6 +306,44 @@ def jaccard_pairs(
     )
 
 
+def span_dup_stats(
+    docs: DataFrame,
+    n_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span statistics: for each doc, how many of
+    its ``n_words``-word token spans also occur in at least one OTHER
+    document. Returns (id, n_spans, dup_spans, dup_frac) — docs shorter
+    than ``n_words`` tokens have no spans and are absent.
+
+    This is the substring-granular dedup signal (suffix-array
+    exact-substring dedup in the training-data literature, approximated
+    with fixed-k shingles): whole-document MinHash misses a paragraph
+    copied between otherwise-different pages; this flags it.
+
+    Scale shape: the span stream reduces to (token, doc) grain in ONE
+    exchange, cross-doc multiplicity is a count window on that
+    already-collapsed grain, and the per-doc rollup is a groupBy on the
+    id — no self-join, no candidate-pair blowup anywhere. The span key
+    here is the raw n-gram text (exact, oracle-checkable); at corpus
+    scale swap in xxhash64(token) — same plan, 8-byte keys.
+    """
+    spans = doc_shingles(
+        docs, n_words=n_words, text_col=text_col, id_col=id_col, distinct=False
+    )
+    td = spans.groupBy("token", id_col).agg(F.count("*").alias("k"))
+    td = td.withColumn("nd", F.count("*").over(Window.partitionBy("token")))
+    dup_k = F.when(F.col("nd") > 1, F.col("k")).otherwise(F.lit(0))
+    return td.groupBy(id_col).agg(
+        F.sum("k").cast("long").alias("n_spans"),
+        F.sum(dup_k).cast("long").alias("dup_spans"),
+        F.round(
+            F.sum(dup_k).cast("double") / F.sum("k").cast("double"), 6
+        ).alias("dup_frac"),
+    )
+
+
 def simhash16(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """16-bit SimHash fingerprint per doc (portable md5 bit planes)."""
     h = F.md5("token")

@@ -169,6 +169,51 @@ class HistoryService:
             .orderBy("metric", "bucket_start_ns")
         )
 
+    # -- Q1, gap-filled ------------------------------------------------------
+    def aggregate_timeline_gapfill(
+        self, metric: str, start_ns: int, end_ns: int, interval_max_ns: int
+    ) -> DataFrame:
+        """Q1 over a dense time spine: one row per level bucket whose start
+        lies in [start, end), whether or not any sample fell in it.
+
+        Gap rows carry the *merge identity* of the Aggregate record —
+        count=0, sum/integral/active_time=0, NULL minimum/maximum — so a
+        gap-filled timeline still rolls up / merges exactly like a sparse
+        one (hta.rollup over it is unchanged: the zero rows contribute
+        nothing and NULL min/max are ignored by MIN/MAX).
+
+        Scale shape: the spine is ``spark.range`` — a parallel iota scan
+        that reads no data — left-joined against the pruned rollup slice,
+        which is log-sized by construction and explicitly broadcast. Zero
+        exchanges on the spine side regardless of range length, so a
+        year-long dense minutely spine (~0.5M rows) costs one codegen
+        stage. The reference returns sparse timelines and leaves gap
+        handling to clients (/root/reference/src/async_hta_service.hpp:
+        361-392); a dashboard over a large store wants the dense form
+        computed next to the data.
+        """
+        width = choose_level(self.widths, interval_max_ns) or self.widths[0]
+        tl = self.aggregate_timeline(metric, start_ns, end_ns, interval_max_ns)
+        first = start_ns + (-start_ns) % width  # first aligned bucket >= start
+        spine = tl.sparkSession.range(first, end_ns, width).select(
+            F.col("id").alias("bucket_start_ns")
+        )
+        types = dict(tl.dtypes)
+        filled = spine.join(
+            F.broadcast(tl.drop("metric")), "bucket_start_ns", "left"
+        )
+        zero_filled = ("sum", "count", "integral", "active_time")
+        return filled.select(
+            F.lit(metric).alias("metric"),
+            "bucket_start_ns",
+            "minimum",
+            "maximum",
+            *[
+                F.coalesce(F.col(c), F.lit(0).cast(types[c])).alias(c)
+                for c in zero_filled
+            ],
+        ).orderBy("bucket_start_ns")
+
     # -- Q2 ----------------------------------------------------------------
     def flex_timeline(
         self, metric: str | None, start_ns: int, end_ns: int, interval_max_ns: int

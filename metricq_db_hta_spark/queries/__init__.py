@@ -37,19 +37,28 @@ from metricq_db_hta_spark.queries import llm2  # noqa: F401
 #     ingest-time doc_stats_table layout (sources/derived.py) — its r8
 #     green row covers the from-scratch scan plan that llm_text_stats_scan
 #     now owns.
-# (4) The remaining 38 slots rotate r08-green queries in (46 candidates;
-#     the 8 deferred to round 11 — hta_q2_flex_raw, hta_q4_last_value,
+# (4) The remaining 35 slots rotate r08-green queries in (46 candidates;
+#     the 11 deferred to round 11 — hta_q2_flex_raw, hta_q4_last_value,
 #     rel_agg_statistical, llm_decontaminate, llm_unigram_logprob,
 #     rel_q6_forecast_revenue, rel_q10_returned_items,
-#     rel_q18_large_volume_customer — all had an INDEPENDENT judge
-#     re-check green in r9 (VERDICT r9 evidence base) on untouched code,
-#     so they are the best-evidenced candidates to sit at stale(2);
-#     the round-11 window MUST schedule them).
+#     rel_q18_large_volume_customer (all 8 with an INDEPENDENT judge
+#     re-check green in r9 on untouched code, the best-evidenced
+#     candidates to sit at stale(2)), plus rel_window_lag_lead,
+#     udf_apply_in_pandas_zscore, udf_grouped_agg_geomean (r8-green,
+#     displaced mid-r10 by the three new queries in (5));
+#     the round-11 window MUST schedule all 11).
+# (5) Three queries added mid-round-10 take first driver rows
+#     immediately: hta_timeline_gapfill, rel_recursive_cte,
+#     llm_ngram_span_dedup (each diffcheck-green at all three SFs).
 PENDING_NEXT_WINDOW: list[str] = []
 _WINDOW = [
     # (1) first driver rows ever — added post-r9-driver-run
     "hta_ingest_serve",
     "llm_text_stats_scan",
+    # (5) added mid-round-10 — first driver rows
+    "hta_timeline_gapfill",
+    "rel_recursive_cte",
+    "llm_ngram_span_dedup",
     # (2) round-9 deferral promise (green-since-r7)
     "rel_set_union",
     "rel_set_intersect",
@@ -95,12 +104,9 @@ _WINDOW = [
     "rel_subquery_scalar_exists",
     "rel_unpivot",
     "rel_window_distribution",
-    "rel_window_lag_lead",
     "rel_window_moving_agg",
     "rel_window_ntile",
     "rel_window_rank_topn",
-    "udf_apply_in_pandas_zscore",
-    "udf_grouped_agg_geomean",
 ]
 assert len(_WINDOW) == 50, len(_WINDOW)
 _missing = [n for n in _WINDOW if n not in REGISTRY]

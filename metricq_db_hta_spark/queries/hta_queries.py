@@ -327,6 +327,37 @@ def hta_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hta_timeline_gapfill",
+    oracle=LEVELS_SQL + f""",
+spine AS (SELECT range AS bucket_start_ns FROM range({START_NS}, {END_NS}, {W0}))
+SELECT 'purchase' AS metric, s.bucket_start_ns,
+       l.minimum, l.maximum,
+       CAST(COALESCE(l."sum", 0) AS DOUBLE) AS "sum",
+       CAST(COALESCE(l."count", 0) AS BIGINT) AS "count",
+       CAST(COALESCE(l.integral, 0) AS BIGINT) AS integral,
+       CAST(COALESCE(l.active_time, 0) AS BIGINT) AS active_time
+FROM spine s LEFT JOIN (SELECT * FROM level0 WHERE metric = 'purchase') l
+  ON s.bucket_start_ns = l.bucket_start_ns
+""",
+    doc="Q1 AGGREGATE_TIMELINE over a dense spine: every level-0 bucket in "
+    "[start, end) present, gaps filled with the Aggregate merge identity "
+    "(count=0, zero sums, NULL min/max). Spine = spark.range (no data "
+    "read) left-joined against the broadcast log-sized rollup slice — "
+    "zero spine-side exchanges at any range length. The reference emits "
+    "sparse timelines (/root/reference/src/async_hta_service.hpp:361-392); "
+    "dense timelines are the server-side form dashboards want.",
+    static_plan=True,
+)
+def hta_timeline_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    svc = service(spark, sf_dir)
+    return _present(
+        svc.aggregate_timeline_gapfill(
+            "purchase", START_NS, END_NS, interval_max_ns=W0
+        )
+    )
+
+
+@register(
     "hta_q2_flex_raw",
     oracle=f"""
 WITH {SAMPLES_CTE.split('AS', 1)[0].strip()} AS (

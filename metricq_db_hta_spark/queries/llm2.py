@@ -357,3 +357,54 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+# 8-word spans for cross-document duplicated-substring detection. Same
+# parity construction as llm.SHINGLES_CTE (DuckDB 1-based list indexing,
+# NULL-propagating || drops tail stubs) widened to n=8, and kept
+# duplicate-sensitive: a span's multiplicity within a doc weights its
+# contribution to that doc's duplicated fraction.
+_SPANS_CTE = """
+shingled AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+spans AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, GREATEST(1, len(w) - 7)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+               || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+           )) AS token
+    FROM shingled
+  ) WHERE token IS NOT NULL
+)"""
+
+
+@register(
+    "llm_ngram_span_dedup",
+    oracle=f"""
+WITH {_SPANS_CTE.strip()},
+td AS (SELECT token, doc_id, COUNT(*) AS k FROM spans GROUP BY 1, 2),
+td2 AS (SELECT *, COUNT(*) OVER (PARTITION BY token) AS nd FROM td)
+SELECT doc_id,
+       CAST(SUM(k) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN nd > 1 THEN k ELSE 0 END) AS BIGINT) AS dup_spans,
+       ROUND(CAST(SUM(CASE WHEN nd > 1 THEN k ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(k) AS DOUBLE), 6) AS dup_frac
+FROM td2 GROUP BY doc_id
+""",
+    doc="Duplicated-span detection: per document, the fraction of its "
+    "8-word token spans that also occur in at least one OTHER document — "
+    "the substring-granular dedup signal (suffix-array exact-substring "
+    "dedup in the training-data literature, approximated with fixed-k "
+    "shingles; whole-doc MinHash misses partial overlap, this catches "
+    "it). Scale shape: spans reduce to (token, doc) grain in ONE "
+    "exchange of the span stream, cross-doc multiplicity is a window on "
+    "that already-small grain, and the per-doc rollup is a groupBy on "
+    "doc_id — no self-join, no candidate blowup; the token key is the "
+    "8-gram text here (exact, oracle-checkable) and would be xxhash64(" 
+    "token) at corpus scale (same plan, 8 bytes per key).",
+)
+def llm_ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metricq_db_hta_spark.operators import dedup
+
+    return dedup.span_dup_stats(docs(spark, sf_dir), n_words=8)

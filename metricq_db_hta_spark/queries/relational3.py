@@ -274,3 +274,39 @@ def rel_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             msum("l_extendedprice * (1 - l_discount)").alias("revenue"),
         )
     )
+
+
+@register(
+    "rel_recursive_cte",
+    oracle="""
+WITH RECURSIVE anc(suppkey, ancestor, depth) AS (
+  SELECT s_suppkey, s_suppkey, CAST(0 AS BIGINT) FROM supplier
+  UNION ALL
+  SELECT suppkey, ancestor // 2, depth + 1 FROM anc WHERE ancestor > 1
+)
+SELECT suppkey, ancestor, depth FROM anc
+""",
+    doc="Recursive CTE (Spark 4.x WITH RECURSIVE): walk every supplier's "
+    "ancestor chain in the implicit binary-heap hierarchy parent(k) = "
+    "k DIV 2 up to the root, emitting (suppkey, ancestor, depth) — the "
+    "transitive-closure shape (org charts, BOM explosion, thread trees) "
+    "the rest of the surface only reaches via the iterative driver loop "
+    "in operators/dedup.py::neardup_clusters. Scale shape: each "
+    "iteration is one codegen projection+filter over the previous "
+    "frontier (|S| rows), depth is log2(max key), and the union of "
+    "frontiers never materializes on the driver; recursion over an "
+    "ACYCLIC parent function terminates structurally (cyclic graphs "
+    "need the label-propagation operator instead).",
+)
+def rel_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier_rec")
+    return spark.sql(
+        """
+WITH RECURSIVE anc(suppkey, ancestor, depth) AS (
+  SELECT s_suppkey, s_suppkey, CAST(0 AS BIGINT) FROM v_supplier_rec
+  UNION ALL
+  SELECT suppkey, ancestor DIV 2, depth + 1 FROM anc WHERE ancestor > 1
+)
+SELECT suppkey, ancestor, depth FROM anc
+"""
+    )
