@@ -352,3 +352,93 @@ def scope_predicate(ts_col, bound_ns: int, side: str, scope: str):
     if side == "start":
         return c > bound_ns if scope == "open" else c >= bound_ns
     return c < bound_ns if scope == "open" else c <= bound_ns
+
+
+def resample_linear(
+    samples: DataFrame,
+    metric: str,
+    start_ns: int,
+    end_ns: int,
+    step_ns: int,
+    metric_col: str = "metric",
+    ts_col: str = "ts_ns",
+    value_col: str = "value",
+) -> DataFrame:
+    """Resample a metric's (strictly per-metric-monotonic) sample stream
+    onto a regular grid by linear interpolation: for every grid point t in
+    [start, end) step ``step_ns``, the value interpolated between the last
+    sample at-or-before t and the first sample after it. Grid points
+    before the first / after the last sample are NULL (no extrapolation).
+
+    Precondition: unique ``ts_ns`` per metric — exactly what the ingest
+    chain's monotonicity filter (A3) guarantees for the committed store,
+    which is the data this serves (resampling raw UN-ingested data with
+    duplicate timestamps would make the neighbor choice nondeterministic).
+
+    Plan shape — the asof union trick (operators/asof.py), both directions
+    at once: union the grid under the samples, then one window ordering
+    per metric computes last-non-null (backward frame) and first-non-null
+    (forward frame) over the SAME sort — one exchange + one sort for both
+    neighbors, where two as-of joins would pay two. Exact grid hits take
+    an explicit branch (prev_ts == t -> the sample value, no forward
+    neighbor required — a grid point ON the last sample is a hit, not an
+    edge NULL); the tie order (sample rows sort before the grid row at
+    equal ts) is what makes prev_ts == t detect them, and it also keeps
+    the interpolation denominator strictly positive since the forward
+    frame then only sees later samples.
+    Scale: per-metric sequential within a partition — the
+    same contract as every ordered per-metric operator here; the grid adds
+    O(range/step) rows, generated, not read.
+    """
+    s = samples.filter(F.col(metric_col) == metric).select(
+        F.col(ts_col).alias("pos"),
+        F.col(value_col).alias("v"),
+        F.col(ts_col).alias("sts"),
+        F.lit(0).alias("is_spine"),
+    )
+    spine = samples.sparkSession.range(start_ns, end_ns, step_ns).select(
+        F.col("id").alias("pos"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(None).cast("long").alias("sts"),
+        F.lit(1).alias("is_spine"),
+    )
+    merged = spine.unionByName(s)
+    back = (
+        Window.orderBy("pos", "is_spine")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.orderBy("pos", "is_spine")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w = merged.select(
+        "pos",
+        "is_spine",
+        F.last("v", ignorenulls=True).over(back).alias("prev_v"),
+        F.last("sts", ignorenulls=True).over(back).alias("prev_ts"),
+        F.first("v", ignorenulls=True).over(fwd).alias("next_v"),
+        F.first("sts", ignorenulls=True).over(fwd).alias("next_ts"),
+    )
+    # exact-hit branch first: it must not require a forward neighbor (a
+    # grid point landing ON the last sample is a hit, not an edge NULL)
+    interp = (
+        F.when(F.col("prev_ts") == F.col("pos"), F.col("prev_v"))
+        .when(
+            F.col("prev_ts").isNull() | F.col("next_ts").isNull(), F.lit(None)
+        )
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (F.col("pos") - F.col("prev_ts")).cast("double")
+            / (F.col("next_ts") - F.col("prev_ts")).cast("double")
+        )
+    )
+    return (
+        w.filter(F.col("is_spine") == 1)
+        .select(
+            F.lit(metric).alias(metric_col),
+            F.col("pos").alias(ts_col),
+            F.round(interp, 6).alias(value_col),
+        )
+        .orderBy(ts_col)
+    )

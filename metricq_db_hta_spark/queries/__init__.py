@@ -37,19 +37,21 @@ from metricq_db_hta_spark.queries import llm2  # noqa: F401
 #     ingest-time doc_stats_table layout (sources/derived.py) — its r8
 #     green row covers the from-scratch scan plan that llm_text_stats_scan
 #     now owns.
-# (4) The remaining 35 slots rotate r08-green queries in (46 candidates;
-#     the 11 deferred to round 11 — hta_q2_flex_raw, hta_q4_last_value,
+# (4) The remaining 33 slots rotate r08-green queries in (46 candidates;
+#     the 13 deferred to round 11 — hta_q2_flex_raw, hta_q4_last_value,
 #     rel_agg_statistical, llm_decontaminate, llm_unigram_logprob,
 #     rel_q6_forecast_revenue, rel_q10_returned_items,
 #     rel_q18_large_volume_customer (all 8 with an INDEPENDENT judge
 #     re-check green in r9 on untouched code, the best-evidenced
 #     candidates to sit at stale(2)), plus rel_window_lag_lead,
-#     udf_apply_in_pandas_zscore, udf_grouped_agg_geomean (r8-green,
-#     displaced mid-r10 by the three new queries in (5));
-#     the round-11 window MUST schedule all 11).
-# (5) Three queries added mid-round-10 take first driver rows
+#     udf_apply_in_pandas_zscore, udf_grouped_agg_geomean,
+#     rel_window_moving_agg, rel_window_ntile (r8-green, displaced
+#     mid-r10 by the five new queries in (5));
+#     the round-11 window MUST schedule all 13).
+# (5) Five queries added mid-round-10 take first driver rows
 #     immediately: hta_timeline_gapfill, rel_recursive_cte,
-#     llm_ngram_span_dedup (each diffcheck-green at all three SFs).
+#     llm_ngram_span_dedup, hta_resample_linear,
+#     hta_percentile_timeline (each diffcheck-green at all three SFs).
 PENDING_NEXT_WINDOW: list[str] = []
 _WINDOW = [
     # (1) first driver rows ever — added post-r9-driver-run
@@ -59,6 +61,8 @@ _WINDOW = [
     "hta_timeline_gapfill",
     "rel_recursive_cte",
     "llm_ngram_span_dedup",
+    "hta_resample_linear",
+    "hta_percentile_timeline",
     # (2) round-9 deferral promise (green-since-r7)
     "rel_set_union",
     "rel_set_intersect",
@@ -104,8 +108,6 @@ _WINDOW = [
     "rel_subquery_scalar_exists",
     "rel_unpivot",
     "rel_window_distribution",
-    "rel_window_moving_agg",
-    "rel_window_ntile",
     "rel_window_rank_topn",
 ]
 assert len(_WINDOW) == 50, len(_WINDOW)

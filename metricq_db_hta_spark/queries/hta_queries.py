@@ -493,3 +493,98 @@ def hta_stats_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hta_subscription_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(MAPPING, ["input", "name"])
+
+
+# --------------------------------------------------------------------------
+# serving extensions over the committed store: linear resampling and
+# percentile timelines
+# --------------------------------------------------------------------------
+
+#: resample grid step: 30 min
+RESAMPLE_STEP_NS = 1_800_000_000_000
+
+
+@register(
+    "hta_resample_linear",
+    oracle=f"""
+WITH {_CHAIN_CTES.strip()},
+sp AS (SELECT range AS pos FROM range({START_NS}, {END_NS}, {RESAMPLE_STEP_NS})),
+m AS (SELECT ts_ns, value FROM kept WHERE metric = 'purchase'),
+merged AS (
+  SELECT pos, CAST(NULL AS DOUBLE) AS v, CAST(NULL AS BIGINT) AS sts, 1 AS is_spine FROM sp
+  UNION ALL
+  SELECT ts_ns, value, ts_ns, 0 FROM m
+),
+w AS (
+  SELECT pos, is_spine,
+    last_value(v IGNORE NULLS) OVER (ORDER BY pos, is_spine
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(sts IGNORE NULLS) OVER (ORDER BY pos, is_spine
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+    first_value(v IGNORE NULLS) OVER (ORDER BY pos, is_spine
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(sts IGNORE NULLS) OVER (ORDER BY pos, is_spine
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+  FROM merged
+)
+SELECT 'purchase' AS metric, pos AS ts_ns,
+       ROUND(CASE WHEN prev_ts = pos THEN prev_v
+             WHEN prev_ts IS NULL OR next_ts IS NULL THEN NULL
+             ELSE prev_v + (next_v - prev_v)
+                  * CAST(pos - prev_ts AS DOUBLE)
+                  / CAST(next_ts - prev_ts AS DOUBLE) END, 6) AS value
+FROM w WHERE is_spine = 1
+""",
+    doc="Linear resampling onto a regular 30-min grid over the COMMITTED "
+    "(post-ingest, per-metric strictly monotonic) sample stream — the "
+    "interpolating cousin of the gap-filled timeline for clients that "
+    "want values, not buckets. Union-merge plan (operators/asof.py's "
+    "trick, both directions over ONE sort): grid + samples unioned, "
+    "last/first ignore-null window frames give both neighbors without "
+    "two as-of joins; exact grid hits take the sample value (incl. a "
+    "hit ON the last sample, which has no forward neighbor). No "
+    "extrapolation: grid points outside the sample span are NULL.",
+)
+def hta_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metricq_db_hta_spark.plans.history import resample_linear
+
+    raw = samples(spark, sf_dir)
+    kept = ingest.ingest_batch(raw, MAPPING, metric_col="metric")
+    return resample_linear(
+        kept, "purchase", START_NS, END_NS, RESAMPLE_STEP_NS
+    )
+
+
+@register(
+    "hta_percentile_timeline",
+    oracle="""
+WITH samples AS (
+  SELECT event_type AS metric, epoch_ns(ts) AS ts_ns, value FROM events
+)
+SELECT metric,
+       ts_ns - ts_ns % 3600000000000 AS bucket_start_ns,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95
+FROM samples
+GROUP BY 1, 2
+""",
+    doc="Percentile timeline: exact interpolated p50/p95 per (metric, 1h "
+    "bucket) — the distributional rollup dashboards want next to the "
+    "min/max/avg the Aggregate record carries. Exact percentile holds "
+    "each group's values during aggregation, bounded by bucket width x "
+    "sample rate (fine at any corpus size since groups don't grow with "
+    "history length); the MERGEABLE path for percentile *level tables* "
+    "is approx_percentile's sketch, which trades the oracle-checkable "
+    "exactness pinned here for rollup-cascade compatibility.",
+)
+def hta_percentile_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = samples(spark, sf_dir)
+    return s.groupBy(
+        "metric",
+        (F.col("ts_ns") - F.col("ts_ns") % W0).alias("bucket_start_ns"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+    )

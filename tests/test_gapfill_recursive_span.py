@@ -1,11 +1,14 @@
-"""Property tests for the three round-10 additions:
+"""Property tests for the round-10 surface additions:
 
 (a) gap-filled timeline — dense spine, gap rows are the Aggregate merge
     identity, and rolling the dense form up equals rolling the sparse
     form up (so gapfill composes with the HTA cascade);
 (b) recursive CTE — the binary-heap ancestor walk has exactly
     floor(log2(k)) + 1 rows per key, every chain ends at the root;
-(c) span_dup_stats — constructed corpus with a known copied paragraph.
+(c) span_dup_stats — constructed corpus with a known copied paragraph;
+(d) resample_linear — constructed stream with known interpolants, exact
+    hits (incl. on the last sample), edge NULLs, metric isolation;
+(e) exact percentile — the R-7 interpolation definition pinned.
 """
 
 from __future__ import annotations
@@ -101,3 +104,44 @@ def test_span_dup_stats_constructed(spark):
     assert rows[2].n_spans == 11 and rows[2].dup_spans == 3
     assert rows[2].dup_frac == round(3 / 11, 6)
     assert rows[3].dup_spans == 0 and rows[3].dup_frac == 0.0
+
+
+def test_resample_linear_constructed(spark):
+    from metricq_db_hta_spark.plans.history import resample_linear
+
+    samples = spark.createDataFrame(
+        [("m", 100, 10.0), ("m", 200, 20.0), ("m", 400, 40.0),
+         # a second metric that must not leak into m's interpolation
+         ("other", 150, 999.0)],
+        "metric string, ts_ns long, value double",
+    )
+    out = {
+        r.ts_ns: r.value
+        for r in resample_linear(samples, "m", 50, 450, 50).collect()
+    }
+    assert out == {
+        50: None,        # before first sample: no extrapolation
+        100: 10.0,       # exact hit
+        150: 15.0,       # midpoint
+        200: 20.0,
+        250: 25.0, 300: 30.0, 350: 35.0,  # across the 200->400 segment
+        400: 40.0,       # exact hit at the last sample
+    }
+    # grid is half-open: end_ns itself excluded
+    assert 450 not in out
+
+
+def test_percentile_interpolation_matches_definition(spark):
+    """Spark's exact percentile is the R-7 linear interpolation DuckDB's
+    quantile_cont implements — pin the definition on a known group."""
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (3.0,), (4.0,)], "value double"
+    )
+    row = df.agg(
+        F2.percentile("value", 0.5).alias("p50"),
+        F2.percentile("value", 0.95).alias("p95"),
+    ).collect()[0]
+    assert row.p50 == 2.5                       # (n-1)*0.5 = 1.5 -> 2 + .5
+    assert abs(row.p95 - 3.85) < 1e-12          # (n-1)*0.95 = 2.85
