@@ -356,7 +356,7 @@ def scope_predicate(ts_col, bound_ns: int, side: str, scope: str):
 
 def resample_linear(
     samples: DataFrame,
-    metric: str,
+    metric: str | None,
     start_ns: int,
     end_ns: int,
     step_ns: int,
@@ -364,11 +364,13 @@ def resample_linear(
     ts_col: str = "ts_ns",
     value_col: str = "value",
 ) -> DataFrame:
-    """Resample a metric's (strictly per-metric-monotonic) sample stream
-    onto a regular grid by linear interpolation: for every grid point t in
+    """Resample a (strictly per-metric-monotonic) sample stream onto a
+    regular grid by linear interpolation: for every grid point t in
     [start, end) step ``step_ns``, the value interpolated between the last
     sample at-or-before t and the first sample after it. Grid points
     before the first / after the last sample are NULL (no extrapolation).
+    ``metric=None`` resamples every metric in ``samples`` onto the same
+    grid; a string resamples that one metric.
 
     Precondition: unique ``ts_ns`` per metric — exactly what the ingest
     chain's monotonicity filter (A3) guarantees for the committed store,
@@ -386,32 +388,53 @@ def resample_linear(
     equal ts) is what makes prev_ts == t detect them, and it also keeps
     the interpolation denominator strictly positive since the forward
     frame then only sees later samples.
-    Scale: per-metric sequential within a partition — the
-    same contract as every ordered per-metric operator here; the grid adds
-    O(range/step) rows, generated, not read.
+
+    Scale: the window partitions by metric — per-metric sequential within
+    a partition, all metrics in parallel, the same contract as every
+    ordered per-metric operator here. The grid is spark.range crossed
+    with the (broadcast, dimension-sized) metric list — O(metrics x
+    range/step) generated rows, nothing read. A single-metric request
+    skips even the metric-list scan (one literal row).
     """
-    s = samples.filter(F.col(metric_col) == metric).select(
+    s = samples if metric is None else samples.filter(
+        F.col(metric_col) == metric
+    )
+    s = s.select(
+        metric_col,
         F.col(ts_col).alias("pos"),
         F.col(value_col).alias("v"),
         F.col(ts_col).alias("sts"),
         F.lit(0).alias("is_spine"),
     )
-    spine = samples.sparkSession.range(start_ns, end_ns, step_ns).select(
-        F.col("id").alias("pos"),
-        F.lit(None).cast("double").alias("v"),
-        F.lit(None).cast("long").alias("sts"),
-        F.lit(1).alias("is_spine"),
+    spark = samples.sparkSession
+    if metric is None:
+        mets = samples.select(metric_col).distinct()
+    else:
+        mets = spark.createDataFrame([(metric,)], f"{metric_col} string")
+    spine = (
+        spark.range(start_ns, end_ns, step_ns)
+        .crossJoin(F.broadcast(mets))
+        .select(
+            metric_col,
+            F.col("id").alias("pos"),
+            F.lit(None).cast("double").alias("v"),
+            F.lit(None).cast("long").alias("sts"),
+            F.lit(1).alias("is_spine"),
+        )
     )
     merged = spine.unionByName(s)
     back = (
-        Window.orderBy("pos", "is_spine")
+        Window.partitionBy(metric_col)
+        .orderBy("pos", "is_spine")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     fwd = (
-        Window.orderBy("pos", "is_spine")
+        Window.partitionBy(metric_col)
+        .orderBy("pos", "is_spine")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     w = merged.select(
+        metric_col,
         "pos",
         "is_spine",
         F.last("v", ignorenulls=True).over(back).alias("prev_v"),
@@ -436,9 +459,9 @@ def resample_linear(
     return (
         w.filter(F.col("is_spine") == 1)
         .select(
-            F.lit(metric).alias(metric_col),
+            metric_col,
             F.col("pos").alias(ts_col),
             F.round(interp, 6).alias(value_col),
         )
-        .orderBy(ts_col)
+        .orderBy(metric_col, ts_col)
     )

@@ -129,6 +129,14 @@ def test_resample_linear_constructed(spark):
     }
     # grid is half-open: end_ns itself excluded
     assert 450 not in out
+    # metric=None resamples every metric onto the same grid, isolated
+    both = resample_linear(samples, None, 100, 250, 50).collect()
+    got = {(r.metric, r.ts_ns): r.value for r in both}
+    assert got == {
+        ("m", 100): 10.0, ("m", 150): 15.0, ("m", 200): 20.0,
+        # single-sample metric: only its exact grid hit is non-NULL
+        ("other", 100): None, ("other", 150): 999.0, ("other", 200): None,
+    }
 
 
 def test_percentile_interpolation_matches_definition(spark):

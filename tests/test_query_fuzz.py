@@ -1004,3 +1004,134 @@ def test_random_grouping_structure_matches_oracle(spark, duck, sf_dir, spec):
     df = _spark_grouping(spark, sf_dir, spec)
     mismatch = oracle.compare(df, duck, _oracle_grouping_sql(spec))
     assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
+
+
+# ---------------------------------------------------------------------------
+# fuzz class 11 (r10): dense-timeline serving — gap-filled Q1 and linear
+# resampling over random (metric, range, width/step). Exercises alignment
+# arithmetic (unaligned starts, ranges past the data, empty spines) the
+# declared queries sample pointwise.
+# ---------------------------------------------------------------------------
+
+#: resample steps: aligned (15m/30m/1h), coarse-unaligned (1.5h), and a
+#: deliberately odd prime-ish step so grid points never coincide with
+#: bucket or sample alignment
+RESAMPLE_STEPS = [
+    900_000_000_000,
+    1_800_000_000_000,
+    3_600_000_000_000,
+    5_400_000_000_000,
+    7_777_000_000_000,
+]
+
+#: mapped (post-ingest) metric names — resampling serves the committed
+#: store, whose names went through the A2 rename mapping
+KEPT_METRICS = [
+    "interaction.click", "interaction.view", "signup", "error", "purchase",
+]
+
+dense_spec = st.fixed_dictionaries(
+    {
+        "metric": st.sampled_from([None, *KEPT_METRICS]),
+        "h0": st.integers(0, 800),      # events span ~720 h: past-the-end
+        "span_h": st.integers(1, 400),  # ranges are a real edge
+        "step_i": st.integers(0, len(RESAMPLE_STEPS) - 1),
+        "imax_i": st.integers(0, len(IMAX_GRID) - 1),
+    }
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=dense_spec)
+def test_random_resample_matches_oracle(spark, duck, sf_dir, spec):
+    from metricq_db_hta_spark.operators import ingest
+    from metricq_db_hta_spark.plans.history import resample_linear
+    from metricq_db_hta_spark.queries.hta_queries import (
+        _CHAIN_CTES,
+        MAPPING,
+        samples,
+    )
+
+    start, end = _hta_range(spec)
+    step = RESAMPLE_STEPS[spec["step_i"]]
+    kept = ingest.ingest_batch(samples(spark, sf_dir), MAPPING, metric_col="metric")
+    df = resample_linear(kept, spec["metric"], start, end, step)
+    mfilter = (
+        "" if spec["metric"] is None else f"WHERE metric = '{spec['metric']}'"
+    )
+    sql = f"""
+WITH {_CHAIN_CTES.strip()},
+m AS (SELECT metric, ts_ns, value FROM kept {mfilter}),
+sp AS (SELECT range AS pos FROM range({start}, {end}, {step})),
+mets AS (SELECT DISTINCT metric FROM m),
+merged AS (
+  SELECT mets.metric, pos, CAST(NULL AS DOUBLE) AS v,
+         CAST(NULL AS BIGINT) AS sts, 1 AS is_spine
+  FROM sp CROSS JOIN mets
+  UNION ALL
+  SELECT metric, ts_ns, value, ts_ns, 0 FROM m
+),
+w AS (
+  SELECT metric, pos, is_spine,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY metric ORDER BY pos, is_spine
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(sts IGNORE NULLS) OVER (PARTITION BY metric ORDER BY pos, is_spine
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+    first_value(v IGNORE NULLS) OVER (PARTITION BY metric ORDER BY pos, is_spine
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(sts IGNORE NULLS) OVER (PARTITION BY metric ORDER BY pos, is_spine
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+  FROM merged
+)
+SELECT metric, pos AS ts_ns,
+       ROUND(CASE WHEN prev_ts = pos THEN prev_v
+             WHEN prev_ts IS NULL OR next_ts IS NULL THEN NULL
+             ELSE prev_v + (next_v - prev_v)
+                  * CAST(pos - prev_ts AS DOUBLE)
+                  / CAST(next_ts - prev_ts AS DOUBLE) END, 6) AS value
+FROM w WHERE is_spine = 1
+"""
+    mismatch = oracle.compare(df, duck, sql)
+    assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=dense_spec)
+def test_random_gapfill_matches_oracle(spark, duck, sf_dir, spec):
+    from metricq_db_hta_spark.queries.hta_queries import (
+        LEVEL_WIDTHS as LW,
+        _present,
+    )
+
+    metric = spec["metric"] or "purchase"
+    if metric.startswith("interaction."):
+        # levels are built over RAW metric names (no mapping on this path)
+        metric = metric.split(".", 1)[1]
+    start, end = _hta_range(spec)
+    imax = IMAX_GRID[spec["imax_i"]]
+    width = LW[_expected_level(imax)]
+    svc = hta_service(spark, sf_dir)
+    df = _present(svc.aggregate_timeline_gapfill(metric, start, end, imax))
+    first = start + (-start) % width
+    sql = LEVELS_SQL + f""",
+spine AS (SELECT range AS bucket_start_ns FROM range({first}, {end}, {width}))
+SELECT '{metric}' AS metric, s.bucket_start_ns, l.minimum, l.maximum,
+       CAST(COALESCE(l."sum", 0) AS DOUBLE) AS "sum",
+       CAST(COALESCE(l."count", 0) AS BIGINT) AS "count",
+       CAST(COALESCE(l.integral, 0) AS BIGINT) AS integral,
+       CAST(COALESCE(l.active_time, 0) AS BIGINT) AS active_time
+FROM spine s
+LEFT JOIN (SELECT * FROM level{_expected_level(imax)}
+           WHERE metric = '{metric}') l
+  ON s.bucket_start_ns = l.bucket_start_ns
+"""
+    mismatch = oracle.compare(df, duck, sql)
+    assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
