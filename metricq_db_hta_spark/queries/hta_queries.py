@@ -345,8 +345,11 @@ FROM spine s LEFT JOIN (SELECT * FROM level0 WHERE metric = 'purchase') l
     "read) left-joined against the broadcast log-sized rollup slice — "
     "zero spine-side exchanges at any range length. The reference emits "
     "sparse timelines (/root/reference/src/async_hta_service.hpp:361-392); "
-    "dense timelines are the server-side form dashboards want.",
-    static_plan=True,
+    "dense timelines are the server-side form dashboards want. (The plan "
+    "is fully static — zero hash exchanges, pinned by "
+    "test_new_query_plan_shapes — but QuerySpec.static_plan stays False: "
+    "that flag is the BENCH executor's AQE-off policy and its extent is "
+    "pinned to the exchange-budget table, which covers bench rows only.)",
 )
 def hta_timeline_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     svc = service(spark, sf_dir)

@@ -153,3 +153,35 @@ def test_percentile_interpolation_matches_definition(spark):
     ).collect()[0]
     assert row.p50 == 2.5                       # (n-1)*0.5 = 1.5 -> 2 + .5
     assert abs(row.p95 - 3.85) < 1e-12          # (n-1)*0.95 = 2.85
+
+
+def test_new_query_plan_shapes(spark, sf_dir):
+    """Pin the r10 additions' physical shapes (the non-bench analogue of
+    test_planning.py's EXCHANGE_BUDGET — these queries aren't benched, so
+    the budget table can't carry them, but their plans regress just as
+    silently): gapfill must stay a zero-shuffle broadcast join over the
+    range spine; resample pays exactly the ingest window + the merged
+    neighbor window; span dedup is the designed 3-exchange pipeline;
+    the percentile rollup is one exchange."""
+    from metricq_db_hta_spark.queries import REGISTRY
+
+    budgets = {
+        # (hash exchanges, broadcast exchanges)
+        "hta_timeline_gapfill": (0, 1),
+        "hta_resample_linear": (2, 1),
+        "llm_ngram_span_dedup": (3, 0),
+        "hta_percentile_timeline": (1, 0),
+    }
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name, (n_hash, n_bcast) in budgets.items():
+            df = REGISTRY[name].spark(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            got = (
+                plan.count("Exchange hashpartitioning"),
+                plan.count("BroadcastExchange"),
+            )
+            assert got == (n_hash, n_bcast), (name, got, plan)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
