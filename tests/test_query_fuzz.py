@@ -1135,3 +1135,50 @@ LEFT JOIN (SELECT * FROM level{_expected_level(imax)}
 """
     mismatch = oracle.compare(df, duck, sql)
     assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
+
+
+# ---------------------------------------------------------------------------
+# fuzz class 12 (r10): recursive CTE — random integer-division hierarchies
+# parent(k) = k DIV c walked from every supplier key, rendered as Spark
+# WITH RECURSIVE (DIV) and DuckDB WITH RECURSIVE (//). Randomizing the
+# divisor and the walk cutoff varies recursion depth, fan-in, and the
+# fixpoint behavior of small keys.
+# ---------------------------------------------------------------------------
+
+recursive_spec = st.fixed_dictionaries(
+    {
+        "div": st.integers(2, 7),
+        "stop": st.sampled_from([0, 1, 2, 5]),  # walk while ancestor > stop
+    }
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=recursive_spec)
+def test_random_recursive_cte_matches_oracle(spark, duck, sf_dir, spec):
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "v_supplier_fuzz"
+    )
+    d, stop = spec["div"], spec["stop"]
+    df = spark.sql(f"""
+WITH RECURSIVE anc(suppkey, ancestor, depth) AS (
+  SELECT s_suppkey, s_suppkey, CAST(0 AS BIGINT) FROM v_supplier_fuzz
+  UNION ALL
+  SELECT suppkey, ancestor DIV {d}, depth + 1 FROM anc WHERE ancestor > {stop}
+)
+SELECT suppkey, ancestor, depth FROM anc
+""")
+    sql = f"""
+WITH RECURSIVE anc(suppkey, ancestor, depth) AS (
+  SELECT s_suppkey, s_suppkey, CAST(0 AS BIGINT) FROM supplier
+  UNION ALL
+  SELECT suppkey, ancestor // {d}, depth + 1 FROM anc WHERE ancestor > {stop}
+)
+SELECT suppkey, ancestor, depth FROM anc
+"""
+    mismatch = oracle.compare(df, duck, sql)
+    assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
