@@ -145,3 +145,119 @@ def build_levels(
         width *= factor
         levels.append(rollup(levels[-1], width_ns=width))
     return levels
+
+
+# ---------------------------------------------------------------------------
+# Distributional level tables: mergeable fixed-bin histograms (r10).
+#
+# The Aggregate record serves min/max/avg at any width, but a percentile is
+# NOT mergeable — p95 of two buckets cannot be combined from their p95s, so
+# exact-percentile serving (hta_percentile_timeline) must touch raw samples.
+# The HTA answer is the same one the Aggregate record embodies: maintain a
+# MERGEABLE summary per finest bucket and roll it up. Fixed-bin counts are
+# the simplest mergeable distributional summary — integer-exact (so the
+# rollup cascade is bit-mergeable and oracle-checkable, unlike
+# approx_percentile's sketch), O(bins) per bucket, and any percentile is a
+# deterministic walk of the cumulative counts with one in-bin linear
+# interpolation (resolution = bin width, the explicit accuracy contract).
+# ---------------------------------------------------------------------------
+
+#: default histogram domain/resolution (engine config; values outside the
+#: domain clamp into the edge bins, preserving counts and order statistics
+#: up to the domain boundary)
+HIST_LO = 0.0
+HIST_HI = 512.0
+HIST_BINS = 32
+
+
+def histogram_level(
+    samples: DataFrame,
+    width_ns: int = DEFAULT_WIDTH_NS,
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    bins: int = HIST_BINS,
+    metric_col: str = "metric",
+    ts_col: str = "ts_ns",
+    value_col: str = "value",
+) -> DataFrame:
+    """Finest distributional level: (metric, bucket_start_ns, bin, n) —
+    only non-empty bins are materialized (sparse form; merging is a plain
+    SUM over (metric, coarser bucket, bin))."""
+    w = (hi - lo) / bins
+    b = F.greatest(
+        F.lit(0),
+        F.least(F.lit(bins - 1), F.floor((F.col(value_col) - lo) / w)),
+    ).cast("int")
+    return samples.groupBy(
+        F.col(metric_col).alias("metric"),
+        bucket_start_ns(ts_col, width_ns).alias("bucket_start_ns"),
+        b.alias("bin"),
+    ).agg(F.count("*").cast("long").alias("n"))
+
+
+def histogram_rollup(hist: DataFrame, width_ns: int) -> DataFrame:
+    """Merge a histogram level into a coarser one: integer-exact, so
+    rolling up equals binning the raw samples at the coarse width
+    directly (the distributional mergeability property)."""
+    return hist.groupBy(
+        "metric",
+        bucket_start_ns("bucket_start_ns", width_ns).alias("bucket_start_ns"),
+        "bin",
+    ).agg(F.sum("n").cast("long").alias("n"))
+
+
+def histogram_percentile(
+    hist: DataFrame,
+    p: float,
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Serve percentile p from a histogram level: per (metric, bucket),
+    walk the cumulative bin counts to the first bin whose cumulative
+    count reaches rank r = p * total, then interpolate linearly inside
+    that bin — deterministic double arithmetic, identical in any engine
+    (the DuckDB oracle runs the same walk). Accuracy contract: the
+    selected bin brackets the rank-ceil(p*n) order statistic, so the
+    estimate is within one bin width of that SAMPLE (pinned in tests);
+    for tiny buckets this can differ more from the R-7 interpolated
+    percentile, which blends samples that may sit bins apart.
+
+    Plan shape: two windows over the (tiny, bins-bounded) histogram
+    stream sharing one (metric, bucket) partitioning, then a first-hit
+    filter — no raw-data scan anywhere; this is what makes percentile
+    timelines servable from maintained rollups at any width.
+    """
+    w = (hi - lo) / bins
+    keys = Window.partitionBy("metric", "bucket_start_ns")
+    ordered = keys.orderBy("bin")
+    cum = (
+        hist.withColumn("total", F.sum("n").over(keys))
+        .withColumn(
+            "cum",
+            F.sum("n").over(
+                ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    r = F.lit(p) * F.col("total").cast("double")
+    hits = cum.filter(F.col("cum").cast("double") >= r).withColumn(
+        "hit_rank", F.row_number().over(ordered)
+    )
+    first_hit = hits.filter(F.col("hit_rank") == 1)
+    # in-bin linear interpolation from the rank offset within the bin
+    est = (
+        F.lit(lo)
+        + F.lit(w)
+        * (
+            F.col("bin").cast("double")
+            + (r - (F.col("cum") - F.col("n")).cast("double"))
+            / F.col("n").cast("double")
+        )
+    )
+    return first_hit.select(
+        "metric",
+        "bucket_start_ns",
+        F.col("total").alias("count"),
+        F.round(est, 6).alias(f"p{int(p * 100)}_est"),
+    )

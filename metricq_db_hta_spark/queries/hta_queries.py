@@ -591,3 +591,79 @@ def hta_percentile_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", 0.5), 6).alias("p50"),
         F.round(F.percentile("value", 0.95), 6).alias("p95"),
     )
+
+
+# --------------------------------------------------------------------------
+# distributional level tables: mergeable fixed-bin histograms
+# --------------------------------------------------------------------------
+
+#: histogram domain (operators/hta.py defaults): [0, 512) in 32 bins of 16
+_H_BIN_SQL = "CAST(GREATEST(0, LEAST(31, FLOOR((value - 0.0) / 16.0))) AS INTEGER)"
+
+
+@register(
+    "hta_histogram_level0",
+    oracle=f"""
+WITH samples AS (
+  SELECT event_type AS metric, epoch_ns(ts) AS ts_ns, value FROM events
+)
+SELECT metric, ts_ns - ts_ns % {W0} AS bucket_start_ns,
+       {_H_BIN_SQL} AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM samples GROUP BY 1, 2, 3
+""",
+    doc="Finest distributional level: sparse fixed-bin value histogram per "
+    "(metric, 1h bucket) — the MERGEABLE summary that makes percentile "
+    "timelines servable from maintained rollups (a percentile itself is "
+    "not mergeable; integer bin counts are, bit-exactly, unlike "
+    "approx_percentile's sketch). One exchange, integer-exact, "
+    "oracle-checkable; resolution contract = bin width.",
+)
+def hta_histogram_level0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hta.histogram_level(samples(spark, sf_dir), W0)
+
+
+@register(
+    "hta_histogram_p95_rollup",
+    oracle=f"""
+WITH samples AS (
+  SELECT event_type AS metric, epoch_ns(ts) AS ts_ns, value FROM events
+),
+h0 AS (
+  SELECT metric, ts_ns - ts_ns % {W0} AS bucket_start_ns,
+         {_H_BIN_SQL} AS bin, CAST(COUNT(*) AS BIGINT) AS n
+  FROM samples GROUP BY 1, 2, 3
+),
+h1 AS (
+  SELECT metric, bucket_start_ns - bucket_start_ns % {W1} AS bucket_start_ns,
+         bin, CAST(SUM(n) AS BIGINT) AS n
+  FROM h0 GROUP BY 1, 2, 3
+),
+c AS (
+  SELECT *, SUM(n) OVER (PARTITION BY metric, bucket_start_ns) AS total,
+         SUM(n) OVER (PARTITION BY metric, bucket_start_ns ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM h1
+),
+hits AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY metric, bucket_start_ns
+              ORDER BY bin) AS hit_rank
+  FROM c WHERE CAST(cum AS DOUBLE) >= 0.95 * CAST(total AS DOUBLE)
+)
+SELECT metric, bucket_start_ns, CAST(total AS BIGINT) AS count,
+       ROUND(0.0 + 16.0 * (CAST(bin AS DOUBLE)
+             + (0.95 * CAST(total AS DOUBLE) - CAST(cum - n AS DOUBLE))
+               / CAST(n AS DOUBLE)), 6) AS p95_est
+FROM hits WHERE hit_rank = 1
+""",
+    doc="p95 timeline served from MERGED histograms: level-0 bins rolled "
+    "up to 10h buckets by integer sum, then the percentile walked from "
+    "cumulative counts with one in-bin interpolation — no raw-data scan; "
+    "this is the distributional analogue of the Aggregate rollup cascade "
+    "(exact percentiles can't merge, bin counts can; accuracy = one bin "
+    "width around the rank order statistic, pinned in tests).",
+)
+def hta_histogram_p95_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h0 = hta.histogram_level(samples(spark, sf_dir), W0)
+    h1 = hta.histogram_rollup(h0, W1)
+    return hta.histogram_percentile(h1, 0.95)

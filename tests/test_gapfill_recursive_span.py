@@ -185,3 +185,45 @@ def test_new_query_plan_shapes(spark, sf_dir):
             assert got == (n_hash, n_bcast), (name, got, plan)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_histogram_mergeability(spark, sf_dir):
+    """Rolling level-0 histograms up == binning raw at the coarse width
+    directly — integer-exact (the distributional mergeability property)."""
+    from metricq_db_hta_spark.queries.hta_queries import samples
+
+    raw = samples(spark, sf_dir)
+    via_rollup = hta.histogram_rollup(hta.histogram_level(raw, W0), W1)
+    direct = hta.histogram_level(raw, W1)
+    sym = via_rollup.exceptAll(direct).union(direct.exceptAll(via_rollup))
+    assert sym.count() == 0
+
+
+def test_histogram_percentile_within_one_bin(spark, sf_dir):
+    """The histogram-served p95 honors its accuracy contract: the selected
+    bin BRACKETS the rank-ceil(0.95 n) order statistic, so the estimate is
+    within one bin width (16.0) of that sample (clamped to the histogram
+    domain). NOTE the contract is against the order statistic, not the
+    R-7 interpolated percentile — for tiny buckets R-7 interpolates
+    between samples that may sit bins apart (a 2-sample bucket pulls p95
+    5% toward the minimum), which no histogram can reproduce."""
+    import math
+
+    from pyspark.sql import functions as F2
+
+    from metricq_db_hta_spark.queries.hta_queries import samples
+
+    raw = samples(spark, sf_dir)
+    h1 = hta.histogram_rollup(hta.histogram_level(raw, W0), W1)
+    served = hta.histogram_percentile(h1, 0.95)
+    vals = raw.groupBy(
+        "metric",
+        (F2.col("ts_ns") - F2.col("ts_ns") % W1).alias("bucket_start_ns"),
+    ).agg(F2.sort_array(F2.collect_list("value")).alias("vs"))
+    joined = served.join(vals, ["metric", "bucket_start_ns"]).collect()
+    assert joined  # non-empty join: both sides cover the same buckets
+    for r in joined:
+        k = math.ceil(0.95 * len(r.vs))          # 1-based target rank
+        x_k = min(max(r.vs[k - 1], hta.HIST_LO), hta.HIST_HI)
+        assert abs(r.p95_est - x_k) <= 16.0, (r.metric, r.bucket_start_ns,
+                                              r.p95_est, x_k, len(r.vs))
