@@ -60,12 +60,17 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument(
         "--type",
         required=True,
-        choices=["aggregate_timeline", "flex_timeline", "aggregate", "last_value"],
+        choices=[
+            "aggregate_timeline", "flex_timeline", "aggregate",
+            "last_value", "gapfill_timeline", "resample",
+        ],
     )
     ph.add_argument("--metric", default=None)
     ph.add_argument("--start", type=int, default=0)
     ph.add_argument("--end", type=int, default=TS_MAX_NS)
     ph.add_argument("--interval-max", type=int, default=TS_MAX_NS)
+    ph.add_argument("--step-ns", type=int, default=0,
+                    help="resample grid step (resample type only)")
     ph.add_argument("--width-ns", type=int, default=3_600_000_000_000)
     ph.add_argument("--levels", type=int, default=3)
 
@@ -192,6 +197,24 @@ def main(argv: list[str] | None = None) -> int:
             df = svc.flex_timeline(args.metric, args.start, args.end, args.interval_max)
         elif args.type == "aggregate":
             df = svc.aggregate(args.metric, args.start, args.end)
+        elif args.type == "gapfill_timeline":
+            # dense types demand an explicit finite range (HistoryServer
+            # applies the same contract + spine-size cap on the RPC path)
+            if args.metric is None or args.end == TS_MAX_NS:
+                print("gapfill_timeline requires --metric and a finite --end")
+                return 2
+            df = svc.aggregate_timeline_gapfill(
+                args.metric, args.start, args.end, args.interval_max
+            )
+        elif args.type == "resample":
+            if args.metric is None or args.end == TS_MAX_NS or args.step_ns <= 0:
+                print("resample requires --metric, a finite --end and --step-ns")
+                return 2
+            from metricq_db_hta_spark.plans.history import resample_linear
+
+            df = resample_linear(
+                svc.raw, args.metric, args.start, args.end, args.step_ns
+            )
         else:
             df = svc.last_value(args.metric)
         df.show(100, truncate=False)

@@ -13,9 +13,18 @@ Transport: newline-delimited JSON over TCP (the bus stand-in; the request
 router is transport-agnostic). One request per line:
 
     {"type": "aggregate_timeline" | "flex_timeline" | "aggregate"
-             | "last_value" | "refresh",
+             | "last_value" | "gapfill_timeline" | "resample" | "refresh",
      "metric": str | null, "start_ns": int, "end_ns": int,
-     "interval_max_ns": int, "limit": int}
+     "interval_max_ns": int, "step_ns": int, "limit": int}
+
+The two r10 dense request types serve what the reference leaves to
+clients: ``gapfill_timeline`` is Q1 over a dense bucket spine (gap rows =
+the Aggregate merge identity) and ``resample`` linearly interpolates the
+committed raw stream onto a regular ``step_ns`` grid. Both REQUIRE an
+explicit [start_ns, end_ns) (a dense timeline from the epoch default is
+a limit-truncated wall of empty buckets, never what the caller meant),
+and the handler additionally rejects ranges whose spine exceeds
+MAX_SPINE_POINTS instead of building them.
 
 Response line: {"rows": [...], "n": int} on success, {"error": "..."} on
 failure (the handler.failed contract — a bad request never kills the
@@ -35,11 +44,20 @@ import threading
 from pyspark.sql import SparkSession
 
 from metricq_db_hta_spark.functions.timeutil import TS_MAX_NS
-from metricq_db_hta_spark.plans.history import HistoryService
+from metricq_db_hta_spark.plans.history import (
+    HistoryService,
+    choose_level,
+    resample_linear,
+)
 
 #: responses are capped — a timeline over years at ns resolution must not
 #: materialize unbounded rows into the service heap
 DEFAULT_LIMIT = 100_000
+
+#: dense requests (gapfill/resample) generate one row per grid point; cap
+#: the grid a request may ask for (10M points ~ a year at 3 s steps) so a
+#: missing/huge range errors instead of scheduling a 2^63-point spine
+MAX_SPINE_POINTS = 10_000_000
 
 
 def _json_default(o):
@@ -138,6 +156,19 @@ class HistoryServer:
             self.spark, self.store, self.widths, snapshot=self.snapshot
         )
 
+    @staticmethod
+    def _spine_guard(start: int, end: int, step: int) -> dict | None:
+        """Reject dense requests whose grid would be astronomically large
+        (notably the open-ended default end_ns) instead of building it."""
+        points = max(0, end - start) // step
+        if points > MAX_SPINE_POINTS:
+            return {
+                "error": "dense request spine too large: "
+                f"{points} points > {MAX_SPINE_POINTS} — pass an explicit "
+                "finite [start_ns, end_ns) sized to the step/width"
+            }
+        return None
+
     # -- request router (src/async_hta_service.hpp:359 switch parity) ------
     def handle(self, req: dict) -> dict:
         try:
@@ -158,6 +189,41 @@ class HistoryServer:
                 df = self._svc.aggregate(metric, start, end)
             elif rtype == "last_value":
                 df = self._svc.last_value(metric)
+            elif rtype == "gapfill_timeline":
+                if metric is None:
+                    return {"error": "gapfill_timeline requires a metric"}
+                if "start_ns" not in req or "end_ns" not in req:
+                    # a dense timeline from the epoch default is a
+                    # limit-truncated wall of empty buckets, never what
+                    # the caller meant — demand the range
+                    return {
+                        "error": "gapfill_timeline requires explicit "
+                        "start_ns and end_ns"
+                    }
+                width = choose_level(self._svc.widths, imax) or (
+                    self._svc.widths[0]
+                )
+                err = self._spine_guard(start, end, width)
+                if err:
+                    return err
+                df = self._svc.aggregate_timeline_gapfill(
+                    metric, start, end, imax
+                )
+            elif rtype == "resample":
+                if metric is None:
+                    return {"error": "resample requires a metric"}
+                if "start_ns" not in req or "end_ns" not in req:
+                    return {
+                        "error": "resample requires explicit start_ns "
+                        "and end_ns"
+                    }
+                step = int(req.get("step_ns", 0))
+                if step <= 0:
+                    return {"error": "resample requires step_ns > 0"}
+                err = self._spine_guard(start, end, step)
+                if err:
+                    return err
+                df = resample_linear(self._svc.raw, metric, start, end, step)
             else:
                 return {"error": f"unknown request type {rtype!r}"}
             rows = [r.asDict() for r in df.limit(limit).collect()]

@@ -173,3 +173,36 @@ def test_serve_starts_and_listens(backfilled_store):
         except subprocess.TimeoutExpired:
             proc.kill()
             proc.wait(timeout=30)
+
+
+def test_history_dense_types(backfilled_store):
+    """The r10 dense history types work end-to-end from the CLI and
+    demand their explicit-range/step contract (exit 2, not a stack)."""
+    t0 = 1_704_067_200_000_000_000
+    t1 = t0 + 24 * 3_600_000_000_000
+    r = _cli(
+        "history", "--store", backfilled_store, "--type", "gapfill_timeline",
+        "--metric", "click", "--start", str(t0), "--end", str(t1),
+        "--interval-max", "3600000000000",
+        "--width-ns", "3600000000000", "--levels", "2",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "+" in r.stdout and "|" in r.stdout, r.stdout[-500:]
+
+    r = _cli(
+        "history", "--store", backfilled_store, "--type", "resample",
+        "--metric", "click", "--start", str(t0), "--end", str(t1),
+        "--step-ns", "1800000000000",
+        "--width-ns", "3600000000000", "--levels", "2",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "+" in r.stdout, r.stdout[-500:]
+
+    # contract violations exit 2 with a one-line message
+    r = _cli(
+        "history", "--store", backfilled_store, "--type", "resample",
+        "--metric", "click",
+        "--width-ns", "3600000000000", "--levels", "2",
+    )
+    assert r.returncode == 2, (r.returncode, r.stdout[-300:])
+    assert "requires" in r.stdout

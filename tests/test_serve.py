@@ -114,3 +114,61 @@ def test_history_server_static_plans_policy(spark, sf_dir, tmp_path):
         assert got == want and got.get("n") == 1
     finally:
         spark.conf.set(key, "true")
+
+
+def test_history_server_dense_requests(spark, sf_dir, tmp_path):
+    """The r10 dense request types: gapfill_timeline returns one row per
+    bucket in range (gaps = merge identity), resample returns one row per
+    grid point; both reject open-ended/oversized ranges and missing
+    params instead of building astronomical spines."""
+    src = samples(spark, sf_dir).limit(500)
+    store = str(tmp_path / "store_dense")
+    StreamingIngest(spark, store, level_widths_ns=(W0,)).backfill(src)
+    server, port = HistoryServer(spark, store, [W0]).start_background()
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=30)
+        s.settimeout(120)
+        f = s.makefile("rb")
+
+        # establish the committed range from the store itself
+        agg = _rpc(f, s, {"type": "aggregate", "metric": "click"})
+        assert agg.get("n") == 1
+
+        t0 = 1_704_067_200_000_000_000          # 2024-01-01T00Z
+        t1 = t0 + 48 * W0                        # 48 one-hour buckets
+        g = _rpc(f, s, {"type": "gapfill_timeline", "metric": "click",
+                        "start_ns": t0, "end_ns": t1,
+                        "interval_max_ns": W0})
+        assert g.get("n") == 48, g
+        assert all(r["metric"] == "click" for r in g["rows"])
+        assert any(r["count"] == 0 for r in g["rows"])   # real gaps filled
+        assert all(r["count"] >= 0 for r in g["rows"])
+
+        r = _rpc(f, s, {"type": "resample", "metric": "click",
+                        "start_ns": t0, "end_ns": t1,
+                        "step_ns": W0 // 2})
+        assert r.get("n") == 96, r
+        ts = [row["ts_ns"] for row in r["rows"]]
+        assert ts == sorted(ts) and ts[0] == t0
+
+        # guards: open-ended range (explicit range demanded), oversized
+        # spine, missing step, missing metric
+        for bad_req in (
+            {"type": "gapfill_timeline", "metric": "click",
+             "interval_max_ns": W0},                      # no explicit range
+            {"type": "resample", "metric": "click",
+             "start_ns": 0, "end_ns": t1, "step_ns": 1000},  # huge spine
+            {"type": "resample", "metric": "click",
+             "start_ns": t0, "end_ns": t1},               # no step_ns
+            {"type": "resample", "start_ns": t0, "end_ns": t1,
+             "step_ns": W0},                              # no metric
+        ):
+            resp = _rpc(f, s, bad_req)
+            assert "error" in resp, (bad_req, resp)
+
+        # the service survives every rejected request
+        again = _rpc(f, s, {"type": "last_value", "metric": "click"})
+        assert again.get("n") == 1
+        s.close()
+    finally:
+        server.shutdown()
