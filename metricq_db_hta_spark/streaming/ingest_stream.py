@@ -415,6 +415,7 @@ class StreamingIngest:
         level_widths_ns: tuple[int, ...] = (3_600_000_000_000,),
         mapping: DataFrame | None = None,
         raw_partition: str = "month",
+        hist_widths_ns: tuple[int, ...] = (),
     ) -> None:
         if raw_partition not in ("day", "month"):
             raise ValueError(f"raw_partition must be 'day' or 'month': {raw_partition}")
@@ -422,17 +423,24 @@ class StreamingIngest:
         # (bucket truncation), which is only correct for ascending widths
         # where each is an integer multiple of its predecessor — validate
         # up front instead of serving silently wrong aggregates
-        for a, b in zip(level_widths_ns, level_widths_ns[1:]):
-            if b <= a or b % a != 0:
-                raise ValueError(
-                    f"level widths must ascend in integer multiples; got "
-                    f"{b} after {a} in {level_widths_ns}"
-                )
-        if level_widths_ns and level_widths_ns[0] <= 0:
-            raise ValueError(f"level width must be positive: {level_widths_ns}")
+        for widths in (level_widths_ns, hist_widths_ns):
+            for a, b in zip(widths, widths[1:]):
+                if b <= a or b % a != 0:
+                    raise ValueError(
+                        f"level widths must ascend in integer multiples; got "
+                        f"{b} after {a} in {widths}"
+                    )
+            if widths and widths[0] <= 0:
+                raise ValueError(f"level width must be positive: {widths}")
         self.spark = spark
         self.store = store_dir
         self.widths = level_widths_ns
+        # OPTIONAL distributional levels: per-(metric, bucket) fixed-bin
+        # histograms maintained by the same touched-partition cascade as
+        # the Aggregate levels (operators/hta.py histogram_* — integer
+        # bin counts are mergeable, which is all the cascade needs);
+        # empty tuple = off, zero cost
+        self.hist_widths = hist_widths_ns
         self.mapping = mapping
         # raw's time partition granularity. Month by default: raw data
         # density at reference scale (~40 samples/bucket, 1 Hz fleet) makes
@@ -449,6 +457,9 @@ class StreamingIngest:
 
     def level_path(self, width_ns: int) -> str:
         return os.path.join(self.store, f"level_{width_ns}")
+
+    def hist_path(self, width_ns: int) -> str:
+        return os.path.join(self.store, f"hist_{width_ns}")
 
     def checkpoint_path(self) -> str:
         return os.path.join(self.store, "_checkpoint")
@@ -668,13 +679,47 @@ class StreamingIngest:
         can still contribute to a touched coarser bucket that straddles a
         month boundary, so the general path must re-read the full lower
         level from disk (the semi-join then restricts it).
+
+        The same recompute-touched-partitions cascade maintains the
+        OPTIONAL distributional (histogram) levels — ``_update_cascade``
+        is the shared engine, parameterized on the summary family
+        (partials fn, merge fn, path layout); mergeability is the only
+        property the cascade needs, and both the Aggregate record and
+        integer bin counts have it.
         """
+        from metricq_db_hta_spark.operators.hta import rollup
+
+        self._update_cascade(
+            kept, raw, self.widths, self.level_path,
+            batch_level_partials, rollup, fresh_store,
+        )
+        if self.hist_widths:
+            from metricq_db_hta_spark.operators.hta import (
+                histogram_level,
+                histogram_rollup,
+            )
+
+            self._update_cascade(
+                kept, raw, self.hist_widths, self.hist_path,
+                histogram_level, histogram_rollup, fresh_store,
+            )
+
+    def _update_cascade(
+        self,
+        kept: DataFrame,
+        raw: DataFrame,
+        widths: tuple[int, ...],
+        path_fn,
+        level0_fn,
+        rollup_fn,
+        fresh_store: bool = False,
+    ) -> None:
         spark = kept.sparkSession
         lower_path: str | None = None
         lower_df: DataFrame | None = None
         ckpts: list[DataFrame] = []
         try:
-            for width in self.widths:
+            for width in widths:
                 bucket = (
                     F.col("ts_ns") - (F.col("ts_ns") % F.lit(width))
                 ).cast("long")
@@ -705,17 +750,15 @@ class StreamingIngest:
                     "left_semi",
                 )
                 if lower_path is None:
-                    recomputed = batch_level_partials(relevant, width)
+                    recomputed = level0_fn(relevant, width)
                 else:
-                    from metricq_db_hta_spark.operators.hta import rollup
-
-                    recomputed = rollup(
-                        relevant.drop("bucket_month"), width_ns=width
+                    recomputed = rollup_fn(
+                        relevant.drop("bucket_month"), width
                     )
                 recomputed = recomputed.withColumn(
                     "bucket_month", _ns_to_month(F.col("bucket_start_ns"))
                 )
-                path = self.level_path(width)
+                path = path_fn(width)
                 if fresh_store:
                     # one compute into memory (level rows are log-sized),
                     # then both the write and the next level read blocks

@@ -628,3 +628,28 @@ def test_fresh_checkpoint_redrain_is_noop(spark, tmp_path, chunked_input):
         if x.startswith("ingest_batch=")
     )
     assert ids1 == ids0  # no duplicate batches appeared
+
+
+def test_stream_maintains_histogram_levels(spark, sf_dir, tmp_path, chunked_input):
+    """Opt-in distributional levels (hist_widths_ns): the streaming
+    cascade's hist tables equal the batch histogram over the same kept
+    rows at both widths — multi-batch, with duplicate re-delivery (the
+    recompute-not-merge design makes replay a non-event for histograms
+    exactly as for Aggregate levels)."""
+    input_dir, _ = chunked_input
+    store = str(tmp_path / "store_hist")
+    svc = StreamingIngest(
+        spark, store, level_widths_ns=(W0,), hist_widths_ns=(W0, 10 * W0)
+    )
+    svc.run_until_drained(input_dir)
+
+    src = samples(spark, sf_dir).orderBy("event_id").limit(600)
+    batch_kept = ingest.ingest_batch(src)
+    cols = ["metric", "bucket_start_ns", "bin", "n"]
+    for width in (W0, 10 * W0):
+        streamed = spark.read.parquet(svc.hist_path(width)).select(*cols)
+        batch = hta.histogram_level(batch_kept, width).select(*cols)
+        diff = streamed.exceptAll(batch).union(batch.exceptAll(streamed))
+        assert diff.count() == 0, width
+    # the Aggregate levels are untouched by the opt-in family
+    assert spark.read.parquet(svc.level_path(W0)).count() > 0
