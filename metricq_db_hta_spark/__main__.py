@@ -47,6 +47,9 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--store", required=True)
     pi.add_argument("--width-ns", type=int, default=3_600_000_000_000)
     pi.add_argument("--levels", type=int, default=3)
+    pi.add_argument("--hist-levels", type=int, default=0,
+                    help="also maintain N distributional (histogram) "
+                    "levels at the same widths (0 = off)")
     pi.add_argument("--continuous", action="store_true")
 
     pb = sub.add_parser("backfill")
@@ -54,6 +57,9 @@ def main(argv: list[str] | None = None) -> int:
     pb.add_argument("--store", required=True)
     pb.add_argument("--width-ns", type=int, default=3_600_000_000_000)
     pb.add_argument("--levels", type=int, default=3)
+    pb.add_argument("--hist-levels", type=int, default=0,
+                    help="also maintain N distributional (histogram) "
+                    "levels at the same widths (0 = off)")
 
     ph = sub.add_parser("history")
     ph.add_argument("--store", required=True)
@@ -175,7 +181,10 @@ def main(argv: list[str] | None = None) -> int:
         from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
 
         widths = tuple(args.width_ns * 10**k for k in range(args.levels))
-        svc = StreamingIngest(spark, args.store, level_widths_ns=widths)
+        hist = tuple(args.width_ns * 10**k for k in range(args.hist_levels))
+        svc = StreamingIngest(
+            spark, args.store, level_widths_ns=widths, hist_widths_ns=hist
+        )
         if args.cmd == "backfill":
             from metricq_db_hta_spark.streaming.ingest_stream import SAMPLE_SCHEMA
 

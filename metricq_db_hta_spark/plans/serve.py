@@ -13,9 +13,16 @@ Transport: newline-delimited JSON over TCP (the bus stand-in; the request
 router is transport-agnostic). One request per line:
 
     {"type": "aggregate_timeline" | "flex_timeline" | "aggregate"
-             | "last_value" | "gapfill_timeline" | "resample" | "refresh",
+             | "last_value" | "gapfill_timeline" | "resample"
+             | "histogram_percentile" | "refresh",
      "metric": str | null, "start_ns": int, "end_ns": int,
-     "interval_max_ns": int, "step_ns": int, "limit": int}
+     "interval_max_ns": int, "step_ns": int, "p": float, "limit": int}
+
+``histogram_percentile`` serves percentile timelines from the
+distributional (histogram) level tables a writer configured with
+``hist_widths_ns`` maintains — no raw scan; errors when the store
+maintains none. Width selection follows the same coarsest-fitting rule
+as Q1 (interval_max_ns over the discovered hist widths).
 
 The two r10 dense request types serve what the reference leaves to
 clients: ``gapfill_timeline`` is Q1 over a dense bucket spine (gap rows =
@@ -46,6 +53,7 @@ from pyspark.sql import SparkSession
 from metricq_db_hta_spark.functions.timeutil import TS_MAX_NS
 from metricq_db_hta_spark.plans.history import (
     HistoryService,
+    _date_pruned,
     choose_level,
     resample_linear,
 )
@@ -150,6 +158,21 @@ class HistoryServer:
         if static_plans:
             spark.conf.set("spark.sql.adaptive.enabled", "false")
         self._svc = self._build()
+        self._hists = self._discover_hists()
+
+    def _discover_hists(self) -> dict[int, "object"]:
+        """Distributional (histogram) level tables the write path
+        maintains when StreamingIngest runs with ``hist_widths_ns`` —
+        discovered from the store layout (``hist_<width>`` dirs), never
+        configured twice. Empty dict when the store maintains none."""
+        out = {}
+        import glob as _glob
+
+        for d in sorted(_glob.glob(os.path.join(self.store, "hist_*"))):
+            tail = os.path.basename(d).split("_", 1)[1]
+            if tail.isdigit():
+                out[int(tail)] = self.spark.read.parquet(d)
+        return out
 
     def _build(self) -> HistoryService:
         return build_history_service(
@@ -175,6 +198,7 @@ class HistoryServer:
             rtype = req["type"]
             if rtype == "refresh":
                 self._svc = self._build()
+                self._hists = self._discover_hists()
                 return {"rows": [], "n": 0}
             metric = req.get("metric")
             start = int(req.get("start_ns", 0))
@@ -224,6 +248,34 @@ class HistoryServer:
                 if err:
                     return err
                 df = resample_linear(self._svc.raw, metric, start, end, step)
+            elif rtype == "histogram_percentile":
+                if not self._hists:
+                    return {
+                        "error": "store maintains no histogram levels "
+                        "(run the writer with hist_widths_ns)"
+                    }
+                p = float(req.get("p", 0.95))
+                if not 0.0 < p < 1.0:
+                    return {"error": f"p must be in (0, 1): {p}"}
+                from metricq_db_hta_spark.operators.hta import (
+                    histogram_percentile,
+                )
+
+                widths = sorted(self._hists)
+                width = choose_level(widths, imax) or widths[0]
+                h = self._hists[width]
+                if metric is not None:
+                    h = h.filter(h["metric"] == metric)
+                # directory-partition pruning on the store's bucket_month
+                # layout, same as the Aggregate level reads
+                h = _date_pruned(h, "bucket_month", start, end)
+                h = h.filter(
+                    (h["bucket_start_ns"] >= start)
+                    & (h["bucket_start_ns"] < end)
+                )
+                df = histogram_percentile(h, p).orderBy(
+                    "metric", "bucket_start_ns"
+                )
             else:
                 return {"error": f"unknown request type {rtype!r}"}
             rows = [r.asDict() for r in df.limit(limit).collect()]

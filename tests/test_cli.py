@@ -206,3 +206,14 @@ def test_history_dense_types(backfilled_store):
     )
     assert r.returncode == 2, (r.returncode, r.stdout[-300:])
     assert "requires" in r.stdout
+
+
+def test_backfill_hist_levels_flag(sample_input, tmp_path):
+    """--hist-levels N makes the writer maintain distributional levels."""
+    store = str(tmp_path / "hta_hist")
+    r = _cli(
+        "backfill", "--source", sample_input, "--store", store,
+        "--width-ns", "3600000000000", "--levels", "1", "--hist-levels", "1",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "hist_3600000000000" in os.listdir(store), os.listdir(store)

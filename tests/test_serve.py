@@ -172,3 +172,54 @@ def test_history_server_dense_requests(spark, sf_dir, tmp_path):
         s.close()
     finally:
         server.shutdown()
+
+
+def test_history_server_histogram_percentile(spark, sf_dir, tmp_path):
+    """histogram_percentile serves from the writer-maintained hist tables
+    (no raw scan) and matches the batch operator over the same store;
+    a store without hist tables errors the request, not the service."""
+    from metricq_db_hta_spark.operators import hta
+
+    src = samples(spark, sf_dir).limit(500)
+    store = str(tmp_path / "store_hist_srv")
+    StreamingIngest(
+        spark, store, level_widths_ns=(W0,), hist_widths_ns=(W0,)
+    ).backfill(src)
+    server, port = HistoryServer(spark, store, [W0]).start_background()
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=30)
+        s.settimeout(120)
+        f = s.makefile("rb")
+
+        got = _rpc(f, s, {"type": "histogram_percentile", "metric": "click",
+                          "interval_max_ns": W0, "p": 0.95})
+        assert got.get("n", 0) > 0, got
+        # cross-check every served row against the batch operator
+        h = spark.read.parquet(f"{store}/hist_{W0}").filter("metric = 'click'")
+        want = {
+            (r["metric"], r["bucket_start_ns"]): (r["count"], r["p95_est"])
+            for r in hta.histogram_percentile(h, 0.95).collect()
+        }
+        for row in got["rows"]:
+            key = (row["metric"], row["bucket_start_ns"])
+            assert want[key] == (row["count"], row["p95_est"]), (key, row)
+
+        bad_p = _rpc(f, s, {"type": "histogram_percentile", "p": 1.5})
+        assert "error" in bad_p
+        s.close()
+    finally:
+        server.shutdown()
+
+    # a store that maintains no hist tables rejects the request
+    store2 = str(tmp_path / "store_nohist_srv")
+    StreamingIngest(spark, store2, level_widths_ns=(W0,)).backfill(src)
+    server, port = HistoryServer(spark, store2, [W0]).start_background()
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=30)
+        s.settimeout(120)
+        f = s.makefile("rb")
+        resp = _rpc(f, s, {"type": "histogram_percentile", "metric": "click"})
+        assert "error" in resp and "hist" in resp["error"]
+        s.close()
+    finally:
+        server.shutdown()
