@@ -261,3 +261,36 @@ def histogram_percentile(
         F.col("total").alias("count"),
         F.round(est, 6).alias(f"p{int(p * 100)}_est"),
     )
+
+
+def counter_increase(
+    samples: DataFrame,
+    metric_col: str = "metric",
+    ts_col: str = "ts_ns",
+    value_col: str = "value",
+) -> DataFrame:
+    """Monotonic-counter semantics over a sample stream: per sample, the
+    non-negative increase since the previous sample of the same metric,
+    with counter RESETS handled the way monitoring systems do — a drop
+    (delta < 0) means the counter restarted, so the post-reset reading
+    itself is the increase (the standard under-estimate: whatever
+    accumulated between the last pre-reset sample and the restart is
+    unknowable and counted as zero). The first sample of a metric
+    contributes no increase (there is no interval it measures).
+
+    Adds ``increase`` (double) and ``is_reset`` (boolean; NULL on each
+    metric's first sample, like increase). One per-metric window — the
+    same single exchange every ordered per-metric operator here pays.
+    """
+    w = Window.partitionBy(metric_col).orderBy(ts_col)
+    prev = F.lag(value_col, 1).over(w)
+    delta = F.col(value_col) - prev
+    return samples.withColumn(
+        "increase",
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .when(delta < 0, F.col(value_col).cast("double"))
+        .otherwise(delta.cast("double")),
+    ).withColumn(
+        "is_reset",
+        F.when(prev.isNull(), F.lit(None).cast("boolean")).otherwise(delta < 0),
+    )

@@ -37,8 +37,8 @@ from metricq_db_hta_spark.queries import llm2  # noqa: F401
 #     ingest-time doc_stats_table layout (sources/derived.py) — its r8
 #     green row covers the from-scratch scan plan that llm_text_stats_scan
 #     now owns.
-# (4) The remaining 31 slots rotate r08-green queries in (46 candidates;
-#     the 15 deferred to round 11 — hta_q2_flex_raw, hta_q4_last_value,
+# (4) The remaining 30 slots rotate r08-green queries in (46 candidates;
+#     the 16 deferred to round 11 — hta_q2_flex_raw, hta_q4_last_value,
 #     rel_agg_statistical, llm_decontaminate, llm_unigram_logprob,
 #     rel_q6_forecast_revenue, rel_q10_returned_items,
 #     rel_q18_large_volume_customer (all 8 with an INDEPENDENT judge
@@ -46,13 +46,14 @@ from metricq_db_hta_spark.queries import llm2  # noqa: F401
 #     candidates to sit at stale(2)), plus rel_window_lag_lead,
 #     udf_apply_in_pandas_zscore, udf_grouped_agg_geomean,
 #     rel_window_moving_agg, rel_window_ntile, rel_having,
-#     rel_grouping_id (r8-green, displaced mid-r10 by the seven new
-#     queries in (5)); the round-11 window MUST schedule all 15.
-# (5) Seven queries added mid-round-10 take first driver rows
+#     rel_grouping_id, rel_agg_scalar_global (r8-green, displaced
+#     mid-r10 by the eight new queries in (5)); the round-11 window MUST
+#     schedule all 16.
+# (5) Eight queries added mid-round-10 take first driver rows
 #     immediately: hta_timeline_gapfill, rel_recursive_cte,
 #     llm_ngram_span_dedup, hta_resample_linear, hta_percentile_timeline,
-#     hta_histogram_level0, hta_histogram_p95_rollup (each
-#     diffcheck-green at all three SFs).
+#     hta_histogram_level0, hta_histogram_p95_rollup, hta_counter_rate
+#     (each diffcheck-green at all three SFs).
 PENDING_NEXT_WINDOW: list[str] = []
 _WINDOW = [
     # (1) first driver rows ever — added post-r9-driver-run
@@ -66,6 +67,7 @@ _WINDOW = [
     "hta_percentile_timeline",
     "hta_histogram_level0",
     "hta_histogram_p95_rollup",
+    "hta_counter_rate",
     # (2) round-9 deferral promise (green-since-r7)
     "rel_set_union",
     "rel_set_intersect",
@@ -78,7 +80,7 @@ _WINDOW = [
     "rel_join_cross",
     # (3) modified this round — served-layout plan
     "llm_text_stats",
-    # (4) r08-green rotation (38 of 46)
+    # (4) r08-green rotation (30 of 46)
     "hta_level1_rollup",
     "llm_chunk_dedup",
     "llm_dedup_survivors",
@@ -100,7 +102,6 @@ _WINDOW = [
     "llm_weighted_sample",
     "rel_agg_grouping_sets",
     "rel_agg_rollup",
-    "rel_agg_scalar_global",
     "rel_join_asof_tolerance",
     "rel_join_interval_overlap",
     "rel_join_lateral",

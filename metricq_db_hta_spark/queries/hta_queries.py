@@ -667,3 +667,53 @@ def hta_histogram_p95_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     h0 = hta.histogram_level(samples(spark, sf_dir), W0)
     h1 = hta.histogram_rollup(h0, W1)
     return hta.histogram_percentile(h1, 0.95)
+
+
+@register(
+    "hta_counter_rate",
+    oracle=f"""
+WITH samples AS (
+  SELECT event_type AS metric, epoch_ns(ts) AS ts_ns, value FROM events
+),
+inc AS (
+  SELECT metric, ts_ns,
+         CASE WHEN prev IS NULL THEN NULL
+              WHEN value - prev < 0 THEN value
+              ELSE value - prev END AS increase,
+         CASE WHEN prev IS NULL THEN NULL ELSE value - prev < 0 END AS is_reset
+  FROM (SELECT *, LAG(value) OVER (PARTITION BY metric ORDER BY ts_ns) AS prev
+        FROM samples)
+)
+SELECT metric, ts_ns - ts_ns % {W0} AS bucket_start_ns,
+       ROUND(SUM(CAST(increase AS DECIMAL(38,6))), 6) AS increase,
+       CAST(SUM(CASE WHEN is_reset THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+       ROUND(CAST(SUM(CAST(increase AS DECIMAL(38,6))) AS DOUBLE)
+             / {W0 // 1_000_000_000}, 6) AS rate_per_s
+FROM inc GROUP BY 1, 2
+""",
+    doc="Counter-rate timeline (the monitoring-system rate()/increase() "
+    "pair): per-sample non-negative increase with counter-reset "
+    "detection (a drop means restart; the post-reset reading is the "
+    "increase - the standard under-estimate), bucketed to per-hour "
+    "increase, reset count, and rate per second. One per-metric window "
+    "+ one groupBy; increase sums in DECIMAL for order-independence. "
+    "operators/hta.py::counter_increase.",
+)
+def hta_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inc = hta.counter_increase(samples(spark, sf_dir))
+    return inc.groupBy(
+        "metric",
+        (F.col("ts_ns") - F.col("ts_ns") % W0).alias("bucket_start_ns"),
+    ).agg(
+        F.round(F.sum(F.col("increase").cast("decimal(38,6)")), 6).alias(
+            "increase"
+        ),
+        F.sum(F.when(F.col("is_reset"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_resets"),
+        F.round(
+            F.sum(F.col("increase").cast("decimal(38,6)")).cast("double")
+            / F.lit(W0 // 1_000_000_000),
+            6,
+        ).alias("rate_per_s"),
+    )

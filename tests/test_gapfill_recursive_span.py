@@ -227,3 +227,20 @@ def test_histogram_percentile_within_one_bin(spark, sf_dir):
         x_k = min(max(r.vs[k - 1], hta.HIST_LO), hta.HIST_HI)
         assert abs(r.p95_est - x_k) <= 16.0, (r.metric, r.bucket_start_ns,
                                               r.p95_est, x_k, len(r.vs))
+
+
+def test_counter_increase_reset_semantics(spark):
+    """Constructed counter stream: plain increases, one reset (drop), and
+    the first-sample NULL; a second metric stays isolated."""
+    s = spark.createDataFrame(
+        [("c", 10, 100.0), ("c", 20, 150.0), ("c", 30, 20.0),  # reset at 30
+         ("c", 40, 25.0), ("d", 15, 7.0)],
+        "metric string, ts_ns long, value double",
+    )
+    rows = {(r.metric, r.ts_ns): r for r in hta.counter_increase(s).collect()}
+    assert rows[("c", 10)].increase is None and rows[("c", 10)].is_reset is None
+    assert rows[("c", 20)].increase == 50.0 and rows[("c", 20)].is_reset is False
+    # drop 150 -> 20: restart; the post-reset reading is the increase
+    assert rows[("c", 30)].increase == 20.0 and rows[("c", 30)].is_reset is True
+    assert rows[("c", 40)].increase == 5.0
+    assert rows[("d", 15)].increase is None  # other metric's first sample
