@@ -159,6 +159,27 @@ class HistoryServer:
             spark.conf.set("spark.sql.adaptive.enabled", "false")
         self._svc = self._build()
         self._hists = self._discover_hists()
+        self._floors = self._read_floors()
+
+    def _read_floors(self) -> dict[str, int]:
+        """Retention floors advertised by operators/retention.expire —
+        cached at build/refresh time like the DataFrames themselves (a
+        floor only ever advances, and only via a maintenance pass that a
+        ``refresh`` is expected to follow)."""
+        from metricq_db_hta_spark.operators.retention import retention_floors
+
+        return retention_floors(self.store)
+
+    def _clamp_floor(self, start: int, key: str) -> tuple[int, int | None]:
+        """Clamp a request's start to the serving table's retention floor
+        so an expired range returns an EXPLICIT ``clamped_start_ns``
+        instead of silently missing rows — the serve-side half of the
+        retention contract (operators/retention.py floor semantics).
+        Returns (possibly-raised start, floor-if-clamped)."""
+        floor = self._floors.get(key, 0)
+        if floor > start:
+            return floor, floor
+        return start, None
 
     def _discover_hists(self) -> dict[int, "object"]:
         """Distributional (histogram) level tables the write path
@@ -199,17 +220,34 @@ class HistoryServer:
             if rtype == "refresh":
                 self._svc = self._build()
                 self._hists = self._discover_hists()
+                self._floors = self._read_floors()
                 return {"rows": [], "n": 0}
             metric = req.get("metric")
             start = int(req.get("start_ns", 0))
             end = int(req.get("end_ns", TS_MAX_NS))
             imax = int(req.get("interval_max_ns", TS_MAX_NS))
             limit = int(req.get("limit", DEFAULT_LIMIT))
+            clamped = None
             if rtype == "aggregate_timeline":
+                w = choose_level(self._svc.widths, imax) or self._svc.widths[0]
+                start, clamped = self._clamp_floor(start, f"level_{w}")
                 df = self._svc.aggregate_timeline(metric, start, end, imax)
             elif rtype == "flex_timeline":
+                w = choose_level(self._svc.widths, imax)
+                start, clamped = self._clamp_floor(
+                    start, "raw" if w is None else f"level_{w}"
+                )
                 df = self._svc.flex_timeline(metric, start, end, imax)
             elif rtype == "aggregate":
+                # Q3 may decompose across every level; the FINEST level's
+                # floor is the highest under the tiering invariant, so
+                # clamping there keeps the merged aggregate exact over
+                # the reported range (a degraded-resolution answer from
+                # coarse-only buckets below it would be a different,
+                # wider-bucket quantity — explicit clamp over silent mix)
+                start, clamped = self._clamp_floor(
+                    start, f"level_{self._svc.widths[0]}"
+                )
                 df = self._svc.aggregate(metric, start, end)
             elif rtype == "last_value":
                 df = self._svc.last_value(metric)
@@ -227,6 +265,7 @@ class HistoryServer:
                 width = choose_level(self._svc.widths, imax) or (
                     self._svc.widths[0]
                 )
+                start, clamped = self._clamp_floor(start, f"level_{width}")
                 err = self._spine_guard(start, end, width)
                 if err:
                     return err
@@ -244,6 +283,7 @@ class HistoryServer:
                 step = int(req.get("step_ns", 0))
                 if step <= 0:
                     return {"error": "resample requires step_ns > 0"}
+                start, clamped = self._clamp_floor(start, "raw")
                 err = self._spine_guard(start, end, step)
                 if err:
                     return err
@@ -263,6 +303,7 @@ class HistoryServer:
 
                 widths = sorted(self._hists)
                 width = choose_level(widths, imax) or widths[0]
+                start, clamped = self._clamp_floor(start, f"hist_{width}")
                 h = self._hists[width]
                 if metric is not None:
                     h = h.filter(h["metric"] == metric)
@@ -279,7 +320,13 @@ class HistoryServer:
             else:
                 return {"error": f"unknown request type {rtype!r}"}
             rows = [r.asDict() for r in df.limit(limit).collect()]
-            return {"rows": rows, "n": len(rows)}
+            resp = {"rows": rows, "n": len(rows)}
+            if clamped is not None:
+                # the requested range dipped below the serving table's
+                # retention floor: rows start at the floor, and the
+                # response says so instead of looking mysteriously short
+                resp["clamped_start_ns"] = clamped
+            return resp
         except Exception as e:  # noqa: BLE001 — handler.failed parity
             return {"error": f"{type(e).__name__}: {e}"}
 

@@ -904,9 +904,26 @@ class StreamingIngest:
         """
         from metricq_db_hta_spark.operators.hta import with_delta
         from metricq_db_hta_spark.operators.ingest import ingest_batch
+        from metricq_db_hta_spark.operators.retention import raw_floor_ns
 
         self._settle_pending_compaction()
         filtered = ingest_batch(stream, self.mapping)
+        # Retention guard: importing rows below the advertised raw floor
+        # would make the level cascade recompute expired (metric,
+        # bucket_month) partitions from the backfilled FRAGMENT alone,
+        # overwriting the retained aggregate history for those buckets
+        # with fragment aggregates — silent data loss in the one table
+        # tier that was supposed to outlive raw. Reject loudly; the cost
+        # is one limit-1 job, and only for stores that ran retention.
+        # (Live streaming needs no guard: a new metric's ancient rows can
+        # only touch ITS OWN partitions, which hold no retained history.)
+        floor = raw_floor_ns(self.store)
+        if floor and filtered.filter(F.col("ts_ns") < floor).limit(1).count():
+            raise ValueError(
+                f"backfill rows fall below the retention floor ({floor} ns) "
+                "- expired ranges cannot be re-imported without first "
+                "clearing _retention.json and the affected level history"
+            )
         batch_id = -1
         wm = None
         if os.path.exists(self.raw_path):

@@ -1121,8 +1121,12 @@ def test_random_gapfill_matches_oracle(spark, duck, sf_dir, spec):
     svc = hta_service(spark, sf_dir)
     df = _present(svc.aggregate_timeline_gapfill(metric, start, end, imax))
     first = start + (-start) % width
+    # width-aligning the start can push it past a sub-width range's end;
+    # Spark's range() returns empty there but DuckDB's raises ("start is
+    # bigger than end") — clamp the oracle's end up to keep it empty-legal
     sql = LEVELS_SQL + f""",
-spine AS (SELECT range AS bucket_start_ns FROM range({first}, {end}, {width}))
+spine AS (SELECT range AS bucket_start_ns
+          FROM range({first}, {max(end, first)}, {width}))
 SELECT '{metric}' AS metric, s.bucket_start_ns, l.minimum, l.maximum,
        CAST(COALESCE(l."sum", 0) AS DOUBLE) AS "sum",
        CAST(COALESCE(l."count", 0) AS BIGINT) AS "count",

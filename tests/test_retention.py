@@ -1,0 +1,343 @@
+"""Tiered retention tests (operators/retention.py): partition-granular
+expiry, floor advertisement ordering, tiering validation, replay-barrier
+safety, backfill guard, and serve-side clamping."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from metricq_db_hta_spark.operators import maintenance, retention
+from metricq_db_hta_spark.plans.serve import HistoryServer
+from metricq_db_hta_spark.queries.hta_queries import W0, W1, samples
+from metricq_db_hta_spark.streaming import store_meta
+from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
+
+DAY_NS = 86_400 * 1_000_000_000
+
+
+def _ns(y: int, m: int, d: int) -> int:
+    return int(
+        dt.datetime(y, m, d, tzinfo=dt.timezone.utc).timestamp()
+    ) * 1_000_000_000
+
+
+#: events span Jan 1-30 2024; the shifted copies land wholly inside
+#: March (Mar 2-31) and May (May 2-31) so each backfill is one month dir
+SHIFT2 = 61 * DAY_NS
+SHIFT3 = 122 * DAY_NS
+JUNE1 = _ns(2024, 6, 1)
+
+
+def _shifted(src, shift_ns: int, id_off: int):
+    return src.select(
+        "metric",
+        (F.col("ts_ns") + F.lit(shift_ns)).alias("ts_ns"),
+        "value",
+        (F.col("event_id") + F.lit(id_off)).alias("event_id"),
+    )
+
+
+@pytest.fixture()
+def three_month_store(spark, sf_dir, tmp_path):
+    """Three committed backfill batches, one calendar month each
+    (Jan / Mar / May 2024), with two aggregate levels."""
+    store = str(tmp_path / "store")
+    src = samples(spark, sf_dir).orderBy("event_id").limit(400)
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0, W1))
+    svc.backfill(src)
+    svc.backfill(_shifted(src, SHIFT2, 1_000_000))
+    svc.backfill(_shifted(src, SHIFT3, 2_000_000))
+    return store, svc
+
+
+def _months_on_disk(root: str) -> set[str]:
+    out = set()
+    for dirpath, dirnames, _ in os.walk(root):
+        for d in dirnames:
+            if d.startswith(("ts_month=", "bucket_month=", "ts_date=")):
+                out.add(d.split("=", 1)[1])
+    return out
+
+
+# -- policy validation -----------------------------------------------------
+
+
+def test_policy_rejects_inverted_tiering():
+    with pytest.raises(ValueError, match="inverted"):
+        retention.RetentionPolicy(
+            level_max_age_ns={W0: 90 * DAY_NS, W1: 30 * DAY_NS}
+        )
+    with pytest.raises(ValueError, match="inverted"):
+        retention.RetentionPolicy(
+            raw_max_age_ns=90 * DAY_NS, level_max_age_ns={W0: 30 * DAY_NS}
+        )
+    with pytest.raises(ValueError, match="positive"):
+        retention.RetentionPolicy(raw_max_age_ns=0)
+
+
+def test_validate_against_store_widths(three_month_store):
+    store, _ = three_month_store
+    # unknown width: loud, not silently ignored
+    pol = retention.RetentionPolicy(level_max_age_ns={12345: 30 * DAY_NS})
+    with pytest.raises(ValueError, match="absent from the store"):
+        retention.expire(store, pol, now_ns=JUNE1)
+    # W0 unlisted (= forever) while coarser W1 expires: inversion found
+    # only once the store's widths are known
+    pol = retention.RetentionPolicy(level_max_age_ns={W1: 30 * DAY_NS})
+    with pytest.raises(ValueError, match="inverted"):
+        retention.expire(store, pol, now_ns=JUNE1)
+
+
+# -- raw expiry ------------------------------------------------------------
+
+
+def test_expire_raw_is_partition_granular(spark, three_month_store):
+    store, svc = three_month_store
+    raw_before = spark.read.parquet(svc.raw_path)
+    n_keep = raw_before.filter(F.col("ts_ns") >= _ns(2024, 3, 1)).count()
+
+    # June 1 minus 92 days = Mar 1 — floor aligns to the month start
+    res = retention.expire(
+        store,
+        retention.RetentionPolicy(raw_max_age_ns=92 * DAY_NS),
+        now_ns=JUNE1,
+    )
+    assert res.floors["raw"] == _ns(2024, 3, 1)
+    assert res.deleted_dirs > 0
+    # the Jan-only batch emptied out and left the committed set
+    assert res.emptied_batches == [-1]
+    assert store_meta.committed_batches(store) == {-3, -2}
+
+    raw = spark.read.parquet(svc.raw_path)
+    assert raw.count() == n_keep
+    assert raw.agg(F.min("ts_ns")).collect()[0][0] >= _ns(2024, 3, 1)
+    assert "2024-01-01" not in _months_on_disk(svc.raw_path)
+
+    # LEVELS keep the full history: the aggregate over the expired range
+    # still answers from the retained rollups (the point of tiering)
+    lv0 = spark.read.parquet(svc.level_path(W0))
+    assert lv0.filter(
+        F.col("bucket_start_ns") < _ns(2024, 2, 1)
+    ).count() > 0
+
+    # idempotent re-run: same floors, nothing further deleted
+    res2 = retention.expire(
+        store,
+        retention.RetentionPolicy(raw_max_age_ns=92 * DAY_NS),
+        now_ns=JUNE1,
+    )
+    assert res2.deleted_dirs == 0
+    assert res2.emptied_batches == []
+    assert res2.floors == res.floors
+
+
+def test_floor_never_regresses(three_month_store):
+    store, _ = three_month_store
+    retention.expire(
+        store,
+        retention.RetentionPolicy(raw_max_age_ns=92 * DAY_NS),
+        now_ns=JUNE1,
+    )
+    floor = retention.raw_floor_ns(store)
+    # a later pass with a LONGER max age must not move the floor back
+    res = retention.expire(
+        store,
+        retention.RetentionPolicy(raw_max_age_ns=365 * DAY_NS),
+        now_ns=JUNE1,
+    )
+    assert res.floors["raw"] == floor
+    assert retention.raw_floor_ns(store) == floor
+
+
+def test_tiered_level_expiry(spark, three_month_store):
+    store, svc = three_month_store
+    # raw 61d (floor Apr 1: Jan+Mar raw gone), fine level 121d (floor
+    # Feb 1: Jan buckets gone), coarse level forever
+    res = retention.expire(
+        store,
+        retention.RetentionPolicy(
+            raw_max_age_ns=61 * DAY_NS,
+            level_max_age_ns={W0: 121 * DAY_NS},
+        ),
+        now_ns=JUNE1,
+    )
+    assert res.floors["raw"] == _ns(2024, 4, 1)
+    assert res.floors[f"level_{W0}"] == _ns(2024, 2, 1)
+
+    assert _months_on_disk(svc.raw_path) == {"2024-05-01"}
+    assert _months_on_disk(svc.level_path(W0)) == {"2024-03-01", "2024-05-01"}
+    # the coarse level still holds January — old history serves at
+    # degraded resolution, never a hole
+    assert "2024-01-01" in _months_on_disk(svc.level_path(W1))
+    lv1 = spark.read.parquet(svc.level_path(W1))
+    assert lv1.filter(F.col("bucket_start_ns") < _ns(2024, 2, 1)).count() > 0
+
+
+# -- safety guards ---------------------------------------------------------
+
+
+def test_refuses_pending_compaction_journal(three_month_store):
+    store, _ = three_month_store
+    with open(store_meta.journal_path(store), "w") as f:
+        json.dump({"state": "writing", "sources": [-1], "dest": -9}, f)
+    with pytest.raises(RuntimeError, match="journal pending"):
+        retention.expire(
+            store,
+            retention.RetentionPolicy(raw_max_age_ns=DAY_NS),
+            now_ns=JUNE1,
+        )
+
+
+def test_skips_uncommitted_and_replayable_batches(three_month_store):
+    store, svc = three_month_store
+    # batch -1 (January) taken out of the committed set: a torn batch
+    # recover() still owns — retention must not touch it
+    store_meta.update_commit_marker(store, add=set(), remove={-1})
+    res = retention.expire(
+        store,
+        retention.RetentionPolicy(raw_max_age_ns=30 * DAY_NS),
+        now_ns=JUNE1,
+    )
+    assert -1 not in res.emptied_batches
+    assert "2024-01-01" in _months_on_disk(svc.raw_path)
+
+    # a streaming-owned id with an offsets entry but no commits entry is
+    # replayable: deleting its partitions would let the replay resurrect
+    # them — must be skipped even though marker-committed
+    bdir = store_meta.batch_dir(store, 7)
+    jan = os.path.join(
+        store_meta.batch_dir(store, -1), "metric=click", "ts_month=2024-01-01"
+    )
+    os.makedirs(os.path.join(bdir, "metric=click"))
+    import shutil
+
+    shutil.copytree(
+        jan, os.path.join(bdir, "metric=click", "ts_month=2024-01-01")
+    )
+    os.makedirs(os.path.join(store, "_checkpoint", "offsets"), exist_ok=True)
+    with open(os.path.join(store, "_checkpoint", "offsets", "7"), "w") as f:
+        f.write("{}")
+    store_meta.update_commit_marker(store, add={7})
+    res = retention.expire(
+        store,
+        retention.RetentionPolicy(raw_max_age_ns=30 * DAY_NS),
+        now_ns=JUNE1,
+    )
+    assert 7 not in res.emptied_batches
+    assert os.path.isdir(os.path.join(bdir, "metric=click", "ts_month=2024-01-01"))
+
+
+def test_backfill_below_floor_raises(spark, sf_dir, three_month_store):
+    store, svc = three_month_store
+    retention.expire(
+        store,
+        retention.RetentionPolicy(raw_max_age_ns=92 * DAY_NS),
+        now_ns=JUNE1,
+    )
+    old = samples(spark, sf_dir).limit(50)  # January: below the floor
+    with pytest.raises(ValueError, match="retention floor"):
+        svc.backfill(old)
+
+
+def test_compaction_still_works_after_expiry(spark, three_month_store):
+    store, svc = three_month_store
+    retention.expire(
+        store,
+        retention.RetentionPolicy(raw_max_age_ns=92 * DAY_NS),
+        now_ns=JUNE1,
+    )
+    n_before = spark.read.parquet(svc.raw_path).count()
+    res = maintenance.compact_raw(spark, store)
+    assert res is not None and sorted(res.sources) == [-3, -2]
+    assert spark.read.parquet(svc.raw_path).count() == n_before
+    assert svc.recover() == set()
+
+
+# -- day-partitioned layout ------------------------------------------------
+
+
+def test_day_layout_aligns_floor_to_days(spark, sf_dir, tmp_path):
+    store = str(tmp_path / "store")
+    src = samples(spark, sf_dir).orderBy("event_id").limit(400)
+    svc = StreamingIngest(
+        spark, store, level_widths_ns=(W0,), raw_partition="day"
+    )
+    svc.backfill(src)
+    # now = Jan 10, keep 5 days -> floor Jan 5 (day-aligned, not month)
+    res = retention.expire(
+        store,
+        retention.RetentionPolicy(raw_max_age_ns=5 * DAY_NS),
+        now_ns=_ns(2024, 1, 10),
+    )
+    assert res.floors["raw"] == _ns(2024, 1, 5)
+    raw = spark.read.parquet(svc.raw_path)
+    assert raw.agg(F.min("ts_ns")).collect()[0][0] >= _ns(2024, 1, 5)
+    days = _months_on_disk(svc.raw_path)
+    assert "2024-01-04" not in days and "2024-01-05" in days
+
+
+# -- serve integration -----------------------------------------------------
+
+
+def test_serve_clamps_at_floors(spark, three_month_store):
+    store, svc = three_month_store
+    retention.expire(
+        store,
+        retention.RetentionPolicy(
+            raw_max_age_ns=61 * DAY_NS,  # raw floor Apr 1
+            level_max_age_ns={W0: 121 * DAY_NS},  # fine floor Feb 1
+        ),
+        now_ns=JUNE1,
+    )
+    server = HistoryServer(spark, store, [W0, W1])
+
+    # raw fallthrough (imax finer than finest level): clamped to Apr 1
+    r = server.handle(
+        {"type": "flex_timeline", "metric": "click", "interval_max_ns": 1}
+    )
+    assert r["clamped_start_ns"] == _ns(2024, 4, 1)
+    assert all(row["ts_ns"] >= _ns(2024, 4, 1) for row in r["rows"])
+
+    # fine-level timeline: clamped to Feb 1, so it serves March + May
+    r = server.handle(
+        {
+            "type": "aggregate_timeline",
+            "metric": "click",
+            "interval_max_ns": W0,
+        }
+    )
+    assert r["clamped_start_ns"] == _ns(2024, 2, 1)
+    assert r["n"] > 0
+    assert all(
+        row["bucket_start_ns"] >= _ns(2024, 2, 1) for row in r["rows"]
+    )
+
+    # coarse-level timeline (kept forever): NO clamp, January served
+    r = server.handle(
+        {
+            "type": "aggregate_timeline",
+            "metric": "click",
+            "interval_max_ns": W1,
+        }
+    )
+    assert "clamped_start_ns" not in r
+    assert any(
+        row["bucket_start_ns"] < _ns(2024, 2, 1) for row in r["rows"]
+    )
+
+    # an explicit request entirely above every floor: untouched
+    r = server.handle(
+        {
+            "type": "flex_timeline",
+            "metric": "click",
+            "interval_max_ns": 1,
+            "start_ns": _ns(2024, 5, 1),
+            "end_ns": _ns(2024, 6, 1),
+        }
+    )
+    assert "clamped_start_ns" not in r and r["n"] > 0
