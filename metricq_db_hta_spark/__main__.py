@@ -11,6 +11,8 @@ Subcommands:
   compact  --store DIR [--min-batches N]            raw small-file OPTIMIZE
            [--defer-delete]                         snapshot-isolated mode
   vacuum   --store DIR [--grace-s S]                delete expired retired batches (no Spark)
+  retain   --store DIR [--raw-max-age-s S]          tiered TTL expiry (no Spark)
+           [--level-max-age W_NS=AGE_S ...] [--hist-max-age W_NS=AGE_S ...]
   store-stats --store DIR                           batch/file/journal health (no Spark)
   serve    --store DIR [--host H] [--port P]        resident history RPC
 
@@ -115,6 +117,31 @@ def main(argv: list[str] | None = None) -> int:
         "above the longest-running read against this store",
     )
 
+    pr = sub.add_parser("retain")
+    pr.add_argument("--store", required=True)
+    pr.add_argument(
+        "--raw-max-age-s",
+        type=float,
+        default=None,
+        help="expire raw sample partitions older than this many seconds",
+    )
+    pr.add_argument(
+        "--level-max-age",
+        action="append",
+        default=[],
+        metavar="WIDTH_NS=AGE_S",
+        help="expire one aggregate level's partitions past AGE_S seconds "
+        "(repeatable; unlisted levels are kept forever — coarser levels "
+        "must be retained at least as long as finer ones)",
+    )
+    pr.add_argument(
+        "--hist-max-age",
+        action="append",
+        default=[],
+        metavar="WIDTH_NS=AGE_S",
+        help="same for a distributional (histogram) level",
+    )
+
     ps = sub.add_parser("serve")
     ps.add_argument("--store", required=True)
     ps.add_argument("--host", default="127.0.0.1")
@@ -128,6 +155,7 @@ def main(argv: list[str] | None = None) -> int:
         # pure metadata: no SparkSession needed — usable while a writer runs
         import json as _json
 
+        from metricq_db_hta_spark.operators.retention import retention_floors
         from metricq_db_hta_spark.streaming import store_meta
 
         on_disk = store_meta.raw_batches_on_disk(args.store)
@@ -160,6 +188,7 @@ def main(argv: list[str] | None = None) -> int:
             "snapshot_version": (
                 store_meta.current_snapshot(args.store) or {}
             ).get("version"),
+            "retention_floors": retention_floors(args.store),
         }
         print(_json.dumps(stats, indent=2))
         return 0
@@ -173,6 +202,45 @@ def main(argv: list[str] | None = None) -> int:
             print(f"vacuum: {e}", file=sys.stderr)
             return 2
         print(f"vacuumed {len(gone)} retired batches: {gone}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "retain":
+        # pure metadata walk (operators/retention.py) — no SparkSession
+        import time as _time
+
+        from metricq_db_hta_spark.operators import retention as _ret
+
+        def _ages(pairs: list[str], flag: str) -> dict[int, int]:
+            out = {}
+            for spec in pairs:
+                try:
+                    w, age_s = spec.split("=", 1)
+                    out[int(w)] = int(float(age_s) * 1e9)
+                except ValueError:
+                    p.error(f"--{flag} expects WIDTH_NS=AGE_S, got {spec!r}")
+            return out
+
+        try:
+            policy = _ret.RetentionPolicy(
+                raw_max_age_ns=(
+                    int(args.raw_max_age_s * 1e9)
+                    if args.raw_max_age_s is not None
+                    else None
+                ),
+                level_max_age_ns=_ages(args.level_max_age, "level-max-age"),
+                hist_max_age_ns=_ages(args.hist_max_age, "hist-max-age"),
+            )
+            res = _ret.expire(
+                args.store, policy, now_ns=int(_time.time() * 1e9)
+            )
+        except (ValueError, RuntimeError) as e:
+            print(f"retain: {e}", file=sys.stderr)
+            return 2
+        print(
+            f"expired {res.deleted_dirs} partition dirs; "
+            f"emptied batches {res.emptied_batches}; floors {res.floors}",
+            file=sys.stderr,
+        )
         return 0
 
     spark = get_spark("metricq-db-hta-spark-cli")

@@ -217,3 +217,27 @@ def test_backfill_hist_levels_flag(sample_input, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "hist_3600000000000" in os.listdir(store), os.listdir(store)
+
+
+def test_retain_noop_advertises_floor(backfilled_store):
+    """`retain` with a max age far beyond the data's age deletes nothing
+    (floor clamps to epoch) but exercises the full CLI path: policy
+    parse, expire, floors echoed, and store-stats reporting them."""
+    r = _cli(
+        "retain", "--store", backfilled_store,
+        "--raw-max-age-s", str(10**10),  # ~317 years: nothing expires
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "expired 0 partition dirs" in r.stderr
+    assert "floors" in r.stderr
+    r = _cli("store-stats", "--store", backfilled_store)
+    stats = json.loads(r.stdout)
+    assert "retention_floors" in stats
+
+
+def test_retain_bad_age_spec_exits_2(backfilled_store):
+    r = _cli(
+        "retain", "--store", backfilled_store,
+        "--level-max-age", "notanumber",
+    )
+    assert r.returncode == 2, (r.returncode, r.stderr[-300:])
