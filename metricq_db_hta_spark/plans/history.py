@@ -115,6 +115,66 @@ def _decompose(
     )
 
 
+def q3_segments_tiered(
+    start_ns: int,
+    end_ns: int,
+    widths_ns: list[int],
+    floors: dict[int, int],
+) -> tuple[list[tuple[int, int, int]], list[tuple[int, int]]]:
+    """Availability-constrained Q3 decomposition for a store under tiered
+    retention (operators/retention.py): cover [start, end) with the
+    coarsest buckets that fit AND still exist, recursing to finer edges
+    only where the finer level's history survives. Returns
+    ``(segments, gaps)`` — segments as in :func:`q3_segments`, plus the
+    sub-ranges NO retained level can serve exactly (each bounded by one
+    coarse bucket width, at the range edges under monotone tiering).
+
+    ``floors[width]`` is the level's advertised retention floor (buckets
+    with ``bucket_start_ns >= floor`` intact; missing width = floor 0).
+    A level serves a bucket only when the WHOLE bucket is at-or-above
+    its floor, so every emitted segment reads only intact buckets and
+    the merged aggregate stays bit-exact over ``segments`` — degraded
+    RESOLUTION for old ranges (coarser buckets), never degraded truth.
+    The honest remainder is returned instead of silently clamped: a
+    caller that merges ``segments`` and reports ``gaps`` serves exactly
+    what RRD-style tiered stores promise.
+    """
+    w0 = min(widths_ns)
+    a0 = -(-start_ns // w0) * w0
+    a1 = min(-(-end_ns // w0) * w0, (1 << 63) - 1)  # TS_MAX cap, as Q3
+    if a0 >= a1:
+        return [], []
+    usable = sorted((w for w in widths_ns if w % w0 == 0), reverse=True)
+    # floor <= 0 / absent means "never expired": fully available, including
+    # pre-epoch timestamps (legal int64 ns) — so the sentinel is -2^63,
+    # not 0. Advertised retention floors are always month-aligned > 0.
+    avail = {
+        w: (-(-floors[w] // w) * w if floors.get(w, 0) > 0 else -(1 << 63))
+        for w in usable
+    }
+    return _decompose_avail(a0, a1, usable, avail)
+
+
+def _decompose_avail(
+    a0: int, a1: int, widths_desc: list[int], avail: dict[int, int]
+) -> tuple[list[tuple[int, int, int]], list[tuple[int, int]]]:
+    if a0 >= a1:
+        return [], []
+    w = widths_desc[0]
+    if len(widths_desc) == 1:
+        s = max(a0, avail[w])
+        gaps = [(a0, min(s, a1))] if s > a0 else []
+        segs = [(w, s, a1)] if s < a1 else []
+        return segs, gaps
+    lo = -(-max(a0, avail[w]) // w) * w  # first intact w bucket >= a0
+    hi = (a1 // w) * w
+    if lo >= hi:
+        return _decompose_avail(a0, a1, widths_desc[1:], avail)
+    lsegs, lgaps = _decompose_avail(a0, lo, widths_desc[1:], avail)
+    rsegs, rgaps = _decompose_avail(hi, a1, widths_desc[1:], avail)
+    return lsegs + [(w, lo, hi)] + rsegs, lgaps + rgaps
+
+
 def _date_pruned(df: DataFrame, date_col: str, start_ns: int, end_ns: int) -> DataFrame:
     """Add a partition-pruning predicate on the store's time partition
     column when present (stores written by streaming/ingest_stream.py are
@@ -270,6 +330,33 @@ class HistoryService:
             if decompose
             else [(self.widths[0], start_ns, end_ns)]
         )
+        return self._merge_segments(metric, segs)
+
+    def aggregate_tiered(
+        self,
+        metric: str | None,
+        start_ns: int,
+        end_ns: int,
+        floors: dict[int, int],
+    ) -> tuple[DataFrame, list[tuple[int, int]]]:
+        """Q3 over a store under tiered retention: one merged Aggregate
+        per metric over the maximal exactly-servable part of
+        [start, end), answered from whichever levels still retain each
+        sub-range (coarse buckets for expired-raw history — degraded
+        resolution, exact values), plus the honest list of sub-ranges no
+        retained level covers. ``floors`` maps level width -> advertised
+        retention floor (plans/serve.py feeds the ``_retention.json``
+        values). With no floors this is exactly ``aggregate(...,
+        decompose=True)`` with an empty gap list."""
+        segs, gaps = q3_segments_tiered(start_ns, end_ns, self.widths, floors)
+        return self._merge_segments(metric, segs), gaps
+
+    def _merge_segments(
+        self, metric: str | None, segs: list[tuple[int, int, int]]
+    ) -> DataFrame:
+        """Union the per-level bucket slices a decomposition selected and
+        merge them to one Aggregate per metric (each level scanned once
+        with an OR of its tight ranges; partition-pruned)."""
         by_width: dict[int, list[tuple[int, int]]] = defaultdict(list)
         for w, lo, hi in segs:
             by_width[w].append((lo, hi))

@@ -13,8 +13,8 @@ Transport: newline-delimited JSON over TCP (the bus stand-in; the request
 router is transport-agnostic). One request per line:
 
     {"type": "aggregate_timeline" | "flex_timeline" | "aggregate"
-             | "last_value" | "gapfill_timeline" | "resample"
-             | "histogram_percentile" | "refresh",
+             | "aggregate_tiered" | "last_value" | "gapfill_timeline"
+             | "resample" | "histogram_percentile" | "refresh",
      "metric": str | null, "start_ns": int, "end_ns": int,
      "interval_max_ns": int, "step_ns": int, "p": float, "limit": int}
 
@@ -228,6 +228,7 @@ class HistoryServer:
             imax = int(req.get("interval_max_ns", TS_MAX_NS))
             limit = int(req.get("limit", DEFAULT_LIMIT))
             clamped = None
+            uncovered = None
             if rtype == "aggregate_timeline":
                 w = choose_level(self._svc.widths, imax) or self._svc.widths[0]
                 start, clamped = self._clamp_floor(start, f"level_{w}")
@@ -249,6 +250,20 @@ class HistoryServer:
                     start, f"level_{self._svc.widths[0]}"
                 )
                 df = self._svc.aggregate(metric, start, end)
+            elif rtype == "aggregate_tiered":
+                # retention-aware Q3: serve expired-raw history from the
+                # coarse levels that retain it (exact values, degraded
+                # resolution) and report the unservable slivers in
+                # ``uncovered`` — the tiered-store alternative to the
+                # plain ``aggregate`` clamp above
+                floors = {
+                    w: self._floors.get(f"level_{w}", 0)
+                    for w in self._svc.widths
+                }
+                df, gaps = self._svc.aggregate_tiered(
+                    metric, start, end, floors
+                )
+                uncovered = [[lo, hi] for lo, hi in gaps]
             elif rtype == "last_value":
                 df = self._svc.last_value(metric)
             elif rtype == "gapfill_timeline":
@@ -326,6 +341,8 @@ class HistoryServer:
                 # retention floor: rows start at the floor, and the
                 # response says so instead of looking mysteriously short
                 resp["clamped_start_ns"] = clamped
+            if uncovered is not None:
+                resp["uncovered"] = uncovered
             return resp
         except Exception as e:  # noqa: BLE001 — handler.failed parity
             return {"error": f"{type(e).__name__}: {e}"}

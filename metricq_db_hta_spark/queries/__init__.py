@@ -49,11 +49,13 @@ from metricq_db_hta_spark.queries import llm2  # noqa: F401
 #     rel_grouping_id, rel_agg_scalar_global (r8-green, displaced
 #     mid-r10 by the eight new queries in (5)); the round-11 window MUST
 #     schedule all 16.
-# (5) Eight queries added mid-round-10 take first driver rows
+# (5) Nine queries added mid-round-10 take first driver rows
 #     immediately: hta_timeline_gapfill, rel_recursive_cte,
 #     llm_ngram_span_dedup, hta_resample_linear, hta_percentile_timeline,
-#     hta_histogram_level0, hta_histogram_p95_rollup, hta_counter_rate
-#     (each diffcheck-green at all three SFs).
+#     hta_histogram_level0, hta_histogram_p95_rollup, hta_counter_rate,
+#     hta_q3_tiered (each diffcheck-green at all three SFs). The ninth
+#     displaces rel_window_rank_topn from (4) — r8-green, untouched —
+#     which joins the 16 queries round 11 MUST schedule.
 PENDING_NEXT_WINDOW: list[str] = []
 _WINDOW = [
     # (1) first driver rows ever — added post-r9-driver-run
@@ -68,6 +70,7 @@ _WINDOW = [
     "hta_histogram_level0",
     "hta_histogram_p95_rollup",
     "hta_counter_rate",
+    "hta_q3_tiered",
     # (2) round-9 deferral promise (green-since-r7)
     "rel_set_union",
     "rel_set_intersect",
@@ -80,7 +83,7 @@ _WINDOW = [
     "rel_join_cross",
     # (3) modified this round — served-layout plan
     "llm_text_stats",
-    # (4) r08-green rotation (30 of 46)
+    # (4) r08-green rotation (29 of 46)
     "hta_level1_rollup",
     "llm_chunk_dedup",
     "llm_dedup_survivors",
@@ -110,7 +113,6 @@ _WINDOW = [
     "rel_subquery_scalar_exists",
     "rel_unpivot",
     "rel_window_distribution",
-    "rel_window_rank_topn",
 ]
 assert len(_WINDOW) == 50, len(_WINDOW)
 _missing = [n for n in _WINDOW if n not in REGISTRY]

@@ -17,7 +17,10 @@ from pyspark.sql import functions as F
 
 from metricq_db_hta_spark.functions.timeutil import ts_ns_auto
 from metricq_db_hta_spark.operators import hta, ingest
-from metricq_db_hta_spark.plans.history import HistoryService
+from metricq_db_hta_spark.plans.history import (
+    HistoryService,
+    q3_segments_tiered,
+)
 from metricq_db_hta_spark.queries.base import (
     bsum,
     dsum,
@@ -396,6 +399,52 @@ GROUP BY metric
 def hta_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     svc = service(spark, sf_dir)
     return _present(svc.aggregate(None, START_NS, END_NS))
+
+
+# Retention-aware Q3 (plans/history.py::aggregate_tiered): fixed synthetic
+# floors force every path of the availability-constrained decomposition —
+# the W0 floor (Jan 10) blocks fine serving of the early range, the W1
+# floor (Jan 3) pushes the coarse left edge, W2 is kept forever. The
+# request starts Jan 2 06:00, so the decomposition must gap the sliver
+# before W1's first intact bucket, serve the early interior from W1/W2,
+# and only use W0 for the late edge. The oracle aggregates the FINEST
+# level over exactly the covered segments (disjoint by construction),
+# which is the ground truth the multi-level merge must hit bit-exactly
+# (mergeability invariant) — on the un-expired fixture data every level
+# row exists, so the differential isolates the segment/merge math.
+TIER_START_NS = 1_704_175_200_000_000_000  # 2024-01-02T06:00:00Z
+TIER_FLOORS = {
+    W0: 1_704_844_800_000_000_000,  # 2024-01-10T00:00:00Z
+    W1: 1_704_240_000_000_000_000,  # 2024-01-03T00:00:00Z
+}
+_TIER_SEGS, TIER_GAPS = q3_segments_tiered(
+    TIER_START_NS, END_NS, LEVEL_WIDTHS, TIER_FLOORS
+)
+_TIER_COVER_PRED = " OR ".join(
+    f"(bucket_start_ns >= {lo} AND bucket_start_ns < {hi})"
+    for _, lo, hi in _TIER_SEGS
+)
+
+
+@register(
+    "hta_q3_tiered",
+    oracle=LEVELS_SQL + f"""
+SELECT metric, MIN(minimum) AS minimum, MAX(maximum) AS maximum,
+       CAST(SUM("sum") AS DOUBLE) AS "sum", {sql_bsum('"count"')} AS "count",
+       CAST(SUM(integral) AS BIGINT) AS integral, {sql_bsum('active_time')} AS active_time
+FROM level0
+WHERE {_TIER_COVER_PRED}
+GROUP BY metric
+""",
+    doc="Q3 under tiered retention: merged Aggregate over the maximal "
+    "exactly-servable region, expired-raw history answered from retained "
+    "coarse levels (degraded resolution, exact values), uncovered edge "
+    "slivers reported, never silently clamped.",
+)
+def hta_q3_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    svc = service(spark, sf_dir)
+    df, _gaps = svc.aggregate_tiered(None, TIER_START_NS, END_NS, TIER_FLOORS)
+    return _present(df)
 
 
 @register(

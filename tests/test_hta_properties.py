@@ -217,3 +217,95 @@ def test_q3_segments_tile_exactly(start, span, n_levels, factor):
     # a coarse segment only covers ground an even multiple of finer widths
     # (substitutability): every non-finest segment's span is a whole
     # number of ITS OWN buckets, already implied by alignment above.
+
+
+# -- q3_segments_tiered: availability-constrained decomposition -------------
+
+from metricq_db_hta_spark.plans.history import q3_segments_tiered
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    start=st.integers(min_value=-(2**40), max_value=2**62),
+    span=st.integers(min_value=0, max_value=2**45),
+    n_levels=st.integers(min_value=1, max_value=5),
+    factor=st.sampled_from([2, 10]),
+    floor_units=st.lists(
+        st.integers(min_value=0, max_value=2**20), min_size=0, max_size=5
+    ),
+)
+def test_q3_segments_tiered_partitions_exactly(
+    start, span, n_levels, factor, floor_units
+):
+    """The tiered decomposition must partition [a0, a1) EXACTLY into
+    segments + gaps (disjoint, contiguous, no loss), with every segment
+    entirely at-or-above its level's availability — a violation either
+    reads expired (missing) buckets or silently double-counts/drops.
+    Floors are arbitrary here (the operator validates tiering separately;
+    the math must hold regardless)."""
+    widths = [_W0 * factor**k for k in range(n_levels)]
+    floors = {
+        widths[i]: u * _W0 for i, u in enumerate(floor_units[:n_levels])
+    }
+    end = start + span
+    segs, gaps = q3_segments_tiered(start, end, widths, floors)
+    a0 = -(-start // _W0) * _W0
+    a1 = min(-(-end // _W0) * _W0, (1 << 63) - 1)
+    if a0 >= a1:
+        assert segs == [] and gaps == []
+        return
+    for w, lo, hi in segs:
+        assert w in widths and lo < hi and lo % w == 0
+        # availability: the whole segment reads only intact buckets
+        # (floor <= 0 = never expired = no constraint)
+        if floors.get(w, 0) > 0:
+            assert lo >= -(-floors[w] // w) * w
+    # segments + gaps tile [a0, a1) with no gap-in-the-other-sense
+    pieces = sorted(
+        [(lo, hi) for _, lo, hi in segs] + [(lo, hi) for lo, hi in gaps]
+    )
+    assert pieces[0][0] == a0 and pieces[-1][1] == a1
+    for (l1, h1), (l2, h2) in zip(pieces, pieces[1:]):
+        assert h1 == l2, "hole or overlap in segments+gaps tiling"
+    # no floors -> identical to the classic decomposition, zero gaps
+    if not any(floors.values()):
+        assert segs == q3_segments(start, end, widths) and gaps == []
+
+
+def test_q3_tiered_equals_finest_over_covered(spark, sf_dir):
+    """On un-expired data (every level row still present), the tiered
+    merge over its chosen segments must be BIT-equal to a finest-only
+    scan over exactly the covered ranges — isolates the multi-level
+    substitution math from actual expiry (test_retention.py covers the
+    expired-store end-to-end)."""
+    import random
+
+    from metricq_db_hta_spark.queries.hta_queries import LEVEL_WIDTHS, W1
+
+    svc = service(spark, sf_dir)
+    rnd = random.Random(7)
+    span = END_NS - START_NS
+    cases = [
+        {},  # no retention
+        {W0: START_NS + span // 3, W1: START_NS},  # tiered
+        {w: END_NS for w in LEVEL_WIDTHS},  # everything expired
+    ]
+    for _ in range(3):
+        cases.append(
+            {
+                W0: START_NS + rnd.randrange(0, span),
+                W1: START_NS + rnd.randrange(-span, span // 2),
+            }
+        )
+    for floors in cases:
+        segs, gaps = q3_segments_tiered(
+            START_NS, END_NS, LEVEL_WIDTHS, floors
+        )
+        tiered, rep_gaps = svc.aggregate_tiered(
+            None, START_NS, END_NS, floors
+        )
+        assert rep_gaps == gaps
+        finest = svc._merge_segments(
+            None, [(W0, lo, hi) for _, lo, hi in segs]
+        )
+        assert _rows(tiered) == _rows(finest), floors

@@ -341,3 +341,60 @@ def test_serve_clamps_at_floors(spark, three_month_store):
         }
     )
     assert "clamped_start_ns" not in r and r["n"] > 0
+
+
+def test_tiered_q3_serves_expired_history_from_coarse(
+    spark, three_month_store
+):
+    """End-to-end tiered Q3 on a REALLY expired store: raw + fine-level
+    history gone, the availability-constrained decomposition answers the
+    old range from the retained coarse level, bit-equal to the pre-expiry
+    finest-only answer over the same covered region."""
+    from metricq_db_hta_spark.plans.history import q3_segments_tiered
+    from metricq_db_hta_spark.plans.serve import build_history_service
+
+    store, svc = three_month_store
+    start, end = _ns(2024, 1, 1), _ns(2024, 6, 1)
+    floors = {W0: _ns(2024, 2, 1)}  # what expire() will advertise
+    segs, gaps = q3_segments_tiered(start, end, [W0, W1], floors)
+    assert gaps == [] or all(hi <= _ns(2024, 2, 1) for _, hi in gaps)
+
+    pre = build_history_service(spark, store, [W0, W1])
+    expected = sorted(
+        tuple(r)
+        for r in pre._merge_segments(
+            None, [(W0, lo, hi) for _, lo, hi in segs]
+        ).collect()
+    )
+    assert expected, "fixture must produce rows"
+
+    retention.expire(
+        store,
+        retention.RetentionPolicy(
+            raw_max_age_ns=61 * DAY_NS, level_max_age_ns={W0: 121 * DAY_NS}
+        ),
+        now_ns=JUNE1,
+    )
+    advertised = retention.retention_floors(store)
+    assert advertised[f"level_{W0}"] == floors[W0]
+
+    post = build_history_service(spark, store, [W0, W1])
+    tiered, rep_gaps = post.aggregate_tiered(
+        None, start, end, {W0: advertised[f"level_{W0}"]}
+    )
+    assert rep_gaps == gaps
+    assert sorted(tuple(r) for r in tiered.collect()) == expected
+
+    # served over RPC: rows + the honest uncovered report
+    server = HistoryServer(spark, store, [W0, W1])
+    r = server.handle(
+        {
+            "type": "aggregate_tiered",
+            "metric": "click",
+            "start_ns": start,
+            "end_ns": end,
+        }
+    )
+    assert "error" not in r, r
+    assert r["n"] == 1
+    assert r["uncovered"] == [[lo, hi] for lo, hi in gaps]
