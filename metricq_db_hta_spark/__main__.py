@@ -14,6 +14,7 @@ Subcommands:
   retain   --store DIR [--raw-max-age-s S]          tiered TTL expiry (no Spark)
            [--level-max-age W_NS=AGE_S ...] [--hist-max-age W_NS=AGE_S ...]
   store-stats --store DIR                           batch/file/journal health (no Spark)
+  fsck     --store DIR [--start NS] [--end NS]      audit levels vs raw recompute
   serve    --store DIR [--host H] [--port P]        resident history RPC
 
 Examples:
@@ -141,6 +142,13 @@ def main(argv: list[str] | None = None) -> int:
         metavar="WIDTH_NS=AGE_S",
         help="same for a distributional (histogram) level",
     )
+
+    pf = sub.add_parser("fsck")
+    pf.add_argument("--store", required=True)
+    pf.add_argument("--start", type=int, default=None,
+                    help="audit only buckets with start >= this ns")
+    pf.add_argument("--end", type=int, default=None,
+                    help="audit only buckets with start < this ns")
 
     ps = sub.add_parser("serve")
     ps.add_argument("--store", required=True)
@@ -330,6 +338,40 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
         return 0
+
+    if args.cmd == "fsck":
+        import json as _json
+
+        from metricq_db_hta_spark.operators.fsck import check_store
+
+        try:
+            rep = check_store(
+                spark, args.store, start_ns=args.start, end_ns=args.end
+            )
+        except ValueError as e:
+            print(f"fsck: {e}", file=sys.stderr)
+            return 2
+        print(
+            _json.dumps(
+                {
+                    "ok": rep.ok,
+                    "levels": [
+                        {
+                            "table": r.table,
+                            "checked": r.n_checked,
+                            "mismatched": r.n_mismatched,
+                            "examples": r.examples,
+                        }
+                        for r in rep.levels
+                    ],
+                    "uncommitted_batches": rep.uncommitted_batches,
+                    "journal_pending": rep.journal_pending,
+                },
+                indent=2,
+                default=str,
+            )
+        )
+        return 0 if rep.ok else 1
 
     if args.cmd == "serve":
         import time

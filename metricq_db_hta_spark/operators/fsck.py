@@ -1,0 +1,244 @@
+"""Store consistency checker (fsck): verify the derived level tables
+against a from-scratch recompute of the committed raw data.
+
+The level tables are DERIVED state maintained incrementally by three
+different writers — the streaming cascade (touched-partition recompute),
+backfill (same path, negative batch ids), and crash repair
+(``recover()``) — while compaction rewrites raw underneath them and
+retention deletes both tiers on different clocks. Each path is
+individually tested, but an operator running all of them against 100 TB
+wants an independent auditor: recompute each level from raw
+(``operators/hta.py`` — the same pure functions the property tests pin)
+and diff it against what is stored, bucket by bucket, field by field.
+The reference has no analogue (its HTA tree is rewritten in one process);
+this is the `fsck` every multi-writer store grows eventually.
+
+Comparison is BIT-exact: both sides run the identical plan shape (same
+decimal sums, same floor-based integral), so any difference is real
+divergence, not float noise — the same argument the mergeability
+property tests rely on.
+
+Scope rules (what an honest checker must skip):
+
+* Only batches that are marker-committed AND not excluded for read
+  (pending-journal side, retired-awaiting-vacuum) participate.
+  Uncommitted (torn) batches are REPORTED, not diffed — their level
+  partitions are legitimately unrepaired until ``recover()`` runs.
+* Under raw retention (``_retention.json``), buckets below a level's own
+  floor no longer exist to check, and the per-metric bucket containing
+  the first RETAINED sample is skipped: its stored integral/active_time
+  were computed with the delta to an expired predecessor that a
+  recompute can no longer see. One boundary bucket per metric per level
+  — everything above it must still match exactly.
+* A time range (``start_ns``/``end_ns``) bounds the audit cost: the
+  recompute's raw scan partition-prunes to the range, so a nightly
+  "check yesterday" reads a day, not the store.
+
+Scale shape: per level, one groupBy over the (pruned) raw scan plus one
+full-outer join against the (log-sized) stored level on
+(metric, bucket_start_ns) — shuffles bounded by the rollup size, never
+by pair enumeration. Histogram levels (``hist_<w>``) are checked the
+same way on (metric, bucket, bin).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metricq_db_hta_spark.functions.timeutil import bucket_start_ns
+from metricq_db_hta_spark.operators import hta
+from metricq_db_hta_spark.operators.retention import retention_floors
+from metricq_db_hta_spark.streaming import store_meta
+
+AGG_FIELDS = list(hta.AGG_FIELDS)
+
+
+@dataclass(frozen=True)
+class LevelReport:
+    table: str  # "level_<w>" | "hist_<w>"
+    n_checked: int  # stored rows inside the audited scope
+    n_mismatched: int  # rows differing from the recompute (either side)
+    examples: list[dict] = field(default_factory=list)  # up to `sample` rows
+
+    @property
+    def ok(self) -> bool:
+        return self.n_mismatched == 0
+
+
+@dataclass(frozen=True)
+class FsckReport:
+    levels: list[LevelReport]
+    uncommitted_batches: list[int]  # reported, not diffed (run recover())
+    journal_pending: bool
+
+    @property
+    def ok(self) -> bool:
+        return all(r.ok for r in self.levels)
+
+
+def _committed_raw(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The audit's source of truth: committed raw minus read-exclusions —
+    the same visibility rule every reader path applies."""
+    root = store_meta.raw_path(store_dir)
+    if not os.path.isdir(root):
+        raise ValueError(f"not an ingest store (no raw table): {store_dir}")
+    raw = spark.read.parquet(root)
+    committed = store_meta.committed_batches(store_dir)
+    excluded = store_meta.excluded_batches_for_read(store_dir)
+    keep = sorted(committed - excluded)
+    return raw.filter(F.col("ingest_batch").isin([int(b) for b in keep]))
+
+
+def _boundary_buckets(raw: DataFrame, width_ns: int) -> DataFrame:
+    """(metric, bucket_start_ns) of each metric's FIRST retained sample —
+    the one bucket whose stored delta-derived fields may reference an
+    expired predecessor. Dimension-sized (one row per metric)."""
+    return raw.groupBy("metric").agg(
+        bucket_start_ns(F.min("ts_ns"), width_ns).alias("bucket_start_ns")
+    )
+
+
+def _diff(
+    stored: DataFrame,
+    expected: DataFrame,
+    keys: list[str],
+    fields: list[str],
+    sample: int,
+) -> tuple[int, int, list[dict]]:
+    """Full-outer field diff on ``keys``: a mismatch is a key present on
+    one side only, or any field differing. Null-safe equality (<=>) so a
+    NULL-vs-value difference counts and NULL==NULL does not."""
+    s = stored.select(*keys, *[F.col(c).alias(f"s_{c}") for c in fields])
+    e = expected.select(*keys, *[F.col(c).alias(f"e_{c}") for c in fields])
+    j = s.join(e, keys, "full_outer")
+    same = None
+    for c in fields:
+        eq = F.col(f"s_{c}").eqNullSafe(F.col(f"e_{c}"))
+        same = eq if same is None else (same & eq)
+    # presence: a side is "present" iff ANY of its fields is non-null —
+    # count is non-null on every real row for both table kinds, so this
+    # is exact, and it avoids carrying separate marker columns
+    bad = j.filter(~same)
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~same).cast("long")).alias("m"),
+    ).collect()[0]
+    examples = [r.asDict() for r in bad.limit(sample).collect()]
+    return int(agg["n"]), int(agg["m"] or 0), examples
+
+
+def check_store(
+    spark: SparkSession,
+    store_dir: str,
+    start_ns: int | None = None,
+    end_ns: int | None = None,
+    sample: int = 5,
+    hist_lo: float = hta.HIST_LO,
+    hist_hi: float = hta.HIST_HI,
+    hist_bins: int = hta.HIST_BINS,
+) -> FsckReport:
+    """Audit every ``level_<w>`` / ``hist_<w>`` table under ``store_dir``
+    against a recompute from committed raw, optionally bounded to
+    [start_ns, end_ns) bucket starts. Read-only — never mutates the
+    store (the repair tool is ``recover()``; fsck is the detector).
+    ``hist_*`` must match the writer's binning config (defaults match)."""
+    floors = retention_floors(store_dir)
+    raw = _committed_raw(spark, store_dir)
+    if start_ns is not None:
+        raw = raw.filter(F.col("ts_ns") >= start_ns)
+    if end_ns is not None:
+        raw = raw.filter(F.col("ts_ns") < end_ns)
+    raw = raw.select("metric", "ts_ns", "value").cache()
+
+    # buckets touched by UNCOMMITTED (torn) batches are excluded from the
+    # diff, not flagged: their stored level partitions are legitimately
+    # unrepaired until recover() runs, and flagging them would bury real
+    # divergence under expected noise. The torn ids are still reported.
+    on_disk = store_meta.raw_batches_on_disk(store_dir)
+    committed = store_meta.committed_batches(store_dir)
+    uncommitted = sorted(on_disk - committed)
+    torn_raw = None
+    if uncommitted:
+        torn_raw = (
+            spark.read.parquet(store_meta.raw_path(store_dir))
+            .filter(
+                F.col("ingest_batch").isin([int(b) for b in uncommitted])
+            )
+            .select("metric", "ts_ns")
+        )
+
+    reports: list[LevelReport] = []
+    raw_floor = floors.get("raw", 0)
+    for name in sorted(os.listdir(store_dir)):
+        head, _, tail = name.partition("_")
+        if head not in ("level", "hist") or not tail.isdigit():
+            continue
+        w = int(tail)
+        stored = spark.read.parquet(os.path.join(store_dir, name))
+        expected = (
+            hta.level0(raw, w)
+            if head == "level"
+            else hta.histogram_level(
+                raw, w, lo=hist_lo, hi=hist_hi, bins=hist_bins
+            )
+        )
+        # audited scope: inside the requested range (whole buckets only —
+        # a bucket straddling the range edge would be recomputed from a
+        # fragment), above the table's own retention floor, above the RAW
+        # floor (stored buckets below it kept their full-history values
+        # but the raw to recompute them is gone — unverifiable by design,
+        # that is the tiering contract), and past the per-metric
+        # raw-retention boundary bucket
+        lo = max(
+            floors.get(name, 0),
+            (-(-raw_floor // w) * w) if raw_floor > 0 else -(1 << 63),
+            (-(-start_ns // w) * w) if start_ns is not None else -(1 << 63),
+        )
+        hi = (end_ns // w) * w if end_ns is not None else (1 << 63) - 1
+        stored = stored.filter(
+            (F.col("bucket_start_ns") >= lo) & (F.col("bucket_start_ns") < hi)
+        )
+        expected = expected.filter(
+            (F.col("bucket_start_ns") >= lo) & (F.col("bucket_start_ns") < hi)
+        )
+        # the boundary-bucket exclusion applies under raw retention AND
+        # under a start-bounded audit: either way, each metric's first
+        # visible sample has a delta-predecessor the recompute can't see
+        if raw_floor > 0 or start_ns is not None:
+            bb = _boundary_buckets(raw, w)
+            stored = stored.join(
+                F.broadcast(bb), ["metric", "bucket_start_ns"], "left_anti"
+            )
+            expected = expected.join(
+                F.broadcast(bb), ["metric", "bucket_start_ns"], "left_anti"
+            )
+        if torn_raw is not None:
+            touched = torn_raw.select(
+                "metric",
+                bucket_start_ns("ts_ns", w).alias("bucket_start_ns"),
+            ).distinct()
+            stored = stored.join(
+                touched, ["metric", "bucket_start_ns"], "left_anti"
+            )
+            expected = expected.join(
+                touched, ["metric", "bucket_start_ns"], "left_anti"
+            )
+        keys = ["metric", "bucket_start_ns"] + (
+            ["bin"] if head == "hist" else []
+        )
+        fields = ["n"] if head == "hist" else AGG_FIELDS
+        n, m, ex = _diff(stored, expected, keys, fields, sample)
+        reports.append(
+            LevelReport(table=name, n_checked=n, n_mismatched=m, examples=ex)
+        )
+
+    raw.unpersist()
+    return FsckReport(
+        levels=reports,
+        uncommitted_batches=uncommitted,
+        journal_pending=store_meta.read_journal(store_dir) is not None,
+    )

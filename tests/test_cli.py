@@ -241,3 +241,12 @@ def test_retain_bad_age_spec_exits_2(backfilled_store):
         "--level-max-age", "notanumber",
     )
     assert r.returncode == 2, (r.returncode, r.stderr[-300:])
+
+
+def test_fsck_green_store(backfilled_store):
+    r = _cli("fsck", "--store", backfilled_store)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout)
+    assert rep["ok"] is True
+    assert rep["levels"] and all(l["mismatched"] == 0 for l in rep["levels"])
+    assert rep["uncommitted_batches"] == []
