@@ -475,6 +475,15 @@ class StreamingIngest:
     def _raw_batches_on_disk(self) -> set[int]:
         return store_meta.raw_batches_on_disk(self.store)
 
+    def _raw_present(self) -> bool:
+        """True iff raw holds at least one batch directory. The bare
+        ``os.path.exists(raw_path)`` test is wrong after retention fully
+        expires a store: the root dir survives with ZERO batch dirs and a
+        parquet read of it dies on schema inference — such a store must
+        behave exactly like a fresh one (no watermark, fresh allocator,
+        fresh_store level cascade)."""
+        return bool(store_meta.raw_batches_on_disk(self.store))
+
     def _read_raw(self) -> DataFrame:
         """The writer-side authoritative raw view: everything on disk
         MINUS retired batches (deferred-delete compaction sources whose
@@ -558,7 +567,7 @@ class StreamingIngest:
         # decided BEFORE the raw write: an empty store means raw will equal
         # exactly this batch's kept rows, unlocking the in-memory level
         # cascade below (no prior rows can exist in any partition)
-        fresh_store = not os.path.exists(self.raw_path)
+        fresh_store = not self._raw_present()
         # eager checkpoint, not persist(): kept's lineage may read the very
         # store this method mutates (backfill's watermark join does) — the
         # raw write would invalidate a cache and silently recompute kept
@@ -815,7 +824,7 @@ class StreamingIngest:
         stream-static plans re-execute the static side every microbatch,
         and re-listing the raw path mid-stream would race the stream's
         own writes."""
-        if not os.path.exists(self.raw_path):
+        if not self._raw_present():
             return None
         raw = self._read_raw()
         # exclude batches the checkpoint WILL replay (offsets entry with
@@ -926,7 +935,7 @@ class StreamingIngest:
             )
         batch_id = -1
         wm = None
-        if os.path.exists(self.raw_path):
+        if self._raw_present():
             raw = self._read_raw()
             low = raw.agg(F.min("ingest_batch")).collect()[0][0]
             batch_id = min(int(low or 0), 0) - 1

@@ -398,3 +398,57 @@ def test_tiered_q3_serves_expired_history_from_coarse(
     assert "error" not in r, r
     assert r["n"] == 1
     assert r["uncovered"] == [[lo, hi] for lo, hi in gaps]
+
+
+def test_stream_continues_after_expiry(spark, sf_dir, tmp_path):
+    """Retention then CONTINUED streaming against the real checkpoint:
+    expire a whole streamed batch (its id leaves disk and the marker),
+    restart the stream with a new chunk — the checkpoint must not replay
+    the expired batch (it is commits-logged), the new data lands under a
+    fresh id against an empty watermark, old history still serves from
+    the retained levels, and fsck audits the store green above the
+    floor."""
+    from metricq_db_hta_spark.operators import fsck
+
+    src = samples(spark, sf_dir).orderBy("event_id").limit(400)
+    rows = src.collect()
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+
+    def write_chunk(name, df):
+        df.coalesce(1).write.mode("overwrite").parquet(str(input_dir / name))
+
+    write_chunk("chunk1", src)  # January
+    store = str(tmp_path / "store")
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc.run_until_drained(str(input_dir))
+    jan_ids = store_meta.raw_batches_on_disk(store)
+    assert jan_ids and all(b >= 0 for b in jan_ids)
+    n_jan_level = spark.read.parquet(svc.level_path(W0)).count()
+
+    res = retention.expire(
+        store,
+        retention.RetentionPolicy(raw_max_age_ns=121 * DAY_NS),
+        now_ns=JUNE1,  # floor Feb 1: all January raw expires
+    )
+    assert sorted(res.emptied_batches) == sorted(jan_ids)
+    assert store_meta.raw_batches_on_disk(store) == set()
+    # the levels keep serving the expired history (no level TTL set)
+    assert spark.read.parquet(svc.level_path(W0)).count() == n_jan_level
+
+    write_chunk("chunk2", _shifted(src, SHIFT2, 1_000_000))  # March
+    svc2 = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc2.run_until_drained(str(input_dir))
+    assert svc2.recover() == set()
+
+    after = store_meta.raw_batches_on_disk(store)
+    # nothing resurrected, new data under fresh checkpoint-allocated ids
+    assert after and not (after & jan_ids)
+    raw = spark.read.parquet(svc.raw_path)
+    assert raw.count() == len(rows)
+    assert raw.agg(F.min("ts_ns")).collect()[0][0] >= _ns(2024, 3, 1)
+    # levels now hold BOTH months: expired-raw January + fresh March
+    lv = spark.read.parquet(svc.level_path(W0))
+    assert lv.count() > n_jan_level
+    rep = fsck.check_store(spark, store)
+    assert rep.ok, [(r.table, r.n_mismatched) for r in rep.levels]
