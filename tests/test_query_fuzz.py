@@ -1186,3 +1186,69 @@ SELECT suppkey, ancestor, depth FROM anc
 """
     mismatch = oracle.compare(df, duck, sql)
     assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
+
+
+# ---------------------------------------------------------------------------
+# fuzz class 13 (r10): retention-aware Q3 — random ranges x random per-level
+# retention floors through the availability-constrained decomposition
+# (plans/history.py::aggregate_tiered). The oracle aggregates the FINEST
+# DuckDB level over exactly the covered segments (computed by the same
+# pure function the hypothesis suite pins for partition/availability
+# invariants), so any divergence in the multi-level substitution or the
+# per-level slicing surfaces as a value mismatch — and the gap list is
+# re-checked against the pure function on every example.
+# ---------------------------------------------------------------------------
+
+tiered_spec = st.fixed_dictionaries(
+    {
+        "metric": st.sampled_from([None, *EVENT_TYPES]),
+        "h0": st.integers(0, 700),
+        "span_h": st.integers(1, 400),
+        # floor hour offsets from T0 per level; None = never expired.
+        # Drawn independently (including inverted tiers): the math must
+        # hold for arbitrary floors even though the retention operator
+        # only ever advertises monotone ones.
+        "f0": st.one_of(st.none(), st.integers(-50, 720)),
+        "f1": st.one_of(st.none(), st.integers(-50, 720)),
+        "f2": st.one_of(st.none(), st.integers(-50, 720)),
+    }
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=tiered_spec)
+def test_random_tiered_q3_matches_oracle(spark, duck, sf_dir, spec):
+    from metricq_db_hta_spark.plans.history import q3_segments_tiered
+
+    start, end = _hta_range(spec)
+    floors = {
+        w: HTA_T0 + h * W0
+        for w, h in zip(LEVEL_WIDTHS, (spec["f0"], spec["f1"], spec["f2"]))
+        if h is not None
+    }
+    segs, gaps = q3_segments_tiered(start, end, LEVEL_WIDTHS, floors)
+    svc = hta_service(spark, sf_dir)
+    df, rep_gaps = svc.aggregate_tiered(spec["metric"], start, end, floors)
+    assert rep_gaps == gaps
+    cover = " OR ".join(
+        f"(bucket_start_ns >= {lo} AND bucket_start_ns < {hi})"
+        for _, lo, hi in segs
+    ) or "FALSE"
+    mfilter = (
+        "" if spec["metric"] is None else f"AND metric = '{spec['metric']}'"
+    )
+    sql = LEVELS_SQL + f"""
+SELECT metric, MIN(minimum) AS minimum, MAX(maximum) AS maximum,
+       CAST(SUM("sum") AS DOUBLE) AS "sum", {sql_bsum('"count"')} AS "count",
+       CAST(SUM(integral) AS BIGINT) AS integral,
+       {sql_bsum('active_time')} AS active_time
+FROM level0
+WHERE ({cover}) {mfilter}
+GROUP BY metric
+"""
+    mismatch = oracle.compare(df, duck, sql)
+    assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
