@@ -71,7 +71,8 @@ def main(argv: list[str] | None = None) -> int:
         required=True,
         choices=[
             "aggregate_timeline", "flex_timeline", "aggregate",
-            "last_value", "gapfill_timeline", "resample",
+            "aggregate_tiered", "last_value", "gapfill_timeline",
+            "resample",
         ],
     )
     ph.add_argument("--metric", default=None)
@@ -282,6 +283,23 @@ def main(argv: list[str] | None = None) -> int:
             df = svc.flex_timeline(args.metric, args.start, args.end, args.interval_max)
         elif args.type == "aggregate":
             df = svc.aggregate(args.metric, args.start, args.end)
+        elif args.type == "aggregate_tiered":
+            # retention-aware whole-range aggregate: expired-raw history
+            # answered from retained coarse levels, uncovered slivers
+            # printed (plans/history.py::aggregate_tiered)
+            from metricq_db_hta_spark.operators.retention import (
+                retention_floors,
+            )
+
+            fl = retention_floors(args.store)
+            df, gaps = svc.aggregate_tiered(
+                args.metric,
+                args.start,
+                args.end,
+                {w: fl.get(f"level_{w}", 0) for w in svc.widths},
+            )
+            for lo, hi in gaps:
+                print(f"uncovered: [{lo}, {hi})", file=sys.stderr)
         elif args.type == "gapfill_timeline":
             # dense types demand an explicit finite range (HistoryServer
             # applies the same contract + spine-size cap on the RPC path)

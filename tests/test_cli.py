@@ -84,7 +84,14 @@ def test_ingest_drains_input(sample_input, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "htype", ["aggregate_timeline", "flex_timeline", "aggregate", "last_value"]
+    "htype",
+    [
+        "aggregate_timeline",
+        "flex_timeline",
+        "aggregate",
+        "aggregate_tiered",
+        "last_value",
+    ],
 )
 def test_history_types(backfilled_store, htype):
     r = _cli(
