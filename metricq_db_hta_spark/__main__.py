@@ -71,8 +71,8 @@ def main(argv: list[str] | None = None) -> int:
         required=True,
         choices=[
             "aggregate_timeline", "flex_timeline", "aggregate",
-            "aggregate_tiered", "last_value", "gapfill_timeline",
-            "resample",
+            "aggregate_tiered", "timeline_tiered", "last_value",
+            "gapfill_timeline", "resample",
         ],
     )
     ph.add_argument("--metric", default=None)
@@ -283,7 +283,7 @@ def main(argv: list[str] | None = None) -> int:
             df = svc.flex_timeline(args.metric, args.start, args.end, args.interval_max)
         elif args.type == "aggregate":
             df = svc.aggregate(args.metric, args.start, args.end)
-        elif args.type == "aggregate_tiered":
+        elif args.type in ("aggregate_tiered", "timeline_tiered"):
             # retention-aware whole-range aggregate: expired-raw history
             # answered from retained coarse levels, uncovered slivers
             # printed (plans/history.py::aggregate_tiered)
@@ -292,12 +292,16 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             fl = retention_floors(args.store)
-            df, gaps = svc.aggregate_tiered(
-                args.metric,
-                args.start,
-                args.end,
-                {w: fl.get(f"level_{w}", 0) for w in svc.widths},
-            )
+            floors = {w: fl.get(f"level_{w}", 0) for w in svc.widths}
+            if args.type == "aggregate_tiered":
+                df, gaps = svc.aggregate_tiered(
+                    args.metric, args.start, args.end, floors
+                )
+            else:
+                df, gaps = svc.timeline_tiered(
+                    args.metric, args.start, args.end, args.interval_max,
+                    floors,
+                )
             for lo, hi in gaps:
                 print(f"uncovered: [{lo}, {hi})", file=sys.stderr)
         elif args.type == "gapfill_timeline":

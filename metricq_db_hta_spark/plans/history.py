@@ -155,6 +155,67 @@ def q3_segments_tiered(
     return _decompose_avail(a0, a1, usable, avail)
 
 
+def q1_regions_tiered(
+    start_ns: int,
+    end_ns: int,
+    widths_ns: list[int],
+    floors: dict[int, int],
+    interval_max_ns: int,
+) -> tuple[list[tuple[int, int, int]], list[tuple[int, int]]]:
+    """Mixed-resolution timeline plan for a store under tiered retention
+    (the RRD/Graphite fetch shape): serve each era of [start, end) at the
+    FINEST width that (a) satisfies the requested resolution
+    (``choose_level`` on ``interval_max_ns``, Q1's rule) and (b) still
+    retains that era. Returns ``(regions, gaps)`` where each region
+    ``(width, lo, hi)`` selects buckets with ``lo <= bucket_start < hi``
+    from that width's level, regions are disjoint and time-descending in
+    resolution (recent = fine, old = coarse), and ``gaps`` are the span
+    slivers no retained width can serve (tier-boundary alignment
+    remainders, each smaller than the coarser width, plus anything below
+    the coarsest floor).
+
+    Unlike Q3's decomposition (which prefers COARSE buckets to minimize
+    rows read), a timeline prefers the requested resolution everywhere
+    it survives and degrades only where it does not — resolution is the
+    product here, not a cost to amortize. A coarse region's upper bound
+    is floor-aligned to its own width against the finer region's start,
+    so a coarse bucket never overlaps (double-plots) a finer era.
+    """
+    w_req = choose_level(widths_ns, interval_max_ns) or min(widths_ns)
+    usable = sorted(w for w in widths_ns if w >= w_req)
+    regions: list[tuple[int, int, int]] = []
+    gaps: list[tuple[int, int]] = []
+    prev_lo = end_ns  # exclusive upper bound of the era still unserved
+    for w in usable:
+        f = floors.get(w, 0)
+        avail = (-(-f // w) * w) if f > 0 else -(1 << 63)
+        hi = prev_lo if w == w_req else (prev_lo // w) * w
+        lo = max(start_ns, avail)
+        if lo >= hi:
+            continue
+        alo = -(-lo // w) * w  # first bucket start on this width's grid
+        if hi < prev_lo:
+            # alignment sliver between this tier and the finer one: a
+            # coarse bucket there would straddle (double-plot) the
+            # boundary
+            gaps.append((hi, prev_lo))
+        if alo < hi:
+            regions.append((w, alo, hi))
+            if alo > lo:
+                # sub-width lead-in below this era's first aligned
+                # bucket — no coarser grid can fit a bucket there either
+                gaps.append((lo, alo))
+        else:
+            # the whole era is narrower than one bucket at this width
+            gaps.append((lo, hi))
+        prev_lo = lo
+        if prev_lo <= start_ns:
+            break
+    if prev_lo > start_ns:
+        gaps.append((start_ns, prev_lo))
+    return regions, sorted(gaps)
+
+
 def _decompose_avail(
     a0: int, a1: int, widths_desc: list[int], avail: dict[int, int]
 ) -> tuple[list[tuple[int, int, int]], list[tuple[int, int]]]:
@@ -350,6 +411,58 @@ class HistoryService:
         decompose=True)`` with an empty gap list."""
         segs, gaps = q3_segments_tiered(start_ns, end_ns, self.widths, floors)
         return self._merge_segments(metric, segs), gaps
+
+    def timeline_tiered(
+        self,
+        metric: str | None,
+        start_ns: int,
+        end_ns: int,
+        interval_max_ns: int,
+        floors: dict[int, int],
+    ) -> tuple[DataFrame, list[tuple[int, int]]]:
+        """Q1 under tiered retention: a mixed-resolution timeline — rows
+        ``(metric, bucket_start_ns, width_ns, Aggregate...)`` — serving
+        each era at the finest width that satisfies the requested
+        resolution AND still retains it (``q1_regions_tiered``; recent =
+        requested width, older = progressively coarser), plus the span
+        slivers no retained width can serve. Every row is a true stored
+        bucket (values exact, resolution varies); ``width_ns`` tells the
+        client each row's bucket span, which is what an RRD-style
+        consumer plots."""
+        regions, gaps = q1_regions_tiered(
+            start_ns, end_ns, self.widths, floors, interval_max_ns
+        )
+        parts = []
+        for w, lo, hi in regions:
+            df = self.levels[w]
+            if metric is not None:
+                df = df.filter(F.col("metric") == metric)
+            df = _date_pruned(df, "bucket_month", lo, hi)
+            parts.append(
+                df.filter(
+                    (F.col("bucket_start_ns") >= lo)
+                    & (F.col("bucket_start_ns") < hi)
+                ).select(
+                    "metric",
+                    "bucket_start_ns",
+                    F.lit(w).cast("long").alias("width_ns"),
+                    *AGG_FIELDS,
+                )
+            )
+        if not parts:  # fully expired / empty request: schema, no scan
+            w0 = self.widths[0]
+            parts = [
+                self.levels[w0]
+                .filter(F.lit(False))
+                .select(
+                    "metric",
+                    "bucket_start_ns",
+                    F.lit(w0).cast("long").alias("width_ns"),
+                    *AGG_FIELDS,
+                )
+            ]
+        merged = reduce(DataFrame.unionByName, parts)
+        return merged.orderBy("metric", "bucket_start_ns"), gaps
 
     def _merge_segments(
         self, metric: str | None, segs: list[tuple[int, int, int]]

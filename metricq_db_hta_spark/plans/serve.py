@@ -13,8 +13,9 @@ Transport: newline-delimited JSON over TCP (the bus stand-in; the request
 router is transport-agnostic). One request per line:
 
     {"type": "aggregate_timeline" | "flex_timeline" | "aggregate"
-             | "aggregate_tiered" | "last_value" | "gapfill_timeline"
-             | "resample" | "histogram_percentile" | "refresh",
+             | "aggregate_tiered" | "timeline_tiered" | "last_value"
+             | "gapfill_timeline" | "resample" | "histogram_percentile"
+             | "refresh",
      "metric": str | null, "start_ns": int, "end_ns": int,
      "interval_max_ns": int, "step_ns": int, "p": float, "limit": int}
 
@@ -262,6 +263,19 @@ class HistoryServer:
                 }
                 df, gaps = self._svc.aggregate_tiered(
                     metric, start, end, floors
+                )
+                uncovered = [[lo, hi] for lo, hi in gaps]
+            elif rtype == "timeline_tiered":
+                # retention-aware Q1: mixed-resolution timeline — each
+                # era at the finest retained width satisfying the
+                # requested resolution; rows carry width_ns, unservable
+                # slivers reported in ``uncovered``
+                floors = {
+                    w: self._floors.get(f"level_{w}", 0)
+                    for w in self._svc.widths
+                }
+                df, gaps = self._svc.timeline_tiered(
+                    metric, start, end, imax, floors
                 )
                 uncovered = [[lo, hi] for lo, hi in gaps]
             elif rtype == "last_value":

@@ -53,9 +53,10 @@ from metricq_db_hta_spark.queries import llm2  # noqa: F401
 #     immediately: hta_timeline_gapfill, rel_recursive_cte,
 #     llm_ngram_span_dedup, hta_resample_linear, hta_percentile_timeline,
 #     hta_histogram_level0, hta_histogram_p95_rollup, hta_counter_rate,
-#     hta_q3_tiered (each diffcheck-green at all three SFs). The ninth
-#     displaces rel_window_rank_topn from (4) — r8-green, untouched —
-#     which joins the 16 queries round 11 MUST schedule.
+#     hta_q3_tiered, hta_q1_tiered_timeline (each diffcheck-green at all
+#     three SFs). The ninth and tenth displace rel_window_rank_topn and
+#     rel_window_distribution from (4) — both r8-green, untouched —
+#     which join the queries round 11 MUST schedule (now 18).
 PENDING_NEXT_WINDOW: list[str] = []
 _WINDOW = [
     # (1) first driver rows ever — added post-r9-driver-run
@@ -71,6 +72,7 @@ _WINDOW = [
     "hta_histogram_p95_rollup",
     "hta_counter_rate",
     "hta_q3_tiered",
+    "hta_q1_tiered_timeline",
     # (2) round-9 deferral promise (green-since-r7)
     "rel_set_union",
     "rel_set_intersect",
@@ -83,7 +85,7 @@ _WINDOW = [
     "rel_join_cross",
     # (3) modified this round — served-layout plan
     "llm_text_stats",
-    # (4) r08-green rotation (29 of 46)
+    # (4) r08-green rotation (28 of 46)
     "hta_level1_rollup",
     "llm_chunk_dedup",
     "llm_dedup_survivors",
@@ -112,7 +114,6 @@ _WINDOW = [
     "rel_pivot",
     "rel_subquery_scalar_exists",
     "rel_unpivot",
-    "rel_window_distribution",
 ]
 assert len(_WINDOW) == 50, len(_WINDOW)
 _missing = [n for n in _WINDOW if n not in REGISTRY]

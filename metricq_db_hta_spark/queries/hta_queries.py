@@ -19,6 +19,7 @@ from metricq_db_hta_spark.functions.timeutil import ts_ns_auto
 from metricq_db_hta_spark.operators import hta, ingest
 from metricq_db_hta_spark.plans.history import (
     HistoryService,
+    q1_regions_tiered,
     q3_segments_tiered,
 )
 from metricq_db_hta_spark.queries.base import (
@@ -444,6 +445,48 @@ GROUP BY metric
 def hta_q3_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
     svc = service(spark, sf_dir)
     df, _gaps = svc.aggregate_tiered(None, TIER_START_NS, END_NS, TIER_FLOORS)
+    return _present(df)
+
+
+# Mixed-resolution timeline under the SAME fixed floors: the request asks
+# for W0 resolution over [Dec 25, Jan 20); W0 survives only from Jan 10,
+# W1 from Jan 3, W2 forever — so the timeline must serve the recent era
+# at W0, the middle era at W1, and the early era (incl. the 100h bucket
+# that covers the Jan 1-2 data) at W2, with width_ns on every row and
+# sub-width alignment slivers at the tier boundaries. The oracle unions
+# the per-region DuckDB level slices with the same bounds (computed by
+# the pure function the hypothesis suite pins), so the differential
+# isolates the per-level slicing + row shape.
+TIER_TL_START_NS = 1_703_462_400_000_000_000  # 2023-12-25T00:00:00Z
+_TIER_TL_REGIONS, TIER_TL_GAPS = q1_regions_tiered(
+    TIER_TL_START_NS, END_NS, LEVEL_WIDTHS, TIER_FLOORS, W0
+)
+_LEVEL_NAME = {W0: "level0", W1: "level1", W2: "level2"}
+_TIER_TL_UNION = "\nUNION ALL\n".join(
+    f"""SELECT metric, bucket_start_ns, CAST({w} AS BIGINT) AS width_ns,
+       minimum, maximum, CAST("sum" AS DOUBLE) AS "sum", "count",
+       integral, active_time
+FROM {_LEVEL_NAME[w]}
+WHERE bucket_start_ns >= {lo} AND bucket_start_ns < {hi}"""
+    for w, lo, hi in _TIER_TL_REGIONS
+)
+
+
+@register(
+    "hta_q1_tiered_timeline",
+    oracle=LEVELS_SQL + f"""
+{_TIER_TL_UNION}
+""",
+    doc="Q1 under tiered retention: mixed-resolution timeline — each era "
+    "at the finest retained width satisfying the requested resolution "
+    "(RRD/Graphite fetch semantics), rows carry width_ns, tier-boundary "
+    "slivers reported instead of silently skipped.",
+)
+def hta_q1_tiered_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    svc = service(spark, sf_dir)
+    df, _gaps = svc.timeline_tiered(
+        None, TIER_TL_START_NS, END_NS, W0, TIER_FLOORS
+    )
     return _present(df)
 
 

@@ -90,6 +90,7 @@ def test_ingest_drains_input(sample_input, tmp_path):
         "flex_timeline",
         "aggregate",
         "aggregate_tiered",
+        "timeline_tiered",
         "last_value",
     ],
 )

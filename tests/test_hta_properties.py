@@ -309,3 +309,104 @@ def test_q3_tiered_equals_finest_over_covered(spark, sf_dir):
             None, [(W0, lo, hi) for _, lo, hi in segs]
         )
         assert _rows(tiered) == _rows(finest), floors
+
+
+# -- q1_regions_tiered: mixed-resolution timeline planning ------------------
+
+from metricq_db_hta_spark.plans.history import choose_level, q1_regions_tiered
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    start=st.integers(min_value=-(2**40), max_value=2**62),
+    span=st.integers(min_value=0, max_value=2**45),
+    n_levels=st.integers(min_value=1, max_value=5),
+    factor=st.sampled_from([2, 10]),
+    imax_mult=st.sampled_from([0.5, 1, 5, 100, 10**6]),
+    floor_units=st.lists(
+        st.integers(min_value=0, max_value=2**20), min_size=0, max_size=5
+    ),
+)
+def test_q1_regions_tiered_partition_and_availability(
+    start, span, n_levels, factor, imax_mult, floor_units
+):
+    """The timeline plan must partition [start, end) EXACTLY into regions
+    + gaps, use only widths >= the Q1-chosen resolution, keep every
+    region on its own width's grid and at-or-above its availability, and
+    order resolution monotonically (finer = more recent). Any violation
+    double-plots a bucket, silently skips an era, or serves expired
+    (missing) buckets."""
+    widths = [_W0 * factor**k for k in range(n_levels)]
+    floors = {
+        widths[i]: u * _W0 for i, u in enumerate(floor_units[:n_levels])
+    }
+    imax = int(_W0 * imax_mult)
+    end = start + span
+    regions, gaps = q1_regions_tiered(start, end, widths, floors, imax)
+    w_req = choose_level(widths, imax) or widths[0]
+    if start >= end:
+        assert regions == [] and gaps == []
+        return
+    prev_w = 0
+    prev_hi = end
+    for w, lo, hi in regions:  # emitted fine -> coarse = recent -> old
+        assert w in widths and w >= w_req
+        assert w > prev_w, "each width serves at most one era"
+        prev_w = w
+        assert lo < hi <= prev_hi
+        prev_hi = lo
+        assert lo % w == 0, "region must start on its width's grid"
+        assert hi % w == 0 or hi == end, (
+            "region end aligned (or the request end for the finest era)"
+        )
+        if floors.get(w, 0) > 0:
+            assert lo >= -(-floors[w] // w) * w
+    pieces = sorted([(lo, hi) for _, lo, hi in regions] + gaps)
+    assert pieces and pieces[0][0] == start and pieces[-1][1] == end
+    for (l1, h1), (l2, h2) in zip(pieces, pieces[1:]):
+        assert h1 == l2, "hole or overlap in regions+gaps tiling"
+    # no retention at all: at most one region, at the requested width
+    # (none when the whole span is narrower than one unaligned bucket),
+    # and any gap is a sub-bucket alignment sliver
+    if not any(floors.values()):
+        assert [w for w, _, _ in regions] in ([w_req], [])
+        assert all(hi - lo < w_req for lo, hi in gaps)
+
+
+def test_q1_timeline_tiered_rows_equal_plain_q1_slices(spark, sf_dir):
+    """On un-expired data each region's rows must be EXACTLY the plain Q1
+    timeline of that width restricted to the region bounds, with the
+    width_ns column stamped — the tiered timeline changes which width
+    serves an era, never the rows a width serves."""
+    from pyspark.sql import functions as F
+
+    from metricq_db_hta_spark.queries.hta_queries import (
+        LEVEL_WIDTHS,
+        TIER_FLOORS,
+        TIER_TL_START_NS,
+        W1,
+    )
+
+    svc = service(spark, sf_dir)
+    for floors in (TIER_FLOORS, {}, {w: END_NS for w in LEVEL_WIDTHS}):
+        df, gaps = svc.timeline_tiered(
+            None, TIER_TL_START_NS, END_NS, W0, floors
+        )
+        got = sorted(tuple(r) for r in df.collect())
+        from metricq_db_hta_spark.plans.history import q1_regions_tiered
+
+        regions, exp_gaps = q1_regions_tiered(
+            TIER_TL_START_NS, END_NS, LEVEL_WIDTHS, floors, W0
+        )
+        assert gaps == exp_gaps
+        expected = []
+        for w, lo, hi in regions:
+            tl = svc.aggregate_timeline(None, lo, hi, interval_max_ns=w)
+            # aggregate_timeline picks the coarsest width <= imax == w
+            expected.extend(
+                tuple(r)
+                for r in tl.withColumn(
+                    "width_ns", F.lit(w).cast("long")
+                ).select(*df.columns).collect()
+            )
+        assert got == sorted(expected), floors

@@ -452,3 +452,57 @@ def test_stream_continues_after_expiry(spark, sf_dir, tmp_path):
     assert lv.count() > n_jan_level
     rep = fsck.check_store(spark, store)
     assert rep.ok, [(r.table, r.n_mismatched) for r in rep.levels]
+
+
+def test_tiered_timeline_serves_mixed_resolution(spark, three_month_store):
+    """Mixed-resolution Q1 on a REALLY expired store: the fine level lost
+    its old months, so the timeline serves the recent era at the
+    requested width and the expired era from the retained coarse level,
+    width_ns stamped per row, tier slivers reported — and every row
+    bit-equals the pre-expiry plain Q1 of its width over its region."""
+    from metricq_db_hta_spark.plans.history import q1_regions_tiered
+    from metricq_db_hta_spark.plans.serve import build_history_service
+
+    store, svc = three_month_store
+    start, end = _ns(2024, 1, 1), _ns(2024, 6, 1)
+    floors = {W0: _ns(2024, 2, 1)}  # what expire() will advertise
+    regions, gaps = q1_regions_tiered(start, end, [W0, W1], floors, W0)
+    assert {w for w, _, _ in regions} == {W0, W1}
+
+    pre = build_history_service(spark, store, [W0, W1])
+    expected = []
+    for w, lo, hi in regions:
+        tl = pre.aggregate_timeline(None, lo, hi, interval_max_ns=w)
+        expected.extend(
+            (*t[:2], w, *t[2:]) for t in (tuple(r) for r in tl.collect())
+        )
+    expected.sort()
+    assert expected
+
+    retention.expire(
+        store,
+        retention.RetentionPolicy(
+            raw_max_age_ns=61 * DAY_NS, level_max_age_ns={W0: 121 * DAY_NS}
+        ),
+        now_ns=JUNE1,
+    )
+    post = build_history_service(spark, store, [W0, W1])
+    df, rep_gaps = post.timeline_tiered(None, start, end, W0, floors)
+    assert rep_gaps == gaps
+    assert sorted(tuple(r) for r in df.collect()) == expected
+
+    server = HistoryServer(spark, store, [W0, W1])
+    r = server.handle(
+        {
+            "type": "timeline_tiered",
+            "metric": "click",
+            "start_ns": start,
+            "end_ns": end,
+            "interval_max_ns": W0,
+        }
+    )
+    assert "error" not in r, r
+    assert r["n"] > 0
+    widths_served = {row["width_ns"] for row in r["rows"]}
+    assert widths_served == {W0, W1}
+    assert r["uncovered"] == [[lo, hi] for lo, hi in gaps]
