@@ -1252,3 +1252,70 @@ GROUP BY metric
 """
     mismatch = oracle.compare(df, duck, sql)
     assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
+
+
+# ---------------------------------------------------------------------------
+# fuzz class 14 (r10): mixed-resolution timeline — random ranges x floors x
+# requested resolution through q1_regions_tiered/timeline_tiered. Oracle =
+# UNION ALL of DuckDB level slices with the planned per-region bounds and
+# width_ns stamped; the gap list is re-pinned per example. Catches region
+# overlap (double-plotted buckets), wrong-level slicing, and width-column
+# drift that the Q3 fuzzer's single merged aggregate would average away.
+# ---------------------------------------------------------------------------
+
+timeline_spec = st.fixed_dictionaries(
+    {
+        "metric": st.sampled_from([None, *EVENT_TYPES]),
+        "h0": st.integers(0, 700),
+        "span_h": st.integers(1, 400),
+        "imax_i": st.integers(0, len(IMAX_GRID) - 1),
+        "f0": st.one_of(st.none(), st.integers(-50, 720)),
+        "f1": st.one_of(st.none(), st.integers(-50, 720)),
+        "f2": st.one_of(st.none(), st.integers(-50, 720)),
+    }
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=timeline_spec)
+def test_random_tiered_timeline_matches_oracle(spark, duck, sf_dir, spec):
+    from metricq_db_hta_spark.plans.history import q1_regions_tiered
+
+    start, end = _hta_range(spec)
+    imax = IMAX_GRID[spec["imax_i"]]
+    floors = {
+        w: HTA_T0 + h * W0
+        for w, h in zip(LEVEL_WIDTHS, (spec["f0"], spec["f1"], spec["f2"]))
+        if h is not None
+    }
+    regions, gaps = q1_regions_tiered(start, end, LEVEL_WIDTHS, floors, imax)
+    svc = hta_service(spark, sf_dir)
+    df, rep_gaps = svc.timeline_tiered(
+        spec["metric"], start, end, imax, floors
+    )
+    assert rep_gaps == gaps
+    level_of = dict(zip(LEVEL_WIDTHS, ("level0", "level1", "level2")))
+    mfilter = (
+        "" if spec["metric"] is None else f"AND metric = '{spec['metric']}'"
+    )
+    parts = [
+        f"""SELECT metric, bucket_start_ns, CAST({w} AS BIGINT) AS width_ns,
+       minimum, maximum, CAST("sum" AS DOUBLE) AS "sum", "count",
+       integral, active_time
+FROM {level_of[w]}
+WHERE bucket_start_ns >= {lo} AND bucket_start_ns < {hi} {mfilter}"""
+        for w, lo, hi in regions
+    ] or [
+        # empty plan: an empty result with the full column set
+        """SELECT metric, bucket_start_ns,
+       CAST(0 AS BIGINT) AS width_ns, minimum, maximum,
+       CAST("sum" AS DOUBLE) AS "sum", "count", integral, active_time
+FROM level0 WHERE FALSE"""
+    ]
+    sql = LEVELS_SQL + "\n" + "\nUNION ALL\n".join(parts)
+    mismatch = oracle.compare(df, duck, sql)
+    assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
