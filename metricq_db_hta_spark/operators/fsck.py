@@ -207,8 +207,10 @@ def check_store(
         )
         # the boundary-bucket exclusion applies under raw retention AND
         # under a start-bounded audit: either way, each metric's first
-        # visible sample has a delta-predecessor the recompute can't see
-        if raw_floor > 0 or start_ns is not None:
+        # visible sample has a delta-predecessor the recompute can't see.
+        # Aggregate levels only — histogram bins are pure counts with no
+        # delta dependence, so they audit exactly up to the raw floor.
+        if head == "level" and (raw_floor > 0 or start_ns is not None):
             bb = _boundary_buckets(raw, w)
             stored = stored.join(
                 F.broadcast(bb), ["metric", "bucket_start_ns"], "left_anti"
