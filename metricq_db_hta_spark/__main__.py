@@ -143,6 +143,12 @@ def main(argv: list[str] | None = None) -> int:
         metavar="WIDTH_NS=AGE_S",
         help="same for a distributional (histogram) level",
     )
+    pr.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="plan only: report the floors and partition-dir counts this "
+        "policy would expire, without advertising or deleting anything",
+    )
 
     pf = sub.add_parser("fsck")
     pf.add_argument("--store", required=True)
@@ -240,13 +246,17 @@ def main(argv: list[str] | None = None) -> int:
                 hist_max_age_ns=_ages(args.hist_max_age, "hist-max-age"),
             )
             res = _ret.expire(
-                args.store, policy, now_ns=int(_time.time() * 1e9)
+                args.store,
+                policy,
+                now_ns=int(_time.time() * 1e9),
+                dry_run=args.dry_run,
             )
         except (ValueError, RuntimeError) as e:
             print(f"retain: {e}", file=sys.stderr)
             return 2
+        verb = "would expire" if args.dry_run else "expired"
         print(
-            f"expired {res.deleted_dirs} partition dirs; "
+            f"{verb} {res.deleted_dirs} partition dirs; "
             f"emptied batches {res.emptied_batches}; floors {res.floors}",
             file=sys.stderr,
         )

@@ -230,12 +230,13 @@ def _time_dirs(parent: str) -> list[tuple[str, dt.date, str]]:
     return out
 
 
-def _expire_tree(root: str, floor_ns: int) -> int:
+def _expire_tree(root: str, floor_ns: int, dry_run: bool = False) -> int:
     """Delete every ``metric=*/<timecol>=<date>`` dir under ``root`` whose
     entire period ends at or before ``floor_ns``; prune metric dirs that
-    empty out. Returns the count of time-partition dirs removed. Strict
-    deletes (maintenance._rmtree_strict): a silently surviving dir is an
-    ops signal, not a correctness hazard (the floor promises *may be
+    empty out. Returns the count of time-partition dirs removed (or, in
+    dry-run, that WOULD be). Strict deletes
+    (maintenance._rmtree_strict): a silently surviving dir is an ops
+    signal, not a correctness hazard (the floor promises *may be
     missing*, not *is gone*), but failing loudly keeps disk accounting
     honest."""
     from metricq_db_hta_spark.operators.maintenance import _rmtree_strict
@@ -247,20 +248,31 @@ def _expire_tree(root: str, floor_ns: int) -> int:
             continue
         for tpath, d, unit in _time_dirs(mdir):
             if _period_end_ns(d, unit) <= floor_ns:
-                _rmtree_strict(tpath)
+                if not dry_run:
+                    _rmtree_strict(tpath)
                 deleted += 1
-        if not os.listdir(mdir):
+        if not dry_run and not os.listdir(mdir):
             os.rmdir(mdir)
     return deleted
 
 
 def expire(
-    store_dir: str, policy: RetentionPolicy, now_ns: int
+    store_dir: str,
+    policy: RetentionPolicy,
+    now_ns: int,
+    dry_run: bool = False,
 ) -> RetentionResult:
     """Run one retention pass at logical time ``now_ns`` (caller-supplied,
     never wall-clock-sampled here: deterministic tests, replayable ops
     runbooks). Idempotent — a re-run with the same arguments deletes
-    nothing further and re-advertises the same floors."""
+    nothing further and re-advertises the same floors.
+
+    ``dry_run=True`` plans only: validates the policy, computes the
+    floors this pass WOULD advertise (merge-maxed with the existing
+    file), and counts the partition dirs and emptied batches it would
+    remove — without writing ``_retention.json`` or touching a single
+    directory. The journal-pending refusal still applies, so a dry run
+    is an honest preview of the real pass."""
     if store_meta.read_journal(store_dir) is not None:
         raise RuntimeError(
             "compaction journal pending - settle it (recover_compaction) "
@@ -284,8 +296,16 @@ def expire(
             if age is not None:
                 floors[f"{label}_{w}"] = _align_down_ns(now_ns - age, "month")
 
-    # -- advertise BEFORE deleting (contract step 2) -----------------------
-    advertised = _advertise(store_dir, floors) if floors else retention_floors(store_dir)
+    # -- advertise BEFORE deleting (contract step 2; dry-run: merge-max
+    # computed in memory only) ---------------------------------------------
+    if dry_run:
+        advertised = retention_floors(store_dir)
+        for k, v in floors.items():
+            advertised[k] = max(int(v), advertised.get(k, 0))
+    else:
+        advertised = (
+            _advertise(store_dir, floors) if floors else retention_floors(store_dir)
+        )
 
     # -- raw: committed + replay-barriered batches only --------------------
     deleted = 0
@@ -300,11 +320,24 @@ def expire(
             if not store_meta.checkpoint_committed(store_dir, b):
                 continue  # a replay would resurrect expired partitions
             bdir = store_meta.batch_dir(store_dir, b)
-            deleted += _expire_tree(bdir, raw_floor)
-            if not any(n.startswith("metric=") for n in os.listdir(bdir)):
+            n_deleted = _expire_tree(bdir, raw_floor, dry_run=dry_run)
+            deleted += n_deleted
+            if dry_run:
+                # would the batch empty out? every metric dir whose time
+                # dirs ALL fall below the floor would be pruned
+                remaining = sum(
+                    1
+                    for mname in os.listdir(bdir)
+                    if mname.startswith("metric=")
+                    for _, d, unit in _time_dirs(os.path.join(bdir, mname))
+                    if _period_end_ns(d, unit) > raw_floor
+                )
+                if n_deleted and remaining == 0:
+                    emptied.append(b)
+            elif not any(n.startswith("metric=") for n in os.listdir(bdir)):
                 shutil.rmtree(bdir)
                 emptied.append(b)
-        if emptied:
+        if emptied and not dry_run:
             # drop fully-expired ids from the committed set (clips to
             # on-disk, republishes the snapshot manifest)
             store_meta.update_commit_marker(store_dir, add=set(), remove=set(emptied))
@@ -315,7 +348,7 @@ def expire(
             continue
         troot = os.path.join(store_dir, key)
         if os.path.isdir(troot):
-            deleted += _expire_tree(troot, floor)
+            deleted += _expire_tree(troot, floor, dry_run=dry_run)
 
     return RetentionResult(
         floors=advertised, deleted_dirs=deleted, emptied_batches=emptied

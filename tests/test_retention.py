@@ -506,3 +506,27 @@ def test_tiered_timeline_serves_mixed_resolution(spark, three_month_store):
     widths_served = {row["width_ns"] for row in r["rows"]}
     assert widths_served == {W0, W1}
     assert r["uncovered"] == [[lo, hi] for lo, hi in gaps]
+
+
+def test_dry_run_plans_without_mutating(spark, three_month_store):
+    """A dry run must report exactly what the real pass then does —
+    floors, dir count, emptied batches — while leaving the store
+    byte-identical (no _retention.json, no deletes, marker untouched)."""
+    store, svc = three_month_store
+    pol = retention.RetentionPolicy(raw_max_age_ns=92 * DAY_NS)
+    months_before = _months_on_disk(svc.raw_path)
+    committed_before = store_meta.committed_batches(store)
+
+    plan = retention.expire(store, pol, now_ns=JUNE1, dry_run=True)
+    assert plan.floors["raw"] == _ns(2024, 3, 1)
+    assert plan.deleted_dirs > 0
+    assert plan.emptied_batches == [-1]
+    # nothing changed
+    assert not os.path.exists(retention.retention_path(store))
+    assert _months_on_disk(svc.raw_path) == months_before
+    assert store_meta.committed_batches(store) == committed_before
+
+    real = retention.expire(store, pol, now_ns=JUNE1)
+    assert real.deleted_dirs == plan.deleted_dirs
+    assert real.emptied_batches == plan.emptied_batches
+    assert real.floors == plan.floors
