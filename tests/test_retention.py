@@ -530,3 +530,41 @@ def test_dry_run_plans_without_mutating(spark, three_month_store):
     assert real.deleted_dirs == plan.deleted_dirs
     assert real.emptied_batches == plan.emptied_batches
     assert real.floors == plan.floors
+
+
+def test_partial_expiry_crash_resumes(spark, three_month_store, monkeypatch):
+    """Ordering contract: floors are advertised BEFORE deletes, so a
+    crash mid-delete leaves readers clamping conservatively over
+    still-present data; a re-run finishes the remaining deletes and
+    reports the same final state."""
+    import shutil as _shutil
+
+    from metricq_db_hta_spark.operators import maintenance as _m
+
+    store, svc = three_month_store
+    pol = retention.RetentionPolicy(raw_max_age_ns=61 * DAY_NS)  # Jan+Mar
+
+    calls = {"n": 0}
+    real = _shutil.rmtree
+
+    def flaky(path, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise OSError("disk hiccup")
+        return real(path, **kw)
+
+    monkeypatch.setattr("shutil.rmtree", flaky)
+    with pytest.raises(OSError):
+        retention.expire(store, pol, now_ns=JUNE1)
+    monkeypatch.setattr("shutil.rmtree", real)
+
+    # the floor was advertised before any delete — already visible
+    assert retention.raw_floor_ns(store) == _ns(2024, 4, 1)
+    # re-run finishes: only May survives, both old batches gone
+    res = retention.expire(store, pol, now_ns=JUNE1)
+    assert _months_on_disk(svc.raw_path) == {"2024-05-01"}
+    assert store_meta.committed_batches(store) == {-3}
+    # and the store still audits green above the floor
+    from metricq_db_hta_spark.operators import fsck
+
+    assert fsck.check_store(spark, store).ok
