@@ -119,7 +119,15 @@ def test_green_after_retention_boundary(spark, sf_dir, tmp_path):
     values kept full history), the per-metric boundary bucket is skipped,
     and everything above must still verify exactly."""
     store = str(tmp_path / "day_store")
-    src = samples(spark, sf_dir).orderBy("event_id").limit(500)
+    # time-bounded source: spans six days at ANY SF density, so the
+    # mid-history floor below always lands inside the data (the
+    # row-limited form expired everything at sf0.01 — soak finding)
+    import datetime as _dt
+
+    jan7 = int(
+        _dt.datetime(2024, 1, 7, tzinfo=_dt.timezone.utc).timestamp()
+    ) * 10**9
+    src = samples(spark, sf_dir).filter(F.col("ts_ns") < jan7)
     svc = StreamingIngest(
         spark, store, level_widths_ns=(W0, W1), raw_partition="day"
     )

@@ -263,7 +263,10 @@ def test_compaction_still_works_after_expiry(spark, three_month_store):
 
 def test_day_layout_aligns_floor_to_days(spark, sf_dir, tmp_path):
     store = str(tmp_path / "store")
-    src = samples(spark, sf_dir).orderBy("event_id").limit(400)
+    # time-bounded (not row-limited) source: the fixture must span the
+    # SAME six days at every SF density, or the floor math below would
+    # expire everything on denser testdata (found by the sf0.01 soak)
+    src = samples(spark, sf_dir).filter(F.col("ts_ns") < _ns(2024, 1, 7))
     svc = StreamingIngest(
         spark, store, level_widths_ns=(W0,), raw_partition="day"
     )
