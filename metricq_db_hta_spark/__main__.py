@@ -33,7 +33,7 @@ from metricq_db_hta_spark.functions.timeutil import TS_MAX_NS
 from metricq_db_hta_spark.session import get_spark
 
 
-def _history_service(spark, store: str, widths: list[int]):
+def _history_service(spark, store: str, widths: list[int] | None):
     # single owner of the store read path (journal honoring + missing-level
     # tolerance): plans/serve.py
     from metricq_db_hta_spark.plans.serve import build_history_service
@@ -82,7 +82,9 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("--step-ns", type=int, default=0,
                     help="resample grid step (resample type only)")
     ph.add_argument("--width-ns", type=int, default=3_600_000_000_000)
-    ph.add_argument("--levels", type=int, default=3)
+    ph.add_argument("--levels", type=int, default=None,
+                    help="level count (with --width-ns); default: discover "
+                    "the level tables from the store layout")
 
     pq = sub.add_parser("query")
     pq.add_argument("--name", required=True)
@@ -162,7 +164,9 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8765)
     ps.add_argument("--width-ns", type=int, default=3_600_000_000_000)
-    ps.add_argument("--levels", type=int, default=3)
+    ps.add_argument("--levels", type=int, default=None,
+                    help="level count (with --width-ns); default: discover "
+                    "the level tables from the store layout")
 
     args = p.parse_args(argv)
 
@@ -285,7 +289,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "history":
-        widths = [args.width_ns * 10**k for k in range(args.levels)]
+        # default: follow the writer's actual level set (store layout)
+        widths = (
+            None
+            if args.levels is None
+            else [args.width_ns * 10**k for k in range(args.levels)]
+        )
         svc = _history_service(spark, args.store, widths)
         if args.type == "aggregate_timeline":
             df = svc.aggregate_timeline(args.metric, args.start, args.end, args.interval_max)
@@ -410,7 +419,12 @@ def main(argv: list[str] | None = None) -> int:
 
         from metricq_db_hta_spark.plans.serve import HistoryServer
 
-        widths = [args.width_ns * 10**k for k in range(args.levels)]
+        # default: follow the writer's actual level set (store layout)
+        widths = (
+            None
+            if args.levels is None
+            else [args.width_ns * 10**k for k in range(args.levels)]
+        )
         # dedicated serving session -> static-plan policy on (see
         # HistoryServer.__init__): every request is a level-router plan
         server, port = HistoryServer(

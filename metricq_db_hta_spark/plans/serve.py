@@ -85,13 +85,32 @@ def _json_default(o):
     raise TypeError(f"unserializable {type(o).__name__}")
 
 
+def discover_level_widths(store: str) -> list[int]:
+    """Level widths from the store layout (``level_<width>`` dirs) — the
+    writer's configuration read back from what it actually built, so a
+    reader can never silently disagree with it."""
+    import glob as _glob
+
+    out = []
+    for d in _glob.glob(os.path.join(store, "level_*")):
+        tail = os.path.basename(d).split("_", 1)[1]
+        if tail.isdigit():
+            out.append(int(tail))
+    return sorted(out)
+
+
 def build_history_service(
-    spark: SparkSession, store: str, level_widths_ns: list[int],
+    spark: SparkSession, store: str, level_widths_ns: list[int] | None = None,
     snapshot: bool = False,
 ) -> HistoryService:
     """The one owner of the store READ path (HistoryServer + the history
     CLI both build through here): load raw honoring a pending compaction
     journal, and only the level tables that exist.
+    ``level_widths_ns=None`` discovers the widths from the store layout
+    (:func:`discover_level_widths`) — the safe default for readers: a
+    hand-passed list that disagrees with the writer silently drops
+    levels. Raises on a store with no level tables at all (nothing to
+    route over).
 
     Reader-side journal honoring: while a compaction journal is pending,
     raw briefly holds a row twice (dest copy + undeleted sources) or a
@@ -108,6 +127,13 @@ def build_history_service(
 
     from metricq_db_hta_spark.streaming import store_meta
 
+    if level_widths_ns is None:
+        level_widths_ns = discover_level_widths(store)
+        if not level_widths_ns:
+            raise ValueError(
+                f"no level_<width> tables under {store} - not an ingest "
+                "store (or pass level_widths_ns explicitly)"
+            )
     if snapshot:
         from metricq_db_hta_spark.sources.snapshots import read_raw_snapshot
 
@@ -137,7 +163,7 @@ class HistoryServer:
         self,
         spark: SparkSession,
         store: str,
-        level_widths_ns: list[int],
+        level_widths_ns: list[int] | None = None,
         static_plans: bool = False,
         snapshot: bool = False,
     ) -> None:
@@ -154,7 +180,12 @@ class HistoryServer:
         serving CLI (a dedicated session) turns it on."""
         self.spark = spark
         self.store = store
-        self.widths = list(level_widths_ns)
+        # None -> discover from the store layout per build/refresh
+        # (build_history_service), so the server follows the writer's
+        # actual level set instead of a hand-kept copy of it
+        self.widths = (
+            None if level_widths_ns is None else list(level_widths_ns)
+        )
         self.snapshot = snapshot
         if static_plans:
             spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -258,3 +258,13 @@ def test_fsck_green_store(backfilled_store):
     assert rep["ok"] is True
     assert rep["levels"] and all(l["mismatched"] == 0 for l in rep["levels"])
     assert rep["uncommitted_batches"] == []
+
+
+def test_history_discovers_levels(backfilled_store):
+    """No --levels: the reader follows the store layout instead of a
+    hand-kept copy of the writer's configuration."""
+    r = _cli(
+        "history", "--store", backfilled_store, "--type", "aggregate",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "+" in r.stdout and "|" in r.stdout, r.stdout[-500:]

@@ -223,3 +223,26 @@ def test_history_server_histogram_percentile(spark, sf_dir, tmp_path):
         s.close()
     finally:
         server.shutdown()
+
+
+def test_build_history_service_discovers_widths(spark, tmp_path, sf_dir):
+    """level_widths_ns=None follows the writer's actual level set; a
+    store without level tables fails loudly instead of serving a router
+    with nothing to route over."""
+    import pytest as _pytest
+
+    from metricq_db_hta_spark.plans.serve import (
+        build_history_service,
+        discover_level_widths,
+    )
+    from metricq_db_hta_spark.queries.hta_queries import W0, samples
+    from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
+
+    store = str(tmp_path / "disc_store")
+    svc_w = StreamingIngest(spark, store, level_widths_ns=(W0, W0 * 10))
+    svc_w.backfill(samples(spark, sf_dir).orderBy("event_id").limit(200))
+    assert discover_level_widths(store) == [W0, W0 * 10]
+    svc = build_history_service(spark, store)  # no widths passed
+    assert sorted(svc.levels) == [W0, W0 * 10]
+    with _pytest.raises(ValueError, match="no level"):
+        build_history_service(spark, str(tmp_path / "nothing"))
