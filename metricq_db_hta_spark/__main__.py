@@ -177,6 +177,16 @@ def main(argv: list[str] | None = None) -> int:
         from metricq_db_hta_spark.operators.retention import retention_floors
         from metricq_db_hta_spark.streaming import store_meta
 
+        def _table_bytes(root: str) -> int:
+            total = 0
+            for dirpath, _, files in os.walk(root):
+                total += sum(
+                    os.path.getsize(os.path.join(dirpath, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+            return total
+
         on_disk = store_meta.raw_batches_on_disk(args.store)
         committed = store_meta.committed_batches(args.store)
         stats = {
@@ -208,6 +218,15 @@ def main(argv: list[str] | None = None) -> int:
                 store_meta.current_snapshot(args.store) or {}
             ).get("version"),
             "retention_floors": retention_floors(args.store),
+            # bytes per table tier — what a retention policy trades away;
+            # driver-side walk, no Spark
+            "bytes_per_table": {
+                name: _table_bytes(os.path.join(args.store, name))
+                for name in sorted(os.listdir(args.store))
+                if name == "raw"
+                or name.partition("_")[0] in ("level", "hist")
+                and name.partition("_")[2].isdigit()
+            },
         }
         print(_json.dumps(stats, indent=2))
         return 0

@@ -121,6 +121,13 @@ def test_store_stats_is_json(backfilled_store):
     assert r.returncode == 0, r.stderr[-2000:]
     stats = json.loads(r.stdout)
     assert "batches_on_disk" in stats and "compaction_journal_pending" in stats
+    # per-tier disk accounting: raw plus every level table, bytes > 0
+    assert stats["bytes_per_table"]["raw"] > 0
+    assert all(
+        v > 0
+        for k, v in stats["bytes_per_table"].items()
+        if k.startswith("level_")
+    )
 
 
 def test_compact_nothing_to_do(backfilled_store):
