@@ -158,6 +158,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="audit only buckets with start >= this ns")
     pf.add_argument("--end", type=int, default=None,
                     help="audit only buckets with start < this ns")
+    pf.add_argument(
+        "--repair",
+        action="store_true",
+        help="after the audit, rebuild every level/hist table from "
+        "committed raw (partitions above the raw retention floor only — "
+        "below it the level rows are the sole copy of expired history) "
+        "and re-audit; quiesce writers first",
+    )
 
     ps = sub.add_parser("serve")
     ps.add_argument("--store", required=True)
@@ -402,13 +410,22 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "fsck":
         import json as _json
 
-        from metricq_db_hta_spark.operators.fsck import check_store
+        from metricq_db_hta_spark.operators.fsck import (
+            check_store,
+            rebuild_levels,
+        )
 
         try:
             rep = check_store(
                 spark, args.store, start_ns=args.start, end_ns=args.end
             )
-        except ValueError as e:
+            if args.repair and not rep.ok:
+                rewritten = rebuild_levels(spark, args.store)
+                print(f"rebuilt partitions: {rewritten}", file=sys.stderr)
+                rep = check_store(
+                    spark, args.store, start_ns=args.start, end_ns=args.end
+                )
+        except (ValueError, RuntimeError) as e:
             print(f"fsck: {e}", file=sys.stderr)
             return 2
         print(

@@ -244,3 +244,148 @@ def check_store(
         uncommitted_batches=uncommitted,
         journal_pending=store_meta.read_journal(store_dir) is not None,
     )
+
+
+def _month_start_ns(d_iso: str) -> int:
+    import datetime as _dt
+
+    d = _dt.date.fromisoformat(d_iso)
+    return int(
+        _dt.datetime(d.year, d.month, d.day, tzinfo=_dt.timezone.utc).timestamp()
+    ) * 1_000_000_000
+
+
+def _ceil_month_ns(ns: int) -> int:
+    import datetime as _dt
+
+    t = _dt.datetime.fromtimestamp(max(ns, 0) // 1_000_000_000, tz=_dt.timezone.utc)
+    first = _dt.date(t.year, t.month, 1)
+    if _month_start_ns(first.isoformat()) >= ns:
+        return _month_start_ns(first.isoformat())
+    nxt = (
+        _dt.date(t.year + 1, 1, 1)
+        if t.month == 12
+        else _dt.date(t.year, t.month + 1, 1)
+    )
+    return _month_start_ns(nxt.isoformat())
+
+
+def rebuild_levels(
+    spark: SparkSession,
+    store_dir: str,
+    hist_lo: float = hta.HIST_LO,
+    hist_hi: float = hta.HIST_HI,
+    hist_bins: int = hta.HIST_BINS,
+) -> dict[str, int]:
+    """Repair the divergence :func:`check_store` detects: recompute every
+    level/hist table from committed raw and overwrite the stored
+    partitions — the repairer to fsck's detector (``recover()`` only
+    repairs UNCOMMITTED batches; corruption inside committed state needs
+    a from-raw rebuild). Returns ``{table: n_partitions_rewritten}``.
+
+    Scope under raw retention: only ``(metric, bucket_month)`` partitions
+    whose month starts at-or-after ``ceil_month(raw_floor)`` are
+    rewritten. Below that the retained level rows are the ONLY surviving
+    copy of the expired history (the tiering contract) — recomputing
+    them from post-floor raw would destroy it, so those partitions are
+    left untouched regardless of what fsck found there (restore from
+    backup is the honest remedy). Partitions in scope that the recompute
+    yields no rows for (stored-only "extra bucket" corruption) are
+    deleted, not just skipped — dynamic overwrite alone would miss them.
+
+    Boundary-delta semantics under retention: each metric's first
+    in-scope bucket is rewritten with deltas measured from RETAINED raw
+    only (its stored value referenced an expired predecessor), i.e.
+    count/min/max/sum unchanged, integral/active_time re-measured within
+    the retained span — the same reinterpretation a fresh backfill of the
+    retained data would produce; fsck skips that bucket either way.
+
+    Scale note: the extra-bucket sweep enumerates (metric, month)
+    partitions driver-side — O(partitions), same cardinality as the
+    directory layout itself. At extreme metric counts the store layout
+    swaps ``metric`` for ``metric_bucket`` (SCALE.md §1) and this sweep
+    scales with bucket count instead.
+
+    Same quiesce contract as compaction/retention: refuses while a
+    journal is pending; run with writers stopped."""
+    if store_meta.read_journal(store_dir) is not None:
+        raise RuntimeError(
+            "compaction journal pending - settle it (recover_compaction) "
+            "before rebuilding levels"
+        )
+    from metricq_db_hta_spark.operators.maintenance import _rmtree_strict
+
+    floors = retention_floors(store_dir)
+    raw_floor = floors.get("raw", 0)
+    scope_lo = _ceil_month_ns(raw_floor) if raw_floor > 0 else None
+    raw = _committed_raw(spark, store_dir)
+    if scope_lo is not None:
+        raw = raw.filter(F.col("ts_ns") >= scope_lo)
+    raw = raw.select("metric", "ts_ns", "value")
+
+    rewritten: dict[str, int] = {}
+    for name in sorted(os.listdir(store_dir)):
+        head, _, tail = name.partition("_")
+        if head not in ("level", "hist") or not tail.isdigit():
+            continue
+        w = int(tail)
+        troot = os.path.join(store_dir, name)
+        expected = (
+            hta.level0(raw, w)
+            if head == "level"
+            else hta.histogram_level(
+                raw, w, lo=hist_lo, hi=hist_hi, bins=hist_bins
+            )
+        )
+        out = expected.withColumn(
+            "bucket_month",
+            F.trunc(
+                F.to_date(
+                    F.timestamp_micros(
+                        F.floor(
+                            F.col("bucket_start_ns").cast("decimal(38,0)")
+                            / 1000
+                        ).cast("long")
+                    )
+                ),
+                "month",
+            ),
+        )
+        (
+            out.repartition("metric", "bucket_month")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("metric", "bucket_month")
+            .parquet(troot)
+        )
+        # months the recompute produced, per metric — partitions in scope
+        # with stored data but NO recomputed rows are corruption's "extra
+        # buckets": delete them (log-sized collect: one row per
+        # metric-month of a rollup)
+        produced = {
+            (r["metric"], str(r["bucket_month"]))
+            for r in out.select("metric", "bucket_month").distinct().collect()
+        }
+        n = 0
+        for mname in os.listdir(troot):
+            mdir = os.path.join(troot, mname)
+            if not mname.startswith("metric=") or not os.path.isdir(mdir):
+                continue
+            metric = mname.split("=", 1)[1]
+            for tpath, d in _time_dirs_months(mdir):
+                if scope_lo is not None and _month_start_ns(d) < scope_lo:
+                    continue  # pre-floor history: the only copy, keep
+                n += 1
+                if (metric, d) not in produced:
+                    _rmtree_strict(tpath)
+        rewritten[name] = n
+    return rewritten
+
+
+def _time_dirs_months(parent: str) -> list[tuple[str, str]]:
+    out = []
+    for nm in os.listdir(parent):
+        col, eq, val = nm.partition("=")
+        if eq and col == "bucket_month":
+            out.append((os.path.join(parent, nm), val))
+    return out

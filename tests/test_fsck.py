@@ -160,3 +160,125 @@ def test_range_bounded_audit(spark, fsck_store):
     by = {r.table: r for r in part.levels}
     byf = {r.table: r for r in full.levels}
     assert 0 < by[f"level_{W0}"].n_checked < byf[f"level_{W0}"].n_checked
+
+
+def test_rebuild_repairs_corruption(spark, fsck_store, tmp_path):
+    """Detector -> repairer round trip: corrupt a value AND plant an
+    extra bucket; rebuild recomputes from raw, deletes the stored-only
+    bucket, and the re-audit is green with the same raw untouched."""
+    store = _copy(fsck_store, tmp_path)
+    lp = os.path.join(store, f"level_{W0}")
+    lv = spark.read.parquet(lp)
+    first = lv.orderBy("metric", "bucket_start_ns").limit(1).collect()[0]
+    phantom_ts = int(lv.agg(F.max("bucket_start_ns")).collect()[0][0]) + 50 * W0
+    corrupted = lv.withColumn(
+        "count",
+        F.when(
+            (F.col("metric") == first["metric"])
+            & (F.col("bucket_start_ns") == first["bucket_start_ns"]),
+            F.col("count") + 7,
+        ).otherwise(F.col("count")),
+    ).unionByName(
+        lv.limit(1).withColumn(
+            "bucket_start_ns", F.lit(phantom_ts).cast("long")
+        )
+    )
+    tmp_out = str(tmp_path / "corrupt")
+    corrupted.write.mode("overwrite").parquet(tmp_out)
+    shutil.rmtree(lp)
+    shutil.move(tmp_out, lp)
+    # the corrupted copy is unpartitioned; re-partition it the way the
+    # writer lays levels out so rebuild's partition overwrite applies
+    flat = spark.read.parquet(lp)
+    tmp2 = str(tmp_path / "relaid")
+    (
+        flat.withColumn(
+            "bucket_month",
+            F.trunc(
+                F.to_date(F.timestamp_micros((F.col("bucket_start_ns") / 1000).cast("long"))),
+                "month",
+            ),
+        )
+        .repartition("metric", "bucket_month")
+        .write.mode("overwrite")
+        .partitionBy("metric", "bucket_month")
+        .parquet(tmp2)
+    )
+    shutil.rmtree(lp)
+    shutil.move(tmp2, lp)
+
+    raw_before = spark.read.parquet(os.path.join(store, "raw")).count()
+    rep = fsck.check_store(spark, store)
+    assert not rep.ok
+    assert {r.table: r.n_mismatched for r in rep.levels}[f"level_{W0}"] == 2
+
+    rewritten = fsck.rebuild_levels(spark, store)
+    assert rewritten[f"level_{W0}"] > 0
+    rep2 = fsck.check_store(spark, store)
+    assert rep2.ok, [(r.table, r.n_mismatched, r.examples) for r in rep2.levels]
+    # raw untouched; the phantom bucket is gone from the level
+    assert spark.read.parquet(os.path.join(store, "raw")).count() == raw_before
+    assert (
+        spark.read.parquet(lp)
+        .filter(F.col("bucket_start_ns") == phantom_ts)
+        .count()
+        == 0
+    )
+
+
+def test_rebuild_preserves_pre_floor_history(spark, sf_dir, tmp_path):
+    """Under raw retention the pre-floor level rows are the only copy of
+    expired history: rebuild must leave them byte-identical while
+    rewriting everything above the floor."""
+    store = str(tmp_path / "store")
+    src = samples(spark, sf_dir).orderBy("event_id").limit(400)
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc.backfill(src)  # January
+    svc.backfill(
+        src.select(
+            "metric",
+            (F.col("ts_ns") + 61 * DAY_NS).alias("ts_ns"),
+            "value",
+            (F.col("event_id") + 10**6).alias("event_id"),
+        )
+    )  # March
+    retention.expire(
+        store,
+        retention.RetentionPolicy(raw_max_age_ns=121 * DAY_NS),  # floor Feb 1
+        now_ns=_jun1(),
+    )
+    lp = os.path.join(store, f"level_{W0}")
+    jan_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(lp)
+        .filter(F.col("bucket_start_ns") < _feb1())
+        .drop("bucket_month")
+        .collect()
+    )
+    assert jan_rows, "pre-floor history must exist"
+    fsck.rebuild_levels(spark, store)
+    jan_after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(lp)
+        .filter(F.col("bucket_start_ns") < _feb1())
+        .drop("bucket_month")
+        .collect()
+    )
+    assert jan_after == jan_rows
+    assert fsck.check_store(spark, store).ok
+
+
+def _jun1() -> int:
+    import datetime as dt
+
+    return int(
+        dt.datetime(2024, 6, 1, tzinfo=dt.timezone.utc).timestamp()
+    ) * 10**9
+
+
+def _feb1() -> int:
+    import datetime as dt
+
+    return int(
+        dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc).timestamp()
+    ) * 10**9
