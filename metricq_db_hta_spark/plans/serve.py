@@ -15,7 +15,7 @@ router is transport-agnostic). One request per line:
     {"type": "aggregate_timeline" | "flex_timeline" | "aggregate"
              | "aggregate_tiered" | "timeline_tiered" | "last_value"
              | "gapfill_timeline" | "resample" | "histogram_percentile"
-             | "refresh",
+             | "stats" | "refresh",
      "metric": str | null, "start_ns": int, "end_ns": int,
      "interval_max_ns": int, "step_ns": int, "p": float, "limit": int}
 
@@ -192,6 +192,24 @@ class HistoryServer:
         self._svc = self._build()
         self._hists = self._discover_hists()
         self._floors = self._read_floors()
+        # self-monitoring (reference db_stats parity,
+        # /root/reference/src/db_stats.hpp:41-53: per-operation completed/
+        # failed counts + durations + data sizes): one record per request
+        # type, updated under a lock (FAIR-pool handler threads share it)
+        self._stats_lock = threading.Lock()
+        self._stats: dict[str, dict[str, float]] = {}
+
+    def _record(self, rtype: str, dt_s: float, rows: int, error: bool) -> None:
+        with self._stats_lock:
+            s = self._stats.setdefault(
+                rtype,
+                {"n": 0, "errors": 0, "rows": 0, "total_s": 0.0, "max_s": 0.0},
+            )
+            s["n"] += 1
+            s["errors"] += 1 if error else 0
+            s["rows"] += rows
+            s["total_s"] += dt_s
+            s["max_s"] = max(s["max_s"], dt_s)
 
     def _read_floors(self) -> dict[str, int]:
         """Retention floors advertised by operators/retention.expire —
@@ -247,6 +265,29 @@ class HistoryServer:
 
     # -- request router (src/async_hta_service.hpp:359 switch parity) ------
     def handle(self, req: dict) -> dict:
+        """Route one request, recording per-type self-monitoring stats
+        (count / errors / rows / total and max seconds — the serve-side
+        analogue of the reference's db_stats read tracking). ``stats``
+        returns the counters themselves and is not counted."""
+        import time as _time
+
+        rtype = str(req.get("type", "?"))
+        if rtype == "stats":
+            with self._stats_lock:
+                snap = {k: dict(v) for k, v in sorted(self._stats.items())}
+            rows = [{"type": k, **v} for k, v in snap.items()]
+            return {"rows": rows, "n": len(rows)}
+        t0 = _time.perf_counter()
+        resp = self._handle_inner(req)
+        self._record(
+            rtype,
+            _time.perf_counter() - t0,
+            int(resp.get("n", 0)),
+            "error" in resp,
+        )
+        return resp
+
+    def _handle_inner(self, req: dict) -> dict:
         try:
             rtype = req["type"]
             if rtype == "refresh":

@@ -246,3 +246,28 @@ def test_build_history_service_discovers_widths(spark, tmp_path, sf_dir):
     assert sorted(svc.levels) == [W0, W0 * 10]
     with _pytest.raises(ValueError, match="no level"):
         build_history_service(spark, str(tmp_path / "nothing"))
+
+
+def test_server_request_stats(spark, tmp_path, sf_dir):
+    """db_stats parity on the serve side: per-request-type counters with
+    durations, rows, and error counts, served via the `stats` type."""
+    from metricq_db_hta_spark.plans.serve import HistoryServer
+    from metricq_db_hta_spark.queries.hta_queries import W0, samples
+    from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
+
+    store = str(tmp_path / "stats_store")
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc.backfill(samples(spark, sf_dir).orderBy("event_id").limit(200))
+    server = HistoryServer(spark, store)
+    server.handle({"type": "last_value"})
+    server.handle({"type": "last_value"})
+    server.handle({"type": "nonsense"})  # counted as an error
+    r = server.handle({"type": "stats"})
+    by = {row["type"]: row for row in r["rows"]}
+    assert by["last_value"]["n"] == 2 and by["last_value"]["errors"] == 0
+    assert by["last_value"]["rows"] > 0
+    assert by["last_value"]["total_s"] > 0
+    assert by["last_value"]["max_s"] <= by["last_value"]["total_s"]
+    assert by["nonsense"]["errors"] == 1
+    # the stats request itself is not counted
+    assert "stats" not in by
