@@ -13,6 +13,7 @@ Subcommands:
   vacuum   --store DIR [--grace-s S]                delete expired retired batches (no Spark)
   retain   --store DIR [--raw-max-age-s S]          tiered TTL expiry (no Spark)
            [--level-max-age W_NS=AGE_S ...] [--hist-max-age W_NS=AGE_S ...]
+  backup   --store DIR --dest DIR                   snapshot-pinned consistent copy (no Spark)
   store-stats --store DIR                           batch/file/journal health (no Spark)
   fsck     --store DIR [--start NS] [--end NS]      audit levels vs raw recompute
   serve    --store DIR [--host H] [--port P]        resident history RPC
@@ -152,6 +153,14 @@ def main(argv: list[str] | None = None) -> int:
         "policy would expire, without advertising or deleting anything",
     )
 
+    pbk = sub.add_parser("backup")
+    pbk.add_argument("--store", required=True)
+    pbk.add_argument("--dest", required=True,
+                     help="destination directory (must not exist); the "
+                     "copy is itself a valid store — raw pinned to the "
+                     "CURRENT snapshot, levels + retention floors along; "
+                     "run 'fsck --repair' on it if backed up live")
+
     pf = sub.add_parser("fsck")
     pf.add_argument("--store", required=True)
     pf.add_argument("--start", type=int, default=None,
@@ -248,6 +257,23 @@ def main(argv: list[str] | None = None) -> int:
             print(f"vacuum: {e}", file=sys.stderr)
             return 2
         print(f"vacuumed {len(gone)} retired batches: {gone}", file=sys.stderr)
+        return 0
+
+    if args.cmd == "backup":
+        # manifest-pinned file copy: no SparkSession needed
+        from metricq_db_hta_spark.operators.backup import backup_store
+
+        try:
+            res = backup_store(args.store, args.dest)
+        except ValueError as e:
+            print(f"backup: {e}", file=sys.stderr)
+            return 2
+        print(
+            f"backed up snapshot v{res.snapshot_version}: batches "
+            f"{res.batches}, tables {res.tables}, {res.n_files} files / "
+            f"{res.n_bytes} bytes -> {args.dest}",
+            file=sys.stderr,
+        )
         return 0
 
     if args.cmd == "retain":

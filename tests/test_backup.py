@@ -1,0 +1,95 @@
+"""Snapshot-pinned store backup (operators/backup.py): the copy is a
+valid, independently-auditable store serving identical results, and
+stays frozen while the source moves on."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from metricq_db_hta_spark.operators import backup, fsck, retention
+from metricq_db_hta_spark.plans.serve import build_history_service
+from metricq_db_hta_spark.queries.hta_queries import W0, W1, samples
+from metricq_db_hta_spark.streaming import store_meta
+from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
+
+DAY_NS = 86_400 * 1_000_000_000
+
+
+@pytest.fixture()
+def committed_store(spark, sf_dir, tmp_path):
+    store = str(tmp_path / "src")
+    src = samples(spark, sf_dir).orderBy("event_id").limit(500)
+    ts = sorted(r[0] for r in src.select("ts_ns").collect())
+    mid = ts[len(ts) // 2]
+    svc = StreamingIngest(
+        spark, store, level_widths_ns=(W0, W1), hist_widths_ns=(W0,)
+    )
+    svc.backfill(src.filter(F.col("ts_ns") <= mid))
+    svc.backfill(src.filter(F.col("ts_ns") > mid))
+    return store, svc, src
+
+
+def _q3(spark, store):
+    svc = build_history_service(spark, store)
+    return sorted(tuple(r) for r in svc.aggregate(None, 0, 2**62).collect())
+
+
+def test_backup_is_a_valid_equal_store(spark, committed_store, tmp_path):
+    store, svc, src = committed_store
+    dest = str(tmp_path / "copy")
+    res = backup.backup_store(store, dest)
+    assert res.batches == [-2, -1]
+    assert set(res.tables) == {f"level_{W0}", f"level_{W1}", f"hist_{W0}"}
+    assert res.n_files > 0 and res.n_bytes > 0
+
+    # identical query results, independent audit green
+    assert _q3(spark, dest) == _q3(spark, store)
+    assert fsck.check_store(spark, dest).ok
+    # the copy has its own committed marker + snapshot ledger
+    assert store_meta.committed_batches(dest) == {-2, -1}
+    assert store_meta.current_snapshot(dest)["batches"] == [-2, -1]
+
+    # the copy is frozen: mutate the source afterwards
+    before = _q3(spark, dest)
+    svc.backfill(
+        src.select(
+            "metric",
+            (F.col("ts_ns") + 61 * DAY_NS).alias("ts_ns"),
+            "value",
+            (F.col("event_id") + 10**6).alias("event_id"),
+        )
+    )
+    assert _q3(spark, dest) == before
+    assert _q3(spark, store) != before
+
+
+def test_backup_carries_retention_floors(spark, committed_store, tmp_path):
+    store, _svc, _src = committed_store
+    import datetime as dt
+
+    now = int(
+        dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc).timestamp()
+    ) * 10**9
+    retention.expire(
+        store,
+        retention.RetentionPolicy(raw_max_age_ns=200 * DAY_NS),
+        now_ns=now,
+    )  # advertises a floor without deleting (Jan data is younger)
+    dest = str(tmp_path / "copy")
+    backup.backup_store(store, dest)
+    assert retention.retention_floors(dest) == retention.retention_floors(
+        store
+    )
+
+
+def test_backup_refusals(spark, committed_store, tmp_path):
+    store, _svc, _src = committed_store
+    dest = str(tmp_path / "copy")
+    os.makedirs(dest)
+    with pytest.raises(ValueError, match="already exists"):
+        backup.backup_store(store, dest)
+    with pytest.raises(ValueError, match="no snapshot"):
+        backup.backup_store(str(tmp_path / "not_a_store"), str(tmp_path / "x"))
