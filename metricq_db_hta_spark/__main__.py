@@ -73,10 +73,13 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "aggregate_timeline", "flex_timeline", "aggregate",
             "aggregate_tiered", "timeline_tiered", "last_value",
-            "gapfill_timeline", "resample",
+            "gapfill_timeline", "resample", "aggregate_pattern",
         ],
     )
     ph.add_argument("--metric", default=None)
+    ph.add_argument("--pattern", default=None,
+                    help="metric glob (aggregate_pattern type only): "
+                    "* any run, ? one char — e.g. 'host.*.power'")
     ph.add_argument("--start", type=int, default=0)
     ph.add_argument("--end", type=int, default=TS_MAX_NS)
     ph.add_argument("--interval-max", type=int, default=TS_MAX_NS)
@@ -384,6 +387,13 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             df = svc.aggregate_timeline_gapfill(
                 args.metric, args.start, args.end, args.interval_max
+            )
+        elif args.type == "aggregate_pattern":
+            if not args.pattern:
+                print("aggregate_pattern requires --pattern")
+                return 2
+            df = svc.aggregate_timeline_pattern(
+                args.pattern, args.start, args.end, args.interval_max
             )
         elif args.type == "resample":
             if args.metric is None or args.end == TS_MAX_NS or args.step_ns <= 0:

@@ -45,6 +45,25 @@ from metricq_db_hta_spark.operators.hta import AGG_FIELDS
 AUTO_DECOMPOSE_MIN_BUCKETS = 16384
 
 
+def glob_to_like(pattern: str) -> str:
+    """Translate a shell glob (``*`` = any run, ``?`` = one char) into a SQL
+    LIKE pattern, escaping LIKE's own metacharacters so a literal ``%``,
+    ``_`` or ``\\`` in a metric name never widens the match. The escape
+    character is backslash — Spark's LIKE default; an engine without a
+    default escape (e.g. DuckDB) must add ``ESCAPE '\\'`` explicitly."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def choose_level(widths_ns: list[int], interval_max_ns: int) -> int | None:
     """Coarsest level width <= interval_max; None => raw fallthrough for
     FLEX queries, finest level for AGGREGATE_TIMELINE."""
@@ -334,6 +353,61 @@ class HistoryService:
                 for c in zero_filled
             ],
         ).orderBy("bucket_start_ns")
+
+    # -- Q1 across a metric pattern ------------------------------------------
+    def aggregate_timeline_pattern(
+        self, pattern: str, start_ns: int, end_ns: int, interval_max_ns: int
+    ) -> DataFrame:
+        """Fleet Q1: ONE merged Aggregate timeline across every metric whose
+        name matches a shell glob (``*`` any run, ``?`` one char — metricq
+        names are dotted hierarchies, so ``host.*.power`` is the natural
+        fleet selector).
+
+        The cross-metric merge is the same monoid the rollup cascade uses
+        (operators/hta.py::rollup) applied on the metric axis instead of the
+        time axis: each bucket's row is the pointwise combine of the
+        matching metrics' per-metric Aggregate records — exactly what a
+        client merging M single-metric responses computes (fleet totals:
+        sum of per-metric integrals/active_time, min/max across metrics),
+        NOT the Aggregate of an interleaved union stream, whose delta_ns
+        attribution would differ. No raw scan, no per-metric fan-out.
+        ``n_metrics`` counts
+        the metrics PRESENT in the bucket (levels are sparse; a metric with
+        no samples there has no row), via COUNT not COUNT DISTINCT — one
+        row per (metric, bucket) is a store invariant (fsck audits it) and
+        distinct aggregation would force a second shuffle phase.
+
+        Scale shape: one partition-pruned scan of the chosen log-sized
+        level + one groupBy(bucket) — cost independent of raw history size,
+        linear in matching level rows. The reference serves only per-metric
+        requests (/root/reference/src/async_hta_service.hpp:361-441); a
+        fleet dashboard otherwise issues M requests and merges client-side.
+        """
+        width = choose_level(self.widths, interval_max_ns) or self.widths[0]
+        df = self.levels[width].filter(
+            F.col("metric").like(glob_to_like(pattern))
+        )
+        df = _date_pruned(df, "bucket_month", start_ns, end_ns)
+        return (
+            df.filter(
+                (F.col("bucket_start_ns") >= start_ns)
+                & (F.col("bucket_start_ns") < end_ns)
+            )
+            .groupBy("bucket_start_ns")
+            .agg(
+                F.count("metric").alias("n_metrics"),
+                F.min("minimum").alias("minimum"),
+                F.max("maximum").alias("maximum"),
+                # decimal-in, decimal-out — the same exact accumulators as
+                # the level cascade, so pattern-over-levels == pattern-over-
+                # raw bit-for-bit (presentation casts at the edge)
+                F.sum("sum").alias("sum"),
+                F.sum("count").cast("long").alias("count"),
+                F.sum("integral").cast("long").alias("integral"),
+                F.sum("active_time").cast("long").alias("active_time"),
+            )
+            .orderBy("bucket_start_ns")
+        )
 
     # -- Q2 ----------------------------------------------------------------
     def flex_timeline(

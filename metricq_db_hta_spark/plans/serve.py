@@ -350,6 +350,19 @@ class HistoryServer:
                     metric, start, end, imax, floors
                 )
                 uncovered = [[lo, hi] for lo, hi in gaps]
+            elif rtype == "aggregate_pattern":
+                # fleet Q1: one merged Aggregate timeline across every
+                # metric matching a shell glob (history.py::
+                # aggregate_timeline_pattern) — the level choice and
+                # retention-floor clamp are exactly aggregate_timeline's
+                pat = req.get("pattern")
+                if not pat:
+                    return {"error": "aggregate_pattern requires a pattern"}
+                w = choose_level(self._svc.widths, imax) or self._svc.widths[0]
+                start, clamped = self._clamp_floor(start, f"level_{w}")
+                df = self._svc.aggregate_timeline_pattern(
+                    str(pat), start, end, imax
+                )
             elif rtype == "last_value":
                 df = self._svc.last_value(metric)
             elif rtype == "gapfill_timeline":

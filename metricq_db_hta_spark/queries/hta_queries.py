@@ -365,6 +365,34 @@ def hta_timeline_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hta_pattern_aggregate",
+    oracle=LEVELS_SQL + f"""
+SELECT bucket_start_ns, COUNT(metric) AS n_metrics,
+       MIN(minimum) AS minimum, MAX(maximum) AS maximum,
+       CAST(SUM("sum") AS DOUBLE) AS "sum", {sql_bsum('"count"')} AS "count",
+       CAST(SUM(integral) AS BIGINT) AS integral, {sql_bsum('active_time')} AS active_time
+FROM level1
+WHERE metric LIKE '%u%'
+  AND bucket_start_ns >= {START_NS} AND bucket_start_ns < {END_NS}
+GROUP BY 1
+""",
+    doc="Fleet Q1 over a metric glob ('*u*' -> purchase+signup): ONE merged "
+    "Aggregate timeline across all matching metrics — the cross-metric "
+    "application of the rollup monoid "
+    "(plans/history.py::aggregate_timeline_pattern). One pruned scan of "
+    "the chosen level + one groupBy(bucket); n_metrics = metrics present "
+    "per bucket. The reference serves per-metric only "
+    "(/root/reference/src/async_hta_service.hpp:361-441); fleet "
+    "dashboards otherwise fan out M requests and merge client-side.",
+)
+def hta_pattern_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    svc = service(spark, sf_dir)
+    return _present(
+        svc.aggregate_timeline_pattern("*u*", START_NS, END_NS, 12 * W0)
+    )
+
+
+@register(
     "hta_q2_flex_raw",
     oracle=f"""
 WITH {SAMPLES_CTE.split('AS', 1)[0].strip()} AS (

@@ -213,6 +213,15 @@ def test_history_dense_types(backfilled_store):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "+" in r.stdout, r.stdout[-500:]
 
+    # fleet glob aggregate: merged timeline across matching metrics
+    r = _cli(
+        "history", "--store", backfilled_store, "--type", "aggregate_pattern",
+        "--pattern", "*u*",
+        "--width-ns", "3600000000000", "--levels", "2",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "n_metrics" in r.stdout, r.stdout[-500:]
+
     # contract violations exit 2 with a one-line message
     r = _cli(
         "history", "--store", backfilled_store, "--type", "resample",
@@ -221,6 +230,14 @@ def test_history_dense_types(backfilled_store):
     )
     assert r.returncode == 2, (r.returncode, r.stdout[-300:])
     assert "requires" in r.stdout
+
+    r = _cli(
+        "history", "--store", backfilled_store,
+        "--type", "aggregate_pattern",
+        "--width-ns", "3600000000000", "--levels", "2",
+    )
+    assert r.returncode == 2, (r.returncode, r.stdout[-300:])
+    assert "requires --pattern" in r.stdout
 
 
 def test_backfill_hist_levels_flag(sample_input, tmp_path):

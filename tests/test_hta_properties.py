@@ -410,3 +410,77 @@ def test_q1_timeline_tiered_rows_equal_plain_q1_slices(spark, sf_dir):
                 ).select(*df.columns).collect()
             )
         assert got == sorted(expected), floors
+
+
+# -- fleet pattern aggregate (plans/history.py::aggregate_timeline_pattern) --
+
+from metricq_db_hta_spark.plans.history import glob_to_like
+
+
+def test_glob_to_like_translation_and_escaping():
+    assert glob_to_like("host.*.power") == "host.%.power"
+    assert glob_to_like("cpu?") == "cpu_"
+    # literal LIKE metacharacters in a metric name must stay literal
+    assert glob_to_like("a_b") == "a\\_b"
+    assert glob_to_like("a%b") == "a\\%b"
+    assert glob_to_like("a\\b*") == "a\\\\b%"
+
+
+def test_pattern_aggregate_equals_client_side_merge(spark, sf_dir):
+    """The pattern timeline must equal what a client of the per-metric API
+    computes today: issue one Q1 request per matching metric and merge the
+    Aggregate records per bucket (min/max across metrics, sums of the
+    additive fields). Exercises a DIFFERENT code path — M single-metric
+    timelines collected and merged in Python — against the one-scan
+    operator; the DuckDB oracle (hta_pattern_aggregate) is the third leg."""
+    from collections import defaultdict
+
+    from metricq_db_hta_spark.queries.hta_queries import (
+        END_NS,
+        START_NS,
+        W0,
+        service,
+    )
+
+    svc = service(spark, sf_dir)
+    got = {
+        r["bucket_start_ns"]: r
+        for r in svc.aggregate_timeline_pattern(
+            "*u*", START_NS, END_NS, 12 * W0
+        ).collect()
+    }
+
+    merged: dict[int, dict] = defaultdict(
+        lambda: {
+            "n_metrics": 0, "minimum": None, "maximum": None,
+            "sum": 0, "count": 0, "integral": 0, "active_time": 0,
+        }
+    )
+    for metric in ("purchase", "signup"):  # the *u* matches, explicitly
+        rows = svc.aggregate_timeline(
+            metric, START_NS, END_NS, 12 * W0
+        ).collect()
+        for r in rows:
+            m = merged[r["bucket_start_ns"]]
+            m["n_metrics"] += 1
+            m["minimum"] = (
+                r["minimum"] if m["minimum"] is None
+                else min(m["minimum"], r["minimum"])
+            )
+            m["maximum"] = (
+                r["maximum"] if m["maximum"] is None
+                else max(m["maximum"], r["maximum"])
+            )
+            m["sum"] += r["sum"]
+            m["count"] += r["count"]
+            m["integral"] += r["integral"]
+            m["active_time"] += r["active_time"]
+
+    assert set(got) == set(merged) and got
+    for b, want in merged.items():
+        have = got[b]
+        for k in ("n_metrics", "minimum", "maximum", "count",
+                  "integral", "active_time"):
+            assert have[k] == want[k], (b, k)
+        # decimal accumulators on both paths: exact equality holds
+        assert have["sum"] == want["sum"], b

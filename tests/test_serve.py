@@ -271,3 +271,57 @@ def test_server_request_stats(spark, tmp_path, sf_dir):
     assert by["nonsense"]["errors"] == 1
     # the stats request itself is not counted
     assert "stats" not in by
+
+
+def test_history_server_aggregate_pattern(spark, sf_dir, tmp_path):
+    """Fleet request: one merged Aggregate timeline across a metric glob,
+    served from the store's level tables; equals the batch operator over
+    the same store, and a pattern-less request errors (service survives)."""
+    from metricq_db_hta_spark.plans.serve import build_history_service
+
+    src = samples(spark, sf_dir).limit(2_000)
+    store = str(tmp_path / "store_pat")
+    StreamingIngest(spark, store, level_widths_ns=(W0,)).backfill(src)
+
+    server, port = HistoryServer(spark, store, [W0]).start_background()
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=30)
+        s.settimeout(120)
+        f = s.makefile("rb")
+
+        resp = _rpc(
+            f, s, {"type": "aggregate_pattern", "pattern": "*u*",
+                   "interval_max_ns": W0}
+        )
+        assert resp.get("n", 0) > 0, resp
+        assert {"bucket_start_ns", "n_metrics", "minimum", "maximum",
+                "sum", "count", "integral", "active_time"} <= set(
+            resp["rows"][0]
+        )
+        # fleet rows merge >1 metric somewhere in the range
+        assert max(r["n_metrics"] for r in resp["rows"]) >= 2
+
+        svc = build_history_service(spark, store, [W0])
+        want = {
+            r["bucket_start_ns"]: r
+            for r in svc.aggregate_timeline_pattern(
+                "*u*", 0, 2**62, W0
+            ).collect()
+        }
+        assert len(want) == resp["n"]
+        for row in resp["rows"]:
+            w = want[row["bucket_start_ns"]]
+            assert row["count"] == w["count"]
+            assert row["n_metrics"] == w["n_metrics"]
+            assert float(row["sum"]) == float(w["sum"])
+
+        bad = _rpc(f, s, {"type": "aggregate_pattern"})
+        assert "error" in bad and "pattern" in bad["error"]
+        again = _rpc(
+            f, s, {"type": "aggregate_pattern", "pattern": "*u*",
+                   "interval_max_ns": W0}
+        )
+        assert again.get("n") == resp["n"]
+        s.close()
+    finally:
+        server.shutdown()
