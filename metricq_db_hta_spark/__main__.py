@@ -16,6 +16,7 @@ Subcommands:
   backup   --store DIR --dest DIR                   snapshot-pinned consistent copy (no Spark)
   store-stats --store DIR                           batch/file/journal health (no Spark)
   fsck     --store DIR [--start NS] [--end NS]      audit levels vs raw recompute
+  delete-metric --store DIR --metric M [--dry-run]  erase one metric everywhere
   serve    --store DIR [--host H] [--port P]        resident history RPC
 
 Examples:
@@ -163,6 +164,16 @@ def main(argv: list[str] | None = None) -> int:
                      "copy is itself a valid store — raw pinned to the "
                      "CURRENT snapshot, levels + retention floors along; "
                      "run 'fsck --repair' on it if backed up live")
+
+    pdm = sub.add_parser("delete-metric")
+    pdm.add_argument("--store", required=True)
+    pdm.add_argument("--metric", required=True,
+                     help="exact metric name to erase from raw, every "
+                     "level/hist table, and the drops_log; refuses while "
+                     "a batch holding it is torn or replayable")
+    pdm.add_argument("--dry-run", action="store_true",
+                     help="run every guard and count what WOULD be "
+                     "removed without touching the store")
 
     pf = sub.add_parser("fsck")
     pf.add_argument("--store", required=True)
@@ -441,6 +452,29 @@ def main(argv: list[str] | None = None) -> int:
                 f"({res.n_rows} rows)",
                 file=sys.stderr,
             )
+        return 0
+
+    if args.cmd == "delete-metric":
+        from metricq_db_hta_spark.operators.erase import delete_metric
+
+        try:
+            res = delete_metric(
+                args.store, args.metric, spark=spark, dry_run=args.dry_run
+            )
+        except RuntimeError as e:
+            # guard refusals are operational outcomes, not bugs: the
+            # message says what to settle first (journal, torn batch,
+            # replay barrier) — print it and exit nonzero, no traceback
+            print(f"delete-metric: {e}", file=sys.stderr)
+            return 1
+        verb = "would erase" if args.dry_run else "erased"
+        print(
+            f"{verb} metric {args.metric!r}: {res.raw_dirs} raw batch "
+            f"partitions, {res.table_dirs} level/hist partitions, "
+            f"{res.drops_rows} drops_log rows; emptied batches "
+            f"{res.emptied_batches}",
+            file=sys.stderr,
+        )
         return 0
 
     if args.cmd == "fsck":

@@ -1,0 +1,217 @@
+"""Targeted metric erasure: remove EVERY stored trace of one metric.
+
+The operational need the TTL pass (operators/retention.py) cannot serve:
+a decommissioned sensor, a mis-keyed ingest, or a data-removal request
+wants ONE metric gone from a store while every other metric's history
+stays byte-identical. The reference has no such tool — its store is one
+file tree per metric, so its operators delete directories by hand; this
+store's layout makes the same surgery principled:
+
+* raw is partitioned ``ingest_batch=N/metric=M/<timecol>=D`` and every
+  level/hist table ``metric=M/bucket_month=D`` (streaming/
+  ingest_stream.py write layout), so erasure is a metric-directory
+  delete per table — metadata-only, zero data bytes read, any store
+  size.
+* ``drops_log`` rows carry the metric name (observability counts); a
+  complete erasure rewrites that (tiny, one row per dropping metric per
+  batch) table without the metric's rows — the only step that needs a
+  SparkSession.
+
+Complete-or-refuse contract (stricter than retention, which *skips*
+non-barriered batches and leaves the floor as a promise): "delete metric
+M" is only honest if nothing can resurrect M, so the pass refuses up
+front when
+
+* a compaction journal is pending (same rule as retention/compaction:
+  settle with ``recover_compaction`` first),
+* any batch dir holding M is not marker-committed (a torn batch is
+  ``recover()``'s property; an in-flight writer means the store is live
+  on the ingest path — stop it first), or
+* any batch holding M is still inside the streaming replay barrier
+  (``store_meta.checkpoint_committed``): a checkpoint replay would
+  rewrite M's partitions after we deleted them.
+
+Batches left empty by the erasure are removed and de-committed
+(``update_commit_marker`` — republishes the snapshot manifest), exactly
+like fully-expired batches in retention.
+
+What erasure deliberately does NOT touch:
+
+* the streaming checkpoint's per-metric monotonic watermark state — the
+  store keeps no readable trace of M there, and a later re-ingest of M
+  under a live checkpoint simply starts from whatever watermark state
+  says; a from-scratch re-ingest wants a fresh checkpoint anyway (the
+  backup copy starts checkpoint-free for the same reason,
+  operators/backup.py).
+* ``_retention.json`` floors — they are per-table promises, not
+  per-metric data.
+
+Reader caveat (same class as ``maintenance.vacuum``): deleting
+``metric=M`` subdirs mutates committed batch dirs, so a snapshot-pinned
+reader that listed files before the pass can hit missing files mid-scan.
+Run erasure from the maintenance role like compaction/vacuum; readers
+re-opened after the pass (or refreshed via the serve ``refresh`` type)
+see the consistent post-erase store, and ``fsck`` audits green — the
+metric is absent from raw and levels alike.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+from urllib.parse import unquote
+
+from metricq_db_hta_spark.streaming import store_meta
+
+
+@dataclass(frozen=True)
+class EraseResult:
+    raw_dirs: int            # metric partition dirs removed from raw batches
+    table_dirs: int          # metric dirs removed from level_*/hist_* tables
+    emptied_batches: list[int]   # batch ids removed + de-committed
+    drops_rows: int          # drops_log rows scrubbed (0 without spark)
+
+
+def _is_metric_dir(name: str, metric: str) -> bool:
+    """Match ``metric=<value>`` against the metric, tolerating Spark's
+    partition-path escaping (special chars are %-encoded on write)."""
+    col, eq, val = name.partition("=")
+    return bool(eq) and col == "metric" and unquote(val) == metric
+
+
+def _batches_holding(store_dir: str, metric: str) -> dict[int, str]:
+    """batch id -> the batch's ``metric=M`` dir path, for every raw batch
+    dir on disk that holds the metric (committed or not — the guards
+    decide what that means)."""
+    out: dict[int, str] = {}
+    raw_root = store_meta.raw_path(store_dir)
+    if not os.path.isdir(raw_root):
+        return out
+    for b in store_meta.raw_batches_on_disk(store_dir):
+        bdir = store_meta.batch_dir(store_dir, b)
+        for name in os.listdir(bdir):
+            if _is_metric_dir(name, metric):
+                out[b] = os.path.join(bdir, name)
+                break
+    return out
+
+
+def delete_metric(
+    store_dir: str,
+    metric: str,
+    spark=None,
+    dry_run: bool = False,
+) -> EraseResult:
+    """Erase one metric from a store (module docstring: layout, guards,
+    what stays). Idempotent: erasing an absent metric is a no-op result,
+    not an error. ``dry_run=True`` runs every guard and counts what WOULD
+    be removed without touching the store. ``spark`` is only needed to
+    scrub ``drops_log``; without it the pass refuses when that table
+    still holds rows for the metric (a partial erasure that *looks*
+    complete is worse than an actionable refusal)."""
+    from metricq_db_hta_spark.operators.maintenance import _rmtree_strict
+
+    if store_meta.read_journal(store_dir) is not None:
+        raise RuntimeError(
+            "compaction journal pending - settle it (recover_compaction) "
+            "before erasing a metric"
+        )
+
+    holding = _batches_holding(store_dir, metric)
+    committed = store_meta.committed_batches(store_dir)
+    torn = sorted(b for b in holding if b not in committed)
+    if torn:
+        raise RuntimeError(
+            f"batches {torn} hold metric {metric!r} but are not "
+            "marker-committed - run recover() (torn write) or stop the "
+            "live writer first"
+        )
+    replayable = sorted(
+        b for b in holding if not store_meta.checkpoint_committed(store_dir, b)
+    )
+    if replayable:
+        raise RuntimeError(
+            f"batches {replayable} holding metric {metric!r} are still "
+            "inside the streaming replay barrier - a checkpoint replay "
+            "would resurrect the metric; advance the stream one batch or "
+            "stop it cleanly first"
+        )
+
+    # drops_log: refuse-or-scrub BEFORE deleting anything, so a refusal
+    # leaves the store untouched rather than half-erased
+    drops_rows = 0
+    drops_root = os.path.join(store_dir, "drops_log")
+    if os.path.isdir(drops_root):
+        if spark is None:
+            raise RuntimeError(
+                "store has a drops_log (rows carry metric names) - pass a "
+                "SparkSession so the erasure can scrub it"
+            )
+        drops = spark.read.parquet(drops_root)
+        from pyspark.sql import functions as F
+
+        drops_rows = drops.filter(F.col("metric") == metric).count()
+        if drops_rows and not dry_run:
+            # tiny table (one row per dropping metric per batch): full
+            # rewrite through a tmp dir + atomic-enough swap, because a
+            # dynamic partition overwrite cannot delete partitions whose
+            # every row was the erased metric's
+            kept = drops.filter(F.col("metric") != metric)
+            if kept.isEmpty():
+                # nothing left: remove the table instead of leaving a
+                # file-less parquet dir later readers can't infer from
+                _rmtree_strict(drops_root)
+            else:
+                tmp = drops_root + ".erase_tmp"
+                kept.coalesce(1).write.mode("overwrite").partitionBy(
+                    "ingest_batch"
+                ).parquet(tmp)
+                _rmtree_strict(drops_root)
+                os.rename(tmp, drops_root)
+
+    # raw: the metric's partition dir in every committed batch
+    raw_dirs = 0
+    emptied: list[int] = []
+    for b, mdir in sorted(holding.items()):
+        raw_dirs += 1
+        if dry_run:
+            bdir = store_meta.batch_dir(store_dir, b)
+            others = [
+                n
+                for n in os.listdir(bdir)
+                if n.startswith("metric=") and not _is_metric_dir(n, metric)
+            ]
+            if not others:
+                emptied.append(b)
+            continue
+        _rmtree_strict(mdir)
+        bdir = store_meta.batch_dir(store_dir, b)
+        if not any(n.startswith("metric=") for n in os.listdir(bdir)):
+            shutil.rmtree(bdir)
+            emptied.append(b)
+    if emptied and not dry_run:
+        # de-commit the now-empty batches (clips to on-disk and
+        # republishes the snapshot manifest, same as retention)
+        store_meta.update_commit_marker(store_dir, add=set(), remove=set(emptied))
+
+    # level / hist tables: one metric dir per table
+    table_dirs = 0
+    for name in sorted(os.listdir(store_dir)):
+        if not (name.startswith("level_") or name.startswith("hist_")):
+            continue
+        troot = os.path.join(store_dir, name)
+        if not os.path.isdir(troot):
+            continue
+        for child in os.listdir(troot):
+            if _is_metric_dir(child, metric):
+                table_dirs += 1
+                if not dry_run:
+                    _rmtree_strict(os.path.join(troot, child))
+
+    return EraseResult(
+        raw_dirs=raw_dirs,
+        table_dirs=table_dirs,
+        emptied_batches=emptied,
+        drops_rows=drops_rows,
+    )

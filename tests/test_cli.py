@@ -292,3 +292,33 @@ def test_history_discovers_levels(backfilled_store):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "+" in r.stdout and "|" in r.stdout, r.stdout[-500:]
+
+
+def test_delete_metric_cli(backfilled_store, tmp_path):
+    """delete-metric end-to-end: dry-run counts without touching, the real
+    pass erases; run against a `backup` copy so the shared fixture store
+    stays intact for the other read-side tests."""
+    copy = str(tmp_path / "erase_copy")
+    r = _cli("backup", "--store", backfilled_store, "--dest", copy)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    def _click_dirs(root):
+        return [
+            os.path.join(dp, d)
+            for dp, dns, _ in os.walk(root)
+            for d in dns
+            if d == "metric=click"
+        ]
+
+    assert _click_dirs(copy)
+    r = _cli("delete-metric", "--store", copy, "--metric", "click",
+             "--dry-run")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "would erase" in r.stderr
+    assert _click_dirs(copy)  # preview only
+
+    r = _cli("delete-metric", "--store", copy, "--metric", "click")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "erased metric 'click'" in r.stderr
+    assert not _click_dirs(copy)
+    assert _click_dirs(backfilled_store)  # the source is untouched

@@ -1,0 +1,199 @@
+"""Targeted metric erasure (operators/erase.py): one metric gone from
+raw, every level/hist table, and the drops_log; everything else
+byte-identical; complete-or-refuse guards."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from metricq_db_hta_spark.operators import fsck
+from metricq_db_hta_spark.operators.erase import delete_metric
+from metricq_db_hta_spark.plans.serve import build_history_service
+from metricq_db_hta_spark.queries.hta_queries import W0, W1, samples
+from metricq_db_hta_spark.streaming import store_meta
+from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
+
+
+@pytest.fixture()
+def erase_store(spark, sf_dir, tmp_path):
+    """Two committed backfill batches over all metrics, two aggregate
+    levels + one hist level, plus one streaming microbatch whose stale
+    'click' row forces a drops_log entry naming the metric (the
+    streaming path owns drop observability — A14)."""
+    store = str(tmp_path / "store")
+    src = samples(spark, sf_dir).orderBy("event_id").limit(500)
+    ts = sorted(r[0] for r in src.select("ts_ns").collect())
+    mid = ts[len(ts) // 2]
+    svc = StreamingIngest(
+        spark, store, level_widths_ns=(W0, W1), hist_widths_ns=(W0,)
+    )
+    svc.backfill(src.filter(F.col("ts_ns") <= mid))
+    svc.backfill(src.filter(F.col("ts_ns") > mid))
+    top = max(ts)
+    chunk = tmp_path / "in_chunks"
+    chunk.mkdir()
+    spark.createDataFrame(
+        [
+            ("click", 1, 9.9, 10**6),         # below watermark -> drop
+            ("click", top + W0, 1.0, 10**6 + 1),  # kept; carries the counts
+            ("view", 2, 8.8, 10**6 + 2),      # a second dropping metric:
+            ("view", top + W0, 2.0, 10**6 + 3),   # its rows must SURVIVE
+        ],
+        ["metric", "ts_ns", "value", "event_id"],
+    ).coalesce(1).write.parquet(str(chunk / "c1"))
+    svc.run_until_drained(str(chunk))
+    return store, svc, src
+
+
+def _metric_dirs(store: str, metric: str) -> list[str]:
+    hits = []
+    for dirpath, dirnames, _ in os.walk(store):
+        for d in dirnames:
+            if d == f"metric={metric}":
+                hits.append(os.path.join(dirpath, d))
+    return hits
+
+
+def _q3_rows(spark, store):
+    svc = build_history_service(spark, store)
+    return sorted(tuple(r) for r in svc.aggregate(None, 0, 2**62).collect())
+
+
+def test_delete_metric_erases_everywhere(spark, erase_store):
+    store, _svc, _src = erase_store
+    assert _metric_dirs(store, "click")
+    drops = spark.read.parquet(os.path.join(store, "drops_log"))
+    assert drops.filter(F.col("metric") == "click").count() > 0
+    n_drops_before = drops.count()  # materialize BEFORE the files move
+
+    before = _q3_rows(spark, store)
+    res = delete_metric(store, "click", spark=spark)
+    assert res.raw_dirs > 0 and res.table_dirs > 0 and res.drops_rows > 0
+
+    # no trace on disk, in any query, or in the drops log
+    assert not _metric_dirs(store, "click")
+    after = _q3_rows(spark, store)
+    assert after == [r for r in before if r[0] != "click"]
+    drops2 = spark.read.parquet(os.path.join(store, "drops_log"))
+    assert drops2.filter(F.col("metric") == "click").count() == 0
+    assert drops2.count() == n_drops_before - res.drops_rows
+
+    # the surviving store audits green and the op is idempotent
+    assert fsck.check_store(spark, store).ok
+    again = delete_metric(store, "click", spark=spark)
+    assert (again.raw_dirs, again.table_dirs, again.drops_rows) == (0, 0, 0)
+
+    # erasing the last dropping metric removes the now-empty drops_log
+    # table entirely (a file-less parquet dir would break later readers)
+    delete_metric(store, "view", spark=spark)
+    assert not os.path.isdir(os.path.join(store, "drops_log"))
+    assert fsck.check_store(spark, store).ok
+
+
+def test_delete_metric_empties_and_decommits_batches(spark, sf_dir, tmp_path):
+    store = str(tmp_path / "store_empty")
+    src = samples(spark, sf_dir).orderBy("event_id").limit(300)
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc.backfill(src.filter(F.col("metric") != "view"))
+    svc.backfill(src.filter(F.col("metric") == "view"))  # view-only batch
+    committed = store_meta.committed_batches(store)
+    assert len(committed) == 2
+
+    res = delete_metric(store, "view", spark=spark)
+    assert len(res.emptied_batches) == 1
+    b = res.emptied_batches[0]
+    assert not os.path.isdir(store_meta.batch_dir(store, b))
+    assert store_meta.committed_batches(store) == committed - {b}
+    # the de-commit republished the snapshot manifest
+    assert store_meta.current_snapshot(store)["batches"] == sorted(
+        committed - {b}
+    )
+    assert fsck.check_store(spark, store).ok
+
+
+def test_delete_metric_dry_run_touches_nothing(spark, erase_store):
+    store, _svc, _src = erase_store
+    before_dirs = _metric_dirs(store, "click")
+    res = delete_metric(store, "click", spark=spark, dry_run=True)
+    assert res.raw_dirs > 0 and res.table_dirs > 0 and res.drops_rows > 0
+    assert _metric_dirs(store, "click") == before_dirs
+    drops = spark.read.parquet(os.path.join(store, "drops_log"))
+    assert drops.filter(F.col("metric") == "click").count() == res.drops_rows
+
+
+def test_delete_metric_guards(spark, erase_store):
+    store, _svc, _src = erase_store
+
+    # drops_log present but no SparkSession to scrub it
+    with pytest.raises(RuntimeError, match="drops_log"):
+        delete_metric(store, "click", spark=None)
+
+    # compaction journal pending
+    jp = store_meta.journal_path(store)
+    with open(jp, "w") as f:
+        f.write("{}")
+    try:
+        with pytest.raises(RuntimeError, match="journal"):
+            delete_metric(store, "click", spark=spark)
+    finally:
+        os.remove(jp)
+
+    # a torn (marker-uncommitted) batch holding the metric
+    committed = store_meta.committed_batches(store)
+    victim = sorted(committed)[0]
+    store_meta.update_commit_marker(store, add=set(), remove={victim})
+    with pytest.raises(RuntimeError, match="not\\s+marker-committed|recover"):
+        delete_metric(store, "click", spark=spark)
+    store_meta.update_commit_marker(store, add={victim})
+
+    # a replayable streaming batch holding the metric (offsets entry, no
+    # commits entry — same simulation as the retention suite)
+    bdir = store_meta.batch_dir(store, 7)
+    src_dir = _metric_dirs(store, "click")[0]
+    import shutil
+
+    shutil.copytree(src_dir, os.path.join(bdir, "metric=click"))
+    os.makedirs(os.path.join(store, "_checkpoint", "offsets"), exist_ok=True)
+    with open(os.path.join(store, "_checkpoint", "offsets", "7"), "w") as f:
+        f.write("{}")
+    store_meta.update_commit_marker(store, add={7})
+    try:
+        with pytest.raises(RuntimeError, match="replay"):
+            delete_metric(store, "click", spark=spark)
+    finally:
+        store_meta.update_commit_marker(store, add=set(), remove={7})
+        shutil.rmtree(bdir)
+        os.remove(os.path.join(store, "_checkpoint", "offsets", "7"))
+
+    # guards never half-erased anything
+    assert _metric_dirs(store, "click")
+    assert (
+        spark.read.parquet(os.path.join(store, "drops_log"))
+        .filter(F.col("metric") == "click")
+        .count()
+        > 0
+    )
+
+
+def test_reingest_after_delete_starts_fresh(spark, erase_store):
+    store, svc, src = erase_store
+    delete_metric(store, "click", spark=spark)
+    DAY_NS = 86_400 * 1_000_000_000
+    new = (
+        src.filter(F.col("metric") == "click")
+        .select(
+            "metric",
+            (F.col("ts_ns") + 120 * DAY_NS).alias("ts_ns"),
+            "value",
+            (F.col("event_id") + 10**7).alias("event_id"),
+        )
+        .limit(50)
+    )
+    svc.backfill(new)
+    hist = build_history_service(spark, store)
+    got = hist.aggregate("click", 0, 2**62).collect()
+    assert len(got) == 1 and got[0]["count"] == 50
+    assert fsck.check_store(spark, store).ok
