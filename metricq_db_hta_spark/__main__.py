@@ -17,6 +17,7 @@ Subcommands:
   store-stats --store DIR                           batch/file/journal health (no Spark)
   fsck     --store DIR [--start NS] [--end NS]      audit levels vs raw recompute
   delete-metric --store DIR --metric M [--dry-run]  erase one metric everywhere
+  rename-metric --store DIR --old A --new B         migrate a metric's history
   serve    --store DIR [--host H] [--port P]        resident history RPC
 
 Examples:
@@ -174,6 +175,14 @@ def main(argv: list[str] | None = None) -> int:
     pdm.add_argument("--dry-run", action="store_true",
                      help="run every guard and count what WOULD be "
                      "removed without touching the store")
+
+    prm = sub.add_parser("rename-metric")
+    prm.add_argument("--store", required=True)
+    prm.add_argument("--old", required=True, help="current metric name")
+    prm.add_argument("--new", required=True,
+                     help="target name; must not already exist in the "
+                     "store (histories are never merged)")
+    prm.add_argument("--dry-run", action="store_true")
 
     pf = sub.add_parser("fsck")
     pf.add_argument("--store", required=True)
@@ -473,6 +482,26 @@ def main(argv: list[str] | None = None) -> int:
             f"partitions, {res.table_dirs} level/hist partitions, "
             f"{res.drops_rows} drops_log rows; emptied batches "
             f"{res.emptied_batches}",
+            file=sys.stderr,
+        )
+        return 0
+
+    if args.cmd == "rename-metric":
+        from metricq_db_hta_spark.operators.erase import rename_metric
+
+        try:
+            res = rename_metric(
+                args.store, args.old, args.new, spark=spark,
+                dry_run=args.dry_run,
+            )
+        except (RuntimeError, ValueError) as e:
+            print(f"rename-metric: {e}", file=sys.stderr)
+            return 1
+        verb = "would rename" if args.dry_run else "renamed"
+        print(
+            f"{verb} metric {args.old!r} -> {args.new!r}: {res.raw_dirs} "
+            f"raw batch partitions, {res.table_dirs} level/hist "
+            f"partitions, {res.drops_rows} drops_log rows",
             file=sys.stderr,
         )
         return 0

@@ -1,4 +1,6 @@
-"""Targeted metric erasure: remove EVERY stored trace of one metric.
+"""Per-metric store surgery: erase or rename one metric's stored history.
+
+Targeted metric erasure: remove EVERY stored trace of one metric.
 
 The operational need the TTL pass (operators/retention.py) cannot serve:
 a decommissioned sensor, a mis-keyed ingest, or a data-removal request
@@ -214,4 +216,174 @@ def delete_metric(
         table_dirs=table_dirs,
         emptied_batches=emptied,
         drops_rows=drops_rows,
+    )
+
+
+# -- rename ------------------------------------------------------------------
+
+#: characters Spark's partition-path writer %-escapes (escapePathName);
+#: mirrored here so a renamed dir is byte-identical to what the writer
+#: would have produced for the new name
+_ESCAPE = set('"#%\'*/:=?\\{[]}') | {chr(c) for c in range(0x20)} | {chr(0x7F)}
+
+
+def _escape_partition_value(value: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _ESCAPE else ch for ch in value
+    )
+
+
+@dataclass(frozen=True)
+class RenameResult:
+    raw_dirs: int          # metric partition dirs moved in raw batches
+    table_dirs: int        # metric dirs moved in level_*/hist_* tables
+    drops_rows: int        # drops_log rows re-labeled (0 without spark)
+
+
+def rename_metric(
+    store_dir: str,
+    old: str,
+    new: str,
+    spark=None,
+    dry_run: bool = False,
+) -> RenameResult:
+    """Migrate one metric's ENTIRE stored history to a new name.
+
+    The reference renames at the ingest edge only (A2 input mapping,
+    /root/reference/src/async_hta_service.hpp:136-145): from the remap
+    onward, new samples land under the new name, and history stays
+    stranded under the old one. This is the missing second half — a
+    store-side migration so queries for the new name see the full
+    history. Runbook: update the input mapping first (A17 reconfigure),
+    then rename the history; the two are independently safe in that
+    order (a window where fresh data is `new` and history is `old`),
+    while the reverse order would keep REFILLING `old`.
+
+    Directory moves only (`os.rename` of each ``metric=old`` partition
+    dir — metadata-only at any store size) plus the same tiny
+    ``drops_log`` rewrite as erasure. Stored ``delta_ns`` values are
+    per-metric gaps, so they remain exactly correct under a whole-
+    history rename — which is also why the target name must not already
+    exist ANYWHERE in the store: merging two histories would interleave
+    sample chains whose stored deltas no longer match
+    (``fsck`` would flag every merged bucket). Refused, never merged.
+
+    Guards: identical complete-or-refuse set as :func:`delete_metric`
+    (pending journal, torn batches, replay barrier), checked before
+    anything moves. The streaming checkpoint's watermark state still
+    carries the OLD key; correctness is preserved because a fresh
+    stream start re-seeds per-metric watermarks from the store's max
+    (ingest_stream.monotonic_stateful seed contract), which the renamed
+    history now advertises under the new name — pre-rename timestamps
+    re-sent under the new name are dropped exactly as they would have
+    been under the old one.
+    """
+    from metricq_db_hta_spark.operators.maintenance import _rmtree_strict
+
+    if old == new:
+        raise ValueError("rename requires two distinct metric names")
+    if store_meta.read_journal(store_dir) is not None:
+        raise RuntimeError(
+            "compaction journal pending - settle it (recover_compaction) "
+            "before renaming a metric"
+        )
+
+    holding = _batches_holding(store_dir, old)
+    committed = store_meta.committed_batches(store_dir)
+    torn = sorted(b for b in holding if b not in committed)
+    if torn:
+        raise RuntimeError(
+            f"batches {torn} hold metric {old!r} but are not "
+            "marker-committed - run recover() (torn write) or stop the "
+            "live writer first"
+        )
+    replayable = sorted(
+        b for b in holding if not store_meta.checkpoint_committed(store_dir, b)
+    )
+    if replayable:
+        raise RuntimeError(
+            f"batches {replayable} holding metric {old!r} are still "
+            "inside the streaming replay barrier - a checkpoint replay "
+            "would rewrite them under the old name; advance the stream "
+            "one batch or stop it cleanly first"
+        )
+
+    # the target must be absent EVERYWHERE (docstring: merge refusal)
+    clashes: list[str] = []
+    if _batches_holding(store_dir, new):
+        clashes.append("raw")
+    for name in sorted(os.listdir(store_dir)):
+        if not (name.startswith("level_") or name.startswith("hist_")):
+            continue
+        troot = os.path.join(store_dir, name)
+        if os.path.isdir(troot) and any(
+            _is_metric_dir(c, new) for c in os.listdir(troot)
+        ):
+            clashes.append(name)
+    drops_root = os.path.join(store_dir, "drops_log")
+    drops = None
+    if os.path.isdir(drops_root):
+        if spark is None:
+            raise RuntimeError(
+                "store has a drops_log (rows carry metric names) - pass a "
+                "SparkSession so the rename can re-label it"
+            )
+        from pyspark.sql import functions as F
+
+        drops = spark.read.parquet(drops_root)
+        if drops.filter(F.col("metric") == new).limit(1).count():
+            clashes.append("drops_log")
+    if clashes:
+        raise RuntimeError(
+            f"metric {new!r} already exists in {clashes} - renaming "
+            f"{old!r} onto it would merge two histories (stored delta_ns "
+            "chains would interleave); erase or rename the target first"
+        )
+
+    new_dirname = "metric=" + _escape_partition_value(new)
+
+    # drops_log first (same refuse-before-mutate ordering as erasure)
+    drops_rows = 0
+    if drops is not None:
+        from pyspark.sql import functions as F
+
+        drops_rows = drops.filter(F.col("metric") == old).count()
+        if drops_rows and not dry_run:
+            relabeled = drops.withColumn(
+                "metric",
+                F.when(F.col("metric") == old, F.lit(new)).otherwise(
+                    F.col("metric")
+                ),
+            )
+            tmp = drops_root + ".rename_tmp"
+            relabeled.coalesce(1).write.mode("overwrite").partitionBy(
+                "ingest_batch"
+            ).parquet(tmp)
+            _rmtree_strict(drops_root)
+            os.rename(tmp, drops_root)
+
+    raw_dirs = 0
+    for _b, mdir in sorted(holding.items()):
+        raw_dirs += 1
+        if not dry_run:
+            os.rename(mdir, os.path.join(os.path.dirname(mdir), new_dirname))
+
+    table_dirs = 0
+    for name in sorted(os.listdir(store_dir)):
+        if not (name.startswith("level_") or name.startswith("hist_")):
+            continue
+        troot = os.path.join(store_dir, name)
+        if not os.path.isdir(troot):
+            continue
+        for child in os.listdir(troot):
+            if _is_metric_dir(child, old):
+                table_dirs += 1
+                if not dry_run:
+                    os.rename(
+                        os.path.join(troot, child),
+                        os.path.join(troot, new_dirname),
+                    )
+
+    return RenameResult(
+        raw_dirs=raw_dirs, table_dirs=table_dirs, drops_rows=drops_rows
     )

@@ -197,3 +197,82 @@ def test_reingest_after_delete_starts_fresh(spark, erase_store):
     got = hist.aggregate("click", 0, 2**62).collect()
     assert len(got) == 1 and got[0]["count"] == 50
     assert fsck.check_store(spark, store).ok
+
+
+# -- rename (operators/erase.py::rename_metric) ------------------------------
+
+
+def test_rename_metric_migrates_full_history(spark, erase_store):
+    from metricq_db_hta_spark.operators.erase import rename_metric
+
+    store, _svc, _src = erase_store
+    before = _q3_rows(spark, store)
+    n_drops = spark.read.parquet(os.path.join(store, "drops_log")).count()
+
+    res = rename_metric(store, "view", "interaction.view", spark=spark)
+    assert res.raw_dirs > 0 and res.table_dirs > 0 and res.drops_rows > 0
+
+    # identical history under the new name, nothing under the old
+    assert not _metric_dirs(store, "view")
+    want = sorted(
+        ("interaction.view", *r[1:]) if r[0] == "view" else r for r in before
+    )
+    assert _q3_rows(spark, store) == want
+    drops = spark.read.parquet(os.path.join(store, "drops_log"))
+    assert drops.count() == n_drops  # re-labeled, not dropped
+    assert drops.filter(F.col("metric") == "view").count() == 0
+    assert (
+        drops.filter(F.col("metric") == "interaction.view").count()
+        == res.drops_rows
+    )
+    assert fsck.check_store(spark, store).ok
+
+
+def test_rename_metric_refuses_merge_and_bad_args(spark, erase_store):
+    from metricq_db_hta_spark.operators.erase import rename_metric
+
+    store, _svc, _src = erase_store
+    with pytest.raises(RuntimeError, match="already exists"):
+        rename_metric(store, "view", "click", spark=spark)  # target live
+    with pytest.raises(ValueError, match="distinct"):
+        rename_metric(store, "view", "view", spark=spark)
+    # refusals touched nothing
+    assert _metric_dirs(store, "view") and _metric_dirs(store, "click")
+
+
+def test_rename_preserves_monotonic_contract(spark, erase_store):
+    """Pre-rename timestamps re-sent under the NEW name must be dropped
+    (the renamed history advertises the old watermark under the new
+    name via the store-seeded monotonic filter)."""
+    from metricq_db_hta_spark.operators.erase import rename_metric
+
+    store, svc, src = erase_store
+    rename_metric(store, "purchase", "sales.purchase", spark=spark)
+    top = max(
+        r[0]
+        for r in spark.read.parquet(svc.raw_path)
+        .filter(F.col("metric") == "sales.purchase")
+        .select("ts_ns")
+        .collect()
+    )
+    n_before = (
+        spark.read.parquet(svc.raw_path)
+        .filter(F.col("metric") == "sales.purchase")
+        .count()
+    )
+    svc.backfill(
+        spark.createDataFrame(
+            [
+                ("sales.purchase", top - 1, 3.3, 2 * 10**6),  # stale -> drop
+                ("sales.purchase", top + W0, 4.4, 2 * 10**6 + 1),  # kept
+            ],
+            ["metric", "ts_ns", "value", "event_id"],
+        )
+    )
+    got = (
+        spark.read.parquet(svc.raw_path)
+        .filter(F.col("metric") == "sales.purchase")
+        .count()
+    )
+    assert got == n_before + 1
+    assert fsck.check_store(spark, store).ok
