@@ -1319,3 +1319,71 @@ FROM level0 WHERE FALSE"""
     sql = LEVELS_SQL + "\n" + "\nUNION ALL\n".join(parts)
     mismatch = oracle.compare(df, duck, sql)
     assert mismatch is None, (spec, mismatch.kind, mismatch.detail)
+
+
+# ---------------------------------------------------------------------------
+# fuzz class 15 (late r10): fleet pattern aggregate — random metric globs x
+# hour-aligned ranges x level choices against a DuckDB LIKE+GROUP BY oracle.
+# The glob set spans 0 matches (empty result), exactly-one (degenerate
+# merge == plain Q1 row), subsets, all-metrics, '?' single-char wildcards,
+# and an escaped-'_' literal that must NOT act as a wildcard.
+# ---------------------------------------------------------------------------
+
+#: glob -> the DuckDB LIKE pattern WITH explicit ESCAPE (DuckDB has no
+#: default escape char; Spark's LIKE defaults to backslash — glob_to_like's
+#: documented contract)
+PATTERN_GRID = [
+    "*",            # every metric
+    "*u*",          # purchase, signup
+    "*i*",          # click, signup, view
+    "c*",           # click
+    "?iew",         # view
+    "s?gnup",       # signup
+    "*r*",          # error, purchase
+    "zz*",          # no match -> empty result
+    "click_extra*", # literal '_' in the GLOB: escaped, matches nothing
+]
+
+pattern_spec = st.fixed_dictionaries(
+    {
+        "pat_i": st.integers(0, len(PATTERN_GRID) - 1),
+        "h0": st.integers(0, 700),
+        "span_h": st.integers(1, 400),
+        "imax_i": st.integers(0, len(IMAX_GRID) - 1),
+    }
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=pattern_spec)
+def test_random_pattern_aggregate_matches_oracle(spark, duck, sf_dir, spec):
+    from metricq_db_hta_spark.plans.history import glob_to_like
+    from metricq_db_hta_spark.queries.hta_queries import _present
+
+    start, end = _hta_range(spec)
+    imax = IMAX_GRID[spec["imax_i"]]
+    glob = PATTERN_GRID[spec["pat_i"]]
+    svc = hta_service(spark, sf_dir)
+    df = _present(svc.aggregate_timeline_pattern(glob, start, end, imax))
+    # DuckDB keeps backslashes literal inside '' literals (verified:
+    # SELECT 'a_b' LIKE 'a\_b' ESCAPE '\' is true) — only quotes need
+    # doubling; doubling the backslash would turn the escape into a
+    # literal-backslash-then-WILDCARD, silently widening the oracle
+    like = glob_to_like(glob).replace("'", "''")
+    sql = LEVELS_SQL + f"""
+SELECT bucket_start_ns, COUNT(metric) AS n_metrics,
+       MIN(minimum) AS minimum, MAX(maximum) AS maximum,
+       CAST(SUM("sum") AS DOUBLE) AS "sum", {sql_bsum('"count"')} AS "count",
+       CAST(SUM(integral) AS BIGINT) AS integral,
+       {sql_bsum('active_time')} AS active_time
+FROM level{_expected_level(imax)}
+WHERE metric LIKE '{like}' ESCAPE '\\'
+  AND bucket_start_ns >= {start} AND bucket_start_ns < {end}
+GROUP BY 1
+"""
+    mismatch = oracle.compare(df, duck, sql)
+    assert mismatch is None, (spec, glob, mismatch.kind, mismatch.detail)
