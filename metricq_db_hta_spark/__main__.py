@@ -425,7 +425,7 @@ def main(argv: list[str] | None = None) -> int:
                 svc.raw, args.metric, args.start, args.end, args.step_ns
             )
         else:
-            df = svc.last_value(args.metric)
+            df = svc.last_value(args.metric, pattern=args.pattern)
         df.show(100, truncate=False)
         return 0
 

@@ -588,14 +588,23 @@ class HistoryService:
         )
 
     # -- Q4 ----------------------------------------------------------------
-    def last_value(self, metric: str | None = None) -> DataFrame:
+    def last_value(
+        self, metric: str | None = None, pattern: str | None = None
+    ) -> DataFrame:
         """Q4: most recent raw sample per metric. The reference queries
         retrieve(ts_max, ts_max, Scope::extended/open) (:465-488); in Spark
         this is max_by over the metric group — a single partial/final agg,
-        no sort."""
+        no sort. ``pattern`` (a shell glob, mutually exclusive with
+        ``metric``) restricts to matching metrics — the fleet
+        current-values panel ("last value of host.*.power") in one
+        request instead of M."""
+        if metric is not None and pattern is not None:
+            raise ValueError("pass at most one of metric / pattern")
         df = self.raw
         if metric is not None:
             df = df.filter(F.col("metric") == metric)
+        elif pattern is not None:
+            df = df.filter(F.col("metric").like(glob_to_like(pattern)))
         return (
             df.groupBy("metric")
             .agg(

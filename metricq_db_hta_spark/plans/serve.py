@@ -48,6 +48,7 @@ import json
 import os
 import socketserver
 import threading
+from urllib.parse import unquote
 
 from pyspark.sql import SparkSession
 
@@ -364,7 +365,36 @@ class HistoryServer:
                     str(pat), start, end, imax
                 )
             elif rtype == "last_value":
-                df = self._svc.last_value(metric)
+                # optional fleet glob: {"type": "last_value",
+                # "pattern": "host.*.power"} — one request, M rows
+                df = self._svc.last_value(
+                    metric, pattern=req.get("pattern")
+                )
+            elif rtype == "list_metrics":
+                # store discovery: the metric names the store actually
+                # holds, read from the finest level table's partition
+                # layout — a directory listing, no data scan at any
+                # store size. (The reference's manager knows metrics
+                # from config, A19; a store browser wants them FROM the
+                # store.) Optional "pattern" glob filters the listing.
+                import fnmatch
+
+                w = self._svc.widths[0]
+                troot = os.path.join(self.store, f"level_{w}")
+                names = sorted(
+                    unquote(n.split("=", 1)[1])
+                    for n in (
+                        os.listdir(troot) if os.path.isdir(troot) else []
+                    )
+                    if n.startswith("metric=")
+                )
+                pat = req.get("pattern")
+                if pat:
+                    names = [
+                        n for n in names if fnmatch.fnmatchcase(n, str(pat))
+                    ]
+                rows = [{"metric": n} for n in names[:limit]]
+                return {"rows": rows, "n": len(rows)}
             elif rtype == "gapfill_timeline":
                 if metric is None:
                     return {"error": "gapfill_timeline requires a metric"}

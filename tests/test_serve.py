@@ -325,3 +325,49 @@ def test_history_server_aggregate_pattern(spark, sf_dir, tmp_path):
         s.close()
     finally:
         server.shutdown()
+
+
+def test_history_server_list_metrics_and_pattern_last_value(
+    spark, sf_dir, tmp_path
+):
+    """Store discovery (list_metrics: a directory listing of the finest
+    level table, no scan) and the fleet current-values request
+    (last_value + pattern), both glob-filtered."""
+    src = samples(spark, sf_dir).limit(2_000)
+    store = str(tmp_path / "store_disc")
+    StreamingIngest(spark, store, level_widths_ns=(W0,)).backfill(src)
+
+    server, port = HistoryServer(spark, store, [W0]).start_background()
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=30)
+        s.settimeout(120)
+        f = s.makefile("rb")
+
+        listing = _rpc(f, s, {"type": "list_metrics"})
+        names = [r["metric"] for r in listing["rows"]]
+        assert names == sorted(names)
+        want = {
+            r["metric"]
+            for r in src.select("metric").distinct().collect()
+        }
+        assert set(names) == want
+
+        filtered = _rpc(f, s, {"type": "list_metrics", "pattern": "*u*"})
+        assert [r["metric"] for r in filtered["rows"]] == sorted(
+            n for n in names if "u" in n
+        )
+
+        lv = _rpc(f, s, {"type": "last_value", "pattern": "*u*"})
+        got = {r["metric"] for r in lv["rows"]}
+        assert got == {n for n in names if "u" in n}
+        for r in lv["rows"]:
+            single = _rpc(f, s, {"type": "last_value", "metric": r["metric"]})
+            assert single["rows"][0]["ts_ns"] == r["ts_ns"]
+
+        both = _rpc(
+            f, s, {"type": "last_value", "metric": "click", "pattern": "*"}
+        )
+        assert "error" in both  # mutually exclusive, reported not crashed
+        s.close()
+    finally:
+        server.shutdown()
