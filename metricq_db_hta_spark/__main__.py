@@ -75,7 +75,8 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "aggregate_timeline", "flex_timeline", "aggregate",
             "aggregate_tiered", "timeline_tiered", "last_value",
-            "gapfill_timeline", "resample", "aggregate_pattern",
+            "gapfill_timeline", "resample",
+            "aggregate_timeline_pattern", "aggregate_pattern",
         ],
     )
     ph.add_argument("--metric", default=None)
@@ -408,13 +409,18 @@ def main(argv: list[str] | None = None) -> int:
             df = svc.aggregate_timeline_gapfill(
                 args.metric, args.start, args.end, args.interval_max
             )
-        elif args.type == "aggregate_pattern":
+        elif args.type == "aggregate_timeline_pattern":
             if not args.pattern:
-                print("aggregate_pattern requires --pattern")
+                print("aggregate_timeline_pattern requires --pattern")
                 return 2
             df = svc.aggregate_timeline_pattern(
                 args.pattern, args.start, args.end, args.interval_max
             )
+        elif args.type == "aggregate_pattern":
+            if not args.pattern:
+                print("aggregate_pattern requires --pattern")
+                return 2
+            df = svc.aggregate_pattern(args.pattern, args.start, args.end)
         elif args.type == "resample":
             if args.metric is None or args.end == TS_MAX_NS or args.step_ns <= 0:
                 print("resample requires --metric, a finite --end and --step-ns")

@@ -467,6 +467,34 @@ class HistoryService:
         )
         return self._merge_segments(metric, segs)
 
+    # -- Q3 across a metric pattern ------------------------------------------
+    def aggregate_pattern(
+        self, pattern: str, start_ns: int, end_ns: int
+    ) -> DataFrame:
+        """Fleet Q3: ONE merged Aggregate row over [start, end) across
+        every metric matching a shell glob, plus ``n_metrics`` — the
+        whole-range companion of :meth:`aggregate_timeline_pattern`
+        ("total energy of host.*.power this month" in one request).
+
+        Built on :meth:`aggregate`'s cost-routed level decomposition with
+        the glob as a plain filter: ``metric`` is the grouping key, so
+        Catalyst pushes the LIKE through the per-metric aggregate down to
+        the level scans — matching metrics' rows are the only rows read —
+        and one final ungrouped merge (the rollup monoid on the metric
+        axis) collapses the per-metric records."""
+        per_metric = self.aggregate(None, start_ns, end_ns).filter(
+            F.col("metric").like(glob_to_like(pattern))
+        )
+        return per_metric.agg(
+            F.count("metric").alias("n_metrics"),
+            F.min("minimum").alias("minimum"),
+            F.max("maximum").alias("maximum"),
+            F.sum("sum").alias("sum"),
+            F.sum("count").cast("long").alias("count"),
+            F.sum("integral").cast("long").alias("integral"),
+            F.sum("active_time").cast("long").alias("active_time"),
+        )
+
     def aggregate_tiered(
         self,
         metric: str | None,

@@ -351,19 +351,33 @@ class HistoryServer:
                     metric, start, end, imax, floors
                 )
                 uncovered = [[lo, hi] for lo, hi in gaps]
-            elif rtype == "aggregate_pattern":
+            elif rtype == "aggregate_timeline_pattern":
                 # fleet Q1: one merged Aggregate timeline across every
                 # metric matching a shell glob (history.py::
                 # aggregate_timeline_pattern) — the level choice and
                 # retention-floor clamp are exactly aggregate_timeline's
                 pat = req.get("pattern")
                 if not pat:
-                    return {"error": "aggregate_pattern requires a pattern"}
+                    return {
+                        "error": "aggregate_timeline_pattern requires "
+                        "a pattern"
+                    }
                 w = choose_level(self._svc.widths, imax) or self._svc.widths[0]
                 start, clamped = self._clamp_floor(start, f"level_{w}")
                 df = self._svc.aggregate_timeline_pattern(
                     str(pat), start, end, imax
                 )
+            elif rtype == "aggregate_pattern":
+                # fleet Q3: ONE merged row over the whole range across the
+                # glob's metrics; clamped at the finest level's floor for
+                # the same exactness reason as plain `aggregate`
+                pat = req.get("pattern")
+                if not pat:
+                    return {"error": "aggregate_pattern requires a pattern"}
+                start, clamped = self._clamp_floor(
+                    start, f"level_{self._svc.widths[0]}"
+                )
+                df = self._svc.aggregate_pattern(str(pat), start, end)
             elif rtype == "last_value":
                 # optional fleet glob: {"type": "last_value",
                 # "pattern": "host.*.power"} — one request, M rows

@@ -57,13 +57,15 @@ from metricq_db_hta_spark.queries import llm2  # noqa: F401
 #     three SFs). The ninth and tenth displace rel_window_rank_topn and
 #     rel_window_distribution from (4) — both r8-green, untouched —
 #     which join the queries round 11 MUST schedule (now 18).
-# (6) hta_pattern_aggregate (fleet glob aggregate) was added after the
-#     window froze: diffcheck-green at all three SFs, never
-#     driver-checked — round 11 schedules it with the 18 above (19).
+# (6) hta_pattern_aggregate + hta_pattern_q3 (fleet glob timeline /
+#     whole-range aggregate) were added after the window froze:
+#     diffcheck-green at all three SFs, never driver-checked — round 11
+#     schedules them with the 18 above (20).
 PENDING_NEXT_WINDOW: list[str] = [
     # added after the r10 window froze — never driver-checked,
     # diffcheck-green at all three SFs; see (6)
     "hta_pattern_aggregate",
+    "hta_pattern_q3",
 ]
 _WINDOW = [
     # (1) first driver rows ever — added post-r9-driver-run

@@ -393,6 +393,29 @@ def hta_pattern_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hta_pattern_q3",
+    oracle=LEVELS_SQL + f"""
+SELECT COUNT(DISTINCT metric) AS n_metrics,
+       MIN(minimum) AS minimum, MAX(maximum) AS maximum,
+       CAST(SUM("sum") AS DOUBLE) AS "sum", {sql_bsum('"count"')} AS "count",
+       CAST(SUM(integral) AS BIGINT) AS integral, {sql_bsum('active_time')} AS active_time
+FROM level0
+WHERE metric LIKE '%u%'
+  AND bucket_start_ns >= {START_NS} AND bucket_start_ns < {END_NS}
+""",
+    doc="Fleet Q3 over a metric glob: ONE merged Aggregate row across all "
+    "matching metrics and the whole range "
+    "(plans/history.py::aggregate_pattern) — the glob is a filter on the "
+    "grouping key, so Catalyst pushes it through the per-metric "
+    "aggregate to the level scans; one ungrouped merge collapses the "
+    "per-metric records. Whole-range companion of hta_pattern_aggregate.",
+)
+def hta_pattern_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    svc = service(spark, sf_dir)
+    return _present(svc.aggregate_pattern("*u*", START_NS, END_NS))
+
+
+@register(
     "hta_q2_flex_raw",
     oracle=f"""
 WITH {SAMPLES_CTE.split('AS', 1)[0].strip()} AS (

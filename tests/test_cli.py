@@ -215,7 +215,8 @@ def test_history_dense_types(backfilled_store):
 
     # fleet glob aggregate: merged timeline across matching metrics
     r = _cli(
-        "history", "--store", backfilled_store, "--type", "aggregate_pattern",
+        "history", "--store", backfilled_store, "--type",
+        "aggregate_timeline_pattern",
         "--pattern", "*u*",
         "--width-ns", "3600000000000", "--levels", "2",
     )
@@ -233,7 +234,7 @@ def test_history_dense_types(backfilled_store):
 
     r = _cli(
         "history", "--store", backfilled_store,
-        "--type", "aggregate_pattern",
+        "--type", "aggregate_timeline_pattern",
         "--width-ns", "3600000000000", "--levels", "2",
     )
     assert r.returncode == 2, (r.returncode, r.stdout[-300:])

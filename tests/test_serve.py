@@ -290,7 +290,7 @@ def test_history_server_aggregate_pattern(spark, sf_dir, tmp_path):
         f = s.makefile("rb")
 
         resp = _rpc(
-            f, s, {"type": "aggregate_pattern", "pattern": "*u*",
+            f, s, {"type": "aggregate_timeline_pattern", "pattern": "*u*",
                    "interval_max_ns": W0}
         )
         assert resp.get("n", 0) > 0, resp
@@ -315,13 +315,26 @@ def test_history_server_aggregate_pattern(spark, sf_dir, tmp_path):
             assert row["n_metrics"] == w["n_metrics"]
             assert float(row["sum"]) == float(w["sum"])
 
-        bad = _rpc(f, s, {"type": "aggregate_pattern"})
+        bad = _rpc(f, s, {"type": "aggregate_timeline_pattern"})
         assert "error" in bad and "pattern" in bad["error"]
         again = _rpc(
-            f, s, {"type": "aggregate_pattern", "pattern": "*u*",
+            f, s, {"type": "aggregate_timeline_pattern", "pattern": "*u*",
                    "interval_max_ns": W0}
         )
         assert again.get("n") == resp["n"]
+
+        # fleet Q3: ONE merged row over the whole range; its additive
+        # fields must equal the timeline's column sums (merge monoid
+        # associativity across the bucket axis)
+        q3 = _rpc(f, s, {"type": "aggregate_pattern", "pattern": "*u*"})
+        assert q3.get("n") == 1, q3
+        row = q3["rows"][0]
+        assert row["n_metrics"] == 2
+        assert row["count"] == sum(r["count"] for r in resp["rows"])
+        assert row["active_time"] == sum(
+            r["active_time"] for r in resp["rows"]
+        )
+        assert "error" in _rpc(f, s, {"type": "aggregate_pattern"})
         s.close()
     finally:
         server.shutdown()
