@@ -459,6 +459,11 @@ class HistoryServer:
                     histogram_percentile,
                 )
 
+                pat = req.get("pattern")
+                if metric is not None and pat is not None:
+                    return {
+                        "error": "pass at most one of metric / pattern"
+                    }
                 widths = sorted(self._hists)
                 width = choose_level(widths, imax) or widths[0]
                 start, clamped = self._clamp_floor(start, f"hist_{width}")
@@ -472,6 +477,25 @@ class HistoryServer:
                     (h["bucket_start_ns"] >= start)
                     & (h["bucket_start_ns"] < end)
                 )
+                if pat is not None:
+                    # fleet percentile: bin counts are mergeable across
+                    # metrics (they just add — the same property the
+                    # rollup cascade uses on the time axis), so the
+                    # merged histogram IS the exact histogram of the
+                    # union metric; the percentile walk then runs on it
+                    # unchanged, labeled with the glob
+                    from pyspark.sql import functions as F
+
+                    from metricq_db_hta_spark.plans.history import (
+                        glob_to_like,
+                    )
+
+                    h = (
+                        h.filter(h["metric"].like(glob_to_like(str(pat))))
+                        .groupBy("bucket_start_ns", "bin")
+                        .agg(F.sum("n").cast("long").alias("n"))
+                        .withColumn("metric", F.lit(str(pat)))
+                    )
                 df = histogram_percentile(h, p).orderBy(
                     "metric", "bucket_start_ns"
                 )

@@ -7,6 +7,8 @@ from __future__ import annotations
 import json
 import socket
 
+from pyspark.sql import functions as F
+
 from metricq_db_hta_spark.plans.serve import HistoryServer
 from metricq_db_hta_spark.queries.hta_queries import W0, samples
 from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
@@ -206,6 +208,38 @@ def test_history_server_histogram_percentile(spark, sf_dir, tmp_path):
 
         bad_p = _rpc(f, s, {"type": "histogram_percentile", "p": 1.5})
         assert "error" in bad_p
+
+        # fleet percentile over a glob: bin counts merge exactly across
+        # metrics, so the served result must equal the batch percentile
+        # walk over a manually merged (union-metric) histogram
+        fleet = _rpc(
+            f, s, {"type": "histogram_percentile", "pattern": "*u*",
+                   "interval_max_ns": W0, "p": 0.95}
+        )
+        assert fleet.get("n", 0) > 0, fleet
+        merged = (
+            spark.read.parquet(f"{store}/hist_{W0}")
+            .filter(F.col("metric").like("%u%"))
+            .groupBy("bucket_start_ns", "bin")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .withColumn("metric", F.lit("*u*"))
+        )
+        want_fleet = {
+            r["bucket_start_ns"]: (r["count"], r["p95_est"])
+            for r in hta.histogram_percentile(merged, 0.95).collect()
+        }
+        assert len(want_fleet) == fleet["n"]
+        for row in fleet["rows"]:
+            assert row["metric"] == "*u*"
+            assert want_fleet[row["bucket_start_ns"]] == (
+                row["count"], row["p95_est"],
+            ), row
+
+        both = _rpc(
+            f, s, {"type": "histogram_percentile", "metric": "click",
+                   "pattern": "*"}
+        )
+        assert "error" in both
         s.close()
     finally:
         server.shutdown()
