@@ -18,6 +18,7 @@ Subcommands:
   fsck     --store DIR [--start NS] [--end NS]      audit levels vs raw recompute
   delete-metric --store DIR --metric M [--dry-run]  erase one metric everywhere
   rename-metric --store DIR --old A --new B         migrate a metric's history
+  sql      --store DIR "SELECT ..."                 ad-hoc Spark SQL over the store
   serve    --store DIR [--host H] [--port P]        resident history RPC
 
 Examples:
@@ -176,6 +177,13 @@ def main(argv: list[str] | None = None) -> int:
     pdm.add_argument("--dry-run", action="store_true",
                      help="run every guard and count what WOULD be "
                      "removed without touching the store")
+
+    psq = sub.add_parser("sql")
+    psq.add_argument("--store", required=True)
+    psq.add_argument("query",
+                     help="Spark SQL over the store views: raw, "
+                     "level_<width>, hist_<width>, drops_log")
+    psq.add_argument("--max-rows", type=int, default=100)
 
     prm = sub.add_parser("rename-metric")
     prm.add_argument("--store", required=True)
@@ -490,6 +498,26 @@ def main(argv: list[str] | None = None) -> int:
             f"{res.emptied_batches}",
             file=sys.stderr,
         )
+        return 0
+
+    if args.cmd == "sql":
+        from metricq_db_hta_spark.plans.serve import register_store_views
+
+        try:
+            views = register_store_views(spark, args.store)
+        except (ValueError, RuntimeError) as e:
+            print(f"sql: {e}", file=sys.stderr)
+            return 1
+        print(f"views: {', '.join(views)}", file=sys.stderr)
+        from pyspark.sql.utils import AnalysisException
+
+        try:
+            spark.sql(args.query).show(args.max_rows, truncate=False)
+        except AnalysisException as e:
+            # bad SQL is an operator typo, not an engine bug: one line
+            print(f"sql: {e.getMessage() if hasattr(e, 'getMessage') else e}",
+                  file=sys.stderr)
+            return 2
         return 0
 
     if args.cmd == "rename-metric":

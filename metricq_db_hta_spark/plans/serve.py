@@ -154,6 +154,36 @@ def build_history_service(
     return HistoryService(raw=raw, levels=levels)
 
 
+def register_store_views(spark: SparkSession, store: str) -> list[str]:
+    """Expose a store's tables as session temp views for ad-hoc Spark SQL
+    (CLI ``sql``): ``raw`` (journal-honoring read, same path the history
+    service uses), every ``level_<width>`` / ``hist_<width>`` table, and
+    ``drops_log`` when present. The typed request API stays the product
+    surface; this is the escape hatch for exploration and ops forensics —
+    any question the request types don't cover (per-metric bucket counts,
+    bin distributions, drop audits) is one SELECT away, with Catalyst's
+    partition pruning on (metric, time) intact because the views ARE the
+    partitioned tables. Returns the registered view names."""
+    svc = build_history_service(spark, store)
+    svc.raw.createOrReplaceTempView("raw")
+    names = ["raw"]
+    for w, df in sorted(svc.levels.items()):
+        df.createOrReplaceTempView(f"level_{w}")
+        names.append(f"level_{w}")
+    import glob as _glob
+
+    for d in sorted(_glob.glob(os.path.join(store, "hist_*"))):
+        tail = os.path.basename(d).split("_", 1)[1]
+        if tail.isdigit():
+            spark.read.parquet(d).createOrReplaceTempView(f"hist_{tail}")
+            names.append(f"hist_{tail}")
+    drops = os.path.join(store, "drops_log")
+    if os.path.isdir(drops):
+        spark.read.parquet(drops).createOrReplaceTempView("drops_log")
+        names.append("drops_log")
+    return names
+
+
 class HistoryServer:
     #: size of the round-robin FAIR-pool set (pools are never deregistered
     #: by Spark, so the set must be bounded; 8 >= local[32]/4 concurrent

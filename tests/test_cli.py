@@ -323,3 +323,20 @@ def test_delete_metric_cli(backfilled_store, tmp_path):
     assert "erased metric 'click'" in r.stderr
     assert not _click_dirs(copy)
     assert _click_dirs(backfilled_store)  # the source is untouched
+
+
+def test_sql_subcommand(backfilled_store):
+    """Ad-hoc Spark SQL over the store views; bad SQL exits 2 with one
+    line, not a traceback."""
+    r = _cli(
+        "sql", "--store", backfilled_store,
+        "SELECT metric, count(*) AS n FROM level_3600000000000 "
+        "GROUP BY metric ORDER BY metric",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "views: raw, level_3600000000000" in r.stderr
+    assert "click" in r.stdout and "|" in r.stdout
+
+    r = _cli("sql", "--store", backfilled_store, "SELECT nope FROM raw")
+    assert r.returncode == 2, (r.returncode, r.stderr[-500:])
+    assert "sql: [UNRESOLVED_COLUMN" in r.stderr
