@@ -19,6 +19,7 @@ Subcommands:
   delete-metric --store DIR --metric M [--dry-run]  erase one metric everywhere
   rename-metric --store DIR --old A --new B         migrate a metric's history
   sql      --store DIR "SELECT ..."                 ad-hoc Spark SQL over the store
+  export   --store DIR --dest DIR [--format csv]    dump raw samples (csv/jsonl/parquet)
   serve    --store DIR [--host H] [--port P]        resident history RPC
 
 Examples:
@@ -177,6 +178,18 @@ def main(argv: list[str] | None = None) -> int:
     pdm.add_argument("--dry-run", action="store_true",
                      help="run every guard and count what WOULD be "
                      "removed without touching the store")
+
+    pex = sub.add_parser("export")
+    pex.add_argument("--store", required=True)
+    pex.add_argument("--dest", required=True,
+                     help="output directory (must not exist)")
+    pex.add_argument("--format", choices=["csv", "jsonl", "parquet"],
+                     default="csv")
+    pex.add_argument("--metric", default=None)
+    pex.add_argument("--pattern", default=None,
+                     help="metric glob (mutually exclusive with --metric)")
+    pex.add_argument("--start", type=int, default=0)
+    pex.add_argument("--end", type=int, default=TS_MAX_NS)
 
     psq = sub.add_parser("sql")
     psq.add_argument("--store", required=True)
@@ -498,6 +511,52 @@ def main(argv: list[str] | None = None) -> int:
             f"{res.emptied_batches}",
             file=sys.stderr,
         )
+        return 0
+
+    if args.cmd == "export":
+        # raw-sample interchange dump: the journal-honoring read path,
+        # (metric, time)-pruned, written via the schema-pinned format
+        # writers (sources/formats.py — CSV timestamps survive a
+        # round-trip; see that module's fidelity notes)
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from metricq_db_hta_spark.plans.history import (
+            _time_pruned,
+            glob_to_like,
+        )
+        from metricq_db_hta_spark.plans.serve import build_history_service
+        from metricq_db_hta_spark.sources import formats
+
+        if args.metric is not None and args.pattern is not None:
+            print("export: pass at most one of --metric / --pattern")
+            return 2
+        if _os.path.exists(args.dest):
+            print(f"export: destination already exists: {args.dest}")
+            return 2
+        try:
+            raw = build_history_service(spark, args.store).raw
+        except (ValueError, RuntimeError) as e:
+            print(f"export: {e}", file=sys.stderr)
+            return 1
+        if args.metric is not None:
+            raw = raw.filter(F.col("metric") == args.metric)
+        elif args.pattern is not None:
+            raw = raw.filter(F.col("metric").like(glob_to_like(args.pattern)))
+        raw = _time_pruned(raw, args.start, args.end).filter(
+            (F.col("ts_ns") >= args.start) & (F.col("ts_ns") < args.end)
+        )
+        out = raw.select("metric", "ts_ns", "value", "event_id").orderBy(
+            "metric", "ts_ns"
+        )
+        if args.format == "csv":
+            formats.write_csv(out, args.dest)
+        elif args.format == "jsonl":
+            formats.write_jsonl(out, args.dest)
+        else:
+            out.write.parquet(args.dest)
+        print(f"exported to {args.dest} ({args.format})", file=sys.stderr)
         return 0
 
     if args.cmd == "sql":

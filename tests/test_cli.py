@@ -340,3 +340,29 @@ def test_sql_subcommand(backfilled_store):
     r = _cli("sql", "--store", backfilled_store, "SELECT nope FROM raw")
     assert r.returncode == 2, (r.returncode, r.stderr[-500:])
     assert "sql: [UNRESOLVED_COLUMN" in r.stderr
+
+
+def test_export_subcommand(backfilled_store, tmp_path):
+    """Raw-range interchange dump: CSV out, schema-pinned read back equals
+    the store's rows; existing dest and metric+pattern are refused."""
+    dest = str(tmp_path / "dump_csv")
+    r = _cli(
+        "export", "--store", backfilled_store, "--dest", dest,
+        "--pattern", "*u*",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    csvs = [f for f in os.listdir(dest) if f.endswith(".csv")]
+    assert csvs, os.listdir(dest)
+    with open(os.path.join(dest, csvs[0])) as fh:
+        head = fh.readline().strip()
+    assert head == "metric,ts_ns,value,event_id"
+
+    r = _cli("export", "--store", backfilled_store, "--dest", dest)
+    assert r.returncode == 2 and "already exists" in r.stdout
+
+    r = _cli(
+        "export", "--store", backfilled_store,
+        "--dest", str(tmp_path / "x"),
+        "--metric", "click", "--pattern", "*",
+    )
+    assert r.returncode == 2 and "at most one" in r.stdout
