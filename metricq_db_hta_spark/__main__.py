@@ -62,6 +62,10 @@ def main(argv: list[str] | None = None) -> int:
 
     pb = sub.add_parser("backfill")
     pb.add_argument("--source", required=True)
+    pb.add_argument("--format", choices=["parquet", "csv", "jsonl"],
+                    default="parquet",
+                    help="source encoding; csv/jsonl read schema-pinned "
+                    "(sources/formats.py) — e.g. re-importing an `export`")
     pb.add_argument("--store", required=True)
     pb.add_argument("--width-ns", type=int, default=3_600_000_000_000)
     pb.add_argument("--levels", type=int, default=3)
@@ -377,7 +381,16 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "backfill":
             from metricq_db_hta_spark.streaming.ingest_stream import SAMPLE_SCHEMA
 
-            src = spark.read.schema(SAMPLE_SCHEMA).parquet(args.source)
+            if args.format == "csv":
+                from metricq_db_hta_spark.sources import formats
+
+                src = formats.read_csv(spark, args.source, SAMPLE_SCHEMA)
+            elif args.format == "jsonl":
+                from metricq_db_hta_spark.sources import formats
+
+                src = formats.read_jsonl(spark, args.source, SAMPLE_SCHEMA)
+            else:
+                src = spark.read.schema(SAMPLE_SCHEMA).parquet(args.source)
             svc.backfill(src)
         elif args.continuous:
             q = svc.start(args.input, available_now=False)

@@ -366,3 +366,28 @@ def test_export_subcommand(backfilled_store, tmp_path):
         "--metric", "click", "--pattern", "*",
     )
     assert r.returncode == 2 and "at most one" in r.stdout
+
+
+def test_export_reimport_roundtrip(backfilled_store, tmp_path):
+    """export --format csv then backfill --format csv rebuilds an exact
+    store slice: same per-metric Q3 aggregate as the source store."""
+    dump = str(tmp_path / "rt_dump")
+    r = _cli("export", "--store", backfilled_store, "--dest", dump,
+             "--pattern", "*u*")
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    store2 = str(tmp_path / "rt_store")
+    r = _cli("backfill", "--source", dump, "--format", "csv",
+             "--store", store2,
+             "--width-ns", "3600000000000", "--levels", "1")
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    def _agg(store, metric):
+        rr = _cli("history", "--store", store, "--type", "aggregate",
+                  "--metric", metric,
+                  "--width-ns", "3600000000000", "--levels", "1")
+        assert rr.returncode == 0, rr.stderr[-2000:]
+        return [ln for ln in rr.stdout.splitlines() if metric in ln]
+
+    for m in ("purchase", "signup"):
+        assert _agg(store2, m) == _agg(backfilled_store, m), m
