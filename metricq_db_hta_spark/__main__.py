@@ -201,6 +201,9 @@ def main(argv: list[str] | None = None) -> int:
                      help="Spark SQL over the store views: raw, "
                      "level_<width>, hist_<width>, drops_log")
     psq.add_argument("--max-rows", type=int, default=100)
+    psq.add_argument("--explain", action="store_true",
+                     help="print the formatted physical plan instead of "
+                     "executing (verify pruning/pushdown in production)")
 
     prm = sub.add_parser("rename-metric")
     prm.add_argument("--store", required=True)
@@ -584,7 +587,10 @@ def main(argv: list[str] | None = None) -> int:
         from pyspark.sql.utils import AnalysisException
 
         try:
-            spark.sql(args.query).show(args.max_rows, truncate=False)
+            if args.explain:
+                spark.sql(args.query).explain("formatted")
+            else:
+                spark.sql(args.query).show(args.max_rows, truncate=False)
         except AnalysisException as e:
             # bad SQL is an operator typo, not an engine bug: one line
             print(f"sql: {e.getMessage() if hasattr(e, 'getMessage') else e}",

@@ -341,6 +341,14 @@ def test_sql_subcommand(backfilled_store):
     assert r.returncode == 2, (r.returncode, r.stderr[-500:])
     assert "sql: [UNRESOLVED_COLUMN" in r.stderr
 
+    # --explain prints the plan (pruning visible) without executing
+    r = _cli(
+        "sql", "--store", backfilled_store, "--explain",
+        "SELECT count(*) FROM level_3600000000000 WHERE metric = 'click'",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "PartitionFilters" in r.stdout and "metric" in r.stdout
+
 
 def test_export_subcommand(backfilled_store, tmp_path):
     """Raw-range interchange dump: CSV out, schema-pinned read back equals
