@@ -276,3 +276,82 @@ def test_rename_preserves_monotonic_contract(spark, erase_store):
     )
     assert got == n_before + 1
     assert fsck.check_store(spark, store).ok
+
+
+def test_surgery_sequence_soak(spark, sf_dir, tmp_path):
+    """Seeded mini-soak: a random interleaving of backfills, deletes and
+    renames must leave the store (a) fsck-green and (b) Q3-identical to a
+    from-scratch rebuild of the surviving logical dataset — the surgery
+    ops compose with the commit/snapshot machinery, not just work alone."""
+    import random
+
+    rng = random.Random(20260815)
+    src = samples(spark, sf_dir).orderBy("event_id").limit(600)
+    rows = src.collect()
+    DAY_NS = 86_400 * 1_000_000_000
+
+    store = str(tmp_path / "soak_store")
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+
+    # the logical dataset we maintain in python alongside the store:
+    # name -> list of (ts_ns, value, event_id)
+    logical: dict[str, list[tuple]] = {}
+
+    def _backfill(batch_rows):
+        df = spark.createDataFrame(
+            [(m, t, v, e) for (m, t, v, e) in batch_rows],
+            ["metric", "ts_ns", "value", "event_id"],
+        )
+        svc.backfill(df)
+        for m, t, v, e in batch_rows:
+            logical.setdefault(m, []).append((t, v, e))
+
+    # seed: three slices across all metrics, time-shifted apart so every
+    # backfill respects the per-metric monotonic contract
+    base = sorted((r["metric"], r["ts_ns"], r["value"], r["event_id"])
+                  for r in rows)
+    for i in range(3):
+        batch = [
+            (m, t + i * 400 * DAY_NS, v, e + i * 10**6)
+            for (m, t, v, e) in base[i::3]
+        ]
+        _backfill(batch)
+
+    from metricq_db_hta_spark.operators.erase import (
+        delete_metric,
+        rename_metric,
+    )
+
+    n_renames = 0
+    for step in range(6):
+        live = sorted(m for m, srows in logical.items() if srows)
+        op = rng.choice(["delete", "rename", "rename"])
+        if op == "delete" and live:
+            victim = rng.choice(live)
+            delete_metric(store, victim, spark=spark)
+            logical.pop(victim, None)
+        elif live:
+            old = rng.choice(live)
+            new = f"renamed.{n_renames}.{old}"
+            n_renames += 1
+            rename_metric(store, old, new, spark=spark)
+            logical[new] = logical.pop(old)
+
+    assert fsck.check_store(spark, store).ok
+
+    got = _q3_rows(spark, store)
+
+    # from-scratch oracle store over the surviving logical dataset
+    store2 = str(tmp_path / "soak_rebuild")
+    svc2 = StreamingIngest(spark, store2, level_widths_ns=(W0,))
+    flat = [
+        (m, t, v, e)
+        for m, srows in logical.items()
+        for (t, v, e) in sorted(srows)
+    ]
+    assert flat, "soak deleted everything - seed produces a trivial run"
+    svc2.backfill(
+        spark.createDataFrame(flat, ["metric", "ts_ns", "value", "event_id"])
+    )
+    want = _q3_rows(spark, store2)
+    assert got == want
