@@ -59,6 +59,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="also maintain N distributional (histogram) "
                     "levels at the same widths (0 = off)")
     pi.add_argument("--continuous", action="store_true")
+    pi.add_argument("--format", choices=["parquet", "csv", "jsonl"],
+                    default="parquet", dest="ingest_format",
+                    help="chunk encoding (schema-pinned csv/jsonl via "
+                    "sources/formats.py options)")
 
     pb = sub.add_parser("backfill")
     pb.add_argument("--source", required=True)
@@ -396,10 +400,15 @@ def main(argv: list[str] | None = None) -> int:
                 src = spark.read.schema(SAMPLE_SCHEMA).parquet(args.source)
             svc.backfill(src)
         elif args.continuous:
-            q = svc.start(args.input, available_now=False)
+            q = svc.start(
+                args.input, available_now=False,
+                source_format=args.ingest_format,
+            )
             q.awaitTermination()
         else:
-            svc.run_until_drained(args.input)
+            svc.run_until_drained(
+                args.input, source_format=args.ingest_format
+            )
         return 0
 
     if args.cmd == "history":

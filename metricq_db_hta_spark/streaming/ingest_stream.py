@@ -854,25 +854,41 @@ class StreamingIngest:
         input_dir: str | None = None,
         available_now: bool = True,
         source: DataFrame | None = None,
+        source_format: str = "parquet",
     ):
         """Run the A1->A6 pipeline from either the file chunk source
-        (``input_dir``) or any pre-built streaming DataFrame with
-        SAMPLE_SCHEMA columns (``source`` — see :func:`socket_source` /
-        :func:`kafka_source`). The pipeline is source-agnostic, matching
-        the reference where AMQP delivery is the transport and the
-        operator chain owns the semantics (db.cpp:116-122)."""
+        (``input_dir``; ``source_format`` = parquet | csv | jsonl, the
+        latter two schema-pinned with the interchange readers' options so
+        an ``export`` dump streams back in) or any pre-built streaming
+        DataFrame with SAMPLE_SCHEMA columns (``source`` — see
+        :func:`socket_source` / :func:`kafka_source`). The pipeline is
+        source-agnostic, matching the reference where AMQP delivery is
+        the transport and the operator chain owns the semantics
+        (db.cpp:116-122)."""
         if (input_dir is None) == (source is None):
             raise ValueError("pass exactly one of input_dir or source")
         self._settle_pending_compaction()
         if source is not None:
             stream = source
         else:
-            stream = (
+            reader = (
                 self.spark.readStream.schema(SAMPLE_SCHEMA)
                 .option("maxFilesPerTrigger", "8")
                 .option("recursiveFileLookup", "true")  # chunks may be dirs
-                .parquet(input_dir)
             )
+            if source_format == "csv":
+                from metricq_db_hta_spark.sources.formats import _CSV_OPTS
+
+                stream = reader.options(**_CSV_OPTS).csv(input_dir)
+            elif source_format == "jsonl":
+                stream = reader.json(input_dir)
+            elif source_format == "parquet":
+                stream = reader.parquet(input_dir)
+            else:
+                raise ValueError(
+                    f"unknown source_format {source_format!r} - "
+                    "parquet | csv | jsonl"
+                )
         if self.mapping is not None:
             stream = apply_input_mapping(stream, self.mapping, "metric")
         # A4 validity runs INSIDE the stateful filter (invalid samples are
@@ -958,8 +974,15 @@ class StreamingIngest:
             ).drop("__wm_ts")
         self._process_batch(kept, batch_id=batch_id)
 
-    def run_until_drained(self, input_dir: str, timeout_s: int = 300) -> None:
-        q = self.start(input_dir, available_now=True)
+    def run_until_drained(
+        self,
+        input_dir: str,
+        timeout_s: int = 300,
+        source_format: str = "parquet",
+    ) -> None:
+        q = self.start(
+            input_dir, available_now=True, source_format=source_format
+        )
         q.awaitTermination(timeout_s)
         if q.isActive:
             q.stop()

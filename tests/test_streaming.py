@@ -653,3 +653,37 @@ def test_stream_maintains_histogram_levels(spark, sf_dir, tmp_path, chunked_inpu
         assert diff.count() == 0, width
     # the Aggregate levels are untouched by the opt-in family
     assert spark.read.parquet(svc.level_path(W0)).count() > 0
+
+
+def test_stream_ingests_csv_chunks(spark, sf_dir, tmp_path):
+    """source_format='csv' streams schema-pinned CSV chunks through the
+    identical pipeline: the store equals a parquet-chunk ingest of the
+    same rows (the interchange contract extended to the streaming edge)."""
+    from metricq_db_hta_spark.sources import formats
+
+    src = samples(spark, sf_dir).orderBy("event_id").limit(400)
+
+    csv_dir = tmp_path / "csv_chunks"
+    csv_dir.mkdir()
+    formats.write_csv(src.coalesce(1), str(csv_dir / "c0"))
+    store_csv = str(tmp_path / "store_from_csv")
+    StreamingIngest(
+        spark, store_csv, level_widths_ns=(W0,)
+    ).run_until_drained(str(csv_dir), source_format="csv")
+
+    pq_dir = tmp_path / "pq_chunks"
+    pq_dir.mkdir()
+    src.coalesce(1).write.parquet(str(pq_dir / "c0"))
+    store_pq = str(tmp_path / "store_from_pq")
+    StreamingIngest(
+        spark, store_pq, level_widths_ns=(W0,)
+    ).run_until_drained(str(pq_dir))
+
+    a = spark.read.parquet(f"{store_csv}/raw").select(
+        "metric", "ts_ns", "value", "event_id", "delta_ns"
+    )
+    b = spark.read.parquet(f"{store_pq}/raw").select(
+        "metric", "ts_ns", "value", "event_id", "delta_ns"
+    )
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).union(b.exceptAll(a)).count() == 0
