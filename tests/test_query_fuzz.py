@@ -1387,3 +1387,21 @@ GROUP BY 1
 """
     mismatch = oracle.compare(df, duck, sql)
     assert mismatch is None, (spec, glob, mismatch.kind, mismatch.detail)
+
+    # whole-range companion (fleet Q3) on the same example: one merged
+    # row through the cost-routed decomposition vs a finest-level
+    # ungrouped DuckDB aggregate (incl. the empty-match single-NULL-row
+    # shape, identical on both engines)
+    df_q3 = _present(svc.aggregate_pattern(glob, start, end))
+    sql_q3 = LEVELS_SQL + f"""
+SELECT COUNT(DISTINCT metric) AS n_metrics,
+       MIN(minimum) AS minimum, MAX(maximum) AS maximum,
+       CAST(SUM("sum") AS DOUBLE) AS "sum", {sql_bsum('"count"')} AS "count",
+       CAST(SUM(integral) AS BIGINT) AS integral,
+       {sql_bsum('active_time')} AS active_time
+FROM level0
+WHERE metric LIKE '{like}' ESCAPE '\\'
+  AND bucket_start_ns >= {start} AND bucket_start_ns < {end}
+"""
+    mismatch = oracle.compare(df_q3, duck, sql_q3)
+    assert mismatch is None, (spec, glob, mismatch.kind, mismatch.detail)
