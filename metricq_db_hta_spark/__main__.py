@@ -87,6 +87,7 @@ def main(argv: list[str] | None = None) -> int:
             "aggregate_tiered", "timeline_tiered", "last_value",
             "gapfill_timeline", "resample",
             "aggregate_timeline_pattern", "aggregate_pattern",
+            "counter_rate",
         ],
     )
     ph.add_argument("--metric", default=None)
@@ -467,6 +468,13 @@ def main(argv: list[str] | None = None) -> int:
                 print("aggregate_pattern requires --pattern")
                 return 2
             df = svc.aggregate_pattern(args.pattern, args.start, args.end)
+        elif args.type == "counter_rate":
+            if args.metric is None:
+                print("counter_rate requires --metric")
+                return 2
+            df = svc.counter_rate_timeline(
+                args.metric, args.start, args.end, args.width_ns
+            )
         elif args.type == "resample":
             if args.metric is None or args.end == TS_MAX_NS or args.step_ns <= 0:
                 print("resample requires --metric, a finite --end and --step-ns")

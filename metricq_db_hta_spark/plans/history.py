@@ -642,6 +642,50 @@ class HistoryService:
             .orderBy("metric")
         )
 
+    # -- counter-rate timeline (serving form of operators/hta.py::
+    #    counter_increase) ----------------------------------------------------
+    def counter_rate_timeline(
+        self, metric: str, start_ns: int, end_ns: int, width_ns: int
+    ) -> DataFrame:
+        """Monotonic-counter rate timeline from raw: per width-bucket
+        increase sum, reset count and per-second rate over [start, end).
+        The first in-range sample is the baseline (contributes no
+        increase — NULL increase/rate in a bucket holding only it): the
+        standard range-query semantics for counters, deliberately NOT
+        reaching before ``start`` for a prior sample. Raw-proportional
+        but (metric, time) partition-pruned, same class as resample."""
+        from metricq_db_hta_spark.operators.hta import counter_increase
+
+        raw = self.raw.filter(F.col("metric") == metric)
+        raw = _time_pruned(raw, start_ns, end_ns).filter(
+            (F.col("ts_ns") >= start_ns) & (F.col("ts_ns") < end_ns)
+        )
+        inc = counter_increase(raw)
+        return (
+            inc.groupBy(
+                "metric",
+                (F.col("ts_ns") - F.col("ts_ns") % width_ns).alias(
+                    "bucket_start_ns"
+                ),
+            )
+            .agg(
+                F.round(
+                    F.sum(F.col("increase").cast("decimal(38,6)")), 6
+                ).alias("increase"),
+                F.sum(F.when(F.col("is_reset"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_resets"),
+                F.round(
+                    F.sum(F.col("increase").cast("decimal(38,6)")).cast(
+                        "double"
+                    )
+                    / F.lit(width_ns / 1e9),
+                    6,
+                ).alias("rate_per_s"),
+            )
+            .orderBy("bucket_start_ns")
+        )
+
     # -- A12 ---------------------------------------------------------------
     @staticmethod
     def delta_encode(timeline: DataFrame, ts_col: str = "bucket_start_ns") -> DataFrame:

@@ -56,6 +56,7 @@ from metricq_db_hta_spark.functions.timeutil import TS_MAX_NS
 from metricq_db_hta_spark.plans.history import (
     HistoryService,
     _date_pruned,
+    _time_pruned,
     choose_level,
     resample_linear,
 )
@@ -476,6 +477,23 @@ class HistoryServer:
                 if err:
                     return err
                 df = resample_linear(self._svc.raw, metric, start, end, step)
+            elif rtype == "counter_rate":
+                # monotonic-counter rate timeline from raw (the
+                # range-pruned serving form of the hta_counter_rate
+                # operator): per width-bucket increase sum, reset count
+                # and per-second rate. The first in-range sample is the
+                # baseline (contributes no increase) — the standard
+                # range-query semantics for counters, deliberately NOT
+                # reaching before `start` for a prior sample.
+                if metric is None:
+                    return {"error": "counter_rate requires a metric"}
+                width = int(req.get("width_ns", self._svc.widths[0]))
+                if width <= 0:
+                    return {"error": f"width_ns must be > 0: {width}"}
+                start, clamped = self._clamp_floor(start, "raw")
+                df = self._svc.counter_rate_timeline(
+                    metric, start, end, width
+                )
             elif rtype == "histogram_percentile":
                 if not self._hists:
                     return {

@@ -418,3 +418,63 @@ def test_history_server_list_metrics_and_pattern_last_value(
         s.close()
     finally:
         server.shutdown()
+
+
+def test_history_server_counter_rate(spark, sf_dir, tmp_path):
+    """counter_rate serves a per-bucket increase/reset/rate timeline from
+    raw, equal to the batch operator over the same in-range samples; a
+    metric-less request errors."""
+    from metricq_db_hta_spark.operators.hta import counter_increase
+
+    src = samples(spark, sf_dir).limit(1_000)
+    store = str(tmp_path / "store_cr")
+    StreamingIngest(spark, store, level_widths_ns=(W0,)).backfill(src)
+
+    server, port = HistoryServer(spark, store, [W0]).start_background()
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=30)
+        s.settimeout(120)
+        f = s.makefile("rb")
+
+        resp = _rpc(f, s, {"type": "counter_rate", "metric": "click",
+                           "width_ns": W0})
+        assert resp.get("n", 0) > 0, resp
+
+        raw = spark.read.parquet(f"{store}/raw").filter("metric = 'click'")
+        inc = counter_increase(raw)
+        want = {
+            r["bucket_start_ns"]: r
+            for r in inc.groupBy(
+                (F.col("ts_ns") - F.col("ts_ns") % W0).alias(
+                    "bucket_start_ns"
+                )
+            )
+            .agg(
+                F.round(
+                    F.sum(F.col("increase").cast("decimal(38,6)")), 6
+                ).alias("increase"),
+                F.sum(F.when(F.col("is_reset"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_resets"),
+            )
+            .collect()
+        }
+        assert len(want) == resp["n"]
+        for row in resp["rows"]:
+            w = want[row["bucket_start_ns"]]
+            if w["increase"] is None:
+                # the bucket holding only the metric's first sample:
+                # no interval measured, NULL on both paths
+                assert row["increase"] is None and row["rate_per_s"] is None
+            else:
+                assert float(row["increase"]) == float(w["increase"]), row
+                assert abs(
+                    float(row["rate_per_s"])
+                    - float(w["increase"]) / (W0 / 1e9)
+                ) < 1e-6, row
+            assert row["n_resets"] == w["n_resets"], row
+
+        assert "error" in _rpc(f, s, {"type": "counter_rate"})
+        s.close()
+    finally:
+        server.shutdown()
