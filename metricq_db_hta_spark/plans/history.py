@@ -64,6 +64,22 @@ def glob_to_like(pattern: str) -> str:
     return "".join(out)
 
 
+def glob_match(name: str, pattern: str) -> bool:
+    """Python-side evaluation of the SAME glob dialect ``glob_to_like``
+    translates (``*`` any run, ``?`` one char, everything else literal —
+    deliberately NOT fnmatch, whose ``[seq]`` classes the SQL paths would
+    treat literally): used where matching happens driver-side over a
+    directory listing (serve ``list_metrics``) so every pattern surface
+    agrees. Property-tested equal to LIKE-on-glob_to_like."""
+    import re
+
+    rx = "".join(
+        ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+        for ch in pattern
+    )
+    return re.fullmatch(rx, name, flags=re.DOTALL) is not None
+
+
 def choose_level(widths_ns: list[int], interval_max_ns: int) -> int | None:
     """Coarsest level width <= interval_max; None => raw fallthrough for
     FLEX queries, finest level for AGGREGATE_TIMELINE."""

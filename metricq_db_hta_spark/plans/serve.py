@@ -421,8 +421,11 @@ class HistoryServer:
                 # layout — a directory listing, no data scan at any
                 # store size. (The reference's manager knows metrics
                 # from config, A19; a store browser wants them FROM the
-                # store.) Optional "pattern" glob filters the listing.
-                import fnmatch
+                # store.) Optional "pattern" glob filters the listing —
+                # the same */? dialect every pattern request uses
+                # (history.glob_match == LIKE on glob_to_like, property-
+                # tested; fnmatch would diverge on [seq] classes).
+                from metricq_db_hta_spark.plans.history import glob_match
 
                 w = self._svc.widths[0]
                 troot = os.path.join(self.store, f"level_{w}")
@@ -435,9 +438,7 @@ class HistoryServer:
                 )
                 pat = req.get("pattern")
                 if pat:
-                    names = [
-                        n for n in names if fnmatch.fnmatchcase(n, str(pat))
-                    ]
+                    names = [n for n in names if glob_match(n, str(pat))]
                 rows = [{"metric": n} for n in names[:limit]]
                 return {"rows": rows, "n": len(rows)}
             elif rtype == "gapfill_timeline":

@@ -484,3 +484,31 @@ def test_pattern_aggregate_equals_client_side_merge(spark, sf_dir):
             assert have[k] == want[k], (b, k)
         # decimal accumulators on both paths: exact equality holds
         assert have["sum"] == want["sum"], b
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+_GLOB_ALPHABET = list("ab.%_\\*?")
+
+
+@_settings(max_examples=300, deadline=None)
+@_given(
+    name=_st.text(alphabet=list("ab.%_\\"), max_size=8),
+    pattern=_st.text(alphabet=_GLOB_ALPHABET, max_size=8),
+)
+def test_glob_match_equals_sql_like_translation(name, pattern):
+    """Every pattern surface must agree: the driver-side matcher
+    (glob_match — serve list_metrics) and the SQL translation
+    (glob_to_like + LIKE...ESCAPE — every other pattern request) are the
+    same */? dialect, including literal %, _ and backslash in names."""
+    import duckdb
+
+    from metricq_db_hta_spark.plans.history import glob_match, glob_to_like
+
+    like = glob_to_like(pattern).replace("'", "''")
+    sql_name = name.replace("'", "''")
+    got_sql = duckdb.sql(
+        f"SELECT '{sql_name}' LIKE '{like}' ESCAPE '\\'"
+    ).fetchone()[0]
+    assert glob_match(name, pattern) == bool(got_sql), (name, pattern, like)
