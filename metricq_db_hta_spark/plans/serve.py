@@ -561,7 +561,11 @@ class HistoryServer:
                 resp["uncovered"] = uncovered
             return resp
         except Exception as e:  # noqa: BLE001 — handler.failed parity
-            return {"error": f"{type(e).__name__}: {e}"}
+            # first line only: Spark appends a multi-line DataFrame/JVM
+            # context blob after the actual message, and an RPC error is
+            # a one-line protocol field, not a log file
+            first = (str(e).splitlines() or [type(e).__name__])[0]
+            return {"error": f"{type(e).__name__}: {first}"}
 
     # -- TCP loop ----------------------------------------------------------
     def start_background(self, host: str = "127.0.0.1", port: int = 0):

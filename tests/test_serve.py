@@ -478,3 +478,68 @@ def test_history_server_counter_rate(spark, sf_dir, tmp_path):
         s.close()
     finally:
         server.shutdown()
+
+
+def test_history_server_survives_request_fuzz(spark, sf_dir, tmp_path):
+    """Seeded request fuzz: ~120 random requests — unknown types, missing
+    and wrong-typed fields, junk patterns, absurd ranges, malformed JSON
+    lines — every one gets exactly one JSON reply (rows or a one-line
+    error), and the service still answers correctly afterwards."""
+    import random
+
+    rng = random.Random(20260815)
+    src = samples(spark, sf_dir).limit(500)
+    store = str(tmp_path / "store_fuzz")
+    StreamingIngest(spark, store, level_widths_ns=(W0,)).backfill(src)
+    server, port = HistoryServer(spark, store, [W0]).start_background()
+
+    TYPES = [
+        "aggregate_timeline", "flex_timeline", "aggregate", "last_value",
+        "gapfill_timeline", "resample", "histogram_percentile",
+        "aggregate_timeline_pattern", "aggregate_pattern", "counter_rate",
+        "list_metrics", "stats", "refresh", "nonsense", "", None, 42,
+    ]
+    FIELDS = {
+        "metric": ["click", "zz", None, 7, ""],
+        "pattern": ["*", "*u*", "[a-z]*", "", None, 3],
+        "start_ns": [0, -5, 2**62, "abc", None],
+        "end_ns": [0, 10**18, "x", None],
+        "interval_max_ns": [W0, -1, "y", None],
+        "step_ns": [W0, 0, -3, "z"],
+        "p": [0.5, -1, 2, "w"],
+        "width_ns": [W0, 0, "v"],
+        "limit": [5, -1, "u"],
+    }
+
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=30)
+        s.settimeout(120)
+        f = s.makefile("rb")
+        for i in range(120):
+            if i % 17 == 3:
+                # malformed line: not JSON at all
+                s.sendall(b"this is not json\n")
+                resp = json.loads(f.readline())
+                assert "error" in resp, resp
+                continue
+            req = {"type": rng.choice(TYPES)}
+            for k, vals in FIELDS.items():
+                if rng.random() < 0.4:
+                    v = rng.choice(vals)
+                    if v is not None:
+                        req[k] = v
+            resp = _rpc(f, s, req)
+            assert isinstance(resp, dict), (req, resp)
+            assert ("error" in resp) or ("rows" in resp and "n" in resp), (
+                req, resp,
+            )
+            if "error" in resp:
+                assert "\n" not in resp["error"], req  # one-line contract
+
+        final = _rpc(f, s, {"type": "last_value", "metric": "click"})
+        assert final.get("n") == 1, final
+        stats = _rpc(f, s, {"type": "stats"})
+        assert stats["n"] > 0
+        s.close()
+    finally:
+        server.shutdown()
