@@ -473,6 +473,85 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — informational, but not silent
         print(f"state bench skipped: {e!r}", file=sys.stderr)
 
+    # resident-RPC throughput: the reference's actual read path is a
+    # long-lived service answering repeated history requests
+    # (src/db.cpp:124-128); this measures requests/sec through
+    # HistoryServer.handle over a real store — 60 requests cycling the
+    # three reference query types (Q1 timeline / Q3 aggregate / Q4 last
+    # value) after a 6-request warm-up, in-process (no socket) so the
+    # number is the engine's floor, not loopback TCP's.
+    serve_rate = None
+    serve_rate_conc = None
+    try:
+        import shutil
+        import tempfile
+
+        from metricq_db_hta_spark.plans.serve import HistoryServer
+        from metricq_db_hta_spark.queries.hta_queries import (
+            W0 as _W0,
+            samples as _samples,
+        )
+        from metricq_db_hta_spark.streaming.ingest_stream import (
+            StreamingIngest,
+        )
+
+        srv_store = tempfile.mkdtemp(prefix="bench_serve_")
+        try:
+            StreamingIngest(
+                spark, srv_store, level_widths_ns=(_W0, _W0 * 10)
+            ).backfill(_samples(spark, sf_dir).limit(20_000))
+            srv = HistoryServer(spark, srv_store, [_W0, _W0 * 10])
+            reqs = [
+                {"type": "aggregate_timeline", "metric": "click",
+                 "interval_max_ns": _W0 * 10},
+                {"type": "aggregate", "metric": "view"},
+                {"type": "last_value", "metric": "purchase"},
+            ]
+            for r in reqs * 2:  # warm-up: plans compiled, relations cached
+                srv.handle(r)
+            n_reqs = 60
+            t0 = time.perf_counter()
+            for i in range(n_reqs):
+                resp = srv.handle(reqs[i % len(reqs)])
+                if "error" in resp:
+                    raise RuntimeError(resp["error"])
+            serve_rate = round(n_reqs / (time.perf_counter() - t0), 1)
+
+            # concurrent throughput: the serial number above is per-request
+            # LATENCY (plan-build + schedule + collect, ~0.1 s floor); a
+            # resident server takes overlapping clients, and Spark runs
+            # their small jobs concurrently — this is the number a fleet
+            # of dashboards sees
+            import threading as _threading
+
+            n_clients, per_client = 4, 15
+            errs: list[str] = []
+
+            def _client(ci: int) -> None:
+                for i in range(per_client):
+                    r = srv.handle(reqs[(ci + i) % len(reqs)])
+                    if "error" in r:
+                        errs.append(r["error"])
+
+            t0 = time.perf_counter()
+            ts = [
+                _threading.Thread(target=_client, args=(c,))
+                for c in range(n_clients)
+            ]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join(600)
+            if errs:
+                raise RuntimeError(errs[0])
+            serve_rate_conc = round(
+                n_clients * per_client / (time.perf_counter() - t0), 1
+            )
+        finally:
+            shutil.rmtree(srv_store, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001 — informational, but not silent
+        print(f"serve bench skipped: {e!r}", file=sys.stderr)
+
     # per-query floor: the smallest *real* query shape — a parquet scan plus
     # one shuffled aggregation — built fresh each run like the headline
     # queries. The headline total carries ~13x this; DuckDB's equivalent
@@ -522,6 +601,10 @@ def main() -> None:
         out["ingest_samples_per_sec"] = ingest_rate
     if state_rate is not None:
         out["state_100k_keys_samples_per_sec"] = state_rate
+    if serve_rate is not None:
+        out["serve_requests_per_sec"] = serve_rate
+    if serve_rate_conc is not None:
+        out["serve_requests_per_sec_4clients"] = serve_rate_conc
     if primary_duck:
         dtot = sum(primary_duck.values())
         out["duckdb_total"] = round(dtot, 3)
