@@ -307,14 +307,27 @@ class HistoryService:
 
     # -- Q1 ----------------------------------------------------------------
     def aggregate_timeline(
-        self, metric: str | None, start_ns: int, end_ns: int, interval_max_ns: int
+        self,
+        metric: str | None,
+        start_ns: int,
+        end_ns: int,
+        interval_max_ns: int,
+        pattern: str | None = None,
     ) -> DataFrame:
         """Q1: (metric, bucket_start_ns, Aggregate...) rows ordered by time.
-        Buckets whose start lies in [start, end)."""
+        Buckets whose start lies in [start, end). ``pattern`` (a shell
+        glob, mutually exclusive with ``metric``) keeps the PER-METRIC
+        rows for every matching metric — the multi-line dashboard chart
+        ("one line per host.*.power") in one request; the MERGED fleet
+        form is :meth:`aggregate_timeline_pattern`."""
+        if metric is not None and pattern is not None:
+            raise ValueError("pass at most one of metric / pattern")
         width = choose_level(self.widths, interval_max_ns) or self.widths[0]
         df = self.levels[width]
         if metric is not None:
             df = df.filter(F.col("metric") == metric)
+        elif pattern is not None:
+            df = df.filter(F.col("metric").like(glob_to_like(pattern)))
         df = _date_pruned(df, "bucket_month", start_ns, end_ns)
         return (
             df.filter(

@@ -335,9 +335,14 @@ class HistoryServer:
             clamped = None
             uncovered = None
             if rtype == "aggregate_timeline":
+                # optional "pattern" glob: PER-METRIC rows for every
+                # matching metric (the multi-line chart); the merged
+                # fleet form is aggregate_timeline_pattern
                 w = choose_level(self._svc.widths, imax) or self._svc.widths[0]
                 start, clamped = self._clamp_floor(start, f"level_{w}")
-                df = self._svc.aggregate_timeline(metric, start, end, imax)
+                df = self._svc.aggregate_timeline(
+                    metric, start, end, imax, pattern=req.get("pattern")
+                )
             elif rtype == "flex_timeline":
                 w = choose_level(self._svc.widths, imax)
                 start, clamped = self._clamp_floor(

@@ -404,6 +404,22 @@ def test_history_server_list_metrics_and_pattern_last_value(
             n for n in names if "u" in n
         )
 
+        # per-metric (unmerged) glob timeline: one line per matching
+        # metric — the metrics present are exactly the glob's, and a
+        # metric+pattern request errors
+        tl = _rpc(
+            f, s, {"type": "aggregate_timeline", "pattern": "*u*",
+                   "interval_max_ns": W0}
+        )
+        assert tl.get("n", 0) > 0
+        assert {r["metric"] for r in tl["rows"]} == {
+            n for n in names if "u" in n
+        }
+        assert "error" in _rpc(
+            f, s, {"type": "aggregate_timeline", "metric": "click",
+                   "pattern": "*", "interval_max_ns": W0}
+        )
+
         lv = _rpc(f, s, {"type": "last_value", "pattern": "*u*"})
         got = {r["metric"] for r in lv["rows"]}
         assert got == {n for n in names if "u" in n}
