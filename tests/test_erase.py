@@ -355,3 +355,38 @@ def test_surgery_sequence_soak(spark, sf_dir, tmp_path):
     )
     want = _q3_rows(spark, store2)
     assert got == want
+
+
+def test_surgery_handles_partition_escaped_names(spark, tmp_path):
+    """Metric names containing the partition writer's escaped characters
+    (space, '=', '%', ':') round-trip through ingest, query, rename and
+    delete: _is_metric_dir unquotes what Spark %-encoded, and
+    _escape_partition_value re-encodes rename targets byte-identically
+    to what the writer would have produced."""
+    from metricq_db_hta_spark.operators.erase import rename_metric
+
+    weird = "we ird=%x:y"
+    base = 1_760_000_000_000_000_000
+    rows = [(weird, base + i * 10**9, float(i), i) for i in range(10)]
+    rows += [("normal", base + i * 10**9, 1.0 * i, 100 + i)
+             for i in range(10)]
+    store = str(tmp_path / "store_weird")
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc.backfill(
+        spark.createDataFrame(rows, ["metric", "ts_ns", "value", "event_id"])
+    )
+
+    h = build_history_service(spark, store, [W0])
+    assert h.last_value(weird).collect()[0]["value"] == 9.0
+
+    res = rename_metric(store, weird, weird + ".renamed", spark=spark)
+    assert res.raw_dirs == 1 and res.table_dirs == 1
+    h2 = build_history_service(spark, store, [W0])
+    assert sorted(r["metric"] for r in h2.last_value().collect()) == [
+        "normal", weird + ".renamed",
+    ]
+
+    res = delete_metric(store, weird + ".renamed", spark=spark)
+    assert res.raw_dirs == 1 and res.table_dirs == 1
+    assert not _metric_dirs(store, weird + ".renamed")
+    assert fsck.check_store(spark, store).ok
