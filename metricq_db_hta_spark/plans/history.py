@@ -438,6 +438,40 @@ class HistoryService:
             .orderBy("bucket_start_ns")
         )
 
+    def aggregate_timeline_pattern_gapfill(
+        self, pattern: str, start_ns: int, end_ns: int, interval_max_ns: int
+    ) -> DataFrame:
+        """Dense fleet Q1: the merged glob timeline over a full spine —
+        one row per level bucket in [start, end) whether or not any
+        matching metric has data there. Gap rows carry the merge
+        identity extended with ``n_metrics = 0`` (no metric present), so
+        the dense fleet form still merges/rolls up exactly like the
+        sparse one. Same plan shape as the single-metric gapfill: a
+        spark.range spine left-joined against the broadcast log-sized
+        merged slice — zero spine-side exchanges at any range length."""
+        width = choose_level(self.widths, interval_max_ns) or self.widths[0]
+        tl = self.aggregate_timeline_pattern(
+            pattern, start_ns, end_ns, interval_max_ns
+        )
+        first = start_ns + (-start_ns) % width
+        spine = tl.sparkSession.range(first, end_ns, width).select(
+            F.col("id").alias("bucket_start_ns")
+        )
+        types = dict(tl.dtypes)
+        filled = spine.join(F.broadcast(tl), "bucket_start_ns", "left")
+        zero_filled = (
+            "n_metrics", "sum", "count", "integral", "active_time",
+        )
+        return filled.select(
+            "bucket_start_ns",
+            *[
+                F.coalesce(F.col(c), F.lit(0).cast(types[c])).alias(c)
+                for c in zero_filled
+            ],
+            "minimum",
+            "maximum",
+        ).orderBy("bucket_start_ns")
+
     # -- Q2 ----------------------------------------------------------------
     def flex_timeline(
         self, metric: str | None, start_ns: int, end_ns: int, interval_max_ns: int

@@ -447,8 +447,12 @@ class HistoryServer:
                 rows = [{"metric": n} for n in names[:limit]]
                 return {"rows": rows, "n": len(rows)}
             elif rtype == "gapfill_timeline":
-                if metric is None:
-                    return {"error": "gapfill_timeline requires a metric"}
+                pat = req.get("pattern")
+                if (metric is None) == (pat is None):
+                    return {
+                        "error": "gapfill_timeline requires exactly one "
+                        "of metric / pattern"
+                    }
                 if "start_ns" not in req or "end_ns" not in req:
                     # a dense timeline from the epoch default is a
                     # limit-truncated wall of empty buckets, never what
@@ -464,9 +468,16 @@ class HistoryServer:
                 err = self._spine_guard(start, end, width)
                 if err:
                     return err
-                df = self._svc.aggregate_timeline_gapfill(
-                    metric, start, end, imax
-                )
+                if pat is not None:
+                    # dense MERGED fleet timeline: gap rows carry the
+                    # merge identity + n_metrics=0
+                    df = self._svc.aggregate_timeline_pattern_gapfill(
+                        str(pat), start, end, imax
+                    )
+                else:
+                    df = self._svc.aggregate_timeline_gapfill(
+                        metric, start, end, imax
+                    )
             elif rtype == "resample":
                 if metric is None:
                     return {"error": "resample requires a metric"}

@@ -357,6 +357,37 @@ def test_history_server_aggregate_pattern(spark, sf_dir, tmp_path):
         )
         assert again.get("n") == resp["n"]
 
+        # dense fleet timeline: full spine, gaps carry the merge identity
+        # with n_metrics=0; non-gap rows equal the sparse merged rows
+        t0 = 1_704_067_200_000_000_000
+        t1 = t0 + 48 * W0
+        dense = _rpc(
+            f, s, {"type": "gapfill_timeline", "pattern": "*u*",
+                   "start_ns": t0, "end_ns": t1, "interval_max_ns": W0}
+        )
+        assert dense.get("n") == 48, dense
+        sparse = {
+            r["bucket_start_ns"]: r
+            for r in _rpc(
+                f, s, {"type": "aggregate_timeline_pattern",
+                       "pattern": "*u*", "start_ns": t0, "end_ns": t1,
+                       "interval_max_ns": W0}
+            )["rows"]
+        }
+        for r in dense["rows"]:
+            b = r["bucket_start_ns"]
+            if b in sparse:
+                assert r["count"] == sparse[b]["count"]
+                assert r["n_metrics"] == sparse[b]["n_metrics"]
+            else:
+                assert r["n_metrics"] == 0 and r["count"] == 0
+                assert r["minimum"] is None and r["maximum"] is None
+        assert any(r["n_metrics"] == 0 for r in dense["rows"])
+        assert "error" in _rpc(
+            f, s, {"type": "gapfill_timeline", "metric": "click",
+                   "pattern": "*", "start_ns": t0, "end_ns": t1}
+        )
+
         # fleet Q3: ONE merged row over the whole range; its additive
         # fields must equal the timeline's column sums (merge monoid
         # associativity across the bucket axis)
