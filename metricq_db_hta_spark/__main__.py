@@ -421,7 +421,10 @@ def main(argv: list[str] | None = None) -> int:
         )
         svc = _history_service(spark, args.store, widths)
         if args.type == "aggregate_timeline":
-            df = svc.aggregate_timeline(args.metric, args.start, args.end, args.interval_max)
+            df = svc.aggregate_timeline(
+                args.metric, args.start, args.end, args.interval_max,
+                pattern=args.pattern,
+            )
         elif args.type == "flex_timeline":
             df = svc.flex_timeline(args.metric, args.start, args.end, args.interval_max)
         elif args.type == "aggregate":
@@ -450,12 +453,22 @@ def main(argv: list[str] | None = None) -> int:
         elif args.type == "gapfill_timeline":
             # dense types demand an explicit finite range (HistoryServer
             # applies the same contract + spine-size cap on the RPC path)
-            if args.metric is None or args.end == TS_MAX_NS:
-                print("gapfill_timeline requires --metric and a finite --end")
+            if (args.metric is None) == (args.pattern is None) or (
+                args.end == TS_MAX_NS
+            ):
+                print(
+                    "gapfill_timeline requires exactly one of --metric/"
+                    "--pattern and a finite --end"
+                )
                 return 2
-            df = svc.aggregate_timeline_gapfill(
-                args.metric, args.start, args.end, args.interval_max
-            )
+            if args.pattern is not None:
+                df = svc.aggregate_timeline_pattern_gapfill(
+                    args.pattern, args.start, args.end, args.interval_max
+                )
+            else:
+                df = svc.aggregate_timeline_gapfill(
+                    args.metric, args.start, args.end, args.interval_max
+                )
         elif args.type == "aggregate_timeline_pattern":
             if not args.pattern:
                 print("aggregate_timeline_pattern requires --pattern")
