@@ -92,8 +92,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     ph.add_argument("--metric", default=None)
     ph.add_argument("--pattern", default=None,
-                    help="metric glob (aggregate_pattern type only): "
-                    "* any run, ? one char — e.g. 'host.*.power'")
+                    help="metric glob (* any run, ? one char — e.g. "
+                    "'host.*.power'): required by the *_pattern types, "
+                    "and an alternative to --metric for "
+                    "aggregate_timeline (per-metric lines), "
+                    "gapfill_timeline (dense merged fleet line) and "
+                    "last_value (fleet current values)")
     ph.add_argument("--start", type=int, default=0)
     ph.add_argument("--end", type=int, default=TS_MAX_NS)
     ph.add_argument("--interval-max", type=int, default=TS_MAX_NS)
@@ -376,6 +380,52 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
+    if args.cmd in ("delete-metric", "rename-metric"):
+        # per-metric surgery is metadata-only directory work UNLESS the
+        # store keeps a drops_log (or a torn swap of one) — only then pay
+        # the Spark startup the metadata path doesn't need
+        from metricq_db_hta_spark.operators.erase import (
+            delete_metric,
+            rename_metric,
+        )
+
+        dl = os.path.join(args.store, "drops_log")
+        needs_spark = os.path.isdir(dl) or os.path.isdir(dl + ".swap_old")
+        sp = get_spark("metricq-db-hta-spark-cli") if needs_spark else None
+        try:
+            if args.cmd == "delete-metric":
+                res = delete_metric(
+                    args.store, args.metric, spark=sp, dry_run=args.dry_run
+                )
+                verb = "would erase" if args.dry_run else "erased"
+                print(
+                    f"{verb} metric {args.metric!r}: {res.raw_dirs} raw "
+                    f"batch partitions, {res.table_dirs} level/hist "
+                    f"partitions, {res.drops_rows} drops_log rows; "
+                    f"emptied batches {res.emptied_batches}",
+                    file=sys.stderr,
+                )
+            else:
+                res = rename_metric(
+                    args.store, args.old, args.new, spark=sp,
+                    dry_run=args.dry_run,
+                )
+                verb = "would rename" if args.dry_run else "renamed"
+                print(
+                    f"{verb} metric {args.old!r} -> {args.new!r}: "
+                    f"{res.raw_dirs} raw batch partitions, "
+                    f"{res.table_dirs} level/hist partitions, "
+                    f"{res.drops_rows} drops_log rows",
+                    file=sys.stderr,
+                )
+        except (RuntimeError, ValueError) as e:
+            # guard refusals are operational outcomes, not bugs: the
+            # message says what to settle first (journal, torn batch,
+            # replay barrier, clash, typo'd name) — one line, no traceback
+            print(f"{args.cmd}: {e}", file=sys.stderr)
+            return 1
+        return 0
+
     spark = get_spark("metricq-db-hta-spark-cli")
 
     if args.cmd in ("ingest", "backfill"):
@@ -536,29 +586,6 @@ def main(argv: list[str] | None = None) -> int:
             )
         return 0
 
-    if args.cmd == "delete-metric":
-        from metricq_db_hta_spark.operators.erase import delete_metric
-
-        try:
-            res = delete_metric(
-                args.store, args.metric, spark=spark, dry_run=args.dry_run
-            )
-        except RuntimeError as e:
-            # guard refusals are operational outcomes, not bugs: the
-            # message says what to settle first (journal, torn batch,
-            # replay barrier) — print it and exit nonzero, no traceback
-            print(f"delete-metric: {e}", file=sys.stderr)
-            return 1
-        verb = "would erase" if args.dry_run else "erased"
-        print(
-            f"{verb} metric {args.metric!r}: {res.raw_dirs} raw batch "
-            f"partitions, {res.table_dirs} level/hist partitions, "
-            f"{res.drops_rows} drops_log rows; emptied batches "
-            f"{res.emptied_batches}",
-            file=sys.stderr,
-        )
-        return 0
-
     if args.cmd == "export":
         # raw-sample interchange dump: the journal-honoring read path,
         # (metric, time)-pruned, written via the schema-pinned format
@@ -626,26 +653,6 @@ def main(argv: list[str] | None = None) -> int:
             print(f"sql: {e.getMessage() if hasattr(e, 'getMessage') else e}",
                   file=sys.stderr)
             return 2
-        return 0
-
-    if args.cmd == "rename-metric":
-        from metricq_db_hta_spark.operators.erase import rename_metric
-
-        try:
-            res = rename_metric(
-                args.store, args.old, args.new, spark=spark,
-                dry_run=args.dry_run,
-            )
-        except (RuntimeError, ValueError) as e:
-            print(f"rename-metric: {e}", file=sys.stderr)
-            return 1
-        verb = "would rename" if args.dry_run else "renamed"
-        print(
-            f"{verb} metric {args.old!r} -> {args.new!r}: {res.raw_dirs} "
-            f"raw batch partitions, {res.table_dirs} level/hist "
-            f"partitions, {res.drops_rows} drops_log rows",
-            file=sys.stderr,
-        )
         return 0
 
     if args.cmd == "fsck":

@@ -99,27 +99,27 @@ def _batches_holding(store_dir: str, metric: str) -> dict[int, str]:
     return out
 
 
-def delete_metric(
-    store_dir: str,
-    metric: str,
-    spark=None,
-    dry_run: bool = False,
-) -> EraseResult:
-    """Erase one metric from a store (module docstring: layout, guards,
-    what stays). Idempotent: erasing an absent metric is a no-op result,
-    not an error. ``dry_run=True`` runs every guard and counts what WOULD
-    be removed without touching the store. ``spark`` is only needed to
-    scrub ``drops_log``; without it the pass refuses when that table
-    still holds rows for the metric (a partial erasure that *looks*
-    complete is worse than an actionable refusal)."""
-    from metricq_db_hta_spark.operators.maintenance import _rmtree_strict
+def _table_roots(store_dir: str):
+    """Every ``level_<w>`` / ``hist_<w>`` table root on disk, sorted."""
+    for name in sorted(os.listdir(store_dir)):
+        if name.startswith(("level_", "hist_")):
+            p = os.path.join(store_dir, name)
+            if os.path.isdir(p):
+                yield p
 
+
+def _refuse_unsafe(store_dir: str, metric: str, verb: str) -> dict[int, str]:
+    """The complete-or-refuse guard set shared by erase and rename
+    (module docstring): pending compaction journal, torn
+    (marker-uncommitted) batches holding the metric, and batches still
+    inside the streaming replay barrier. Returns the batch->metric-dir
+    map the mutation will operate on. One helper for both ops so a
+    future guard fix cannot silently cover only one of them."""
     if store_meta.read_journal(store_dir) is not None:
         raise RuntimeError(
             "compaction journal pending - settle it (recover_compaction) "
-            "before erasing a metric"
+            f"before {verb} a metric"
         )
-
     holding = _batches_holding(store_dir, metric)
     committed = store_meta.committed_batches(store_dir)
     torn = sorted(b for b in holding if b not in committed)
@@ -136,9 +136,68 @@ def delete_metric(
         raise RuntimeError(
             f"batches {replayable} holding metric {metric!r} are still "
             "inside the streaming replay barrier - a checkpoint replay "
-            "would resurrect the metric; advance the stream one batch or "
-            "stop it cleanly first"
+            "would rewrite them; advance the stream one batch or stop it "
+            "cleanly first"
         )
+    return holding
+
+
+#: drops_log swap suffixes — the crash-recovery contract of _swap_drops
+_SWAP_TMP = ".swap_tmp"
+_SWAP_OLD = ".swap_old"
+
+
+def _recover_drops_swap(store_dir: str) -> None:
+    """Heal a drops_log swap torn by a crash in a prior surgery pass
+    (called on entry of both ops, making them resumable): a leftover
+    ``.swap_old`` with no live table means the crash hit between
+    rename-out and rename-in — restore the original (the re-run redoes
+    the rewrite); a leftover ``.swap_old`` beside a live table means
+    only the final cleanup was lost; a leftover ``.swap_tmp`` is an
+    incomplete rewrite whose source is intact either way."""
+    root = os.path.join(store_dir, "drops_log")
+    old, tmp = root + _SWAP_OLD, root + _SWAP_TMP
+    if os.path.isdir(old):
+        if os.path.isdir(root):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, root)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+
+
+def _swap_drops(root: str, kept) -> None:
+    """Replace the drops_log with a rewritten copy, crash-recoverable at
+    every step (see _recover_drops_swap): materialize the rewrite fully,
+    rename the source ASIDE (never deleted before the replacement is
+    in place), rename the rewrite in, then drop the old copy."""
+    tmp, old = root + _SWAP_TMP, root + _SWAP_OLD
+    kept.coalesce(1).write.mode("overwrite").partitionBy(
+        "ingest_batch"
+    ).parquet(tmp)
+    os.rename(root, old)
+    os.rename(tmp, root)
+    shutil.rmtree(old)
+
+
+def delete_metric(
+    store_dir: str,
+    metric: str,
+    spark=None,
+    dry_run: bool = False,
+) -> EraseResult:
+    """Erase one metric from a store (module docstring: layout, guards,
+    what stays). Idempotent: erasing an absent metric is a no-op result,
+    not an error. ``dry_run=True`` runs every guard and counts what WOULD
+    be removed without touching the store. ``spark`` is only needed to
+    scrub ``drops_log``; without it the pass refuses when that table
+    still holds rows for the metric (a partial erasure that *looks*
+    complete is worse than an actionable refusal)."""
+    from metricq_db_hta_spark.operators.maintenance import _rmtree_strict
+
+    holding = _refuse_unsafe(store_dir, metric, "erasing")
+    if not dry_run:
+        _recover_drops_swap(store_dir)
 
     # drops_log: refuse-or-scrub BEFORE deleting anything, so a refusal
     # leaves the store untouched rather than half-erased
@@ -156,7 +215,7 @@ def delete_metric(
         drops_rows = drops.filter(F.col("metric") == metric).count()
         if drops_rows and not dry_run:
             # tiny table (one row per dropping metric per batch): full
-            # rewrite through a tmp dir + atomic-enough swap, because a
+            # rewrite through the crash-recoverable swap, because a
             # dynamic partition overwrite cannot delete partitions whose
             # every row was the erased metric's
             kept = drops.filter(F.col("metric") != metric)
@@ -165,12 +224,7 @@ def delete_metric(
                 # file-less parquet dir later readers can't infer from
                 _rmtree_strict(drops_root)
             else:
-                tmp = drops_root + ".erase_tmp"
-                kept.coalesce(1).write.mode("overwrite").partitionBy(
-                    "ingest_batch"
-                ).parquet(tmp)
-                _rmtree_strict(drops_root)
-                os.rename(tmp, drops_root)
+                _swap_drops(drops_root, kept)
 
     # raw: the metric's partition dir in every committed batch
     raw_dirs = 0
@@ -199,17 +253,29 @@ def delete_metric(
 
     # level / hist tables: one metric dir per table
     table_dirs = 0
-    for name in sorted(os.listdir(store_dir)):
-        if not (name.startswith("level_") or name.startswith("hist_")):
-            continue
-        troot = os.path.join(store_dir, name)
-        if not os.path.isdir(troot):
-            continue
+    for troot in _table_roots(store_dir):
         for child in os.listdir(troot):
             if _is_metric_dir(child, metric):
                 table_dirs += 1
                 if not dry_run:
                     _rmtree_strict(os.path.join(troot, child))
+        if not dry_run and not any(
+            n.startswith("metric=") for n in os.listdir(troot)
+        ):
+            # erased the table's LAST metric: remove the whole table dir
+            # rather than leave a file-less parquet root every reader
+            # (build_history_service, fsck, sql) chokes on with an
+            # unhelpful schema-inference error — an ABSENT table raises
+            # the loud "no level tables - not an ingest store" message,
+            # and the next ingest recreates it from scratch (the writer
+            # treats a raw root with zero batch dirs as fresh)
+            shutil.rmtree(troot)
+    if not dry_run:
+        raw_root = store_meta.raw_path(store_dir)
+        if os.path.isdir(raw_root) and not any(
+            n.startswith("ingest_batch=") for n in os.listdir(raw_root)
+        ):
+            shutil.rmtree(raw_root)  # same hazard for an emptied raw root
 
     return EraseResult(
         raw_dirs=raw_dirs,
@@ -223,8 +289,16 @@ def delete_metric(
 
 #: characters Spark's partition-path writer %-escapes (escapePathName);
 #: mirrored here so a renamed dir is byte-identical to what the writer
-#: would have produced for the new name
-_ESCAPE = set('"#%\'*/:=?\\{[]}') | {chr(c) for c in range(0x20)} | {chr(0x7F)}
+#: would have produced for the new name. Enumerated EMPIRICALLY against
+#: the installed PySpark's JVM (sweep pinned by
+#: test_escape_partition_value_matches_spark): the printable specials are
+#: "#%'*/:=?[\]^{ — note '^' IS escaped and '}' is NOT — plus control
+#: chars 0x01-0x1F and DEL; a hand-written set had both of those wrong,
+#: which would have made rename targets diverge from later ingests of
+#: the same metric (two physical dirs for one partition value).
+_ESCAPE = set('"#%\'*/:=?[\\]^{') | {chr(c) for c in range(1, 0x20)} | {
+    chr(0x7F)
+}
 
 
 def _escape_partition_value(value: str) -> str:
@@ -278,48 +352,34 @@ def rename_metric(
     re-sent under the new name are dropped exactly as they would have
     been under the old one.
     """
-    from metricq_db_hta_spark.operators.maintenance import _rmtree_strict
-
     if old == new:
         raise ValueError("rename requires two distinct metric names")
-    if store_meta.read_journal(store_dir) is not None:
-        raise RuntimeError(
-            "compaction journal pending - settle it (recover_compaction) "
-            "before renaming a metric"
-        )
+    holding = _refuse_unsafe(store_dir, old, "renaming")
+    if not dry_run:
+        _recover_drops_swap(store_dir)
 
-    holding = _batches_holding(store_dir, old)
-    committed = store_meta.committed_batches(store_dir)
-    torn = sorted(b for b in holding if b not in committed)
-    if torn:
-        raise RuntimeError(
-            f"batches {torn} hold metric {old!r} but are not "
-            "marker-committed - run recover() (torn write) or stop the "
-            "live writer first"
-        )
-    replayable = sorted(
-        b for b in holding if not store_meta.checkpoint_committed(store_dir, b)
+    # refuse an absent source: unlike erasure (where absent == already
+    # done, a safe no-op), a rename that silently "succeeds" against a
+    # typo'd --old leaves the operator believing the history migrated
+    # while it stays stranded under the real name
+    holds_tables = any(
+        any(_is_metric_dir(c, old) for c in os.listdir(t))
+        for t in _table_roots(store_dir)
     )
-    if replayable:
-        raise RuntimeError(
-            f"batches {replayable} holding metric {old!r} are still "
-            "inside the streaming replay barrier - a checkpoint replay "
-            "would rewrite them under the old name; advance the stream "
-            "one batch or stop it cleanly first"
+    if not holding and not holds_tables:
+        raise ValueError(
+            f"metric {old!r} not found anywhere in {store_dir} - "
+            "nothing to rename (check the name; erasure treats absent "
+            "as a no-op, rename refuses)"
         )
 
     # the target must be absent EVERYWHERE (docstring: merge refusal)
     clashes: list[str] = []
     if _batches_holding(store_dir, new):
         clashes.append("raw")
-    for name in sorted(os.listdir(store_dir)):
-        if not (name.startswith("level_") or name.startswith("hist_")):
-            continue
-        troot = os.path.join(store_dir, name)
-        if os.path.isdir(troot) and any(
-            _is_metric_dir(c, new) for c in os.listdir(troot)
-        ):
-            clashes.append(name)
+    for troot in _table_roots(store_dir):
+        if any(_is_metric_dir(c, new) for c in os.listdir(troot)):
+            clashes.append(os.path.basename(troot))
     drops_root = os.path.join(store_dir, "drops_log")
     drops = None
     if os.path.isdir(drops_root):
@@ -355,12 +415,7 @@ def rename_metric(
                     F.col("metric")
                 ),
             )
-            tmp = drops_root + ".rename_tmp"
-            relabeled.coalesce(1).write.mode("overwrite").partitionBy(
-                "ingest_batch"
-            ).parquet(tmp)
-            _rmtree_strict(drops_root)
-            os.rename(tmp, drops_root)
+            _swap_drops(drops_root, relabeled)
 
     raw_dirs = 0
     for _b, mdir in sorted(holding.items()):
@@ -369,12 +424,7 @@ def rename_metric(
             os.rename(mdir, os.path.join(os.path.dirname(mdir), new_dirname))
 
     table_dirs = 0
-    for name in sorted(os.listdir(store_dir)):
-        if not (name.startswith("level_") or name.startswith("hist_")):
-            continue
-        troot = os.path.join(store_dir, name)
-        if not os.path.isdir(troot):
-            continue
+    for troot in _table_roots(store_dir):
         for child in os.listdir(troot):
             if _is_metric_dir(child, old):
                 table_dirs += 1

@@ -879,9 +879,17 @@ class StreamingIngest:
             if source_format == "csv":
                 from metricq_db_hta_spark.sources.formats import _CSV_OPTS
 
-                stream = reader.options(**_CSV_OPTS).csv(input_dir)
+                # the SAME options as the batch readers, including
+                # FAILFAST: a streamed chunk with a malformed row must
+                # fail the batch loudly, not silently null it into a row
+                # the validity filter then hides (sources/formats.py)
+                stream = reader.options(**_CSV_OPTS, mode="FAILFAST").csv(
+                    input_dir
+                )
             elif source_format == "jsonl":
-                stream = reader.json(input_dir)
+                stream = reader.options(mode="FAILFAST", timeZone="UTC").json(
+                    input_dir
+                )
             elif source_format == "parquet":
                 stream = reader.parquet(input_dir)
             else:

@@ -390,3 +390,78 @@ def test_surgery_handles_partition_escaped_names(spark, tmp_path):
     assert res.raw_dirs == 1 and res.table_dirs == 1
     assert not _metric_dirs(store, weird + ".renamed")
     assert fsck.check_store(spark, store).ok
+
+
+def test_escape_partition_value_matches_spark(spark):
+    """_escape_partition_value must agree with Spark's own
+    escapePathName over the full one-byte character sweep — a diverging
+    set makes rename targets physically different dirs from what a later
+    ingest of the same metric writes (two dirs, one partition value)."""
+    from metricq_db_hta_spark.operators.erase import _escape_partition_value
+
+    esc = (
+        spark.sparkContext._jvm.org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName
+    )
+    for c in range(1, 0x100):
+        ch = chr(c)
+        assert _escape_partition_value(ch) == esc(ch), hex(c)
+    assert _escape_partition_value("host^1.power") == esc("host^1.power")
+    assert _escape_partition_value("a}b c%d") == esc("a}b c%d")
+
+
+def test_delete_last_metric_leaves_readable_store_state(spark, sf_dir, tmp_path):
+    """Erasing a store's ONLY metric must not brick the read path with
+    file-less parquet dirs: emptied level/hist tables and the raw root
+    are removed, so readers raise the loud not-an-ingest-store error and
+    a fresh ingest rebuilds the store from scratch."""
+    store = str(tmp_path / "store_last")
+    src = samples(spark, sf_dir).orderBy("event_id").limit(100).filter(
+        F.col("metric") == "click"
+    )
+    svc = StreamingIngest(
+        spark, store, level_widths_ns=(W0,), hist_widths_ns=(W0,)
+    )
+    svc.backfill(src)
+
+    res = delete_metric(store, "click", spark=spark)
+    assert res.raw_dirs == 1 and res.table_dirs == 2
+    # no file-less parquet roots left behind
+    assert not os.path.isdir(os.path.join(store, f"level_{W0}"))
+    assert not os.path.isdir(os.path.join(store, f"hist_{W0}"))
+    assert not os.path.isdir(os.path.join(store, "raw"))
+    with pytest.raises(ValueError, match="no level_"):
+        build_history_service(spark, store, None)
+
+    # a fresh ingest treats the emptied store as new and serves again
+    svc2 = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc2.backfill(src)
+    h = build_history_service(spark, store, [W0])
+    assert h.last_value("click").count() == 1
+
+
+def test_drops_swap_crash_recovery(spark, erase_store):
+    """A crash between the drops_log rename-out and rename-in (simulated
+    by moving the table aside as .swap_old) heals on the next surgery
+    pass: the original is restored, then the op completes normally."""
+    store, _svc, _src = erase_store
+    drops_root = os.path.join(store, "drops_log")
+    n_before = spark.read.parquet(drops_root).count()
+    os.rename(drops_root, drops_root + ".swap_old")
+    os.makedirs(drops_root + ".swap_tmp")  # incomplete rewrite leftover
+
+    res = delete_metric(store, "click", spark=spark)
+    assert res.drops_rows > 0
+    assert not os.path.isdir(drops_root + ".swap_old")
+    assert not os.path.isdir(drops_root + ".swap_tmp")
+    drops = spark.read.parquet(drops_root)
+    assert drops.count() == n_before - res.drops_rows
+    assert drops.filter(F.col("metric") == "click").count() == 0
+
+
+def test_rename_refuses_absent_source(spark, erase_store):
+    from metricq_db_hta_spark.operators.erase import rename_metric
+
+    store, _svc, _src = erase_store
+    with pytest.raises(ValueError, match="not found"):
+        rename_metric(store, "no_such_metric", "anything", spark=spark)

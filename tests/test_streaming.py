@@ -687,3 +687,22 @@ def test_stream_ingests_csv_chunks(spark, sf_dir, tmp_path):
     )
     assert a.count() == b.count() > 0
     assert a.exceptAll(b).union(b.exceptAll(a)).count() == 0
+
+
+def test_stream_csv_malformed_row_fails_loudly(spark, tmp_path):
+    """A malformed row in a streamed CSV chunk must FAIL the batch (same
+    FAILFAST contract as the batch interchange readers), never silently
+    null into a row the validity filter then hides."""
+    import pytest
+
+    chunk = tmp_path / "bad_csv"
+    chunk.mkdir()
+    (chunk / "c0.csv").write_text(
+        "metric,ts_ns,value,event_id\n"
+        "m1,1760000000000000000,1.5,1\n"
+        "m1,not_a_timestamp,2.5,2\n"
+    )
+    store = str(tmp_path / "store_badcsv")
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    with pytest.raises(Exception, match="FAILFAST|Malformed|BadRecord"):
+        svc.run_until_drained(str(chunk), source_format="csv")
