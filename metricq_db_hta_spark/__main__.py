@@ -132,6 +132,14 @@ def main(argv: list[str] | None = None) -> int:
 
     pst = sub.add_parser("store-stats")
     pst.add_argument("--store", required=True)
+    pst.add_argument("--list-metrics", action="store_true",
+                     help="include the store's metric names (from the "
+                     "finest level table's partition layout — a directory "
+                     "listing, no data read; the CLI twin of the serve "
+                     "list_metrics request)")
+    pst.add_argument("--pattern", default=None,
+                     help="glob filter for --list-metrics (* any run, "
+                     "? one char)")
 
     pv = sub.add_parser("vacuum")
     pv.add_argument("--store", required=True)
@@ -306,6 +314,27 @@ def main(argv: list[str] | None = None) -> int:
                 and name.partition("_")[2].isdigit()
             },
         }
+        if args.list_metrics:
+            from urllib.parse import unquote as _unquote
+
+            from metricq_db_hta_spark.plans.history import glob_match
+
+            widths = sorted(
+                int(n.split("_", 1)[1])
+                for n in os.listdir(args.store)
+                if n.startswith("level_") and n.split("_", 1)[1].isdigit()
+            )
+            names: list[str] = []
+            if widths:
+                troot = os.path.join(args.store, f"level_{widths[0]}")
+                names = sorted(
+                    _unquote(n.split("=", 1)[1])
+                    for n in os.listdir(troot)
+                    if n.startswith("metric=")
+                )
+            if args.pattern:
+                names = [n for n in names if glob_match(n, args.pattern)]
+            stats["metrics"] = names
         print(_json.dumps(stats, indent=2))
         return 0
 

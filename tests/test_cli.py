@@ -266,6 +266,11 @@ def test_retain_noop_advertises_floor(backfilled_store):
     r = _cli("store-stats", "--store", backfilled_store)
     stats = json.loads(r.stdout)
     assert "retention_floors" in stats
+    assert "metrics" not in stats  # opt-in listing
+    r = _cli("store-stats", "--store", backfilled_store,
+             "--list-metrics", "--pattern", "*u*")
+    listed = json.loads(r.stdout)["metrics"]
+    assert listed == sorted(listed) and all("u" in m for m in listed)
 
 
 def test_retain_bad_age_spec_exits_2(backfilled_store):
