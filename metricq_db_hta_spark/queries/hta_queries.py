@@ -828,7 +828,7 @@ inc AS (
         FROM samples)
 )
 SELECT metric, ts_ns - ts_ns % {W0} AS bucket_start_ns,
-       ROUND(SUM(CAST(increase AS DECIMAL(38,6))), 6) AS increase,
+       CAST(ROUND(SUM(CAST(increase AS DECIMAL(38,6))), 6) AS DOUBLE) AS increase,
        CAST(SUM(CASE WHEN is_reset THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
        ROUND(CAST(SUM(CAST(increase AS DECIMAL(38,6))) AS DOUBLE)
              / {W0 // 1_000_000_000}, 6) AS rate_per_s
@@ -848,9 +848,9 @@ def hta_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         (F.col("ts_ns") - F.col("ts_ns") % W0).alias("bucket_start_ns"),
     ).agg(
-        F.round(F.sum(F.col("increase").cast("decimal(38,6)")), 6).alias(
-            "increase"
-        ),
+        F.round(F.sum(F.col("increase").cast("decimal(38,6)")), 6)
+        .cast("double")
+        .alias("increase"),
         F.sum(F.when(F.col("is_reset"), 1).otherwise(0))
         .cast("long")
         .alias("n_resets"),
