@@ -13,6 +13,7 @@ Subcommands:
   vacuum   --store DIR [--grace-s S]                delete expired retired batches (no Spark)
   retain   --store DIR [--raw-max-age-s S]          tiered TTL expiry (no Spark)
            [--level-max-age W_NS=AGE_S ...] [--hist-max-age W_NS=AGE_S ...]
+           [--counter-max-age W_NS=AGE_S ...]
   backup   --store DIR --dest DIR                   snapshot-pinned consistent copy (no Spark)
   store-stats --store DIR                           batch/file/journal health (no Spark)
   fsck     --store DIR [--start NS] [--end NS]      audit levels vs raw recompute
@@ -174,6 +175,13 @@ def main(argv: list[str] | None = None) -> int:
         default=[],
         metavar="WIDTH_NS=AGE_S",
         help="same for a distributional (histogram) level",
+    )
+    pr.add_argument(
+        "--counter-max-age",
+        action="append",
+        default=[],
+        metavar="WIDTH_NS=AGE_S",
+        help="same for a counter (increase/reset) level",
     )
     pr.add_argument(
         "--dry-run",
@@ -391,6 +399,9 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 level_max_age_ns=_ages(args.level_max_age, "level-max-age"),
                 hist_max_age_ns=_ages(args.hist_max_age, "hist-max-age"),
+                counter_max_age_ns=_ages(
+                    args.counter_max_age, "counter-max-age"
+                ),
             )
             res = _ret.expire(
                 args.store,

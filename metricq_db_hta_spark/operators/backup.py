@@ -12,7 +12,7 @@ store already maintains:
   can never capture a torn or replay-pending batch regardless of
   concurrent microbatches. The copied commit marker is rewritten to
   exactly the pinned set.
-* **Level / hist tables** are copied as-is. Partitions below the
+* **Level / hist / counter tables** are copied as-is. Partitions below the
   retention floor are immutable by construction (expired raw cannot be
   re-imported — the backfill guard — and live writes only touch
   partitions their new data lands in), so the only tearing risk is the
@@ -20,7 +20,9 @@ store already maintains:
   records this honestly: run ``fsck --repair`` on the copy to rebuild
   any torn recent partition from the copied raw (pre-floor history is
   out of repair scope and consistent by the immutability argument).
-* ``_retention.json`` and the snapshot ledger ride along; the streaming
+* ``_retention.json``, the ``drops_log`` observability table (tiny by
+  design — one row per dropping metric per microbatch) and the snapshot
+  ledger ride along; the streaming
   ``_checkpoint`` does NOT — it belongs to the source's stream, and the
   copy starts life as a backfill-style store (a new writer builds a
   fresh checkpoint; the copied marker makes every copied batch
@@ -48,7 +50,7 @@ class BackupResult:
     snapshot_version: int
     n_files: int
     n_bytes: int
-    tables: list[str]  # level_/hist_ tables captured
+    tables: list[str]  # level_/hist_/counter_ tables captured (+drops_log)
 
 
 def _copy_tree(src: str, dst: str) -> tuple[int, int]:
@@ -92,7 +94,9 @@ def backup_store(store_dir: str, dest_dir: str) -> BackupResult:
     tables = []
     for name in sorted(os.listdir(store_dir)):
         head, _, tail = name.partition("_")
-        if head in ("level", "hist") and tail.isdigit():
+        if (head in ("level", "hist", "counter") and tail.isdigit()) or (
+            name == "drops_log"
+        ):
             f, by = _copy_tree(
                 os.path.join(store_dir, name), os.path.join(dest_dir, name)
             )

@@ -59,6 +59,7 @@ metric is absent from raw and levels alike.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from dataclasses import dataclass
@@ -100,9 +101,10 @@ def _batches_holding(store_dir: str, metric: str) -> dict[int, str]:
 
 
 def _table_roots(store_dir: str):
-    """Every ``level_<w>`` / ``hist_<w>`` table root on disk, sorted."""
+    """Every ``level_<w>`` / ``hist_<w>`` / ``counter_<w>`` table root on
+    disk, sorted."""
     for name in sorted(os.listdir(store_dir)):
-        if name.startswith(("level_", "hist_")):
+        if name.startswith(("level_", "hist_", "counter_")):
             p = os.path.join(store_dir, name)
             if os.path.isdir(p):
                 yield p
@@ -122,7 +124,15 @@ def _refuse_unsafe(store_dir: str, metric: str, verb: str) -> dict[int, str]:
         )
     holding = _batches_holding(store_dir, metric)
     committed = store_meta.committed_batches(store_dir)
-    torn = sorted(b for b in holding if b not in committed)
+    # retired batches (deferred-delete compaction sources) are
+    # uncommitted BY DESIGN — their rows live on in the committed dest
+    # and the dirs are reader-invisible, vacuum-bound. They are not torn
+    # (recover() would be a no-op on them), so they must not block the
+    # op; they STAY in the returned map so the mutation also scrubs or
+    # moves the invisible bytes instead of leaving them for vacuum to
+    # leak past an erasure.
+    retired = set(store_meta.retired_batches(store_dir))
+    torn = sorted(b for b in holding if b not in committed and b not in retired)
     if torn:
         raise RuntimeError(
             f"batches {torn} hold metric {metric!r} but are not "
@@ -145,6 +155,35 @@ def _refuse_unsafe(store_dir: str, metric: str, verb: str) -> dict[int, str]:
 #: drops_log swap suffixes — the crash-recovery contract of _swap_drops
 _SWAP_TMP = ".swap_tmp"
 _SWAP_OLD = ".swap_old"
+
+
+def _rename_journal_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "_rename.json")
+
+
+def _read_rename_journal(store_dir: str) -> dict | None:
+    p = _rename_journal_path(store_dir)
+    try:
+        with open(p, encoding="utf-8") as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _drops_root_for_read(store_dir: str) -> tuple[str | None, bool]:
+    """The drops_log table an op should COUNT from: the live root, or —
+    after a crash between _swap_drops' rename-out and rename-in — the
+    set-aside ``.swap_old`` copy a real pass would first restore.
+    Returns (path-or-None, swap_pending) so dry runs neither report
+    drops_rows=0 against a torn swap nor skip the spark-required
+    refusal (they used to do both)."""
+    root = os.path.join(store_dir, "drops_log")
+    if os.path.isdir(root):
+        return root, False
+    old = root + _SWAP_OLD
+    if os.path.isdir(old):
+        return old, True
+    return None, False
 
 
 def _recover_drops_swap(store_dir: str) -> None:
@@ -195,21 +234,32 @@ def delete_metric(
     complete is worse than an actionable refusal)."""
     from metricq_db_hta_spark.operators.maintenance import _rmtree_strict
 
+    j = _read_rename_journal(store_dir)
+    if j is not None:
+        raise RuntimeError(
+            f"rename journal pending ({j.get('old')!r} -> "
+            f"{j.get('new')!r}) - re-run that rename to roll it forward "
+            "before erasing"
+        )
     holding = _refuse_unsafe(store_dir, metric, "erasing")
     if not dry_run:
         _recover_drops_swap(store_dir)
 
     # drops_log: refuse-or-scrub BEFORE deleting anything, so a refusal
-    # leaves the store untouched rather than half-erased
+    # leaves the store untouched rather than half-erased. A dry run reads
+    # through _drops_root_for_read so a torn swap from a crashed prior
+    # pass is COUNTED (from the set-aside copy the real pass restores)
+    # instead of reported as drops_rows=0.
     drops_rows = 0
     drops_root = os.path.join(store_dir, "drops_log")
-    if os.path.isdir(drops_root):
+    droot_read, _swap_pending = _drops_root_for_read(store_dir)
+    if droot_read is not None:
         if spark is None:
             raise RuntimeError(
                 "store has a drops_log (rows carry metric names) - pass a "
                 "SparkSession so the erasure can scrub it"
             )
-        drops = spark.read.parquet(drops_root)
+        drops = spark.read.parquet(droot_read)
         from pyspark.sql import functions as F
 
         drops_rows = drops.filter(F.col("metric") == metric).count()
@@ -354,53 +404,88 @@ def rename_metric(
     """
     if old == new:
         raise ValueError("rename requires two distinct metric names")
+    # crash-resume contract: the journal (written after every refusal
+    # check passes, removed after the last move) marks a rename in
+    # flight. A re-run of the SAME rename rolls the remaining moves
+    # forward — each dir move is atomic, so under a matching journal a
+    # location holds the metric under exactly one of the two names and
+    # the merge-clash refusal (which would otherwise fire in both
+    # directions against our own half-moved dirs) is safely skipped.
+    # Any OTHER surgery against a journaled store refuses.
+    journal = _read_rename_journal(store_dir)
+    resume = False
+    if journal is not None:
+        if journal.get("old") == old and journal.get("new") == new:
+            resume = True
+        else:
+            raise RuntimeError(
+                f"rename journal pending ({journal.get('old')!r} -> "
+                f"{journal.get('new')!r}) - re-run that rename to roll "
+                "it forward before starting another"
+            )
     holding = _refuse_unsafe(store_dir, old, "renaming")
+    if resume:
+        # the half-moved dirs now live under `new`: hold them to the
+        # same torn/replay-barrier guards before moving the rest
+        _refuse_unsafe(store_dir, new, "renaming")
     if not dry_run:
         _recover_drops_swap(store_dir)
 
     # refuse an absent source: unlike erasure (where absent == already
     # done, a safe no-op), a rename that silently "succeeds" against a
     # typo'd --old leaves the operator believing the history migrated
-    # while it stays stranded under the real name
+    # while it stays stranded under the real name. Under a matching
+    # journal an absent source is the expected end state of the
+    # interrupted pass, not a typo.
     holds_tables = any(
         any(_is_metric_dir(c, old) for c in os.listdir(t))
         for t in _table_roots(store_dir)
     )
-    if not holding and not holds_tables:
+    if not holding and not holds_tables and not resume:
         raise ValueError(
             f"metric {old!r} not found anywhere in {store_dir} - "
             "nothing to rename (check the name; erasure treats absent "
             "as a no-op, rename refuses)"
         )
 
-    # the target must be absent EVERYWHERE (docstring: merge refusal)
-    clashes: list[str] = []
-    if _batches_holding(store_dir, new):
-        clashes.append("raw")
-    for troot in _table_roots(store_dir):
-        if any(_is_metric_dir(c, new) for c in os.listdir(troot)):
-            clashes.append(os.path.basename(troot))
+    # the target must be absent EVERYWHERE (docstring: merge refusal).
+    # Skipped on resume: the journal proves this check passed before the
+    # first move, so anything under `new` is our own moved history.
     drops_root = os.path.join(store_dir, "drops_log")
     drops = None
-    if os.path.isdir(drops_root):
+    droot_read, _swap_pending = _drops_root_for_read(store_dir)
+    if droot_read is not None:
         if spark is None:
             raise RuntimeError(
                 "store has a drops_log (rows carry metric names) - pass a "
                 "SparkSession so the rename can re-label it"
             )
-        from pyspark.sql import functions as F
+        drops = spark.read.parquet(droot_read)
+    if not resume:
+        clashes: list[str] = []
+        if _batches_holding(store_dir, new):
+            clashes.append("raw")
+        for troot in _table_roots(store_dir):
+            if any(_is_metric_dir(c, new) for c in os.listdir(troot)):
+                clashes.append(os.path.basename(troot))
+        if drops is not None:
+            from pyspark.sql import functions as F
 
-        drops = spark.read.parquet(drops_root)
-        if drops.filter(F.col("metric") == new).limit(1).count():
-            clashes.append("drops_log")
-    if clashes:
-        raise RuntimeError(
-            f"metric {new!r} already exists in {clashes} - renaming "
-            f"{old!r} onto it would merge two histories (stored delta_ns "
-            "chains would interleave); erase or rename the target first"
-        )
+            if drops.filter(F.col("metric") == new).limit(1).count():
+                clashes.append("drops_log")
+        if clashes:
+            raise RuntimeError(
+                f"metric {new!r} already exists in {clashes} - renaming "
+                f"{old!r} onto it would merge two histories (stored "
+                "delta_ns chains would interleave); erase or rename the "
+                "target first"
+            )
 
     new_dirname = "metric=" + _escape_partition_value(new)
+
+    if not dry_run:
+        with open(_rename_journal_path(store_dir), "w", encoding="utf-8") as f:
+            json.dump({"old": old, "new": new}, f)
 
     # drops_log first (same refuse-before-mutate ordering as erasure)
     drops_rows = 0
@@ -433,6 +518,9 @@ def rename_metric(
                         os.path.join(troot, child),
                         os.path.join(troot, new_dirname),
                     )
+
+    if not dry_run:
+        os.remove(_rename_journal_path(store_dir))
 
     return RenameResult(
         raw_dirs=raw_dirs, table_dirs=table_dirs, drops_rows=drops_rows

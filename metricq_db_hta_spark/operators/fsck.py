@@ -160,7 +160,16 @@ def check_store(
     # divergence under expected noise. The torn ids are still reported.
     on_disk = store_meta.raw_batches_on_disk(store_dir)
     committed = store_meta.committed_batches(store_dir)
-    uncommitted = sorted(on_disk - committed)
+    # retired dirs (deferred-delete compaction sources awaiting vacuum)
+    # are deliberately uncommitted — their rows live on in the compaction
+    # dest. Treating them as torn would (a) report ids recover() refuses
+    # to touch and (b) anti-join the dest's buckets out of the diff,
+    # silently excluding most compacted history from the audit between a
+    # deferred compaction and its vacuum (mirrors recover() and
+    # excluded_batches_for_read).
+    uncommitted = sorted(
+        on_disk - committed - set(store_meta.retired_batches(store_dir))
+    )
     torn_raw = None
     if uncommitted:
         torn_raw = (
@@ -175,17 +184,20 @@ def check_store(
     raw_floor = floors.get("raw", 0)
     for name in sorted(os.listdir(store_dir)):
         head, _, tail = name.partition("_")
-        if head not in ("level", "hist") or not tail.isdigit():
+        if head not in ("level", "hist", "counter") or not tail.isdigit():
             continue
         w = int(tail)
         stored = spark.read.parquet(os.path.join(store_dir, name))
-        expected = (
-            hta.level0(raw, w)
-            if head == "level"
-            else hta.histogram_level(
+        if head == "level":
+            expected = hta.level0(raw, w)
+        elif head == "hist":
+            expected = hta.histogram_level(
                 raw, w, lo=hist_lo, hi=hist_hi, bins=hist_bins
             )
-        )
+        else:
+            # independent recompute (lag-window form): validates the
+            # stored prev_value-derived sums instead of trusting them
+            expected = hta.counter_level_recomputed(raw, w)
         # audited scope: inside the requested range (whole buckets only —
         # a bucket straddling the range edge would be recomputed from a
         # fragment), above the table's own retention floor, above the RAW
@@ -208,9 +220,12 @@ def check_store(
         # the boundary-bucket exclusion applies under raw retention AND
         # under a start-bounded audit: either way, each metric's first
         # visible sample has a delta-predecessor the recompute can't see.
-        # Aggregate levels only — histogram bins are pure counts with no
-        # delta dependence, so they audit exactly up to the raw floor.
-        if head == "level" and (raw_floor > 0 or start_ns is not None):
+        # Aggregate + counter levels only (both derive from the previous
+        # sample) — histogram bins are pure counts with no delta
+        # dependence, so they audit exactly up to the raw floor.
+        if head in ("level", "counter") and (
+            raw_floor > 0 or start_ns is not None
+        ):
             bb = _boundary_buckets(raw, w)
             stored = stored.join(
                 F.broadcast(bb), ["metric", "bucket_start_ns"], "left_anti"
@@ -232,7 +247,11 @@ def check_store(
         keys = ["metric", "bucket_start_ns"] + (
             ["bin"] if head == "hist" else []
         )
-        fields = ["n"] if head == "hist" else AGG_FIELDS
+        fields = {
+            "hist": ["n"],
+            "counter": ["increase_sum", "n_resets"],
+            "level": AGG_FIELDS,
+        }[head]
         n, m, ex = _diff(stored, expected, keys, fields, sample)
         reports.append(
             LevelReport(table=name, n_checked=n, n_mismatched=m, examples=ex)
@@ -326,17 +345,18 @@ def rebuild_levels(
     rewritten: dict[str, int] = {}
     for name in sorted(os.listdir(store_dir)):
         head, _, tail = name.partition("_")
-        if head not in ("level", "hist") or not tail.isdigit():
+        if head not in ("level", "hist", "counter") or not tail.isdigit():
             continue
         w = int(tail)
         troot = os.path.join(store_dir, name)
-        expected = (
-            hta.level0(raw, w)
-            if head == "level"
-            else hta.histogram_level(
+        if head == "level":
+            expected = hta.level0(raw, w)
+        elif head == "hist":
+            expected = hta.histogram_level(
                 raw, w, lo=hist_lo, hi=hist_hi, bins=hist_bins
             )
-        )
+        else:
+            expected = hta.counter_level_recomputed(raw, w)
         out = expected.withColumn(
             "bucket_month",
             F.trunc(

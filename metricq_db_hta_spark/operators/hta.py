@@ -294,3 +294,94 @@ def counter_increase(
         "is_reset",
         F.when(prev.isNull(), F.lit(None).cast("boolean")).otherwise(delta < 0),
     )
+
+
+# ---------------------------------------------------------------------------
+# Counter level tables: mergeable monotonic-counter summaries (r11).
+#
+# A counter_rate request served from raw scans an amount of history
+# proportional to the requested range — the one request type whose cost
+# grew with raw size. The HTA answer applies once more: the per-bucket
+# summary (sum of increases, count of resets) is PLAINLY ADDITIVE under
+# the attribution counter_increase already uses — each sample's increase
+# (measured against the metric's previous kept sample, wherever it lives)
+# is attributed to the bucket containing THAT sample — so fine->coarse
+# merging is a SUM, exactly the partial/final aggregation contract the
+# Aggregate cascade rides. Level 0 needs each sample's previous VALUE,
+# which crosses bucket/partition/batch boundaries; rather than a raw-wide
+# window per recompute, the stateful ingest filter emits ``prev_value``
+# per kept sample (the same design as ``delta_ns``) and raw persists it,
+# making the level-0 recompute a pure per-partition groupBy.
+# ---------------------------------------------------------------------------
+
+
+def counter_increase_stored(
+    raw: DataFrame, value_col: str = "value"
+) -> DataFrame:
+    """``increase``/``is_reset`` from the stored ``prev_value`` column —
+    no window, usable on any raw slice without cross-partition context.
+    Rows from stores predating the column (no ``prev_value``) get NULLs,
+    which under-counts exactly like the metric-first-sample rule."""
+    if "prev_value" not in raw.columns:
+        raw = raw.withColumn("prev_value", F.lit(None).cast("double"))
+    prev = F.col("prev_value")
+    delta = F.col(value_col) - prev
+    return raw.withColumn(
+        "increase",
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .when(delta < 0, F.col(value_col).cast("double"))
+        .otherwise(delta.cast("double")),
+    ).withColumn(
+        "is_reset",
+        F.when(prev.isNull(), F.lit(None).cast("boolean")).otherwise(delta < 0),
+    )
+
+
+def counter_level(
+    raw: DataFrame,
+    width_ns: int = DEFAULT_WIDTH_NS,
+) -> DataFrame:
+    """Finest counter level: (metric, bucket_start_ns, increase_sum,
+    n_resets) from raw rows carrying ``prev_value``. ``increase_sum``
+    accumulates in DECIMAL(38,6) — exact and order-independent, so the
+    cascade is bit-mergeable like the Aggregate record's ``sum``; a
+    bucket holding only a metric's first-ever sample has a NULL sum
+    (no measured interval), which SUM-merges transparently."""
+    return _counter_agg(counter_increase_stored(raw), width_ns)
+
+
+def counter_level_recomputed(
+    raw: DataFrame, width_ns: int = DEFAULT_WIDTH_NS
+) -> DataFrame:
+    """The independent-recompute twin of :func:`counter_level`: derives
+    each increase from a per-metric lag window instead of the stored
+    ``prev_value`` column, so an audit (fsck) validates the stored
+    column rather than trusting it. Equal to ``counter_level`` on full
+    raw; under a time-bounded scan the first visible sample per metric
+    loses its predecessor (the same boundary-bucket caveat as the
+    delta-dependent Aggregate fields)."""
+    return _counter_agg(counter_increase(raw), width_ns)
+
+
+def _counter_agg(inc: DataFrame, width_ns: int) -> DataFrame:
+    return inc.groupBy(
+        "metric",
+        bucket_start_ns("ts_ns", width_ns).alias("bucket_start_ns"),
+    ).agg(
+        F.sum(F.col("increase").cast(DECIMAL)).alias("increase_sum"),
+        F.sum(F.when(F.col("is_reset"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_resets"),
+    )
+
+
+def counter_rollup(level_k: DataFrame, width_ns: int) -> DataFrame:
+    """Counter level k -> coarser width: plain SUMs (the additivity the
+    attribution rule buys)."""
+    return level_k.groupBy(
+        "metric",
+        bucket_start_ns("bucket_start_ns", width_ns).alias("bucket_start_ns"),
+    ).agg(
+        F.sum("increase_sum").alias("increase_sum"),
+        F.sum("n_resets").cast("long").alias("n_resets"),
+    )

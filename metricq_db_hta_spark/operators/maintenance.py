@@ -68,7 +68,19 @@ from pyspark.sql import functions as F
 
 from metricq_db_hta_spark.streaming import store_meta
 
-RAW_COLS = ["metric", "ts_ns", "value", "event_id", "delta_ns"]
+RAW_COLS = ["metric", "ts_ns", "value", "event_id", "delta_ns", "prev_value"]
+
+
+def _raw_col_exprs(df) -> list:
+    """Tolerant RAW_COLS select: a pre-r11 store has no ``prev_value``
+    column; compacting it must not fail (nor invent values) — the column
+    synthesizes to NULL, the same under-count rule the readers apply."""
+    return [
+        F.col(c)
+        if c in df.columns
+        else F.lit(None).cast("double").alias(c)
+        for c in RAW_COLS
+    ]
 
 
 @dataclass(frozen=True)
@@ -219,7 +231,7 @@ def compact_raw(
     beat.start()
     try:
         (
-            src.select(*RAW_COLS, tcol)
+            src.select(*_raw_col_exprs(src), tcol)
             .withColumn("ingest_batch", F.lit(plan.dest))
             .repartition("metric", tcol)
             # ts-sorted output files: compaction is the one cheap moment

@@ -115,16 +115,19 @@ class RetentionPolicy:
     raw_max_age_ns: int | None = None
     level_max_age_ns: Mapping[int, int] = field(default_factory=dict)
     hist_max_age_ns: Mapping[int, int] = field(default_factory=dict)
+    counter_max_age_ns: Mapping[int, int] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         ages = [self.raw_max_age_ns, *self.level_max_age_ns.values(),
-                *self.hist_max_age_ns.values()]
+                *self.hist_max_age_ns.values(),
+                *self.counter_max_age_ns.values()]
         for a in ages:
             if a is not None and a <= 0:
                 raise ValueError(f"max age must be positive ns: {a}")
         for label, table in (
             ("level", self.level_max_age_ns),
             ("hist", self.hist_max_age_ns),
+            ("counter", self.counter_max_age_ns),
         ):
             self._check_tiering(label, table, sorted(table))
 
@@ -148,13 +151,19 @@ class RetentionPolicy:
                 )
             prev_w, prev_age = w, eff
 
-    def validate_against(self, level_widths: list[int], hist_widths: list[int]) -> None:
+    def validate_against(
+        self,
+        level_widths: list[int],
+        hist_widths: list[int],
+        counter_widths: list[int] = (),
+    ) -> None:
         """Re-check tiering with the store's actual widths mixed in (any
         discovered width missing from the policy participates as
         keep-forever)."""
         for label, table, widths in (
             ("level", self.level_max_age_ns, level_widths),
             ("hist", self.hist_max_age_ns, hist_widths),
+            ("counter", self.counter_max_age_ns, counter_widths),
         ):
             unknown = set(table) - set(widths)
             if unknown:
@@ -280,7 +289,8 @@ def expire(
         )
     level_widths = _discovered_widths(store_dir, "level")
     hist_widths = _discovered_widths(store_dir, "hist")
-    policy.validate_against(level_widths, hist_widths)
+    counter_widths = _discovered_widths(store_dir, "counter")
+    policy.validate_against(level_widths, hist_widths, counter_widths)
 
     # -- compute floors (aligned down to each table's partition unit) ------
     floors: dict[str, int] = {}
@@ -291,6 +301,7 @@ def expire(
     for label, table in (
         ("level", policy.level_max_age_ns),
         ("hist", policy.hist_max_age_ns),
+        ("counter", policy.counter_max_age_ns),
     ):
         for w, age in table.items():
             if age is not None:

@@ -296,6 +296,23 @@ def _time_pruned(df: DataFrame, start_ns: int, end_ns: int) -> DataFrame:
     return _date_pruned(df, "ts_month", start_ns, end_ns)
 
 
+def _counter_rate_aggs(increase, width_ns: int) -> list:
+    """The counter_rate output record from a per-sample ``increase``
+    column: decimal-exact sum (cast back to double after the final
+    round, the engine-wide presentation convention), reset count, and
+    per-second rate."""
+    dec = increase.cast("decimal(38,6)")
+    return [
+        F.round(F.sum(dec), 6).cast("double").alias("increase"),
+        F.sum(F.when(F.col("is_reset"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_resets"),
+        F.round(
+            F.sum(dec).cast("double") / F.lit(width_ns / 1e9), 6
+        ).alias("rate_per_s"),
+    ]
+
+
 @dataclass
 class HistoryService:
     raw: DataFrame                      # (metric, ts_ns, value)
@@ -731,22 +748,158 @@ class HistoryService:
                     "bucket_start_ns"
                 ),
             )
+            .agg(*_counter_rate_aggs(F.col("increase"), width_ns))
+            .orderBy("bucket_start_ns")
+        )
+
+    def counter_rate_timeline_leveled(
+        self,
+        counter_df: DataFrame,
+        level_width_ns: int,
+        metric: str,
+        start_ns: int,
+        end_ns: int,
+        width_ns: int,
+    ) -> DataFrame:
+        """:meth:`counter_rate_timeline` served from a maintained
+        ``counter_<w>`` level table (the same coarse-interior/fine-edge
+        decomposition Q3 uses, applied to the counter family):
+
+        * **interior** output buckets — fully inside the range and
+          strictly after the bucket holding the first in-range sample —
+          are exact SUMs of stored level rows (each stored increase is
+          attributed to its own sample's bucket and measured against a
+          predecessor that is provably in range, so stored == range-lag);
+        * the **low edge** (everything up to and including the first
+          in-range sample's bucket) is recomputed from ≤ two bucket
+          widths of range-pruned raw with the in-slice lag, which
+          reproduces the baseline rule (the first in-range sample
+          contributes no increase) exactly;
+        * an unaligned **high edge** is recomputed from < one bucket
+          width of raw using the stored ``prev_value`` column — its first
+          row's predecessor lives in the interior, which an in-slice lag
+          could not see.
+
+        Cost: two scalar lookups (a sub-bucket raw slice and a level-table
+        min) + level rows + ≤ 3 bucket widths of raw — independent of the
+        requested range length, which is the point. Bit-equal to the raw
+        form: stored per-bucket sums are exact DECIMAL(38,6) partials of
+        the same increases, and decimal addition is associative.
+        Caller guarantees ``width_ns % level_width_ns == 0``; returns
+        None-equivalent fallback decisions to the caller (raises if the
+        widths don't divide)."""
+        if width_ns % level_width_ns != 0:
+            raise ValueError(
+                f"output width {width_ns} not a multiple of the counter "
+                f"level width {level_width_ns}"
+            )
+        lvl = counter_df.filter(F.col("metric") == metric)
+        lvl = _date_pruned(lvl, "bucket_month", start_ns, end_ns)
+
+        # first in-range sample: in the sub-bucket head slice of raw, or
+        # (when start is level-aligned-empty) inside the first level
+        # bucket that lies entirely in range
+        ceil_lvl = -(-start_ns // level_width_ns) * level_width_ns
+        head_hi = min(ceil_lvl, end_ns)
+        first_ts = None
+        if head_hi > start_ns:
+            r = (
+                self._pruned_metric_raw(metric, start_ns, head_hi)
+                .agg(F.min("ts_ns"))
+                .collect()[0][0]
+            )
+            first_ts = r
+        if first_ts is None:
+            fb2 = (
+                lvl.filter(
+                    (F.col("bucket_start_ns") >= ceil_lvl)
+                    & (F.col("bucket_start_ns") < end_ns)
+                )
+                .agg(F.min("bucket_start_ns"))
+                .collect()[0][0]
+            )
+            if fb2 is None:
+                # no in-range data at all -> empty frame, raw-form schema
+                return self.counter_rate_timeline(
+                    metric, start_ns, min(start_ns, end_ns), width_ns
+                )
+            r = (
+                self._pruned_metric_raw(
+                    metric, int(fb2), min(int(fb2) + level_width_ns, end_ns)
+                )
+                .agg(F.min("ts_ns"))
+                .collect()[0][0]
+            )
+            first_ts = r
+        fb_out = int(first_ts) - int(first_ts) % width_ns
+        lo_cut = fb_out + width_ns  # first interior bucket start
+        aligned_end = end_ns - end_ns % width_ns
+        if lo_cut >= aligned_end:
+            # no interior remains — the whole range is edge work
+            return self.counter_rate_timeline(
+                metric, start_ns, end_ns, width_ns
+            )
+
+        from metricq_db_hta_spark.operators.hta import (
+            counter_increase,
+            counter_increase_stored,
+        )
+
+        out_bucket = (
+            F.col("ts_ns") - F.col("ts_ns") % F.lit(width_ns)
+        ).alias("bucket_start_ns")
+        lo = (
+            counter_increase(
+                self._pruned_metric_raw(metric, start_ns, lo_cut)
+            )
+            .groupBy("metric", out_bucket)
+            .agg(*_counter_rate_aggs(F.col("increase"), width_ns))
+        )
+        interior = (
+            lvl.filter(
+                (F.col("bucket_start_ns") >= lo_cut)
+                & (F.col("bucket_start_ns") < aligned_end)
+            )
+            .groupBy(
+                "metric",
+                (
+                    F.col("bucket_start_ns")
+                    - F.col("bucket_start_ns") % F.lit(width_ns)
+                ).alias("bucket_start_ns"),
+            )
             .agg(
+                F.round(F.sum("increase_sum"), 6)
+                .cast("double")
+                .alias("increase"),
+                F.sum("n_resets").cast("long").alias("n_resets"),
                 F.round(
-                    F.sum(F.col("increase").cast("decimal(38,6)")), 6
-                ).alias("increase"),
-                F.sum(F.when(F.col("is_reset"), 1).otherwise(0))
-                .cast("long")
-                .alias("n_resets"),
-                F.round(
-                    F.sum(F.col("increase").cast("decimal(38,6)")).cast(
-                        "double"
-                    )
+                    F.sum("increase_sum").cast("double")
                     / F.lit(width_ns / 1e9),
                     6,
                 ).alias("rate_per_s"),
             )
-            .orderBy("bucket_start_ns")
+        )
+        parts = [lo, interior]
+        if aligned_end < end_ns:
+            hi = (
+                counter_increase_stored(
+                    self._pruned_metric_raw(metric, aligned_end, end_ns)
+                )
+                .groupBy("metric", out_bucket)
+                .agg(*_counter_rate_aggs(F.col("increase"), width_ns))
+            )
+            parts.append(hi)
+        res = parts[0]
+        for p in parts[1:]:
+            res = res.unionByName(p)
+        return res.orderBy("bucket_start_ns")
+
+    def _pruned_metric_raw(
+        self, metric: str, start_ns: int, end_ns: int
+    ) -> DataFrame:
+        raw = self.raw.filter(F.col("metric") == metric)
+        return _time_pruned(raw, start_ns, end_ns).filter(
+            (F.col("ts_ns") >= start_ns) & (F.col("ts_ns") < end_ns)
         )
 
     # -- A12 ---------------------------------------------------------------

@@ -173,11 +173,14 @@ def register_store_views(spark: SparkSession, store: str) -> list[str]:
         names.append(f"level_{w}")
     import glob as _glob
 
-    for d in sorted(_glob.glob(os.path.join(store, "hist_*"))):
-        tail = os.path.basename(d).split("_", 1)[1]
-        if tail.isdigit():
-            spark.read.parquet(d).createOrReplaceTempView(f"hist_{tail}")
-            names.append(f"hist_{tail}")
+    for prefix in ("hist", "counter"):
+        for d in sorted(_glob.glob(os.path.join(store, f"{prefix}_*"))):
+            tail = os.path.basename(d).split("_", 1)[1]
+            if tail.isdigit():
+                spark.read.parquet(d).createOrReplaceTempView(
+                    f"{prefix}_{tail}"
+                )
+                names.append(f"{prefix}_{tail}")
     drops = os.path.join(store, "drops_log")
     if os.path.isdir(drops):
         spark.read.parquet(drops).createOrReplaceTempView("drops_log")
@@ -222,7 +225,8 @@ class HistoryServer:
         if static_plans:
             spark.conf.set("spark.sql.adaptive.enabled", "false")
         self._svc = self._build()
-        self._hists = self._discover_hists()
+        self._hists = self._discover_tables("hist")
+        self._counters = self._discover_tables("counter")
         self._floors = self._read_floors()
         # self-monitoring (reference db_stats parity,
         # /root/reference/src/db_stats.hpp:41-53: per-operation completed/
@@ -263,15 +267,18 @@ class HistoryServer:
             return floor, floor
         return start, None
 
-    def _discover_hists(self) -> dict[int, "object"]:
-        """Distributional (histogram) level tables the write path
-        maintains when StreamingIngest runs with ``hist_widths_ns`` —
-        discovered from the store layout (``hist_<width>`` dirs), never
-        configured twice. Empty dict when the store maintains none."""
+    def _discover_tables(self, prefix: str) -> dict[int, "object"]:
+        """Optional level families the write path maintains (``hist_<w>``
+        when StreamingIngest runs with ``hist_widths_ns``, ``counter_<w>``
+        with ``counter_widths_ns``) — discovered from the store layout,
+        never configured twice. Empty dict when the store maintains
+        none."""
         out = {}
         import glob as _glob
 
-        for d in sorted(_glob.glob(os.path.join(self.store, "hist_*"))):
+        for d in sorted(
+            _glob.glob(os.path.join(self.store, f"{prefix}_*"))
+        ):
             tail = os.path.basename(d).split("_", 1)[1]
             if tail.isdigit():
                 out[int(tail)] = self.spark.read.parquet(d)
@@ -324,7 +331,8 @@ class HistoryServer:
             rtype = req["type"]
             if rtype == "refresh":
                 self._svc = self._build()
-                self._hists = self._discover_hists()
+                self._hists = self._discover_tables("hist")
+                self._counters = self._discover_tables("counter")
                 self._floors = self._read_floors()
                 return {"rows": [], "n": 0}
             metric = req.get("metric")
@@ -508,9 +516,27 @@ class HistoryServer:
                 if width <= 0:
                     return {"error": f"width_ns must be > 0: {width}"}
                 start, clamped = self._clamp_floor(start, "raw")
-                df = self._svc.counter_rate_timeline(
-                    metric, start, end, width
-                )
+                # serve from the maintained counter_<w> family when one
+                # divides the requested width: interior buckets come from
+                # stored level rows, only the range edges touch raw — the
+                # request cost stops growing with range length. Falls
+                # back to the range-pruned raw scan otherwise (and for
+                # ranges too short to have an interior, inside the
+                # leveled method itself).
+                cw = [
+                    w
+                    for w in sorted(self._counters, reverse=True)
+                    if width % w == 0
+                ]
+                if cw:
+                    df = self._svc.counter_rate_timeline_leveled(
+                        self._counters[cw[0]], cw[0], metric, start, end,
+                        width,
+                    )
+                else:
+                    df = self._svc.counter_rate_timeline(
+                        metric, start, end, width
+                    )
             elif rtype == "histogram_percentile":
                 if not self._hists:
                     return {

@@ -21,108 +21,95 @@ from metricq_db_hta_spark.queries import relational3  # noqa: F401
 from metricq_db_hta_spark.queries import llm2  # noqa: F401
 
 # Registry order is part of the driver contract: the correctness harness
-# records the first 50 entries each round. Round 10 window policy
+# records the first 50 entries each round. Round 11 window policy
 # (scripts/window_coverage.py enforces freshness going forward):
 #
-# (1) First driver rows for the two queries added after the r9 driver run
-#     (commit 6862220): hta_ingest_serve (serving-path committed-raw
-#     summary) and llm_text_stats_scan (from-scratch twin of the served
-#     stats query). Local-oracle + pytest evidence only until now.
-# (2) The 9 queries deferred in round 9 (green-since-r7, stale(2)) are
-#     scheduled as promised (VERDICT r9 next-step 1): rel_set_union,
-#     rel_set_intersect, rel_set_except, rel_json_funcs, rel_array_funcs,
-#     rel_null_handling, llm_char_entropy, llm_tfidf_top_terms,
-#     rel_join_cross.
-# (3) modified-this-round re-check: llm_text_stats now serves from the
-#     ingest-time doc_stats_table layout (sources/derived.py) — its r8
-#     green row covers the from-scratch scan plan that llm_text_stats_scan
-#     now owns.
-# (4) The remaining 30 slots rotate r08-green queries in (46 candidates;
-#     the 16 deferred to round 11 — hta_q2_flex_raw, hta_q4_last_value,
-#     rel_agg_statistical, llm_decontaminate, llm_unigram_logprob,
-#     rel_q6_forecast_revenue, rel_q10_returned_items,
-#     rel_q18_large_volume_customer (all 8 with an INDEPENDENT judge
-#     re-check green in r9 on untouched code, the best-evidenced
-#     candidates to sit at stale(2)), plus rel_window_lag_lead,
-#     udf_apply_in_pandas_zscore, udf_grouped_agg_geomean,
-#     rel_window_moving_agg, rel_window_ntile, rel_having,
-#     rel_grouping_id, rel_agg_scalar_global (r8-green, displaced
-#     mid-r10 by the eight new queries in (5)); the round-11 window MUST
-#     schedule all 16.
-# (5) Nine queries added mid-round-10 take first driver rows
-#     immediately: hta_timeline_gapfill, rel_recursive_cte,
-#     llm_ngram_span_dedup, hta_resample_linear, hta_percentile_timeline,
-#     hta_histogram_level0, hta_histogram_p95_rollup, hta_counter_rate,
-#     hta_q3_tiered, hta_q1_tiered_timeline (each diffcheck-green at all
-#     three SFs). The ninth and tenth displace rel_window_rank_topn and
-#     rel_window_distribution from (4) — both r8-green, untouched —
-#     which join the queries round 11 MUST schedule (now 18).
-# (6) hta_pattern_aggregate + hta_pattern_q3 (fleet glob timeline /
-#     whole-range aggregate) were added after the window froze:
-#     diffcheck-green at all three SFs, never driver-checked — round 11
-#     schedules them with the 18 above (20).
-PENDING_NEXT_WINDOW: list[str] = [
-    # added after the r10 window froze — never driver-checked,
-    # diffcheck-green at all three SFs; see (6)
+# (1) The 18 r8-green queries displaced mid-r10 — named in the r10 (4)/(5)
+#     comments and promised to round 11 by VERDICT r10 next-step 2 — all
+#     scheduled: hta_q2_flex_raw, hta_q4_last_value, rel_agg_statistical,
+#     llm_decontaminate, llm_unigram_logprob, rel_q6_forecast_revenue,
+#     rel_q10_returned_items, rel_q18_large_volume_customer,
+#     rel_window_lag_lead, udf_apply_in_pandas_zscore,
+#     udf_grouped_agg_geomean, rel_window_moving_agg, rel_window_ntile,
+#     rel_having, rel_grouping_id, rel_agg_scalar_global,
+#     rel_window_rank_topn, rel_window_distribution.
+# (2) The two fleet/pattern queries added after the r10 window froze
+#     (PENDING_NEXT_WINDOW in r10; diffcheck-green at all three SFs,
+#     judge-verified at sf0.01, never driver-checked):
+#     hta_pattern_aggregate, hta_pattern_q3.
+# (3) hta_counter_rate re-check — r10's one red driver row, fixed this
+#     round (the final increase column now casts DECIMAL->DOUBLE on both
+#     sides, matching the engine-wide convention).
+# (4) hta_counter_serve — NEW this round (serving-path counter_rate over
+#     the stored prev_value column, zero-exchange): first driver row.
+# (5) The remaining 28 slots rotate r9-green queries (49 candidates,
+#     sorted; the first 28 scheduled here, the remaining 21 —
+#     rel_join_asof .. udf_udtf_explode_buckets — sit at stale(2) and
+#     round 12 MUST schedule them: rel_join_asof, rel_join_asof_forward,
+#     rel_join_broadcast_dim, rel_join_bucketed, rel_join_full_outer,
+#     rel_join_left_outer, rel_join_range_band, rel_join_semi,
+#     rel_join_sortmerge, rel_math_funcs, rel_q1_pricing_summary,
+#     rel_q3_shipping_priority, rel_q5_local_supplier_volume,
+#     rel_session_window, rel_string_funcs,
+#     rel_subquery_correlated_scalar, rel_topk, rel_window_range_between,
+#     rel_window_sliding_native, rel_window_tumbling_native,
+#     udf_pandas_scalar_normalize, udf_udtf_explode_buckets).
+PENDING_NEXT_WINDOW: list[str] = []
+_WINDOW = [
+    # (3)+(4): the r10 red row re-check and the round's new serve query
+    "hta_counter_rate",
+    "hta_counter_serve",
+    # (2) never-driver-checked fleet/pattern queries
     "hta_pattern_aggregate",
     "hta_pattern_q3",
-]
-_WINDOW = [
-    # (1) first driver rows ever — added post-r9-driver-run
-    "hta_ingest_serve",
-    "llm_text_stats_scan",
-    # (5) added mid-round-10 — first driver rows
-    "hta_timeline_gapfill",
-    "rel_recursive_cte",
-    "llm_ngram_span_dedup",
-    "hta_resample_linear",
-    "hta_percentile_timeline",
-    "hta_histogram_level0",
-    "hta_histogram_p95_rollup",
-    "hta_counter_rate",
-    "hta_q3_tiered",
-    "hta_q1_tiered_timeline",
-    # (2) round-9 deferral promise (green-since-r7)
-    "rel_set_union",
-    "rel_set_intersect",
-    "rel_set_except",
-    "rel_json_funcs",
-    "rel_array_funcs",
-    "rel_null_handling",
-    "llm_char_entropy",
-    "llm_tfidf_top_terms",
-    "rel_join_cross",
-    # (3) modified this round — served-layout plan
-    "llm_text_stats",
-    # (4) r08-green rotation (28 of 46)
-    "hta_level1_rollup",
-    "llm_chunk_dedup",
-    "llm_dedup_survivors",
-    "llm_embedding_neardup",
-    "llm_embedding_norms",
-    "llm_fingerprint",
-    "llm_jaccard_blocked_pairs",
-    "llm_length_histogram",
-    "llm_minhash_signatures",
-    "llm_multimodal_decode",
-    "llm_neardup_clusters",
-    "llm_normalize_dedup",
-    "llm_pii_redact",
-    "llm_simhash",
-    "llm_similarity_topk_ivf",
-    "llm_similarity_topk_ivf_multiprobe",
-    "llm_source_mixing_weights",
-    "llm_url_domain_filter",
-    "llm_weighted_sample",
-    "rel_agg_grouping_sets",
-    "rel_agg_rollup",
-    "rel_join_asof_tolerance",
-    "rel_join_interval_overlap",
-    "rel_join_lateral",
-    "rel_percentiles",
-    "rel_pivot",
-    "rel_subquery_scalar_exists",
-    "rel_unpivot",
+    # (1) the 18 displaced r8-green queries (promise kept)
+    "hta_q2_flex_raw",
+    "hta_q4_last_value",
+    "rel_agg_statistical",
+    "llm_decontaminate",
+    "llm_unigram_logprob",
+    "rel_q6_forecast_revenue",
+    "rel_q10_returned_items",
+    "rel_q18_large_volume_customer",
+    "rel_window_lag_lead",
+    "udf_apply_in_pandas_zscore",
+    "udf_grouped_agg_geomean",
+    "rel_window_moving_agg",
+    "rel_window_ntile",
+    "rel_having",
+    "rel_grouping_id",
+    "rel_agg_scalar_global",
+    "rel_window_rank_topn",
+    "rel_window_distribution",
+    # (5) r9-green rotation (first 28 of 49, sorted)
+    "hta_delta_encode",
+    "hta_ingest_chain",
+    "hta_level0",
+    "hta_metadata_projection",
+    "hta_q1_aggregate_timeline",
+    "hta_q3_aggregate",
+    "hta_scope_boundaries",
+    "hta_stats_rates",
+    "hta_subscription_list",
+    "llm_dataset_split",
+    "llm_exact_dedup",
+    "llm_lang_id",
+    "llm_minhash_jaccard_estimate",
+    "llm_minhash_lsh_pairs",
+    "llm_quality_filter",
+    "llm_repetition_filter",
+    "llm_sequence_packing",
+    "llm_similarity_recall_ivf",
+    "llm_similarity_topk_brute",
+    "llm_stratified_sample",
+    "llm_token_count",
+    "rel_agg_approx_distinct",
+    "rel_agg_conditional",
+    "rel_agg_cube",
+    "rel_agg_distinct",
+    "rel_date_arithmetic",
+    "rel_date_funcs",
+    "rel_join_anti",
 ]
 assert len(_WINDOW) == 50, len(_WINDOW)
 _missing = [n for n in _WINDOW if n not in REGISTRY]

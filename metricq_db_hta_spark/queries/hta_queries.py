@@ -847,16 +847,64 @@ def hta_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inc.groupBy(
         "metric",
         (F.col("ts_ns") - F.col("ts_ns") % W0).alias("bucket_start_ns"),
-    ).agg(
-        F.round(F.sum(F.col("increase").cast("decimal(38,6)")), 6)
-        .cast("double")
-        .alias("increase"),
+    ).agg(*_counter_aggs())
+
+
+def _counter_aggs() -> list:
+    """Shared counter_rate output record (increase/resets/rate) — kept
+    identical between the from-scratch and served-layout queries so the
+    two differ only in plan, never in semantics."""
+    dec = F.col("increase").cast("decimal(38,6)")
+    return [
+        F.round(F.sum(dec), 6).cast("double").alias("increase"),
         F.sum(F.when(F.col("is_reset"), 1).otherwise(0))
         .cast("long")
         .alias("n_resets"),
         F.round(
-            F.sum(F.col("increase").cast("decimal(38,6)")).cast("double")
-            / F.lit(W0 // 1_000_000_000),
-            6,
+            F.sum(dec).cast("double") / F.lit(W0 // 1_000_000_000), 6
         ).alias("rate_per_s"),
-    )
+    ]
+
+
+@register(
+    "hta_counter_serve",
+    oracle=f"""
+WITH {_CHAIN_CTES.strip()},
+inc AS (
+  SELECT metric, ts_ns,
+         CASE WHEN prev IS NULL THEN NULL
+              WHEN value - prev < 0 THEN value
+              ELSE value - prev END AS increase,
+         CASE WHEN prev IS NULL THEN NULL ELSE value - prev < 0 END AS is_reset
+  FROM (SELECT *, LAG(value) OVER (PARTITION BY metric ORDER BY ts_ns) AS prev
+        FROM kept)
+)
+SELECT metric, ts_ns - ts_ns % {W0} AS bucket_start_ns,
+       CAST(ROUND(SUM(CAST(increase AS DECIMAL(38,6))), 6) AS DOUBLE) AS increase,
+       CAST(SUM(CASE WHEN is_reset THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+       ROUND(CAST(SUM(CAST(increase AS DECIMAL(38,6))) AS DOUBLE)
+             / {W0 // 1_000_000_000}, 6) AS rate_per_s
+FROM inc GROUP BY 1, 2
+""",
+    doc="Serving-path counter_rate over the COMMITTED raw store "
+    "(sources/derived.py::raw_serve_table, which persists prev_value "
+    "exactly as streaming ingest's KEPT_SCHEMA does): each sample's "
+    "increase/reset derives from the STORED previous value — no lag "
+    "window, no exchange beyond the bucket-aligned groupBy — so request "
+    "cost is a pruned scan regardless of history length. "
+    "hta_counter_rate stays as the from-scratch window form; DuckDB's "
+    "oracle re-runs the chain + lag (bench layout_note). Reference "
+    "parity: reads serve from maintained state, never re-derive "
+    "(/root/reference/src/async_hta_service.hpp:361-441).",
+    bench=True,
+    static_plan=True,
+)
+def hta_counter_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from metricq_db_hta_spark.sources.derived import raw_serve_table
+
+    kept = raw_serve_table(spark, sf_dir, samples, MAPPING)
+    inc = hta.counter_increase_stored(kept)
+    return inc.groupBy(
+        "metric",
+        (F.col("ts_ns") - F.col("ts_ns") % W0).alias("bucket_start_ns"),
+    ).agg(*_counter_aggs())

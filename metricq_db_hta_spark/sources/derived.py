@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from metricq_db_hta_spark.functions import text as T
 
 #: bump when a derived recipe changes so stale /tmp layouts never serve
-RECIPE = "v1"
+RECIPE = "v2"  # v2: raw_serve_table also persists prev_value (r11)
 
 #: serving-store bucket count — same sizing rule as bucketed.N_BUCKETS
 #: (local core count here; ~128 MB-1 GB per bucket file at 100 TB)
@@ -183,6 +183,10 @@ def raw_serve_table(
             F.coalesce(
                 F.col("ts_ns") - F.lag("ts_ns").over(w), F.lit(0)
             ).cast("long").alias("delta_ns"),
+            # previous kept value (NULL on a metric's first sample) —
+            # the counter baseline, persisted like the streaming store's
+            # KEPT_SCHEMA so counter requests run window-free
+            F.lag("value").over(w).alias("prev_value"),
         )
         (
             kept.repartition(N_BUCKETS, "metric")

@@ -37,7 +37,7 @@ from __future__ import annotations
 import logging
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
@@ -74,6 +74,10 @@ KEPT_SCHEMA = StructType(
         StructField("value", DoubleType()),
         StructField("event_id", LongType()),
         StructField("delta_ns", LongType()),
+        # previous kept sample's value (NULL on a metric's first sample
+        # ever) — persisted to raw like delta_ns so the counter level
+        # family recomputes per-partition without a raw-wide window
+        StructField("prev_value", DoubleType()),
         # drop observability (A14; async_hta_service.hpp:292-306): dropped
         # samples since the previous kept sample of this metric, per class
         StructField("drops_mono_before", LongType()),
@@ -93,10 +97,30 @@ KEPT_SCHEMA = StructType(
 STATE_BUCKETS = 1024
 
 #: per-bucket state: the pickled {metric: (max_ts, pending_mono,
-#: pending_invalid)} watermark map. A binary blob instead of typed
-#: columns because the map is variable-length per bucket; pickle of a
-#: str->int-tuple dict is stable across workers (same interpreter).
+#: pending_invalid, last_value)} watermark map (last_value: the last
+#: kept sample's value, NaN before any; pre-r11 3-tuples load with an
+#: implied NaN). A binary blob instead of typed columns because the map
+#: is variable-length per bucket; pickle of a str->tuple dict is stable
+#: across workers (same interpreter).
 BUCKET_STATE_SCHEMA = StructType([StructField("wm_blob", BinaryType())])
+
+
+def _raw_cols(df: DataFrame) -> list:
+    """Raw-table column list: the kept-sample schema minus the drop
+    counters. ``prev_value`` synthesizes to NULL when the input predates
+    the column (pre-r11 raw), so every consumer sees one schema."""
+    cols = [
+        F.col("metric"),
+        F.col("ts_ns"),
+        F.col("value"),
+        F.col("event_id"),
+        F.col("delta_ns"),
+    ]
+    if "prev_value" in df.columns:
+        cols.append(F.col("prev_value"))
+    else:
+        cols.append(F.lit(None).cast("double").alias("prev_value"))
+    return cols
 
 
 def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
@@ -225,11 +249,17 @@ def monotonic_stateful(
     """
     seeded = seed_df is not None
     if seeded:
-        stream = stream.join(
-            seed_df.select("metric", F.col("store_wm").cast("long")),
-            on="metric",
-            how="left",
-        )
+        cols = [F.col("metric"), F.col("store_wm").cast("long")]
+        # stores written before r11 seed no last value: the first kept
+        # sample after restart gets a NULL prev_value (counter under-
+        # count at the seam, same rule as a metric's first sample ever)
+        if "store_lastv" in seed_df.columns:
+            cols.append(F.col("store_lastv").cast("double"))
+        else:
+            cols.append(
+                F.lit(None).cast("double").alias("store_lastv")
+            )
+        stream = stream.join(seed_df.select(*cols), on="metric", how="left")
     stream = stream.withColumn(
         "__bucket", F.pmod(F.xxhash64("metric"), F.lit(state_buckets))
     )
@@ -241,7 +271,8 @@ def monotonic_stateful(
         import pandas as _pd
 
         sentinel = _np.iinfo(_np.int64).min
-        # {metric: (max_ts_or_sentinel, pending_mono, pending_invalid)}
+        # {metric: (max_ts_or_sentinel, pending_mono, pending_invalid,
+        #           last_value_or_nan)}
         wm = _pickle.loads(state.get[0]) if state.exists else {}
         dirty = False
         for pdf in pdfs:
@@ -251,7 +282,8 @@ def monotonic_stateful(
             pdf = pdf.sort_values(["metric", "event_id"], kind="mergesort")
             codes, uniques = _pd.factorize(pdf["metric"], sort=False)
             ts = pdf["ts_ns"].to_numpy(_np.int64)
-            valid = _np.isfinite(pdf["value"].to_numpy(_np.float64))
+            vals = pdf["value"].to_numpy(_np.float64)
+            valid = _np.isfinite(vals)
             # invalid samples never advance the watermark (the reference
             # rejects them before insert) — mask them out of the cummax
             ts_eff = _np.where(valid, ts, sentinel)
@@ -268,22 +300,29 @@ def monotonic_stateful(
             # at-or-below already-stored timestamps) + carried pendings
             if seeded:
                 sw = pdf["store_wm"].to_numpy()
+                slv = pdf["store_lastv"].to_numpy(_np.float64)
             n_u = len(uniques)
             base_u = _np.empty(n_u, dtype=_np.int64)
             pend_m_u = _np.zeros(n_u, dtype=_np.int64)
             pend_i_u = _np.zeros(n_u, dtype=_np.int64)
+            lastv_u = _np.full(n_u, _np.nan, dtype=_np.float64)
             for j, u in enumerate(uniques):
                 st = wm.get(u)
                 if st is None:
                     b = sentinel
-                else:
+                elif len(st) == 3:  # pre-r11 state blob: no last value
                     b, pend_m_u[j], pend_i_u[j] = st
+                else:
+                    b, pend_m_u[j], pend_i_u[j], lastv_u[j] = st
                 if seeded:
                     v = sw[first_idx[j]]
                     if not _pd.isna(v):
                         iv = int(v)
                         if iv > b:
                             b = iv
+                            # the store's watermark wins -> its last
+                            # stored value is the counter baseline
+                            lastv_u[j] = slv[first_idx[j]]
                 base_u[j] = b
 
             # running max of EARLIER arrivals within the metric: grouped
@@ -349,21 +388,37 @@ def monotonic_stateful(
                 prev_kept = prev[k_idx]
                 delta = ts[k_idx] - prev_kept
                 delta[prev_kept == sentinel] = 0  # first sample ever
+                # previous KEPT sample's value: in-chunk grouped shift,
+                # run starts seeded from state/store (NaN -> first
+                # sample ever; Arrow's from_pandas maps NaN to NULL)
+                k_vals = vals[k_idx]
+                pv = _np.empty_like(k_vals)
+                pv[0] = _np.nan
+                pv[1:] = k_vals[:-1]
+                pv[k_first] = lastv_u[k_codes[k_first]]
                 kept = pdf.iloc[k_idx][
                     ["metric", "ts_ns", "value", "event_id"]
                 ].assign(
                     delta_ns=delta,
+                    prev_value=pv,
                     drops_mono_before=mono_counts,
                     drops_invalid_before=inv_counts,
                 )
                 yield kept
+                # last kept value per metric carries into the new state
+                lastv_u[k_codes[k_last]] = k_vals[k_last]
 
             # new per-metric watermark: seed max'd with the chunk's
             # grouped max of ts_eff (valid non-kept rows are <= the
             # running max by definition, so they cannot raise it)
             wm_u = _np.maximum(base_u, cm[last_idx])
             for j, u in enumerate(uniques):
-                wm[u] = (int(wm_u[j]), int(new_pm[j]), int(new_pi[j]))
+                wm[u] = (
+                    int(wm_u[j]),
+                    int(new_pm[j]),
+                    int(new_pi[j]),
+                    float(lastv_u[j]),
+                )
         if dirty:
             state.update((_pickle.dumps(wm, protocol=4),))
 
@@ -416,6 +471,7 @@ class StreamingIngest:
         mapping: DataFrame | None = None,
         raw_partition: str = "month",
         hist_widths_ns: tuple[int, ...] = (),
+        counter_widths_ns: tuple[int, ...] = (),
     ) -> None:
         if raw_partition not in ("day", "month"):
             raise ValueError(f"raw_partition must be 'day' or 'month': {raw_partition}")
@@ -423,7 +479,7 @@ class StreamingIngest:
         # (bucket truncation), which is only correct for ascending widths
         # where each is an integer multiple of its predecessor — validate
         # up front instead of serving silently wrong aggregates
-        for widths in (level_widths_ns, hist_widths_ns):
+        for widths in (level_widths_ns, hist_widths_ns, counter_widths_ns):
             for a, b in zip(widths, widths[1:]):
                 if b <= a or b % a != 0:
                     raise ValueError(
@@ -441,6 +497,11 @@ class StreamingIngest:
         # bin counts are mergeable, which is all the cascade needs);
         # empty tuple = off, zero cost
         self.hist_widths = hist_widths_ns
+        # OPTIONAL counter levels: per-(metric, bucket) monotonic-counter
+        # summaries (increase_sum, n_resets) — additive under the
+        # attribute-to-the-later-sample rule, so the same cascade
+        # maintains them; level 0 reads raw's stored prev_value column
+        self.counter_widths = counter_widths_ns
         self.mapping = mapping
         # raw's time partition granularity. Month by default: raw data
         # density at reference scale (~40 samples/bucket, 1 Hz fleet) makes
@@ -460,6 +521,9 @@ class StreamingIngest:
 
     def hist_path(self, width_ns: int) -> str:
         return os.path.join(self.store, f"hist_{width_ns}")
+
+    def counter_path(self, width_ns: int) -> str:
+        return os.path.join(self.store, f"counter_{width_ns}")
 
     def checkpoint_path(self) -> str:
         return os.path.join(self.store, "_checkpoint")
@@ -539,7 +603,7 @@ class StreamingIngest:
             return set()
         raw = self.spark.read.parquet(self.raw_path)
         kept = raw.filter(F.col("ingest_batch").isin([int(b) for b in suspect]))
-        kept = kept.select("metric", "ts_ns", "value", "event_id", "delta_ns")
+        kept = kept.select(*_raw_cols(kept))
         if not kept.isEmpty():
             self._update_levels(kept.localCheckpoint(eager=True), raw)
         self._commit(suspect)
@@ -635,7 +699,7 @@ class StreamingIngest:
             else:
                 tcol, texpr = "ts_month", _ns_to_month(F.col("ts_ns"))
             (
-                kept.select("metric", "ts_ns", "value", "event_id", "delta_ns")
+                kept.select(*_raw_cols(kept))
                 .withColumn(tcol, texpr)
                 .withColumn("ingest_batch", F.lit(int(batch_id)))
                 # repartition on BOTH partition keys: with only the metric
@@ -654,9 +718,7 @@ class StreamingIngest:
                 # raw on disk == kept (just written to an empty store):
                 # aggregate the already-checkpointed rows instead of
                 # reading 10^6 rows back from disk
-                raw = kept.select(
-                    "metric", "ts_ns", "value", "event_id", "delta_ns"
-                )
+                raw = kept.select(*_raw_cols(kept))
             else:
                 raw = self._read_raw()
             self._update_levels(kept, raw, fresh_store=fresh_store)
@@ -711,6 +773,16 @@ class StreamingIngest:
             self._update_cascade(
                 kept, raw, self.hist_widths, self.hist_path,
                 histogram_level, histogram_rollup, fresh_store,
+            )
+        if self.counter_widths:
+            from metricq_db_hta_spark.operators.hta import (
+                counter_level,
+                counter_rollup,
+            )
+
+            self._update_cascade(
+                kept, raw, self.counter_widths, self.counter_path,
+                counter_level, counter_rollup, fresh_store,
             )
 
     def _update_cascade(
@@ -844,7 +916,12 @@ class StreamingIngest:
             raw = raw.filter(~F.col("ingest_batch").isin(replayable))
         return (
             raw.groupBy("metric")
-            .agg(F.max("ts_ns").alias("store_wm"))
+            .agg(
+                F.max("ts_ns").alias("store_wm"),
+                # the value AT the stored watermark: counter baseline for
+                # the first streamed sample after a backfill/restart
+                F.max_by("value", "ts_ns").alias("store_lastv"),
+            )
             .localCheckpoint(eager=True)
         )
 
@@ -963,7 +1040,10 @@ class StreamingIngest:
             raw = self._read_raw()
             low = raw.agg(F.min("ingest_batch")).collect()[0][0]
             batch_id = min(int(low or 0), 0) - 1
-            wm = raw.groupBy("metric").agg(F.max("ts_ns").alias("__wm_ts"))
+            wm = raw.groupBy("metric").agg(
+                F.max("ts_ns").alias("__wm_ts"),
+                F.max_by("value", "ts_ns").alias("__wm_lastv"),
+            )
             # watermark filter BEFORE delta computation: a row's delta must
             # be measured against the previous *surviving* sample, never a
             # dropped one (kept-iff-greater-than-all-prior-and-wm is
@@ -972,14 +1052,26 @@ class StreamingIngest:
                 F.col("__wm_ts").isNull() | (F.col("ts_ns") > F.col("__wm_ts"))
             )
         kept = with_delta(filtered)
+        # previous kept sample's VALUE (the counter baseline), same
+        # in-batch window with_delta pays; each metric's first batch row
+        # falls back to the stored-watermark value across the boundary
+        lag_w = Window.partitionBy("metric").orderBy("ts_ns")
+        kept = kept.withColumn("prev_value", F.lag("value", 1).over(lag_w))
         if wm is not None:
-            kept = kept.withColumn(
-                "delta_ns",
-                F.when(
-                    (F.col("delta_ns") == 0) & F.col("__wm_ts").isNotNull(),
-                    F.col("ts_ns") - F.col("__wm_ts"),  # boundary to stored max
-                ).otherwise(F.col("delta_ns")),
-            ).drop("__wm_ts")
+            kept = (
+                kept.withColumn(
+                    "delta_ns",
+                    F.when(
+                        (F.col("delta_ns") == 0) & F.col("__wm_ts").isNotNull(),
+                        F.col("ts_ns") - F.col("__wm_ts"),  # boundary to stored max
+                    ).otherwise(F.col("delta_ns")),
+                )
+                .withColumn(
+                    "prev_value",
+                    F.coalesce(F.col("prev_value"), F.col("__wm_lastv")),
+                )
+                .drop("__wm_ts", "__wm_lastv")
+            )
         self._process_batch(kept, batch_id=batch_id)
 
     def run_until_drained(

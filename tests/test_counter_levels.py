@@ -1,0 +1,198 @@
+"""Counter level family (r11): the stored ``prev_value`` column and the
+``counter_<w>`` mergeable level tables it enables.
+
+Invariants pinned here:
+* raw's ``prev_value`` equals a full-raw per-metric lag of ``value`` —
+  the stateful filter's incremental computation matches the global
+  window semantics across chunk/microbatch boundaries;
+* the maintained ``counter_<w>`` tables equal an independent recompute
+  from raw (``counter_level_recomputed``, lag-window form);
+* rolling up the finest counter level equals computing the coarser
+  level directly (the additivity the attribution rule buys);
+* backfill and stream-after-backfill seams carry the counter baseline
+  (a metric's first new sample measures against the stored last value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from metricq_db_hta_spark.operators import hta
+from metricq_db_hta_spark.queries.hta_queries import W0, samples
+from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
+
+W1 = 24 * W0
+
+
+def _assert_df_equal(a, b, keys):
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols, (a.columns, b.columns)
+    a, b = a.select(*cols), b.select(*cols)
+    diff = a.exceptAll(b).unionAll(b.exceptAll(a))
+    rows = diff.limit(5).collect()
+    assert not rows, f"dataframes differ on {keys}: {rows}"
+
+
+def _chunks(spark, sf_dir, tmp_path, n=3, limit=600):
+    src = samples(spark, sf_dir).orderBy("event_id").limit(limit)
+    rows = src.collect()
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    per = len(rows) // n
+    for i in range(n):
+        chunk = rows[i * per : (i + 1) * per if i < n - 1 else len(rows)]
+        spark.createDataFrame(chunk, schema=src.schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(input_dir / f"chunk{i}"))
+    return str(input_dir), src
+
+
+def test_prev_value_equals_raw_lag(spark, sf_dir, tmp_path):
+    input_dir, _ = _chunks(spark, sf_dir, tmp_path)
+    store = str(tmp_path / "store")
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc.run_until_drained(input_dir)
+
+    raw = spark.read.parquet(svc.raw_path)
+    w = Window.partitionBy("metric").orderBy("ts_ns")
+    expect = raw.select(
+        "metric", "ts_ns", F.lag("value", 1).over(w).alias("prev_value")
+    )
+    got = raw.select("metric", "ts_ns", "prev_value")
+    _assert_df_equal(got, expect, "prev_value vs full-raw lag")
+
+
+def test_counter_levels_match_recompute_and_rollup(spark, sf_dir, tmp_path):
+    input_dir, _ = _chunks(spark, sf_dir, tmp_path)
+    store = str(tmp_path / "store")
+    svc = StreamingIngest(
+        spark, store, level_widths_ns=(W0,), counter_widths_ns=(W0, W1)
+    )
+    svc.run_until_drained(input_dir)
+
+    raw = spark.read.parquet(svc.raw_path)
+    c0 = spark.read.parquet(svc.counter_path(W0)).drop("bucket_month")
+    c1 = spark.read.parquet(svc.counter_path(W1)).drop("bucket_month")
+
+    _assert_df_equal(
+        c0, hta.counter_level_recomputed(raw, W0), "counter_0 vs recompute"
+    )
+    _assert_df_equal(
+        c1, hta.counter_level_recomputed(raw, W1), "counter_1 vs recompute"
+    )
+    # mergeability: rollup of the stored finest level == stored coarse
+    _assert_df_equal(c1, hta.counter_rollup(c0, W1), "rollup property")
+
+
+def test_backfill_carries_counter_baseline(spark, sf_dir, tmp_path):
+    src = samples(spark, sf_dir).orderBy("event_id").limit(400)
+    rows = src.collect()
+    half = len(rows) // 2
+    first = spark.createDataFrame(rows[:half], schema=src.schema)
+    second = spark.createDataFrame(rows[half:], schema=src.schema)
+
+    store = str(tmp_path / "store_bf")
+    svc = StreamingIngest(
+        spark, store, level_widths_ns=(W0,), counter_widths_ns=(W0,)
+    )
+    svc.backfill(first)
+    svc.backfill(second)
+
+    raw = spark.read.parquet(svc.raw_path)
+    w = Window.partitionBy("metric").orderBy("ts_ns")
+    expect = raw.select(
+        "metric", "ts_ns", F.lag("value", 1).over(w).alias("prev_value")
+    )
+    _assert_df_equal(
+        raw.select("metric", "ts_ns", "prev_value"),
+        expect,
+        "backfill-seam prev_value",
+    )
+    c0 = spark.read.parquet(svc.counter_path(W0)).drop("bucket_month")
+    _assert_df_equal(
+        c0, hta.counter_level_recomputed(raw, W0), "counter after 2 backfills"
+    )
+
+
+def test_counter_rate_leveled_equals_raw_form(spark, sf_dir, tmp_path):
+    """The leveled counter_rate decomposition (interior from stored
+    counter_<w> rows, edges from bounded raw slices) must be bit-equal to
+    the range-pruned raw scan, across aligned/unaligned starts and ends
+    and at both the maintained width and a coarser multiple."""
+    from metricq_db_hta_spark.plans.serve import build_history_service
+
+    src = samples(spark, sf_dir).orderBy("event_id").limit(2_000)
+    store = str(tmp_path / "store_lvl")
+    StreamingIngest(
+        spark, store, level_widths_ns=(W0,), counter_widths_ns=(W0,)
+    ).backfill(src)
+
+    svc = build_history_service(spark, store)
+    counter = spark.read.parquet(f"{store}/counter_{W0}")
+    ts = [
+        r[0]
+        for r in spark.read.parquet(f"{store}/raw")
+        .filter("metric = 'click'")
+        .select("ts_ns")
+        .orderBy("ts_ns")
+        .collect()
+    ]
+    lo, hi = ts[0], ts[-1]
+    cases = [
+        # (start, end, width): aligned, unaligned both sides, coarse width
+        (lo - lo % W0, (hi // W0 + 1) * W0, W0),
+        (lo + 12_345, hi - 54_321, W0),
+        (lo + 7, hi + 1, 6 * W0),
+        # start far before the first sample (empty lead gap -> fb via
+        # the level-table min, not the head slice)
+        (lo - 5 * W0 - 3, hi - 1, W0),
+    ]
+    for start, end, width in cases:
+        raw_form = svc.counter_rate_timeline("click", start, end, width)
+        lvl_form = svc.counter_rate_timeline_leveled(
+            counter, W0, "click", start, end, width
+        )
+        _assert_df_equal(
+            lvl_form, raw_form, f"leveled vs raw ({start},{end},{width})"
+        )
+
+
+def test_stream_after_backfill_seeds_baseline(spark, sf_dir, tmp_path):
+    """A fresh checkpoint over a backfilled store: the first streamed
+    sample of each metric must take its prev_value from the STORE's last
+    value (the store_lastv seed), not NULL."""
+    src = samples(spark, sf_dir).orderBy("event_id").limit(400)
+    rows = src.collect()
+    half = len(rows) // 2
+    first = spark.createDataFrame(rows[:half], schema=src.schema)
+
+    store = str(tmp_path / "store_seed")
+    svc = StreamingIngest(
+        spark, store, level_widths_ns=(W0,), counter_widths_ns=(W0,)
+    )
+    svc.backfill(first)
+
+    input_dir = tmp_path / "in_seed"
+    input_dir.mkdir()
+    spark.createDataFrame(rows[half:], schema=src.schema).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(input_dir / "chunk"))
+    svc.run_until_drained(str(input_dir))
+
+    raw = spark.read.parquet(svc.raw_path)
+    w = Window.partitionBy("metric").orderBy("ts_ns")
+    expect = raw.select(
+        "metric", "ts_ns", F.lag("value", 1).over(w).alias("prev_value")
+    )
+    _assert_df_equal(
+        raw.select("metric", "ts_ns", "prev_value"),
+        expect,
+        "stream-after-backfill prev_value seam",
+    )
+    c0 = spark.read.parquet(svc.counter_path(W0)).drop("bucket_month")
+    _assert_df_equal(
+        c0,
+        hta.counter_level_recomputed(raw, W0),
+        "counter across the backfill->stream seam",
+    )

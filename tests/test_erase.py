@@ -465,3 +465,129 @@ def test_rename_refuses_absent_source(spark, erase_store):
     store, _svc, _src = erase_store
     with pytest.raises(ValueError, match="not found"):
         rename_metric(store, "no_such_metric", "anything", spark=spark)
+
+
+# -- r11 ADVICE regressions ---------------------------------------------------
+
+
+def test_rename_crash_resume_rolls_forward(spark, erase_store):
+    """A crash mid-rename (journal written, only SOME dirs moved) must be
+    resumable by re-running the SAME rename — not refused by the merge
+    guard in both directions — and any OTHER surgery must refuse until
+    the journaled rename finishes."""
+    import json
+
+    from metricq_db_hta_spark.operators.erase import (
+        _escape_partition_value,
+        _rename_journal_path,
+        rename_metric,
+    )
+
+    store, _svc, _src = erase_store
+
+    # simulate the torn state: journal present + exactly one raw dir and
+    # one table dir moved (each os.rename is atomic, so this is a real
+    # reachable crash state)
+    with open(_rename_journal_path(store), "w", encoding="utf-8") as f:
+        json.dump({"old": "view", "new": "interaction.view"}, f)
+    new_dirname = "metric=" + _escape_partition_value("interaction.view")
+    moved = 0
+    for mdir in _metric_dirs(store, "view"):
+        os.rename(mdir, os.path.join(os.path.dirname(mdir), new_dirname))
+        moved += 1
+        if moved == 2:
+            break
+    assert _metric_dirs(store, "view")  # genuinely half-applied
+
+    # other surgery refuses with a roll-forward hint
+    with pytest.raises(RuntimeError, match="rename journal pending"):
+        delete_metric(store, "click", spark=spark)
+    from metricq_db_hta_spark.operators.erase import rename_metric as _rm
+
+    with pytest.raises(RuntimeError, match="rename journal pending"):
+        _rm(store, "click", "clicks2", spark=spark)
+
+    # re-running the journaled rename completes it
+    rename_metric(store, "view", "interaction.view", spark=spark)
+    assert not _metric_dirs(store, "view")
+    assert not os.path.exists(_rename_journal_path(store))
+    drops = spark.read.parquet(os.path.join(store, "drops_log"))
+    assert drops.filter(F.col("metric") == "view").count() == 0
+    assert fsck.check_store(spark, store).ok
+    # a second re-run after completion: old absent + no journal -> the
+    # absent-source refusal is back (nothing silently "succeeds")
+    with pytest.raises(ValueError, match="not found"):
+        rename_metric(store, "view", "interaction.view", spark=spark)
+
+
+def test_dry_run_counts_drops_through_torn_swap(spark, erase_store):
+    """After a crash between _swap_drops' rename-out and rename-in, a dry
+    run must count drops rows from the set-aside table (and still demand
+    a SparkSession) instead of reporting drops_rows=0."""
+    store, _svc, _src = erase_store
+    droot = os.path.join(store, "drops_log")
+    want = (
+        spark.read.parquet(droot).filter(F.col("metric") == "click").count()
+    )
+    assert want > 0
+    os.rename(droot, droot + ".swap_old")  # the torn-swap crash window
+    try:
+        with pytest.raises(RuntimeError, match="SparkSession"):
+            delete_metric(store, "click", dry_run=True)
+        res = delete_metric(store, "click", spark=spark, dry_run=True)
+        assert res.drops_rows == want
+        # dry run healed nothing
+        assert not os.path.isdir(droot)
+    finally:
+        os.rename(droot + ".swap_old", droot)
+
+
+def test_erase_scrubs_retired_batches_not_refuses(spark, sf_dir, tmp_path):
+    """Retired (deferred-delete compaction) batches hold reader-invisible
+    copies of the metric's rows. Erasure must neither misclassify them as
+    torn ('run recover()', a no-op for retired) nor leave their bytes for
+    vacuum to outlive the erasure — it scrubs their dirs too."""
+    from metricq_db_hta_spark.operators.maintenance import compact_raw
+
+    store = str(tmp_path / "store_ret")
+    src = samples(spark, sf_dir).orderBy("event_id").limit(600)
+    ts = sorted(r[0] for r in src.select("ts_ns").collect())
+    t1, t2 = ts[len(ts) // 3], ts[2 * len(ts) // 3]
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc.backfill(src.filter(F.col("ts_ns") <= t1))
+    svc.backfill(src.filter((F.col("ts_ns") > t1) & (F.col("ts_ns") <= t2)))
+    svc.backfill(src.filter(F.col("ts_ns") > t2))
+    compact_raw(spark, store, defer_source_delete=True)
+    assert store_meta.retired_batches(store)  # retired dirs on disk
+
+    res = delete_metric(store, "click", spark=spark)
+    assert res.raw_dirs > 0
+    assert not _metric_dirs(store, "click")  # including retired dirs
+    assert fsck.check_store(spark, store).ok
+
+
+def test_fsck_ignores_retired_batches(spark, sf_dir, tmp_path):
+    """Between a deferred compaction and vacuum, fsck must not report the
+    retired sources as uncommitted/torn, and must still audit the
+    compaction dest's buckets (the retired dirs duplicate them, so the
+    old anti-join masked most compacted history)."""
+    from metricq_db_hta_spark.operators.maintenance import compact_raw
+
+    store = str(tmp_path / "store_fsck_ret")
+    src = samples(spark, sf_dir).orderBy("event_id").limit(600)
+    ts = sorted(r[0] for r in src.select("ts_ns").collect())
+    t1, t2 = ts[len(ts) // 3], ts[2 * len(ts) // 3]
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc.backfill(src.filter(F.col("ts_ns") <= t1))
+    svc.backfill(src.filter((F.col("ts_ns") > t1) & (F.col("ts_ns") <= t2)))
+    svc.backfill(src.filter(F.col("ts_ns") > t2))
+    compact_raw(spark, store, defer_source_delete=True)
+    assert store_meta.retired_batches(store)
+
+    rep = fsck.check_store(spark, store)
+    assert rep.uncommitted_batches == []
+    assert rep.ok
+    # the audit really covered the compacted history: every level bucket
+    # was checked (n_checked == stored bucket count)
+    lvl = spark.read.parquet(os.path.join(store, f"level_{W0}"))
+    assert rep.levels[0].n_checked == lvl.count()

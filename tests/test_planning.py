@@ -147,6 +147,7 @@ EXCHANGE_BUDGET = {
     "llm_similarity_topk_brute": 0,    # mapInPandas partial top-k, no shuffle
     "hta_ingest_chain": 1,             # the metric window
     "hta_ingest_serve": 0,             # bucketed raw store, zero-exchange agg
+    "hta_counter_serve": 0,            # stored prev_value: no window, no shuffle
     "hta_level0": 1,                   # window + rollup reuse one partitioning
     "hta_q1_aggregate_timeline": 0,    # pruned level scan
     "hta_q3_aggregate": 1,

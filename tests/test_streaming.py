@@ -580,7 +580,10 @@ def test_watermark_seed_excludes_replayable_batch(spark, tmp_path, chunked_input
         spark.read.parquet(svc.raw_path)
         .filter(F.col("ingest_batch") != victim)
         .groupBy("metric")
-        .agg(F.max("ts_ns").alias("store_wm"))
+        .agg(
+            F.max("ts_ns").alias("store_wm"),
+            F.max_by("value", "ts_ns").alias("store_lastv"),
+        )
     )
     assert seed.exceptAll(expected).count() == 0
     assert expected.exceptAll(seed).count() == 0
