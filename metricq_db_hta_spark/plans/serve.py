@@ -48,6 +48,7 @@ import json
 import os
 import socketserver
 import threading
+from collections import OrderedDict
 from urllib.parse import unquote
 
 from pyspark.sql import SparkSession
@@ -234,6 +235,16 @@ class HistoryServer:
         # type, updated under a lock (FAIR-pool handler threads share it)
         self._stats_lock = threading.Lock()
         self._stats: dict[str, dict[str, float]] = {}
+        # prepared-plan cache (r11): a Dataset memoizes its analyzed/
+        # optimized/physical plan, so re-collecting the SAME DataFrame
+        # object skips Catalyst entirely — measured ~120 ms of the
+        # ~150 ms request latency. Keyed on the full canonical request,
+        # LRU-bounded, cleared on refresh (the same consistency point at
+        # which the underlying relations re-list files). Results are
+        # never cached — every hit re-executes the job against the
+        # pinned relations, exactly like a prepared statement.
+        self._plan_lock = threading.Lock()
+        self._plans: "OrderedDict[str, tuple]" = OrderedDict()
 
     def _record(self, rtype: str, dt_s: float, rows: int, error: bool) -> None:
         with self._stats_lock:
@@ -246,6 +257,24 @@ class HistoryServer:
             s["rows"] += rows
             s["total_s"] += dt_s
             s["max_s"] = max(s["max_s"], dt_s)
+
+    #: prepared-plan cache bound — plans are driver-side plan trees
+    #: (no data), so the bound is about catalog hygiene, not memory
+    _PLANS_MAX = 256
+
+    def _plan_get(self, key: str):
+        with self._plan_lock:
+            hit = self._plans.get(key)
+            if hit is not None:
+                self._plans.move_to_end(key)
+            return hit
+
+    def _plan_put(self, key: str, entry: tuple) -> None:
+        with self._plan_lock:
+            self._plans[key] = entry
+            self._plans.move_to_end(key)
+            while len(self._plans) > self._PLANS_MAX:
+                self._plans.popitem(last=False)
 
     def _read_floors(self) -> dict[str, int]:
         """Retention floors advertised by operators/retention.expire —
@@ -334,7 +363,25 @@ class HistoryServer:
                 self._hists = self._discover_tables("hist")
                 self._counters = self._discover_tables("counter")
                 self._floors = self._read_floors()
+                with self._plan_lock:
+                    self._plans.clear()
                 return {"rows": [], "n": 0}
+            # prepared-plan fast path: an identical request re-executes
+            # its cached (already-planned) DataFrame — no Catalyst, no
+            # plan rebuild. Only requests that reached the common
+            # collect tail are ever stored, so early-return types
+            # (list_metrics, errors) never hit here.
+            cache_key = json.dumps(req, sort_keys=True, default=str)
+            hit = self._plan_get(cache_key)
+            if hit is not None:
+                df_lim, clamped, uncovered = hit
+                rows = [r.asDict() for r in df_lim.collect()]
+                resp = {"rows": rows, "n": len(rows)}
+                if clamped is not None:
+                    resp["clamped_start_ns"] = clamped
+                if uncovered is not None:
+                    resp["uncovered"] = uncovered
+                return resp
             metric = req.get("metric")
             start = int(req.get("start_ns", 0))
             end = int(req.get("end_ns", TS_MAX_NS))
@@ -592,7 +639,11 @@ class HistoryServer:
                 )
             else:
                 return {"error": f"unknown request type {rtype!r}"}
-            rows = [r.asDict() for r in df.limit(limit).collect()]
+            df_lim = df.limit(limit)
+            rows = [r.asDict() for r in df_lim.collect()]
+            # store only after a successful execution so a plan that
+            # fails at runtime is rebuilt (and re-validated) next time
+            self._plan_put(cache_key, (df_lim, clamped, uncovered))
             resp = {"rows": rows, "n": len(rows)}
             if clamped is not None:
                 # the requested range dipped below the serving table's

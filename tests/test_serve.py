@@ -590,3 +590,35 @@ def test_history_server_survives_request_fuzz(spark, sf_dir, tmp_path):
         s.close()
     finally:
         server.shutdown()
+
+
+def test_plan_cache_repeats_and_refresh_invalidates(spark, sf_dir, tmp_path):
+    """The prepared-plan cache (r11): an identical repeated request
+    serves from the cached plan with identical rows; refresh clears the
+    cache so post-ingest history appears (plans are cached, results are
+    re-executed per request against the pinned relations)."""
+    src = samples(spark, sf_dir).orderBy("event_id").limit(400)
+    rows = src.collect()
+    half = len(rows) // 2
+    store = str(tmp_path / "store_plancache")
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc.backfill(spark.createDataFrame(rows[:half], schema=src.schema))
+
+    srv = HistoryServer(spark, store, [W0])
+    req = {"type": "aggregate", "metric": "click"}
+    first = srv.handle(req)
+    assert first.get("n") == 1
+    # second identical request: a cache hit (entry present), same answer
+    import json as _json
+
+    key = _json.dumps(req, sort_keys=True, default=str)
+    assert srv._plan_get(key) is not None
+    second = srv.handle(req)
+    assert second == first
+
+    # more history lands; refresh must clear the cache and re-plan
+    svc.backfill(spark.createDataFrame(rows[half:], schema=src.schema))
+    srv.handle({"type": "refresh"})
+    assert srv._plan_get(key) is None
+    third = srv.handle(req)
+    assert third["rows"][0]["count"] > first["rows"][0]["count"]
