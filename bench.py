@@ -619,8 +619,8 @@ def main() -> None:
         # identical-layout shuffled sentinel.
         out["layout_note"] = (
             "q3/q5/join_bucketed read prebuilt bucketed facts; text_stats/"
-            "ingest_serve read ingest-time derived layouts (sources/derived.py);"
-            " duckdb recomputes from flat parquet"
+            "ingest_serve/counter_serve read ingest-time derived layouts "
+            "(sources/derived.py); duckdb recomputes from flat parquet"
         )
         # the measured ratio-vs-scale curve (scripts/scale_sweep.py, full
         # 14-query set, same replication recipe): surfaced on the summary

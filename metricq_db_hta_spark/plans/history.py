@@ -752,6 +752,45 @@ class HistoryService:
             .orderBy("bucket_start_ns")
         )
 
+    def counter_rate_timeline_pattern(
+        self, pattern: str, start_ns: int, end_ns: int, width_ns: int
+    ) -> DataFrame:
+        """Fleet counter rate: per-bucket sum of every glob-matching
+        metric's increases (each with its own per-metric reset detection
+        and first-in-range baseline), labeled with the glob — the "total
+        requests/sec across host.*" dashboard line. Increases are
+        additive across metrics exactly as they are across buckets, so
+        the merged timeline IS the sum of the per-metric ones (pinned in
+        tests). Served from raw with ONE per-metric window + one groupBy
+        — the fleet form favors recent dashboard ranges; the
+        range-length-independent leveled decomposition stays the
+        single-metric fast path (its per-metric edge search does not
+        compose setwise without rescanning the range)."""
+        from metricq_db_hta_spark.operators.hta import counter_increase
+
+        raw = self.raw.filter(F.col("metric").like(glob_to_like(pattern)))
+        raw = _time_pruned(raw, start_ns, end_ns).filter(
+            (F.col("ts_ns") >= start_ns) & (F.col("ts_ns") < end_ns)
+        )
+        inc = counter_increase(raw)
+        return (
+            inc.groupBy(
+                (F.col("ts_ns") - F.col("ts_ns") % width_ns).alias(
+                    "bucket_start_ns"
+                )
+            )
+            .agg(
+                *_counter_rate_aggs(F.col("increase"), width_ns),
+                F.count_distinct("metric").alias("n_metrics"),
+            )
+            .withColumn("metric", F.lit(pattern))
+            .select(
+                "metric", "bucket_start_ns", "increase", "n_resets",
+                "rate_per_s", "n_metrics",
+            )
+            .orderBy("bucket_start_ns")
+        )
+
     def counter_rate_timeline_leveled(
         self,
         counter_df: DataFrame,

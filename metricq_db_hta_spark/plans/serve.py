@@ -557,12 +557,25 @@ class HistoryServer:
                 # baseline (contributes no increase) — the standard
                 # range-query semantics for counters, deliberately NOT
                 # reaching before `start` for a prior sample.
-                if metric is None:
-                    return {"error": "counter_rate requires a metric"}
+                pat = req.get("pattern")
+                if (metric is None) == (pat is None):
+                    return {
+                        "error": "counter_rate requires exactly one of "
+                        "metric / pattern"
+                    }
                 width = int(req.get("width_ns", self._svc.widths[0]))
                 if width <= 0:
                     return {"error": f"width_ns must be > 0: {width}"}
                 start, clamped = self._clamp_floor(start, "raw")
+                if pat is not None:
+                    # fleet form: per-metric increases summed across the
+                    # glob (additive, like histogram bins) — from raw
+                    df = self._svc.counter_rate_timeline_pattern(
+                        str(pat), start, end, width
+                    )
+                    df_done = True
+                else:
+                    df_done = False
                 # serve from the maintained counter_<w> family when one
                 # divides the requested width: interior buckets come from
                 # stored level rows, only the range edges touch raw — the
@@ -575,7 +588,9 @@ class HistoryServer:
                     for w in sorted(self._counters, reverse=True)
                     if width % w == 0
                 ]
-                if cw:
+                if df_done:
+                    pass
+                elif cw:
                     df = self._svc.counter_rate_timeline_leveled(
                         self._counters[cw[0]], cw[0], metric, start, end,
                         width,

@@ -53,7 +53,11 @@ from metricq_db_hta_spark.queries import llm2  # noqa: F401
 #     rel_session_window, rel_string_funcs,
 #     rel_subquery_correlated_scalar, rel_topk, rel_window_range_between,
 #     rel_window_sliding_native, rel_window_tumbling_native,
-#     udf_pandas_scalar_normalize, udf_udtf_explode_buckets).
+#     udf_pandas_scalar_normalize, udf_udtf_explode_buckets — plus
+#     rel_join_anti, displaced late-r11 by hta_counter_fleet: 22 total).
+# (6) hta_counter_fleet — NEW late-r11 (fleet counter merge, the serve
+#     counter_rate+pattern twin): first driver row, displacing
+#     rel_join_anti from (5).
 PENDING_NEXT_WINDOW: list[str] = []
 _WINDOW = [
     # (3)+(4): the r10 red row re-check and the round's new serve query
@@ -109,7 +113,8 @@ _WINDOW = [
     "rel_agg_distinct",
     "rel_date_arithmetic",
     "rel_date_funcs",
-    "rel_join_anti",
+    # (6) late-r11 addition — first driver row
+    "hta_counter_fleet",
 ]
 assert len(_WINDOW) == 50, len(_WINDOW)
 _missing = [n for n in _WINDOW if n not in REGISTRY]

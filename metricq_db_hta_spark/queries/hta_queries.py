@@ -908,3 +908,43 @@ def hta_counter_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         (F.col("ts_ns") - F.col("ts_ns") % W0).alias("bucket_start_ns"),
     ).agg(*_counter_aggs())
+
+
+@register(
+    "hta_counter_fleet",
+    oracle=f"""
+WITH samples AS (
+  SELECT event_type AS metric, epoch_ns(ts) AS ts_ns, value FROM events
+),
+inc AS (
+  SELECT metric, ts_ns,
+         CASE WHEN prev IS NULL THEN NULL
+              WHEN value - prev < 0 THEN value
+              ELSE value - prev END AS increase,
+         CASE WHEN prev IS NULL THEN NULL ELSE value - prev < 0 END AS is_reset
+  FROM (SELECT *, LAG(value) OVER (PARTITION BY metric ORDER BY ts_ns) AS prev
+        FROM samples)
+)
+SELECT ts_ns - ts_ns % {W0} AS bucket_start_ns,
+       CAST(ROUND(SUM(CAST(increase AS DECIMAL(38,6))), 6) AS DOUBLE) AS increase,
+       CAST(SUM(CASE WHEN is_reset THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+       ROUND(CAST(SUM(CAST(increase AS DECIMAL(38,6))) AS DOUBLE)
+             / {W0 // 1_000_000_000}, 6) AS rate_per_s,
+       CAST(COUNT(DISTINCT metric) AS BIGINT) AS n_metrics
+FROM inc GROUP BY 1
+""",
+    doc="FLEET counter rate (serve type counter_rate + pattern; "
+    "HistoryService.counter_rate_timeline_pattern): per-bucket sum of "
+    "every metric's increases — per-metric reset detection and baseline, "
+    "then a cross-metric merge, valid because increases are additive "
+    "across metrics exactly as across buckets (the same mergeability the "
+    "fleet histogram uses for bins). One per-metric window + one groupBy.",
+)
+def hta_counter_fleet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inc = hta.counter_increase(samples(spark, sf_dir))
+    return inc.groupBy(
+        (F.col("ts_ns") - F.col("ts_ns") % W0).alias("bucket_start_ns"),
+    ).agg(
+        *_counter_aggs(),
+        F.count_distinct("metric").cast("long").alias("n_metrics"),
+    )

@@ -196,3 +196,58 @@ def test_stream_after_backfill_seeds_baseline(spark, sf_dir, tmp_path):
         hta.counter_level_recomputed(raw, W0),
         "counter across the backfill->stream seam",
     )
+
+
+def test_counter_rate_pattern_serves_fleet_merge(spark, sf_dir, tmp_path):
+    """serve counter_rate + pattern: the fleet timeline equals the
+    per-metric raw recomputes summed per bucket (per-metric baselines and
+    resets preserved); metric and pattern are mutually exclusive."""
+    from metricq_db_hta_spark.plans.serve import HistoryServer
+
+    src = samples(spark, sf_dir).orderBy("event_id").limit(1_000)
+    store = str(tmp_path / "store_fleet")
+    StreamingIngest(
+        spark, store, level_widths_ns=(W0,), counter_widths_ns=(W0,)
+    ).backfill(src)
+
+    srv = HistoryServer(spark, store, [W0])
+    resp = srv.handle(
+        {"type": "counter_rate", "pattern": "*", "width_ns": W0}
+    )
+    assert "error" not in resp and resp["n"] > 0
+
+    # ground truth: per-metric counter_increase over raw, merged
+    raw = spark.read.parquet(f"{store}/raw")
+    inc = hta.counter_increase(raw.select("metric", "ts_ns", "value"))
+    want = {
+        r["b"]: r
+        for r in inc.groupBy(
+            (F.col("ts_ns") - F.col("ts_ns") % W0).alias("b")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("increase").cast("decimal(38,6)")), 6
+            ).cast("double").alias("increase"),
+            F.sum(F.when(F.col("is_reset"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_resets"),
+            F.count_distinct("metric").alias("n_metrics"),
+        )
+        .collect()
+    }
+    assert resp["n"] == len(want)
+    for row in resp["rows"]:
+        w = want[row["bucket_start_ns"]]
+        assert row["metric"] == "*"
+        if w["increase"] is None:
+            assert row["increase"] is None
+        else:
+            assert abs(float(row["increase"]) - w["increase"]) < 1e-6, row
+        assert row["n_resets"] == w["n_resets"]
+        assert row["n_metrics"] == w["n_metrics"]
+
+    # exactly-one-of guard
+    assert "error" in srv.handle({"type": "counter_rate"})
+    assert "error" in srv.handle(
+        {"type": "counter_rate", "metric": "click", "pattern": "*"}
+    )
