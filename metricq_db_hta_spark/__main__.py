@@ -59,6 +59,9 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--hist-levels", type=int, default=0,
                     help="also maintain N distributional (histogram) "
                     "levels at the same widths (0 = off)")
+    pi.add_argument("--counter-levels", type=int, default=0,
+                    help="also maintain N counter (increase/reset) "
+                    "levels at the same widths (0 = off)")
     pi.add_argument("--continuous", action="store_true")
     pi.add_argument("--format", choices=["parquet", "csv", "jsonl"],
                     default="parquet", dest="ingest_format",
@@ -76,6 +79,9 @@ def main(argv: list[str] | None = None) -> int:
     pb.add_argument("--levels", type=int, default=3)
     pb.add_argument("--hist-levels", type=int, default=0,
                     help="also maintain N distributional (histogram) "
+                    "levels at the same widths (0 = off)")
+    pb.add_argument("--counter-levels", type=int, default=0,
+                    help="also maintain N counter (increase/reset) "
                     "levels at the same widths (0 = off)")
 
     ph = sub.add_parser("history")
@@ -473,8 +479,12 @@ def main(argv: list[str] | None = None) -> int:
 
         widths = tuple(args.width_ns * 10**k for k in range(args.levels))
         hist = tuple(args.width_ns * 10**k for k in range(args.hist_levels))
+        counters = tuple(
+            args.width_ns * 10**k for k in range(args.counter_levels)
+        )
         svc = StreamingIngest(
-            spark, args.store, level_widths_ns=widths, hist_widths_ns=hist
+            spark, args.store, level_widths_ns=widths, hist_widths_ns=hist,
+            counter_widths_ns=counters,
         )
         if args.cmd == "backfill":
             from metricq_db_hta_spark.streaming.ingest_stream import SAMPLE_SCHEMA
@@ -572,12 +582,21 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             df = svc.aggregate_pattern(args.pattern, args.start, args.end)
         elif args.type == "counter_rate":
-            if args.metric is None:
-                print("counter_rate requires --metric")
+            if (args.metric is None) == (args.pattern is None):
+                print(
+                    "counter_rate requires exactly one of --metric/--pattern"
+                )
                 return 2
-            df = svc.counter_rate_timeline(
-                args.metric, args.start, args.end, args.width_ns
-            )
+            if args.pattern is not None:
+                # fleet merge (same semantics as the serve RPC's
+                # counter_rate + pattern)
+                df = svc.counter_rate_timeline_pattern(
+                    args.pattern, args.start, args.end, args.width_ns
+                )
+            else:
+                df = svc.counter_rate_timeline(
+                    args.metric, args.start, args.end, args.width_ns
+                )
         elif args.type == "resample":
             if args.metric is None or args.end == TS_MAX_NS or args.step_ns <= 0:
                 print("resample requires --metric, a finite --end and --step-ns")

@@ -38,7 +38,9 @@ Scale shape: per level, one groupBy over the (pruned) raw scan plus one
 full-outer join against the (log-sized) stored level on
 (metric, bucket_start_ns) — shuffles bounded by the rollup size, never
 by pair enumeration. Histogram levels (``hist_<w>``) are checked the
-same way on (metric, bucket, bin).
+same way on (metric, bucket, bin); counter levels (``counter_<w>``,
+r11) on (metric, bucket) with an INDEPENDENT lag-window recompute so
+the stored ``prev_value`` column is validated, never trusted.
 """
 
 from __future__ import annotations
@@ -141,11 +143,12 @@ def check_store(
     hist_hi: float = hta.HIST_HI,
     hist_bins: int = hta.HIST_BINS,
 ) -> FsckReport:
-    """Audit every ``level_<w>`` / ``hist_<w>`` table under ``store_dir``
-    against a recompute from committed raw, optionally bounded to
-    [start_ns, end_ns) bucket starts. Read-only — never mutates the
-    store (the repair tool is ``recover()``; fsck is the detector).
-    ``hist_*`` must match the writer's binning config (defaults match)."""
+    """Audit every ``level_<w>`` / ``hist_<w>`` / ``counter_<w>`` table
+    under ``store_dir`` against a recompute from committed raw,
+    optionally bounded to [start_ns, end_ns) bucket starts. Read-only —
+    never mutates the store (the repair tool is ``recover()``; fsck is
+    the detector). ``hist_*`` must match the writer's binning config
+    (defaults match)."""
     floors = retention_floors(store_dir)
     raw = _committed_raw(spark, store_dir)
     if start_ns is not None:

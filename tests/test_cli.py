@@ -404,3 +404,28 @@ def test_export_reimport_roundtrip(backfilled_store, tmp_path):
 
     for m in ("purchase", "signup"):
         assert _agg(store2, m) == _agg(backfilled_store, m), m
+
+
+def test_backfill_counter_levels_and_fleet_history(sample_input, tmp_path):
+    """--counter-levels N maintains counter tables; `history counter_rate
+    --pattern` prints the fleet merge (one line per bucket, glob label);
+    passing neither/both of --metric/--pattern exits 2."""
+    store = str(tmp_path / "hta_counter")
+    r = _cli(
+        "backfill", "--source", sample_input, "--store", store,
+        "--width-ns", "3600000000000", "--levels", "1",
+        "--counter-levels", "1",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "counter_3600000000000" in os.listdir(store), os.listdir(store)
+
+    r = _cli(
+        "history", "--store", store, "--type", "counter_rate",
+        "--pattern", "*",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "n_metrics" in r.stdout and "*" in r.stdout
+
+    r = _cli("history", "--store", store, "--type", "counter_rate")
+    assert r.returncode == 2
+    assert "exactly one of" in r.stdout
