@@ -870,6 +870,12 @@ class HistoryService:
                 .collect()[0][0]
             )
             first_ts = r
+        if first_ts is None:
+            # the candidate level bucket straddles `end` and every one of
+            # its samples lies at-or-after it: nothing is in range
+            return self.counter_rate_timeline(
+                metric, start_ns, min(start_ns, end_ns), width_ns
+            )
         fb_out = int(first_ts) - int(first_ts) % width_ns
         lo_cut = fb_out + width_ns  # first interior bucket start
         aligned_end = end_ns - end_ns % width_ns

@@ -148,6 +148,13 @@ def test_counter_rate_leveled_equals_raw_form(spark, sf_dir, tmp_path):
         # the level-table min, not the head slice)
         (lo - 5 * W0 - 3, hi - 1, W0),
     ]
+    # an EMPTY range whose candidate level bucket straddles `end` (every
+    # sample of the first non-empty bucket lies at-or-after it): the
+    # leveled path must return empty, not crash on a NULL first_ts
+    for a, b in zip(ts, ts[1:]):
+        if b - b % W0 > a:  # consecutive samples in different buckets
+            cases.append((a + 1, b, W0))
+            break
     for start, end, width in cases:
         raw_form = svc.counter_rate_timeline("click", start, end, width)
         lvl_form = svc.counter_rate_timeline_leveled(
