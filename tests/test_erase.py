@@ -291,7 +291,9 @@ def test_surgery_sequence_soak(spark, sf_dir, tmp_path):
     DAY_NS = 86_400 * 1_000_000_000
 
     store = str(tmp_path / "soak_store")
-    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc = StreamingIngest(
+        spark, store, level_widths_ns=(W0,), counter_widths_ns=(W0,)
+    )
 
     # the logical dataset we maintain in python alongside the store:
     # name -> list of (ts_ns, value, event_id)
@@ -343,7 +345,9 @@ def test_surgery_sequence_soak(spark, sf_dir, tmp_path):
 
     # from-scratch oracle store over the surviving logical dataset
     store2 = str(tmp_path / "soak_rebuild")
-    svc2 = StreamingIngest(spark, store2, level_widths_ns=(W0,))
+    svc2 = StreamingIngest(
+        spark, store2, level_widths_ns=(W0,), counter_widths_ns=(W0,)
+    )
     flat = [
         (m, t, v, e)
         for m, srows in logical.items()
@@ -355,6 +359,19 @@ def test_surgery_sequence_soak(spark, sf_dir, tmp_path):
     )
     want = _q3_rows(spark, store2)
     assert got == want
+
+    # the counter family survives the same interleaving: the surgically
+    # mutated store's counter table == the from-scratch rebuild's
+    # (renames preserve per-metric increase chains exactly as they do
+    # delta_ns chains; deletes take the chains with them)
+    c_got = spark.read.parquet(f"{store}/counter_{W0}").drop("bucket_month")
+    c_want = spark.read.parquet(f"{store2}/counter_{W0}").drop("bucket_month")
+    cols = sorted(c_got.columns)
+    diff = (
+        c_got.select(*cols).exceptAll(c_want.select(*cols))
+        .unionAll(c_want.select(*cols).exceptAll(c_got.select(*cols)))
+    )
+    assert not diff.limit(5).collect()
 
 
 def test_surgery_handles_partition_escaped_names(spark, tmp_path):
