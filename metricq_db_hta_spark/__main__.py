@@ -111,6 +111,13 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("--step-ns", type=int, default=0,
                     help="resample grid step (resample type only)")
     ph.add_argument("--width-ns", type=int, default=3_600_000_000_000)
+    ph.add_argument("--attribution", choices=["range", "stored"],
+                    default="range",
+                    help="counter_rate only: 'range' nulls the first "
+                    "in-range sample (monitoring range semantics); "
+                    "'stored' uses the persisted full-history increase "
+                    "chain — servable from counter levels even where "
+                    "raw has expired (unservable edge slivers printed)")
     ph.add_argument("--levels", type=int, default=None,
                     help="level count (with --width-ns); default: discover "
                     "the level tables from the store layout")
@@ -593,6 +600,40 @@ def main(argv: list[str] | None = None) -> int:
                 df = svc.counter_rate_timeline_pattern(
                     args.pattern, args.start, args.end, args.width_ns
                 )
+            elif args.attribution == "stored":
+                import glob as _glob
+
+                from metricq_db_hta_spark.operators.retention import (
+                    retention_floors,
+                )
+
+                cws = sorted(
+                    (
+                        int(os.path.basename(d).split("_", 1)[1])
+                        for d in _glob.glob(
+                            os.path.join(args.store, "counter_*")
+                        )
+                        if os.path.basename(d).split("_", 1)[1].isdigit()
+                    ),
+                    reverse=True,
+                )
+                cws = [w for w in cws if args.width_ns % w == 0]
+                if not cws:
+                    print(
+                        "attribution=stored needs a maintained counter_<w> "
+                        "level dividing --width-ns (writer: --counter-levels)"
+                    )
+                    return 2
+                counter = spark.read.parquet(
+                    os.path.join(args.store, f"counter_{cws[0]}")
+                )
+                df, gaps = svc.counter_rate_timeline_stored(
+                    counter, cws[0], args.metric, args.start, args.end,
+                    args.width_ns,
+                    raw_floor_ns=retention_floors(args.store).get("raw", 0),
+                )
+                for lo, hi in gaps:
+                    print(f"uncovered: [{lo}, {hi})", file=sys.stderr)
             else:
                 df = svc.counter_rate_timeline(
                     args.metric, args.start, args.end, args.width_ns

@@ -791,6 +791,117 @@ class HistoryService:
             .orderBy("bucket_start_ns")
         )
 
+    def counter_rate_timeline_stored(
+        self,
+        counter_df: DataFrame,
+        level_width_ns: int,
+        metric: str,
+        start_ns: int,
+        end_ns: int,
+        width_ns: int,
+        raw_floor_ns: int = 0,
+    ) -> tuple[DataFrame, list[tuple[int, int]]]:
+        """STORED-attribution counter_rate: every sample's increase is
+        the one measured against its true predecessor (the persisted
+        ``prev_value`` chain — exactly what the ``counter_<w>`` sums
+        hold), so there is no first-in-range baseline rule and the
+        result is exact with respect to FULL history. Two consequences
+        the range-baseline form can't offer:
+
+        * fully-covered output buckets are servable from the level
+          tables ALONE — including ranges whose raw has EXPIRED under
+          tiered retention (the counter analogue of
+          :meth:`timeline_tiered`), because the level rows outlive raw;
+        * the plan needs no first-sample search: zero driver-side
+          lookups, so a cached (prepared) plan is one job.
+
+        Only the sub-bucket EDGE slivers need raw (via the stored
+        ``prev_value`` column, window-free); an edge below
+        ``raw_floor_ns`` is honestly UNSERVABLE at sample grain and is
+        returned in ``gaps`` rather than silently approximated —
+        the same uncovered-contract as the tiered aggregate paths.
+
+        Returns ``(df, gaps)`` with df columns matching
+        :meth:`counter_rate_timeline` (each bucket row reflects only
+        in-range samples, as there)."""
+        if width_ns % level_width_ns != 0:
+            raise ValueError(
+                f"output width {width_ns} not a multiple of the counter "
+                f"level width {level_width_ns}"
+            )
+        from metricq_db_hta_spark.operators.hta import (
+            counter_increase_stored,
+        )
+
+        a_start = -(-start_ns // width_ns) * width_ns
+        a_end = (end_ns // width_ns) * width_ns
+        gaps: list[tuple[int, int]] = []
+        parts: list[DataFrame] = []
+        out_bucket = (
+            F.col("ts_ns") - F.col("ts_ns") % F.lit(width_ns)
+        ).alias("bucket_start_ns")
+
+        if a_start < a_end:
+            lvl = counter_df.filter(F.col("metric") == metric)
+            lvl = _date_pruned(lvl, "bucket_month", a_start, a_end)
+            parts.append(
+                lvl.filter(
+                    (F.col("bucket_start_ns") >= a_start)
+                    & (F.col("bucket_start_ns") < a_end)
+                )
+                .groupBy(
+                    "metric",
+                    (
+                        F.col("bucket_start_ns")
+                        - F.col("bucket_start_ns") % F.lit(width_ns)
+                    ).alias("bucket_start_ns"),
+                )
+                .agg(
+                    F.round(F.sum("increase_sum"), 6)
+                    .cast("double")
+                    .alias("increase"),
+                    F.sum("n_resets").cast("long").alias("n_resets"),
+                    F.round(
+                        F.sum("increase_sum").cast("double")
+                        / F.lit(width_ns / 1e9),
+                        6,
+                    ).alias("rate_per_s"),
+                )
+            )
+
+        def _edge(lo: int, hi: int) -> None:
+            if lo >= hi:
+                return
+            if lo < raw_floor_ns:
+                gaps.append((lo, min(hi, raw_floor_ns)))
+                lo = raw_floor_ns
+                if lo >= hi:
+                    return
+            parts.append(
+                counter_increase_stored(
+                    self._pruned_metric_raw(metric, lo, hi)
+                )
+                .groupBy("metric", out_bucket)
+                .agg(*_counter_rate_aggs(F.col("increase"), width_ns))
+            )
+
+        if a_start >= a_end:
+            # the whole range sits inside one output bucket
+            _edge(start_ns, end_ns)
+        else:
+            _edge(start_ns, a_start)
+            _edge(a_end, end_ns)
+
+        if not parts:
+            empty = self.counter_rate_timeline(
+                metric, start_ns, min(start_ns, end_ns), width_ns
+            )
+            return empty, gaps
+        res = parts[0]
+        for p in parts[1:]:
+            res = res.unionByName(p)
+        return res.orderBy("bucket_start_ns"), gaps
+
     def counter_rate_timeline_leveled(
         self,
         counter_df: DataFrame,

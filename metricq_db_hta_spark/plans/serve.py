@@ -566,15 +566,57 @@ class HistoryServer:
                 width = int(req.get("width_ns", self._svc.widths[0]))
                 if width <= 0:
                     return {"error": f"width_ns must be > 0: {width}"}
-                start, clamped = self._clamp_floor(start, "raw")
-                if pat is not None:
+                attribution = str(req.get("attribution", "range"))
+                if attribution not in ("range", "stored"):
+                    return {
+                        "error": "attribution must be 'range' (first "
+                        "in-range sample is the baseline) or 'stored' "
+                        "(full-history increases from the persisted "
+                        f"prev_value chain): {attribution!r}"
+                    }
+                if attribution == "stored":
+                    # full-history-exact increases served from the
+                    # counter level tables; bucket-aligned history stays
+                    # servable past the RAW retention floor (the counter
+                    # analogue of timeline_tiered), so the clamp is the
+                    # COUNTER table's floor and raw's floor only gates
+                    # the sub-bucket edge slivers (reported as gaps)
+                    if metric is None:
+                        return {
+                            "error": "attribution=stored serves one "
+                            "metric (no pattern yet)"
+                        }
+                    cw = [
+                        w
+                        for w in sorted(self._counters, reverse=True)
+                        if width % w == 0
+                    ]
+                    if not cw:
+                        return {
+                            "error": "attribution=stored needs a "
+                            "maintained counter_<w> level whose width "
+                            "divides width_ns (run the writer with "
+                            "counter_widths_ns)"
+                        }
+                    start, clamped = self._clamp_floor(
+                        start, f"counter_{cw[0]}"
+                    )
+                    df, gaps = self._svc.counter_rate_timeline_stored(
+                        self._counters[cw[0]], cw[0], metric, start, end,
+                        width, raw_floor_ns=self._floors.get("raw", 0),
+                    )
+                    uncovered = [[lo, hi] for lo, hi in gaps] or None
+                    df_done = True
+                elif pat is not None:
                     # fleet form: per-metric increases summed across the
                     # glob (additive, like histogram bins) — from raw
+                    start, clamped = self._clamp_floor(start, "raw")
                     df = self._svc.counter_rate_timeline_pattern(
                         str(pat), start, end, width
                     )
                     df_done = True
                 else:
+                    start, clamped = self._clamp_floor(start, "raw")
                     df_done = False
                 # serve from the maintained counter_<w> family when one
                 # divides the requested width: interior buckets come from

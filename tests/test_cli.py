@@ -429,3 +429,21 @@ def test_backfill_counter_levels_and_fleet_history(sample_input, tmp_path):
     r = _cli("history", "--store", store, "--type", "counter_rate")
     assert r.returncode == 2
     assert "exactly one of" in r.stdout
+
+
+def test_history_counter_rate_stored_attribution(sample_input, tmp_path):
+    """--attribution stored serves from the counter level tables (and
+    refuses cleanly on a store without them)."""
+    store = str(tmp_path / "hta_counter2")
+    r = _cli(
+        "backfill", "--source", sample_input, "--store", store,
+        "--width-ns", "3600000000000", "--levels", "1",
+        "--counter-levels", "1",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _cli(
+        "history", "--store", store, "--type", "counter_rate",
+        "--metric", "click", "--attribution", "stored",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "bucket_start_ns" in r.stdout

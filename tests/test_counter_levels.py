@@ -258,3 +258,138 @@ def test_counter_rate_pattern_serves_fleet_merge(spark, sf_dir, tmp_path):
     assert "error" in srv.handle(
         {"type": "counter_rate", "metric": "click", "pattern": "*"}
     )
+
+
+def test_counter_rate_stored_attribution_live(spark, sf_dir, tmp_path):
+    """attribution=stored on a live store: every bucket equals a direct
+    groupBy of the stored per-sample increases over the range (no
+    first-in-range baseline), across aligned and unaligned ranges."""
+    from metricq_db_hta_spark.plans.serve import build_history_service
+
+    src = samples(spark, sf_dir).orderBy("event_id").limit(2_000)
+    store = str(tmp_path / "store_stored")
+    StreamingIngest(
+        spark, store, level_widths_ns=(W0,), counter_widths_ns=(W0,)
+    ).backfill(src)
+
+    svc = build_history_service(spark, store)
+    counter = spark.read.parquet(f"{store}/counter_{W0}")
+    raw = spark.read.parquet(f"{store}/raw")
+    ts = [
+        r[0]
+        for r in raw.filter("metric = 'click'")
+        .select("ts_ns").orderBy("ts_ns").collect()
+    ]
+    lo, hi = ts[0], ts[-1]
+    for start, end, width in [
+        (lo - lo % W0, (hi // W0 + 1) * W0, W0),
+        (lo + 11, hi - 17, W0),
+        (lo + 3, hi + 1, 6 * W0),
+    ]:
+        got, gaps = svc.counter_rate_timeline_stored(
+            counter, W0, "click", start, end, width
+        )
+        assert gaps == []
+        want = (
+            hta.counter_increase_stored(
+                raw.filter(
+                    (F.col("metric") == "click")
+                    & (F.col("ts_ns") >= start)
+                    & (F.col("ts_ns") < end)
+                ).select("metric", "ts_ns", "value", "prev_value")
+            )
+            .groupBy(
+                "metric",
+                (F.col("ts_ns") - F.col("ts_ns") % width).alias(
+                    "bucket_start_ns"
+                ),
+            )
+            .agg(
+                F.round(
+                    F.sum(F.col("increase").cast("decimal(38,6)")), 6
+                ).cast("double").alias("increase"),
+                F.sum(F.when(F.col("is_reset"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_resets"),
+                F.round(
+                    F.sum(F.col("increase").cast("decimal(38,6)"))
+                    .cast("double") / F.lit(width / 1e9),
+                    6,
+                ).alias("rate_per_s"),
+            )
+        )
+        _assert_df_equal(got, want, f"stored attribution ({start},{end},{width})")
+
+
+def test_counter_rate_stored_survives_raw_expiry(spark, sf_dir, tmp_path):
+    """The tiered-counter contract: after raw expires, bucket-aligned
+    counter history is STILL served exactly from the retained counter
+    levels under attribution=stored (equal to the pre-expiry answer),
+    and an unaligned start below the raw floor is reported as an
+    uncovered gap, never approximated."""
+    from metricq_db_hta_spark.operators.retention import (
+        RetentionPolicy, expire,
+    )
+    from metricq_db_hta_spark.plans.serve import HistoryServer
+
+    src = samples(spark, sf_dir).orderBy("event_id").limit(2_000)
+    store = str(tmp_path / "store_tiered_counter")
+    StreamingIngest(
+        spark, store, level_widths_ns=(W0,), counter_widths_ns=(W0,),
+        raw_partition="day",  # day-grain expiry: the floor lands mid-data
+    ).backfill(src)
+
+    raw = spark.read.parquet(f"{store}/raw")
+    ts = [
+        r[0] for r in raw.select("ts_ns").orderBy("ts_ns").collect()
+    ]
+    lo, hi = ts[0], ts[-1]
+    start = lo - lo % W0          # aligned: fully servable from levels
+    end = (lo + (hi - lo) // 3) // W0 * W0
+
+    req = {
+        "type": "counter_rate", "metric": "click", "width_ns": W0,
+        "start_ns": start, "end_ns": end, "attribution": "stored",
+    }
+    srv = HistoryServer(spark, store, [W0])
+    before = srv.handle(req)
+    assert "error" not in before and before["n"] > 0
+    assert "uncovered" not in before
+
+    # expire raw up to a floor inside (start, end); keep counter forever
+    from metricq_db_hta_spark.operators.retention import retention_floors
+
+    now = hi + 10 * W0
+    floor_age = now - (start + (end - start) // 2)
+    expire(
+        store,
+        RetentionPolicy(raw_max_age_ns=floor_age),
+        now_ns=now,
+    )
+    floor = retention_floors(store)["raw"]  # day-aligned advertised floor
+    assert floor > start, "fixture data must span multiple days"
+    srv2 = HistoryServer(spark, store, [W0])
+    after = srv2.handle(req)
+    assert "error" not in after, after
+    # aligned request: identical rows, before and after expiry — the
+    # counter levels serve the expired era exactly
+    assert after["rows"] == before["rows"]
+
+    # unaligned start below the floor: the sliver is an uncovered gap
+    probe = floor - W0 + 7
+    resp = srv2.handle(dict(req, start_ns=probe))
+    assert "error" not in resp, resp
+    assert resp.get("uncovered"), resp.keys()
+    g_lo, g_hi = resp["uncovered"][0]
+    assert g_lo == probe and g_hi == floor
+
+    # guards: stored without counter tables / with pattern
+    store2 = str(tmp_path / "store_nocounter")
+    StreamingIngest(spark, store2, level_widths_ns=(W0,)).backfill(
+        src.limit(100)
+    )
+    srv3 = HistoryServer(spark, store2, [W0])
+    r = srv3.handle(dict(req, start_ns=0))
+    assert "error" in r and "counter_" in r["error"]
+    r = srv2.handle({**req, "pattern": "*", "metric": None})
+    assert "error" in r
