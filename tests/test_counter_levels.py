@@ -393,3 +393,68 @@ def test_counter_rate_stored_survives_raw_expiry(spark, sf_dir, tmp_path):
     assert "error" in r and "counter_" in r["error"]
     r = srv2.handle({**req, "pattern": "*", "metric": None})
     assert "error" in r
+
+
+def test_recover_repairs_torn_counter_state(spark, sf_dir, tmp_path):
+    """A6 durability extends to the counter family: a crash between the
+    raw write and the commit leaves counter partitions torn; recover()
+    recomputes the uncommitted batch's touched counter partitions from
+    raw (whose rows carry prev_value, so the repair needs no raw-wide
+    window)."""
+    import datetime as _dt
+    import glob as _glob
+    import os
+
+    from metricq_db_hta_spark.streaming.ingest_stream import _ns_to_month
+
+    src = samples(spark, sf_dir).orderBy("event_id").limit(400)
+    store = str(tmp_path / "store_rec_counter")
+    svc = StreamingIngest(
+        spark, store, level_widths_ns=(W0,), counter_widths_ns=(W0,)
+    )
+    svc.backfill(src)
+    assert svc.recover() == set()
+
+    agg = src.filter(F.col("metric") == "click").agg(
+        F.max("ts_ns"), F.max_by("value", "ts_ns")
+    ).collect()[0]
+    click_max, click_lastv = agg[0], agg[1]
+    max_ts = src.agg(F.max("ts_ns")).collect()[0][0]
+    rows, prev_ts, prev_v = [], click_max, click_lastv
+    for i in range(50):
+        ts = max_ts + (i + 1) * 1_000_000_000
+        rows.append(("click", ts, float(i), 900_000 + i, ts - prev_ts, prev_v))
+        prev_ts, prev_v = ts, float(i)
+    extra = spark.createDataFrame(
+        rows,
+        ["metric", "ts_ns", "value", "event_id", "delta_ns", "prev_value"],
+    )
+    (
+        extra.withColumn("ts_month", _ns_to_month(F.col("ts_ns")))
+        .withColumn("ingest_batch", F.lit(-99))
+        .write.mode("append")
+        .partitionBy("ingest_batch", "metric", "ts_month")
+        .parquet(svc.raw_path)
+    )
+    month = _dt.datetime.fromtimestamp(
+        (max_ts + 1_000_000_000) / 1e9, _dt.timezone.utc
+    ).strftime("%Y-%m-01")
+    victim = _glob.glob(
+        os.path.join(
+            svc.counter_path(W0),
+            "metric=click",
+            f"bucket_month={month}",
+            "*.parquet",
+        )
+    )
+    assert victim
+    os.remove(victim[0])
+
+    assert svc.recover() == {-99}
+    raw = spark.read.parquet(svc.raw_path)
+    c0 = spark.read.parquet(svc.counter_path(W0)).drop("bucket_month")
+    _assert_df_equal(
+        c0,
+        hta.counter_level_recomputed(raw, W0),
+        "counter table after recover()",
+    )
