@@ -245,18 +245,26 @@ class HistoryServer:
         # pinned relations, exactly like a prepared statement.
         self._plan_lock = threading.Lock()
         self._plans: "OrderedDict[str, tuple]" = OrderedDict()
+        # per-handler-thread flag: did THIS request serve from a cached
+        # plan? (thread-local — concurrent FAIR-pool handlers must not
+        # smear each other's attribution); _record folds it into the
+        # per-type stats as plan_hits
+        self._tls = threading.local()
 
     def _record(self, rtype: str, dt_s: float, rows: int, error: bool) -> None:
         with self._stats_lock:
             s = self._stats.setdefault(
                 rtype,
-                {"n": 0, "errors": 0, "rows": 0, "total_s": 0.0, "max_s": 0.0},
+                {"n": 0, "errors": 0, "rows": 0, "total_s": 0.0,
+                 "max_s": 0.0, "plan_hits": 0},
             )
             s["n"] += 1
             s["errors"] += 1 if error else 0
             s["rows"] += rows
             s["total_s"] += dt_s
             s["max_s"] = max(s["max_s"], dt_s)
+            if getattr(self._tls, "plan_hit", False):
+                s["plan_hits"] += 1
 
     #: prepared-plan cache bound — plans are driver-side plan trees
     #: (no data), so the bound is about catalog hygiene, not memory
@@ -356,6 +364,7 @@ class HistoryServer:
         return resp
 
     def _handle_inner(self, req: dict) -> dict:
+        self._tls.plan_hit = False  # reset per request (thread reuse)
         try:
             rtype = req["type"]
             if rtype == "refresh":
@@ -373,6 +382,7 @@ class HistoryServer:
             # (list_metrics, errors) never hit here.
             cache_key = json.dumps(req, sort_keys=True, default=str)
             hit = self._plan_get(cache_key)
+            self._tls.plan_hit = hit is not None
             if hit is not None:
                 df_lim, clamped, uncovered = hit
                 rows = [r.asDict() for r in df_lim.collect()]

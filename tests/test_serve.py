@@ -622,3 +622,9 @@ def test_plan_cache_repeats_and_refresh_invalidates(spark, sf_dir, tmp_path):
     assert srv._plan_get(key) is None
     third = srv.handle(req)
     assert third["rows"][0]["count"] > first["rows"][0]["count"]
+
+    # the stats RPC reports the hit: exactly one of the aggregate
+    # requests above served from a cached plan
+    stats = srv.handle({"type": "stats"})
+    agg_row = [r for r in stats["rows"] if r["type"] == "aggregate"][0]
+    assert agg_row["plan_hits"] == 1 and agg_row["n"] == 3
