@@ -594,7 +594,7 @@ def main(argv: list[str] | None = None) -> int:
                     "counter_rate requires exactly one of --metric/--pattern"
                 )
                 return 2
-            if args.pattern is not None:
+            if args.pattern is not None and args.attribution != "stored":
                 # fleet merge (same semantics as the serve RPC's
                 # counter_rate + pattern)
                 df = svc.counter_rate_timeline_pattern(
@@ -631,6 +631,7 @@ def main(argv: list[str] | None = None) -> int:
                     counter, cws[0], args.metric, args.start, args.end,
                     args.width_ns,
                     raw_floor_ns=retention_floors(args.store).get("raw", 0),
+                    pattern=args.pattern,
                 )
                 for lo, hi in gaps:
                     print(f"uncovered: [{lo}, {hi})", file=sys.stderr)

@@ -795,11 +795,12 @@ class HistoryService:
         self,
         counter_df: DataFrame,
         level_width_ns: int,
-        metric: str,
+        metric: str | None,
         start_ns: int,
         end_ns: int,
         width_ns: int,
         raw_floor_ns: int = 0,
+        pattern: str | None = None,
     ) -> tuple[DataFrame, list[tuple[int, int]]]:
         """STORED-attribution counter_rate: every sample's increase is
         the one measured against its true predecessor (the persisted
@@ -823,7 +824,12 @@ class HistoryService:
 
         Returns ``(df, gaps)`` with df columns matching
         :meth:`counter_rate_timeline` (each bucket row reflects only
-        in-range samples, as there)."""
+        in-range samples, as there). ``pattern`` (exactly one of
+        metric/pattern) serves the FLEET form — merged across the glob
+        like :meth:`counter_rate_timeline_pattern`, but from the level
+        tables, so fleet counter history is also servable past raw
+        expiry; ``n_metrics`` from level rows is exact (any metric with
+        a sample in a bucket has a level row)."""
         if width_ns % level_width_ns != 0:
             raise ValueError(
                 f"output width {width_ns} not a multiple of the counter "
@@ -833,6 +839,15 @@ class HistoryService:
             counter_increase_stored,
         )
 
+        if (metric is None) == (pattern is None):
+            raise ValueError("pass exactly one of metric / pattern")
+        fleet = pattern is not None
+        mflt = (
+            F.col("metric").like(glob_to_like(pattern))
+            if fleet
+            else (F.col("metric") == metric)
+        )
+
         a_start = -(-start_ns // width_ns) * width_ns
         a_end = (end_ns // width_ns) * width_ns
         gaps: list[tuple[int, int]] = []
@@ -840,32 +855,57 @@ class HistoryService:
         out_bucket = (
             F.col("ts_ns") - F.col("ts_ns") % F.lit(width_ns)
         ).alias("bucket_start_ns")
+        # fleet form: one merged row per bucket (increases add across
+        # metrics like across buckets), labeled with the glob and
+        # carrying n_metrics — count_distinct over level rows is EXACT
+        # because any metric with a sample in a bucket has a level row
+        fleet_tail = (
+            [F.count_distinct("metric").cast("long").alias("n_metrics")]
+            if fleet
+            else []
+        )
+
+        def _label(df: DataFrame) -> DataFrame:
+            if not fleet:
+                return df
+            return df.withColumn("metric", F.lit(pattern)).select(
+                "metric", "bucket_start_ns", "increase", "n_resets",
+                "rate_per_s", "n_metrics",
+            )
 
         if a_start < a_end:
-            lvl = counter_df.filter(F.col("metric") == metric)
+            lvl = counter_df.filter(mflt)
             lvl = _date_pruned(lvl, "bucket_month", a_start, a_end)
+            grp = (
+                []
+                if fleet
+                else [F.col("metric")]
+            )
             parts.append(
-                lvl.filter(
-                    (F.col("bucket_start_ns") >= a_start)
-                    & (F.col("bucket_start_ns") < a_end)
-                )
-                .groupBy(
-                    "metric",
-                    (
-                        F.col("bucket_start_ns")
-                        - F.col("bucket_start_ns") % F.lit(width_ns)
-                    ).alias("bucket_start_ns"),
-                )
-                .agg(
-                    F.round(F.sum("increase_sum"), 6)
-                    .cast("double")
-                    .alias("increase"),
-                    F.sum("n_resets").cast("long").alias("n_resets"),
-                    F.round(
-                        F.sum("increase_sum").cast("double")
-                        / F.lit(width_ns / 1e9),
-                        6,
-                    ).alias("rate_per_s"),
+                _label(
+                    lvl.filter(
+                        (F.col("bucket_start_ns") >= a_start)
+                        & (F.col("bucket_start_ns") < a_end)
+                    )
+                    .groupBy(
+                        *grp,
+                        (
+                            F.col("bucket_start_ns")
+                            - F.col("bucket_start_ns") % F.lit(width_ns)
+                        ).alias("bucket_start_ns"),
+                    )
+                    .agg(
+                        F.round(F.sum("increase_sum"), 6)
+                        .cast("double")
+                        .alias("increase"),
+                        F.sum("n_resets").cast("long").alias("n_resets"),
+                        F.round(
+                            F.sum("increase_sum").cast("double")
+                            / F.lit(width_ns / 1e9),
+                            6,
+                        ).alias("rate_per_s"),
+                        *fleet_tail,
+                    )
                 )
             )
 
@@ -877,12 +917,19 @@ class HistoryService:
                 lo = raw_floor_ns
                 if lo >= hi:
                     return
+            raw = _time_pruned(self.raw.filter(mflt), lo, hi).filter(
+                (F.col("ts_ns") >= lo) & (F.col("ts_ns") < hi)
+            )
+            grp = [] if fleet else [F.col("metric")]
             parts.append(
-                counter_increase_stored(
-                    self._pruned_metric_raw(metric, lo, hi)
+                _label(
+                    counter_increase_stored(raw)
+                    .groupBy(*grp, out_bucket)
+                    .agg(
+                        *_counter_rate_aggs(F.col("increase"), width_ns),
+                        *fleet_tail,
+                    )
                 )
-                .groupBy("metric", out_bucket)
-                .agg(*_counter_rate_aggs(F.col("increase"), width_ns))
             )
 
         if a_start >= a_end:
@@ -893,8 +940,14 @@ class HistoryService:
             _edge(a_end, end_ns)
 
         if not parts:
-            empty = self.counter_rate_timeline(
-                metric, start_ns, min(start_ns, end_ns), width_ns
+            empty = (
+                self.counter_rate_timeline_pattern(
+                    pattern, start_ns, min(start_ns, end_ns), width_ns
+                )
+                if fleet
+                else self.counter_rate_timeline(
+                    metric, start_ns, min(start_ns, end_ns), width_ns
+                )
             )
             return empty, gaps
         res = parts[0]

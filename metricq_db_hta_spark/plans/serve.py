@@ -590,12 +590,9 @@ class HistoryServer:
                     # servable past the RAW retention floor (the counter
                     # analogue of timeline_tiered), so the clamp is the
                     # COUNTER table's floor and raw's floor only gates
-                    # the sub-bucket edge slivers (reported as gaps)
-                    if metric is None:
-                        return {
-                            "error": "attribution=stored serves one "
-                            "metric (no pattern yet)"
-                        }
+                    # the sub-bucket edge slivers (reported as gaps).
+                    # Works for both the single-metric and fleet (glob)
+                    # forms — the level sums merge across metrics too.
                     cw = [
                         w
                         for w in sorted(self._counters, reverse=True)
@@ -614,6 +611,7 @@ class HistoryServer:
                     df, gaps = self._svc.counter_rate_timeline_stored(
                         self._counters[cw[0]], cw[0], metric, start, end,
                         width, raw_floor_ns=self._floors.get("raw", 0),
+                        pattern=None if pat is None else str(pat),
                     )
                     uncovered = [[lo, hi] for lo, hi in gaps] or None
                     df_done = True

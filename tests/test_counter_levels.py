@@ -355,6 +355,14 @@ def test_counter_rate_stored_survives_raw_expiry(spark, sf_dir, tmp_path):
     before = srv.handle(req)
     assert "error" not in before and before["n"] > 0
     assert "uncovered" not in before
+    # fleet baseline captured pre-expiry (range attribution over the
+    # FULL aligned range: first-ever samples NULL under both rules)
+    full_req = {
+        "type": "counter_rate", "pattern": "*", "width_ns": W0,
+        "start_ns": lo - lo % W0, "end_ns": (hi // W0 + 1) * W0,
+    }
+    fleet_before = srv.handle(full_req)
+    assert "error" not in fleet_before, fleet_before
 
     # expire raw up to a floor inside (start, end); keep counter forever
     from metricq_db_hta_spark.operators.retention import retention_floors
@@ -383,7 +391,16 @@ def test_counter_rate_stored_survives_raw_expiry(spark, sf_dir, tmp_path):
     g_lo, g_hi = resp["uncovered"][0]
     assert g_lo == probe and g_hi == floor
 
-    # guards: stored without counter tables / with pattern
+    # fleet + stored: the merged form also serves the expired era from
+    # levels; over a full aligned range it equals the range-attribution
+    # fleet form computed BEFORE expiry (every metric's first-ever
+    # sample is NULL under both attributions when the range covers all
+    # history)
+    fleet_after = srv2.handle(dict(full_req, attribution="stored"))
+    assert "error" not in fleet_after, fleet_after
+    assert fleet_after["rows"] == fleet_before["rows"]
+
+    # guard: stored without counter tables
     store2 = str(tmp_path / "store_nocounter")
     StreamingIngest(spark, store2, level_widths_ns=(W0,)).backfill(
         src.limit(100)
@@ -391,8 +408,6 @@ def test_counter_rate_stored_survives_raw_expiry(spark, sf_dir, tmp_path):
     srv3 = HistoryServer(spark, store2, [W0])
     r = srv3.handle(dict(req, start_ns=0))
     assert "error" in r and "counter_" in r["error"]
-    r = srv2.handle({**req, "pattern": "*", "metric": None})
-    assert "error" in r
 
 
 def test_recover_repairs_torn_counter_state(spark, sf_dir, tmp_path):
