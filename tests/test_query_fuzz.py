@@ -1405,3 +1405,141 @@ WHERE metric LIKE '{like}' ESCAPE '\\'
 """
     mismatch = oracle.compare(df_q3, duck, sql_q3)
     assert mismatch is None, (spec, glob, mismatch.kind, mismatch.detail)
+
+
+# ---------------------------------------------------------------------------
+# fuzz class 16 (r11): counter-family decomposition equivalences — random
+# (possibly unaligned) ranges x output widths through the three serving
+# plans. Property 1: the leveled coarse-interior/fine-edge decomposition
+# (counter_rate_timeline_leveled) is bit-equal to the range-pruned raw
+# scan. Property 2: stored attribution (counter_rate_timeline_stored)
+# equals a direct groupBy of the per-sample stored increases over the
+# range. Property 3: the fleet stored form equals the same computation
+# merged across metrics. The DuckDB value oracle for the underlying
+# semantics is the registry's hta_counter_rate/hta_counter_serve pair;
+# this class pins that every SERVING plan is a faithful rewrite of it.
+# ---------------------------------------------------------------------------
+
+_COUNTER_FUZZ: dict = {}
+
+
+def _counter_service(spark, sf_dir):
+    from pyspark.sql import Window as _W
+
+    from metricq_db_hta_spark.operators import hta as _hta
+    from metricq_db_hta_spark.plans.history import HistoryService
+    from metricq_db_hta_spark.queries.hta_queries import samples
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _COUNTER_FUZZ.get(key)
+    if got is None:
+        _COUNTER_FUZZ.clear()
+        w = _W.partitionBy("metric").orderBy("ts_ns")
+        raw = (
+            samples(spark, sf_dir)
+            .withColumn("prev_value", F.lag("value", 1).over(w))
+            .localCheckpoint(eager=True)
+        )
+        counter = _hta.counter_level(raw, W0).localCheckpoint(eager=True)
+        svc = HistoryService(raw=raw, levels={W0: counter})
+        got = (svc, raw, counter)
+        _COUNTER_FUZZ[key] = got
+    return got
+
+
+counter_spec = st.fixed_dictionaries(
+    {
+        "h0": st.integers(0, 700),
+        "span_h": st.integers(1, 200),
+        "jitter_lo": st.integers(0, W0 - 1),
+        "jitter_hi": st.integers(0, W0 - 1),
+        "width_i": st.integers(0, 3),
+    }
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=counter_spec)
+def test_random_counter_serving_plans_agree(spark, sf_dir, spec):
+    from metricq_db_hta_spark.operators.hta import counter_increase_stored
+
+    width = [W0, 2 * W0, 6 * W0, 24 * W0][spec["width_i"]]
+    start = HTA_T0 + spec["h0"] * W0 + spec["jitter_lo"]
+    end = start + spec["span_h"] * W0 + spec["jitter_hi"] - spec["jitter_lo"]
+    if end <= start:
+        end = start + 1
+    svc, raw, counter = _counter_service(spark, sf_dir)
+
+    def _same(a, b, what):
+        cols = sorted(a.columns)
+        assert sorted(b.columns) == cols, (what, a.columns, b.columns)
+        d = (
+            a.select(*cols).exceptAll(b.select(*cols))
+            .unionAll(b.select(*cols).exceptAll(a.select(*cols)))
+        )
+        rows = d.limit(3).collect()
+        assert not rows, (what, spec, rows)
+
+    # P1: leveled == raw-scan form (range attribution)
+    _same(
+        svc.counter_rate_timeline_leveled(
+            counter, W0, "click", start, end, width
+        ),
+        svc.counter_rate_timeline("click", start, end, width),
+        "leveled vs raw",
+    )
+
+    inc = counter_increase_stored(
+        raw.filter((F.col("ts_ns") >= start) & (F.col("ts_ns") < end))
+    )
+    aggs = [
+        F.round(F.sum(F.col("increase").cast("decimal(38,6)")), 6)
+        .cast("double")
+        .alias("increase"),
+        F.sum(F.when(F.col("is_reset"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_resets"),
+        F.round(
+            F.sum(F.col("increase").cast("decimal(38,6)")).cast("double")
+            / F.lit(width / 1e9),
+            6,
+        ).alias("rate_per_s"),
+    ]
+    bucket = (F.col("ts_ns") - F.col("ts_ns") % width).alias(
+        "bucket_start_ns"
+    )
+
+    # P2: stored attribution == direct groupBy of stored increases
+    got2, gaps2 = svc.counter_rate_timeline_stored(
+        counter, W0, "click", start, end, width
+    )
+    assert gaps2 == []
+    _same(
+        got2,
+        inc.filter(F.col("metric") == "click").groupBy("metric", bucket)
+        .agg(*aggs),
+        "stored vs direct",
+    )
+
+    # P3: fleet stored == the same, merged across metrics
+    got3, gaps3 = svc.counter_rate_timeline_stored(
+        counter, W0, None, start, end, width, pattern="*"
+    )
+    assert gaps3 == []
+    want3 = (
+        inc.groupBy(bucket)
+        .agg(
+            *aggs,
+            F.count_distinct("metric").cast("long").alias("n_metrics"),
+        )
+        .withColumn("metric", F.lit("*"))
+        .select(
+            "metric", "bucket_start_ns", "increase", "n_resets",
+            "rate_per_s", "n_metrics",
+        )
+    )
+    _same(got3, want3, "fleet stored vs direct merge")
