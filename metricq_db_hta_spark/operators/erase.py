@@ -298,8 +298,16 @@ def delete_metric(
             emptied.append(b)
     if emptied and not dry_run:
         # de-commit the now-empty batches (clips to on-disk and
-        # republishes the snapshot manifest, same as retention)
+        # republishes the snapshot manifest, same as retention); an
+        # emptied RETIRED batch also leaves the vacuum ledger now — its
+        # dir is gone, waiting for vacuum to clear a tombstone would
+        # just leave a dangling entry until then
         store_meta.update_commit_marker(store_dir, add=set(), remove=set(emptied))
+        gone_retired = set(emptied) & set(
+            store_meta.retired_batches(store_dir)
+        )
+        if gone_retired:
+            store_meta.clear_retired(store_dir, gone_retired)
 
     # level / hist tables: one metric dir per table
     table_dirs = 0

@@ -581,6 +581,10 @@ def test_erase_scrubs_retired_batches_not_refuses(spark, sf_dir, tmp_path):
     assert res.raw_dirs > 0
     assert not _metric_dirs(store, "click")  # including retired dirs
     assert fsck.check_store(spark, store).ok
+    # a retired batch the erasure emptied leaves the vacuum ledger too
+    # (its dir is gone; a tombstone until vacuum would dangle)
+    for b in res.emptied_batches:
+        assert b not in store_meta.retired_batches(store)
 
 
 def test_fsck_ignores_retired_batches(spark, sf_dir, tmp_path):
