@@ -21,100 +21,86 @@ from metricq_db_hta_spark.queries import relational3  # noqa: F401
 from metricq_db_hta_spark.queries import llm2  # noqa: F401
 
 # Registry order is part of the driver contract: the correctness harness
-# records the first 50 entries each round. Round 11 window policy
-# (scripts/window_coverage.py enforces freshness going forward):
+# records the first 50 entries each round. Round 12 window policy
+# (scripts/window_coverage.py is the authoritative freshness ledger):
 #
-# (1) The 18 r8-green queries displaced mid-r10 — named in the r10 (4)/(5)
-#     comments and promised to round 11 by VERDICT r10 next-step 2 — all
-#     scheduled: hta_q2_flex_raw, hta_q4_last_value, rel_agg_statistical,
-#     llm_decontaminate, llm_unigram_logprob, rel_q6_forecast_revenue,
-#     rel_q10_returned_items, rel_q18_large_volume_customer,
-#     rel_window_lag_lead, udf_apply_in_pandas_zscore,
-#     udf_grouped_agg_geomean, rel_window_moving_agg, rel_window_ntile,
-#     rel_having, rel_grouping_id, rel_agg_scalar_global,
-#     rel_window_rank_topn, rel_window_distribution.
-# (2) The two fleet/pattern queries added after the r10 window froze
-#     (PENDING_NEXT_WINDOW in r10; diffcheck-green at all three SFs,
-#     judge-verified at sf0.01, never driver-checked):
-#     hta_pattern_aggregate, hta_pattern_q3.
-# (3) hta_counter_rate re-check — r10's one red driver row, fixed this
-#     round (the final increase column now casts DECIMAL->DOUBLE on both
-#     sides, matching the engine-wide convention).
-# (4) hta_counter_serve — NEW this round (serving-path counter_rate over
-#     the stored prev_value column, zero-exchange): first driver row.
-# (5) The remaining 28 slots rotate r9-green queries (49 candidates,
-#     sorted; the first 28 scheduled here, the remaining 21 —
-#     rel_join_asof .. udf_udtf_explode_buckets — sit at stale(2) and
-#     round 12 MUST schedule them: rel_join_asof, rel_join_asof_forward,
+# (1) ALL 23 r9-stale queries — the 22 names in the r11 (5) comment PLUS
+#     rel_join_anti (displaced late-r11 by hta_counter_fleet; the r11
+#     comment's "22 total" was an off-by-one, VERDICT r11 "what's wrong" #1).
+#     After this round no registry query is driver-green older than r10:
+#     rel_join_anti, rel_join_asof, rel_join_asof_forward,
 #     rel_join_broadcast_dim, rel_join_bucketed, rel_join_full_outer,
 #     rel_join_left_outer, rel_join_range_band, rel_join_semi,
 #     rel_join_sortmerge, rel_math_funcs, rel_q1_pricing_summary,
 #     rel_q3_shipping_priority, rel_q5_local_supplier_volume,
-#     rel_session_window, rel_string_funcs,
-#     rel_subquery_correlated_scalar, rel_topk, rel_window_range_between,
-#     rel_window_sliding_native, rel_window_tumbling_native,
-#     udf_pandas_scalar_normalize, udf_udtf_explode_buckets — plus
-#     rel_join_anti, displaced late-r11 by hta_counter_fleet: 22 total).
-# (6) hta_counter_fleet — NEW late-r11 (fleet counter merge, the serve
-#     counter_rate+pattern twin): first driver row, displacing
-#     rel_join_anti from (5).
+#     rel_session_window, rel_string_funcs, rel_subquery_correlated_scalar,
+#     rel_topk, rel_window_range_between, rel_window_sliding_native,
+#     rel_window_tumbling_native, udf_pandas_scalar_normalize,
+#     udf_udtf_explode_buckets
+# (2) The remaining 27 slots rotate the stalest r10-green queries (49
+#     candidates, sorted; the first 27 scheduled here). The 22 deferred
+#     r10-greens are the hard r13 obligation (they will be stale(2) then):
+#     llm_text_stats, llm_text_stats_scan, llm_tfidf_top_terms,
+#     llm_url_domain_filter, llm_weighted_sample, rel_agg_grouping_sets,
+#     rel_agg_rollup, rel_array_funcs, rel_join_asof_tolerance,
+#     rel_join_cross, rel_join_interval_overlap, rel_join_lateral,
+#     rel_json_funcs, rel_null_handling, rel_percentiles, rel_pivot,
+#     rel_recursive_cte, rel_set_except, rel_set_intersect, rel_set_union,
+#     rel_subquery_scalar_exists, rel_unpivot
 PENDING_NEXT_WINDOW: list[str] = []
 _WINDOW = [
-    # (3)+(4): the r10 red row re-check and the round's new serve query
-    "hta_counter_rate",
-    "hta_counter_serve",
-    # (2) never-driver-checked fleet/pattern queries
-    "hta_pattern_aggregate",
-    "hta_pattern_q3",
-    # (1) the 18 displaced r8-green queries (promise kept)
-    "hta_q2_flex_raw",
-    "hta_q4_last_value",
-    "rel_agg_statistical",
-    "llm_decontaminate",
-    "llm_unigram_logprob",
-    "rel_q6_forecast_revenue",
-    "rel_q10_returned_items",
-    "rel_q18_large_volume_customer",
-    "rel_window_lag_lead",
-    "udf_apply_in_pandas_zscore",
-    "udf_grouped_agg_geomean",
-    "rel_window_moving_agg",
-    "rel_window_ntile",
-    "rel_having",
-    "rel_grouping_id",
-    "rel_agg_scalar_global",
-    "rel_window_rank_topn",
-    "rel_window_distribution",
-    # (5) r9-green rotation (first 28 of 49, sorted)
-    "hta_delta_encode",
-    "hta_ingest_chain",
-    "hta_level0",
-    "hta_metadata_projection",
-    "hta_q1_aggregate_timeline",
-    "hta_q3_aggregate",
-    "hta_scope_boundaries",
-    "hta_stats_rates",
-    "hta_subscription_list",
-    "llm_dataset_split",
-    "llm_exact_dedup",
-    "llm_lang_id",
-    "llm_minhash_jaccard_estimate",
-    "llm_minhash_lsh_pairs",
-    "llm_quality_filter",
-    "llm_repetition_filter",
-    "llm_sequence_packing",
-    "llm_similarity_recall_ivf",
-    "llm_similarity_topk_brute",
-    "llm_stratified_sample",
-    "llm_token_count",
-    "rel_agg_approx_distinct",
-    "rel_agg_conditional",
-    "rel_agg_cube",
-    "rel_agg_distinct",
-    "rel_date_arithmetic",
-    "rel_date_funcs",
-    # (6) late-r11 addition — first driver row
-    "hta_counter_fleet",
+    # (1) the 23 r9-stale queries — freshness obligation, scheduled first
+    "rel_join_anti",
+    "rel_join_asof",
+    "rel_join_asof_forward",
+    "rel_join_broadcast_dim",
+    "rel_join_bucketed",
+    "rel_join_full_outer",
+    "rel_join_left_outer",
+    "rel_join_range_band",
+    "rel_join_semi",
+    "rel_join_sortmerge",
+    "rel_math_funcs",
+    "rel_q1_pricing_summary",
+    "rel_q3_shipping_priority",
+    "rel_q5_local_supplier_volume",
+    "rel_session_window",
+    "rel_string_funcs",
+    "rel_subquery_correlated_scalar",
+    "rel_topk",
+    "rel_window_range_between",
+    "rel_window_sliding_native",
+    "rel_window_tumbling_native",
+    "udf_pandas_scalar_normalize",
+    "udf_udtf_explode_buckets",
+    # (2) r10-green rotation (first 27 of 49, sorted)
+    "hta_histogram_level0",
+    "hta_histogram_p95_rollup",
+    "hta_ingest_serve",
+    "hta_level1_rollup",
+    "hta_percentile_timeline",
+    "hta_q1_tiered_timeline",
+    "hta_q3_tiered",
+    "hta_resample_linear",
+    "hta_timeline_gapfill",
+    "llm_char_entropy",
+    "llm_chunk_dedup",
+    "llm_dedup_survivors",
+    "llm_embedding_neardup",
+    "llm_embedding_norms",
+    "llm_fingerprint",
+    "llm_jaccard_blocked_pairs",
+    "llm_length_histogram",
+    "llm_minhash_signatures",
+    "llm_multimodal_decode",
+    "llm_neardup_clusters",
+    "llm_ngram_span_dedup",
+    "llm_normalize_dedup",
+    "llm_pii_redact",
+    "llm_simhash",
+    "llm_similarity_topk_ivf",
+    "llm_similarity_topk_ivf_multiprobe",
+    "llm_source_mixing_weights",
 ]
 assert len(_WINDOW) == 50, len(_WINDOW)
 _missing = [n for n in _WINDOW if n not in REGISTRY]
