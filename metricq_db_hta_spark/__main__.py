@@ -627,11 +627,45 @@ def main(argv: list[str] | None = None) -> int:
                 counter = spark.read.parquet(
                     os.path.join(args.store, f"counter_{cws[0]}")
                 )
+                floors = retention_floors(args.store)
+                # clamp to the COUNTER table's own retention floor, like
+                # the serve RPC: interior buckets below it are gone from
+                # the level rows, so serving the range unclamped would
+                # return silently-short history with no gap line
+                start = args.start
+                cfloor = floors.get(f"counter_{cws[0]}", 0)
+                if cfloor > start:
+                    print(
+                        f"clamped start to counter_{cws[0]} retention "
+                        f"floor {cfloor}",
+                        file=sys.stderr,
+                    )
+                    start = cfloor
+                from metricq_db_hta_spark.plans.history import glob_match
+                from metricq_db_hta_spark.streaming import store_meta
+
+                all_gaps = store_meta.counter_coverage_gaps(
+                    args.store, cws[0]
+                )
+                if args.pattern is None:
+                    cov = all_gaps.get(args.metric, [])
+                else:
+                    cov = [
+                        s
+                        for m, sp in all_gaps.items()
+                        if glob_match(m, args.pattern)
+                        for s in sp
+                    ]
                 df, gaps = svc.counter_rate_timeline_stored(
-                    counter, cws[0], args.metric, args.start, args.end,
+                    counter, cws[0], args.metric, start, args.end,
                     args.width_ns,
-                    raw_floor_ns=retention_floors(args.store).get("raw", 0),
+                    raw_floor_ns=floors.get("raw", 0),
                     pattern=args.pattern,
+                    coverage_gaps=[
+                        (lo, hi)
+                        for lo, hi in cov
+                        if lo < args.end and hi > start
+                    ],
                 )
                 for lo, hi in gaps:
                     print(f"uncovered: [{lo}, {hi})", file=sys.stderr)

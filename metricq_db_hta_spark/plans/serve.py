@@ -229,6 +229,7 @@ class HistoryServer:
         self._hists = self._discover_tables("hist")
         self._counters = self._discover_tables("counter")
         self._floors = self._read_floors()
+        self._counter_gaps = self._counter_coverage()
         # self-monitoring (reference db_stats parity,
         # /root/reference/src/db_stats.hpp:41-53: per-operation completed/
         # failed counts + durations + data sizes): one record per request
@@ -250,6 +251,11 @@ class HistoryServer:
         # smear each other's attribution); _record folds it into the
         # per-type stats as plan_hits
         self._tls = threading.local()
+        # generation stamp for the plan cache: bumped by refresh under
+        # the lock, so a request that BUILT its plan against pre-refresh
+        # relations cannot reinstate it after the refresh cleared the
+        # cache (the put is dropped instead — see _plan_put)
+        self._plan_gen = 0
 
     def _record(self, rtype: str, dt_s: float, rows: int, error: bool) -> None:
         with self._stats_lock:
@@ -270,15 +276,23 @@ class HistoryServer:
     #: (no data), so the bound is about catalog hygiene, not memory
     _PLANS_MAX = 256
 
-    def _plan_get(self, key: str):
+    def _plan_get(self, key: str) -> tuple["tuple | None", int]:
+        """(cached entry or None, current cache generation). The
+        generation is read under the same lock so a miss carries the
+        stamp its eventual _plan_put must match."""
         with self._plan_lock:
             hit = self._plans.get(key)
             if hit is not None:
                 self._plans.move_to_end(key)
-            return hit
+            return hit, self._plan_gen
 
-    def _plan_put(self, key: str, entry: tuple) -> None:
+    def _plan_put(self, key: str, entry: tuple, gen: int) -> None:
         with self._plan_lock:
+            if gen != self._plan_gen:
+                # a refresh landed while this plan was being built: it is
+                # pinned to the pre-refresh file listing — serving it
+                # would resurrect stale data until the NEXT refresh
+                return
             self._plans[key] = entry
             self._plans.move_to_end(key)
             while len(self._plans) > self._PLANS_MAX:
@@ -326,6 +340,51 @@ class HistoryServer:
             self.spark, self.store, self.widths, snapshot=self.snapshot
         )
 
+    def _counter_coverage(self) -> dict[int, dict[str, list[tuple[int, int]]]]:
+        """Per-width, per-metric month spans that raw holds but the
+        counter level table does not (counter levels enabled on a store
+        with pre-existing history — healed by ``fsck rebuild-levels``).
+        Computed from the directory layout at build/refresh time (one
+        raw walk shared across widths, no data scan); empty on a healthy
+        store, so the per-request guard below is a dict lookup."""
+        if not self._counters:
+            return {}
+        from metricq_db_hta_spark.streaming import store_meta
+
+        raw_months = store_meta.raw_months_by_metric(self.store)
+        return {
+            w: store_meta.counter_coverage_gaps(
+                self.store, w, raw_months=raw_months
+            )
+            for w in self._counters
+        }
+
+    def _coverage_spans(
+        self,
+        w: int,
+        metric: str | None,
+        pattern: str | None,
+        start: int,
+        end: int,
+    ) -> list[tuple[int, int]]:
+        """Counter-coverage gap spans intersecting [start, end) for one
+        metric (or the union over a fleet glob) at level width ``w``."""
+        gaps = self._counter_gaps.get(w) or {}
+        if not gaps:
+            return []
+        if pattern is not None:
+            from metricq_db_hta_spark.plans.history import glob_match
+
+            spans = [
+                s
+                for m, sp in gaps.items()
+                if glob_match(m, str(pattern))
+                for s in sp
+            ]
+        else:
+            spans = list(gaps.get(metric, ()))
+        return [(lo, hi) for lo, hi in spans if lo < end and hi > start]
+
     @staticmethod
     def _spine_guard(start: int, end: int, step: int) -> dict | None:
         """Reject dense requests whose grid would be astronomically large
@@ -372,8 +431,10 @@ class HistoryServer:
                 self._hists = self._discover_tables("hist")
                 self._counters = self._discover_tables("counter")
                 self._floors = self._read_floors()
+                self._counter_gaps = self._counter_coverage()
                 with self._plan_lock:
                     self._plans.clear()
+                    self._plan_gen += 1
                 return {"rows": [], "n": 0}
             # prepared-plan fast path: an identical request re-executes
             # its cached (already-planned) DataFrame — no Catalyst, no
@@ -381,7 +442,7 @@ class HistoryServer:
             # collect tail are ever stored, so early-return types
             # (list_metrics, errors) never hit here.
             cache_key = json.dumps(req, sort_keys=True, default=str)
-            hit = self._plan_get(cache_key)
+            hit, plan_gen = self._plan_get(cache_key)
             self._tls.plan_hit = hit is not None
             if hit is not None:
                 df_lim, clamped, uncovered = hit
@@ -612,8 +673,13 @@ class HistoryServer:
                         self._counters[cw[0]], cw[0], metric, start, end,
                         width, raw_floor_ns=self._floors.get("raw", 0),
                         pattern=None if pat is None else str(pat),
+                        coverage_gaps=self._coverage_spans(
+                            cw[0], metric, pat, start, end
+                        ),
                     )
-                    uncovered = [[lo, hi] for lo, hi in gaps] or None
+                    # always a list (possibly []) — one presence check
+                    # works across every tiered-style response type
+                    uncovered = [[lo, hi] for lo, hi in gaps]
                     df_done = True
                 elif pat is not None:
                     # fleet form: per-metric increases summed across the
@@ -632,11 +698,16 @@ class HistoryServer:
                 # request cost stops growing with range length. Falls
                 # back to the range-pruned raw scan otherwise (and for
                 # ranges too short to have an interior, inside the
-                # leveled method itself).
+                # leveled method itself). Coverage guard: a width whose
+                # counter table MISSES months raw holds in-range (levels
+                # enabled on a store with pre-existing history) is
+                # skipped — the raw fallback stays correct, and
+                # ``fsck rebuild-levels`` restores the fast path.
                 cw = [
                     w
                     for w in sorted(self._counters, reverse=True)
                     if width % w == 0
+                    and not self._coverage_spans(w, metric, None, start, end)
                 ]
                 if df_done:
                     pass
@@ -708,7 +779,7 @@ class HistoryServer:
             rows = [r.asDict() for r in df_lim.collect()]
             # store only after a successful execution so a plan that
             # fails at runtime is rebuilt (and re-validated) next time
-            self._plan_put(cache_key, (df_lim, clamped, uncovered))
+            self._plan_put(cache_key, (df_lim, clamped, uncovered), plan_gen)
             resp = {"rows": rows, "n": len(rows)}
             if clamped is not None:
                 # the requested range dipped below the serving table's

@@ -291,3 +291,119 @@ def publish_snapshot(store_dir: str) -> dict:
     except FileNotFoundError:
         pass
     return snap
+
+
+# -- level-coverage listing (month granularity, no data scan) ---------------
+# The rollup cascade recomputes every TOUCHED (metric, bucket_month)
+# partition of a level table from ALL raw in that partition
+# (ingest_stream._update_cascade), so a level month directory existing
+# means that whole (metric, month) is consistent with raw — coverage is
+# decidable from the directory layout alone. Used to guard the leveled
+# counter serving paths on stores whose counter levels were enabled after
+# raw history already existed (pre-enablement months have raw but no
+# level rows until operators/fsck.rebuild_levels runs).
+
+
+def _month_bounds_ns(d_iso: str) -> tuple[int, int]:
+    """[start, end) ns of the UTC month containing ISO date ``d_iso``."""
+    import datetime as _dt
+
+    d = _dt.date.fromisoformat(d_iso)
+    lo = _dt.datetime(d.year, d.month, 1, tzinfo=_dt.timezone.utc)
+    hi = (
+        _dt.datetime(d.year + 1, 1, 1, tzinfo=_dt.timezone.utc)
+        if d.month == 12
+        else _dt.datetime(d.year, d.month + 1, 1, tzinfo=_dt.timezone.utc)
+    )
+    return (
+        int(lo.timestamp()) * 1_000_000_000,
+        int(hi.timestamp()) * 1_000_000_000,
+    )
+
+
+def _metric_month_dirs(parent: str) -> dict[str, set[str]]:
+    """{metric: {month-ISO}} under one ``metric=*/<time>=*`` tree. Both
+    ``ts_month``/``bucket_month`` (first-of-month) and ``ts_date`` (day
+    partitions, truncated to their month) layouts are understood; metric
+    names are partition-unescaped."""
+    from urllib.parse import unquote
+
+    out: dict[str, set[str]] = {}
+    if not os.path.isdir(parent):
+        return out
+    for mname in os.listdir(parent):
+        if not mname.startswith("metric="):
+            continue
+        mdir = os.path.join(parent, mname)
+        if not os.path.isdir(mdir):
+            continue
+        metric = unquote(mname.split("=", 1)[1])
+        months = out.setdefault(metric, set())
+        for tname in os.listdir(mdir):
+            col, eq, val = tname.partition("=")
+            if not eq or col not in ("ts_month", "ts_date", "bucket_month"):
+                continue
+            months.add(val[:8] + "01")  # YYYY-MM-01
+    return out
+
+
+def raw_months_by_metric(store_dir: str) -> dict[str, set[str]]:
+    """Months of SERVED raw per metric — committed batches minus the
+    read-excluded set (retired / journal-pending), from the directory
+    layout alone. Scale note: O(batches x metrics x months) directory
+    entries driver-side, the same cardinality class as the store layout
+    itself and the documented ``list_metrics`` seam (SCALE.md)."""
+    served = committed_batches(store_dir) - excluded_batches_for_read(
+        store_dir
+    )
+    out: dict[str, set[str]] = {}
+    for b in sorted(served):
+        for metric, months in _metric_month_dirs(
+            batch_dir(store_dir, b)
+        ).items():
+            out.setdefault(metric, set()).update(months)
+    return out
+
+
+def level_months_by_metric(store_dir: str, table: str) -> dict[str, set[str]]:
+    """Months present per metric in one level table (``level_<w>`` /
+    ``hist_<w>`` / ``counter_<w>``), from the directory layout."""
+    return _metric_month_dirs(os.path.join(store_dir, table))
+
+
+def counter_coverage_gaps(
+    store_dir: str,
+    width_ns: int,
+    raw_months: dict[str, set[str]] | None = None,
+) -> dict[str, list[tuple[int, int]]]:
+    """Per-metric [start, end)-ns month spans that SERVED raw holds but
+    ``counter_<width_ns>`` does NOT — i.e. ranges where the leveled
+    counter serving paths would silently miss data (counter levels
+    enabled on a store with pre-existing raw; healed by
+    ``operators/fsck.rebuild_levels``). Empty dict on a healthy store.
+
+    Month granularity is exact-or-conservative: a level month dir
+    existing proves the whole (metric, month) consistent (cascade
+    recomputes whole partitions); the reverse test can only over-report
+    near month boundaries (a sample whose bucket starts in the previous
+    month), costing a needless raw fallback, never a wrong answer.
+    Adjacent uncovered months are merged into one span.
+    ``raw_months`` (precomputed :func:`raw_months_by_metric`) lets a
+    caller checking several widths walk raw once."""
+    cov = level_months_by_metric(store_dir, f"counter_{width_ns}")
+    if raw_months is None:
+        raw_months = raw_months_by_metric(store_dir)
+    gaps: dict[str, list[tuple[int, int]]] = {}
+    for metric, months in raw_months.items():
+        missing = sorted(months - cov.get(metric, set()))
+        if not missing:
+            continue
+        spans: list[tuple[int, int]] = []
+        for m in missing:
+            lo, hi = _month_bounds_ns(m)
+            if spans and spans[-1][1] == lo:
+                spans[-1] = (spans[-1][0], hi)
+            else:
+                spans.append((lo, hi))
+        gaps[metric] = spans
+    return gaps

@@ -354,7 +354,9 @@ def test_counter_rate_stored_survives_raw_expiry(spark, sf_dir, tmp_path):
     srv = HistoryServer(spark, store, [W0])
     before = srv.handle(req)
     assert "error" not in before and before["n"] > 0
-    assert "uncovered" not in before
+    # stored responses ALWAYS carry uncovered (possibly empty), matching
+    # the tiered response types — one presence check for clients
+    assert before["uncovered"] == []
     # fleet baseline captured pre-expiry (range attribution over the
     # FULL aligned range: first-ever samples NULL under both rules)
     full_req = {
@@ -473,3 +475,123 @@ def test_recover_repairs_torn_counter_state(spark, sf_dir, tmp_path):
         hta.counter_level_recomputed(raw, W0),
         "counter table after recover()",
     )
+
+
+def test_counter_coverage_guard_on_late_enablement(spark, sf_dir, tmp_path):
+    """Counter levels enabled on a store with PRE-EXISTING raw (r11
+    ADVICE medium): pre-enablement months have raw but no counter rows.
+    The serve router must not serve those months from level rows —
+    plain counter_rate falls back to the raw scan (answer unchanged),
+    attribution=stored reports the months as ``uncovered`` — and
+    ``fsck.rebuild_levels`` heals both, restoring the leveled fast
+    path."""
+    from metricq_db_hta_spark.operators.fsck import rebuild_levels
+    from metricq_db_hta_spark.plans.serve import (
+        HistoryServer,
+        build_history_service,
+    )
+    from metricq_db_hta_spark.streaming import store_meta
+
+    src = samples(spark, sf_dir).orderBy("event_id").limit(1_200)
+    rows = src.collect()
+    half = len(rows) // 2
+    early = spark.createDataFrame(rows[:half], schema=src.schema)
+    # the testdata spans one month; shift the post-enablement half two
+    # months out so enablement is a month-set boundary, not a same-month
+    # touch (a touched month recomputes WHOLLY, leaving no gap)
+    shift = 60 * 86_400 * 1_000_000_000
+    late = spark.createDataFrame(rows[half:], schema=src.schema).withColumn(
+        "ts_ns", (F.col("ts_ns") + F.lit(shift)).cast("long")
+    )
+
+    store = str(tmp_path / "store_late_enable")
+    StreamingIngest(spark, store, level_widths_ns=(W0,)).backfill(early)
+    StreamingIngest(
+        spark, store, level_widths_ns=(W0,), counter_widths_ns=(W0,)
+    ).backfill(late)
+
+    gaps = store_meta.counter_coverage_gaps(store, W0)
+    assert gaps, "pre-enablement months must show as coverage gaps"
+    assert "click" in gaps
+
+    ts = sorted(
+        r[0]
+        for r in spark.read.parquet(f"{store}/raw")
+        .filter("metric = 'click'")
+        .select("ts_ns")
+        .collect()
+    )
+    lo, hi = ts[0], ts[-1]
+    start, end = lo - lo % W0, (hi // W0 + 1) * W0
+
+    srv = HistoryServer(spark, store, [W0])
+    svc = build_history_service(spark, store)
+    want = [
+        r.asDict()
+        for r in svc.counter_rate_timeline("click", start, end, W0)
+        .limit(10_000)
+        .collect()
+    ]
+    got = srv.handle(
+        {
+            "type": "counter_rate", "metric": "click", "width_ns": W0,
+            "start_ns": start, "end_ns": end, "limit": 10_000,
+        }
+    )
+    assert "error" not in got, got
+    assert got["rows"] == want, "guard must fall back to the raw answer"
+
+    # a request confined to the POST-enablement era keeps the leveled
+    # fast path (no gap intersects it) and still matches raw
+    lo2 = min(t for t in ts if t >= lo + shift // 2)
+    s2, e2 = lo2 - lo2 % W0, end
+    assert not srv._coverage_spans(W0, "click", None, s2, e2)
+    got2 = srv.handle(
+        {
+            "type": "counter_rate", "metric": "click", "width_ns": W0,
+            "start_ns": s2, "end_ns": e2, "limit": 10_000,
+        }
+    )
+    want2 = [
+        r.asDict()
+        for r in svc.counter_rate_timeline("click", s2, e2, W0)
+        .limit(10_000)
+        .collect()
+    ]
+    assert got2["rows"] == want2
+
+    # stored attribution over the full range: the pre-enablement months
+    # come back as uncovered spans (clipped to the aligned interior)
+    stored = srv.handle(
+        {
+            "type": "counter_rate", "metric": "click", "width_ns": W0,
+            "start_ns": start, "end_ns": end, "attribution": "stored",
+            "limit": 10_000,
+        }
+    )
+    assert "error" not in stored, stored
+    assert stored["uncovered"], "enablement hole must be reported"
+    (g_lo, g_hi) = stored["uncovered"][0]
+    assert g_lo <= lo < g_hi, (g_lo, g_hi, lo)
+
+    # rebuild_levels recomputes the missing partitions from raw; after a
+    # refresh the gaps are gone, the leveled path serves the full range
+    # bit-equal to raw, and stored reports no uncovered spans
+    rebuild_levels(spark, store)
+    srv.handle({"type": "refresh"})
+    assert not store_meta.counter_coverage_gaps(store, W0)
+    healed = srv.handle(
+        {
+            "type": "counter_rate", "metric": "click", "width_ns": W0,
+            "start_ns": start, "end_ns": end, "limit": 10_000,
+        }
+    )
+    assert healed["rows"] == want
+    stored2 = srv.handle(
+        {
+            "type": "counter_rate", "metric": "click", "width_ns": W0,
+            "start_ns": start, "end_ns": end, "attribution": "stored",
+            "limit": 10_000,
+        }
+    )
+    assert stored2["uncovered"] == []

@@ -612,16 +612,28 @@ def test_plan_cache_repeats_and_refresh_invalidates(spark, sf_dir, tmp_path):
     import json as _json
 
     key = _json.dumps(req, sort_keys=True, default=str)
-    assert srv._plan_get(key) is not None
+    assert srv._plan_get(key)[0] is not None
     second = srv.handle(req)
     assert second == first
 
     # more history lands; refresh must clear the cache and re-plan
     svc.backfill(spark.createDataFrame(rows[half:], schema=src.schema))
     srv.handle({"type": "refresh"})
-    assert srv._plan_get(key) is None
+    assert srv._plan_get(key)[0] is None
     third = srv.handle(req)
     assert third["rows"][0]["count"] > first["rows"][0]["count"]
+
+    # refresh race (r11 ADVICE): a plan BUILT against pre-refresh
+    # relations must not be reinstated after a concurrent refresh — the
+    # put carries the generation its miss observed and is dropped
+    _, stale_gen = srv._plan_get("race-key")
+    srv.handle({"type": "refresh"})
+    srv._plan_put("race-key", ("stale", None, None), stale_gen)
+    assert srv._plan_get("race-key")[0] is None
+    # a put under the CURRENT generation still lands
+    _, cur_gen = srv._plan_get("race-key")
+    srv._plan_put("race-key", ("fresh", None, None), cur_gen)
+    assert srv._plan_get("race-key")[0] == ("fresh", None, None)
 
     # the stats RPC reports the hit: exactly one of the aggregate
     # requests above served from a cached plan
