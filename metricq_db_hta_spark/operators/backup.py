@@ -94,15 +94,26 @@ def backup_store(store_dir: str, dest_dir: str) -> BackupResult:
     tables = []
     for name in sorted(os.listdir(store_dir)):
         head, _, tail = name.partition("_")
-        if (head in ("level", "hist", "counter") and tail.isdigit()) or (
-            name == "drops_log"
-        ):
+        if head in ("level", "hist", "counter") and tail.isdigit():
             f, by = _copy_tree(
                 os.path.join(store_dir, name), os.path.join(dest_dir, name)
             )
             n_files += f
             n_bytes += by
             tables.append(name)
+    # drops_log through the torn-swap-aware resolver: a store crashed
+    # between _swap_drops' rename-out and rename-in holds the table only
+    # as ``drops_log.swap_old`` — a name-filter copy would silently back
+    # up NO drops_log at all. The resolved root is copied under the live
+    # name, so the backup is clean even when the source is mid-swap.
+    from metricq_db_hta_spark.operators.erase import _drops_root_for_read
+
+    droot = _drops_root_for_read(store_dir)
+    if droot is not None:
+        f, by = _copy_tree(droot, os.path.join(dest_dir, "drops_log"))
+        n_files += f
+        n_bytes += by
+        tables.append("drops_log")
     for meta in ("_retention.json",):
         p = os.path.join(store_dir, meta)
         if os.path.exists(p):

@@ -170,20 +170,20 @@ def _read_rename_journal(store_dir: str) -> dict | None:
         return None
 
 
-def _drops_root_for_read(store_dir: str) -> tuple[str | None, bool]:
+def _drops_root_for_read(store_dir: str) -> str | None:
     """The drops_log table an op should COUNT from: the live root, or —
     after a crash between _swap_drops' rename-out and rename-in — the
-    set-aside ``.swap_old`` copy a real pass would first restore.
-    Returns (path-or-None, swap_pending) so dry runs neither report
-    drops_rows=0 against a torn swap nor skip the spark-required
-    refusal (they used to do both)."""
+    set-aside ``.swap_old`` copy a real pass would first restore. Any
+    non-None result drives the spark-required refusal and dry-run
+    counts, so a torn swap neither reports drops_rows=0 nor skips the
+    guard."""
     root = os.path.join(store_dir, "drops_log")
     if os.path.isdir(root):
-        return root, False
+        return root
     old = root + _SWAP_OLD
     if os.path.isdir(old):
-        return old, True
-    return None, False
+        return old
+    return None
 
 
 def _recover_drops_swap(store_dir: str) -> None:
@@ -252,7 +252,7 @@ def delete_metric(
     # instead of reported as drops_rows=0.
     drops_rows = 0
     drops_root = os.path.join(store_dir, "drops_log")
-    droot_read, _swap_pending = _drops_root_for_read(store_dir)
+    droot_read = _drops_root_for_read(store_dir)
     if droot_read is not None:
         if spark is None:
             raise RuntimeError(
@@ -334,6 +334,10 @@ def delete_metric(
             n.startswith("ingest_batch=") for n in os.listdir(raw_root)
         ):
             shutil.rmtree(raw_root)  # same hazard for an emptied raw root
+        # surgery is invisible in the durability metadata when no batch
+        # empties — tick the explicit epoch so resident servers
+        # (plans/serve store-epoch check) drop their pinned plans
+        store_meta.bump_store_epoch(store_dir)
 
     return EraseResult(
         raw_dirs=raw_dirs,
@@ -461,7 +465,7 @@ def rename_metric(
     # first move, so anything under `new` is our own moved history.
     drops_root = os.path.join(store_dir, "drops_log")
     drops = None
-    droot_read, _swap_pending = _drops_root_for_read(store_dir)
+    droot_read = _drops_root_for_read(store_dir)
     if droot_read is not None:
         if spark is None:
             raise RuntimeError(
@@ -469,6 +473,32 @@ def rename_metric(
                 "SparkSession so the rename can re-label it"
             )
         drops = spark.read.parquet(droot_read)
+    if resume:
+        # the journal proves the full clash check passed before the first
+        # move — but only for data that EXISTED then. Batches that
+        # appeared after the journal (the remapped ingest kept running
+        # across the crash) can hold metric=new legitimately as fresh
+        # data, and moving the remaining metric=old dirs alongside them
+        # would interleave two delta_ns chains — exactly the merge the
+        # refusal exists to prevent. The journal records which batches
+        # held the old name, so foreign new-name batches are decidable.
+        # (Journals from before this field existed carry no batch set —
+        # for those the check is skipped, the pre-r12 behavior.)
+        known = journal.get("batches_old")
+        foreign = (
+            []
+            if known is None
+            else sorted(set(_batches_holding(store_dir, new)) - set(known))
+        )
+        if foreign:
+            raise RuntimeError(
+                f"resuming rename {old!r} -> {new!r}, but batches "
+                f"{foreign} hold {new!r} and were written AFTER the "
+                "rename journal (remapped ingest ran across the crash) - "
+                "rolling forward would merge the remaining old-name "
+                "history into the fresh new-name stream; erase or "
+                "rename one side first, then delete the journal"
+            )
     if not resume:
         clashes: list[str] = []
         if _batches_holding(store_dir, new):
@@ -493,7 +523,27 @@ def rename_metric(
 
     if not dry_run:
         with open(_rename_journal_path(store_dir), "w", encoding="utf-8") as f:
-            json.dump({"old": old, "new": new}, f)
+            json.dump(
+                {
+                    "old": old,
+                    "new": new,
+                    # the batch set holding `old` NOW — a resume uses it
+                    # to tell our own half-moved dirs from batches a
+                    # still-running remapped ingest wrote after the crash.
+                    # On resume the original set is PRESERVED (unioned):
+                    # batches moved by an earlier attempt hold `new` only
+                    # and must stay known to any later resume
+                    "batches_old": sorted(
+                        {int(b) for b in _batches_holding(store_dir, old)}
+                        | (
+                            set(journal.get("batches_old", []))
+                            if resume
+                            else set()
+                        )
+                    ),
+                },
+                f,
+            )
 
     # drops_log first (same refuse-before-mutate ordering as erasure)
     drops_rows = 0
@@ -529,6 +579,7 @@ def rename_metric(
 
     if not dry_run:
         os.remove(_rename_journal_path(store_dir))
+        store_meta.bump_store_epoch(store_dir)  # see delete_metric
 
     return RenameResult(
         raw_dirs=raw_dirs, table_dirs=table_dirs, drops_rows=drops_rows

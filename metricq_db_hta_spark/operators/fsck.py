@@ -88,7 +88,9 @@ def _committed_raw(spark: SparkSession, store_dir: str) -> DataFrame:
     root = store_meta.raw_path(store_dir)
     if not os.path.isdir(root):
         raise ValueError(f"not an ingest store (no raw table): {store_dir}")
-    raw = spark.read.parquet(root)
+    from metricq_db_hta_spark.sources.rawstore import read_raw
+
+    raw = read_raw(spark, store_dir)
     committed = store_meta.committed_batches(store_dir)
     excluded = store_meta.excluded_batches_for_read(store_dir)
     keep = sorted(committed - excluded)
@@ -175,8 +177,10 @@ def check_store(
     )
     torn_raw = None
     if uncommitted:
+        from metricq_db_hta_spark.sources.rawstore import read_raw as _rr
+
         torn_raw = (
-            spark.read.parquet(store_meta.raw_path(store_dir))
+            _rr(spark, store_dir)
             .filter(
                 F.col("ingest_batch").isin([int(b) for b in uncommitted])
             )
@@ -315,12 +319,18 @@ def rebuild_levels(
     yields no rows for (stored-only "extra bucket" corruption) are
     deleted, not just skipped — dynamic overwrite alone would miss them.
 
-    Boundary-delta semantics under retention: each metric's first
-    in-scope bucket is rewritten with deltas measured from RETAINED raw
-    only (its stored value referenced an expired predecessor), i.e.
-    count/min/max/sum unchanged, integral/active_time re-measured within
-    the retained span — the same reinterpretation a fresh backfill of the
-    retained data would produce; fsck skips that bucket either way.
+    Boundary-delta semantics under retention: the recompute reads ALL
+    retained raw (including the partial floor month below the rewrite
+    scope) and clips only its OUTPUT to in-scope months, so every
+    rewritten bucket's delta-derived fields (integral/active_time) are
+    measured against the true retained predecessor — bit-equal to what
+    ``check_store`` recomputes. Only each metric's FIRST retained
+    bucket (in the unrewritten floor month) still references an expired
+    predecessor; fsck excludes exactly that bucket. COUNTER tables go
+    one better: raw persists each sample's true predecessor
+    (``prev_value``), so their rebuild keeps even pre-retention
+    increases (``hta.counter_level_rebuilt`` — lag fallback only for
+    pre-r11 rows whose files predate the column).
 
     Scale note: the extra-bucket sweep enumerates (metric, month)
     partitions driver-side — O(partitions), same cardinality as the
@@ -341,9 +351,20 @@ def rebuild_levels(
     raw_floor = floors.get("raw", 0)
     scope_lo = _ceil_month_ns(raw_floor) if raw_floor > 0 else None
     raw = _committed_raw(spark, store_dir)
-    if scope_lo is not None:
-        raw = raw.filter(F.col("ts_ns") >= scope_lo)
-    raw = raw.select("metric", "ts_ns", "value")
+    # the recompute reads ALL retained raw — including the partial floor
+    # month below scope — and only the OUTPUT is clipped to in-scope
+    # months (the write filter below). Filtering the INPUT at scope_lo
+    # (the pre-r12 behavior) re-measured each metric's first in-scope
+    # delta against nothing, diverging from the checker's retained-raw
+    # lag for data whose predecessor lives in [floor, scope_lo) —
+    # rebuild_levels produced tables its own check_store flagged.
+    if raw_floor > 0:
+        raw = raw.filter(F.col("ts_ns") >= raw_floor)
+    # prev_value rides along for the counter rebuild: the stored chain is
+    # lossless where present (a metric's first retained row keeps its
+    # true pre-retention predecessor), so repairing counters from a
+    # lag-only recompute would NULL increases raw demonstrably still holds
+    raw = raw.select("metric", "ts_ns", "value", "prev_value")
 
     rewritten: dict[str, int] = {}
     for name in sorted(os.listdir(store_dir)):
@@ -359,7 +380,10 @@ def rebuild_levels(
                 raw, w, lo=hist_lo, hi=hist_hi, bins=hist_bins
             )
         else:
-            expected = hta.counter_level_recomputed(raw, w)
+            # coalesce(stored prev_value, in-scope lag): lossless where
+            # the column exists, lag fallback for pre-r11 rows — see
+            # hta.counter_level_rebuilt
+            expected = hta.counter_level_rebuilt(raw, w)
         out = expected.withColumn(
             "bucket_month",
             F.trunc(
@@ -374,6 +398,11 @@ def rebuild_levels(
                 "month",
             ),
         )
+        if scope_lo is not None:
+            # below-scope months keep their stored rows — the retained
+            # only-copy of partially-expired history (tiering contract);
+            # the recompute's rows for them exist only as lag context
+            out = out.filter(F.col("bucket_start_ns") >= scope_lo)
         (
             out.repartition("metric", "bucket_month")
             .write.mode("overwrite")
@@ -402,6 +431,9 @@ def rebuild_levels(
                 if (metric, d) not in produced:
                     _rmtree_strict(tpath)
         rewritten[name] = n
+    # level rewrites are invisible in the durability metadata — tick the
+    # epoch so resident servers drop plans pinned to the old files
+    store_meta.bump_store_epoch(store_dir)
     return rewritten
 
 

@@ -363,6 +363,29 @@ def counter_level_recomputed(
     return _counter_agg(counter_increase(raw), width_ns)
 
 
+def counter_level_rebuilt(
+    raw: DataFrame, width_ns: int = DEFAULT_WIDTH_NS
+) -> DataFrame:
+    """The REPAIR form (``fsck.rebuild_levels``): baseline per sample is
+    ``coalesce(stored prev_value, in-scope lag)``. Where the store
+    persisted ``prev_value`` (r11+) the stored chain is authoritative and
+    LOSSLESS — a metric's first retained row keeps its true cross-seam /
+    pre-retention predecessor instead of being nulled by a scope-bounded
+    lag (r12 review finding); where the column predates r11 (NULL
+    mid-stream) the lag recompute is the only information there is. The
+    two NULL meanings compose: a genuine first-ever sample has NULL in
+    both, so the coalesce stays NULL — the correct no-measured-interval
+    record."""
+    if "prev_value" not in raw.columns:
+        raw = raw.withColumn("prev_value", F.lit(None).cast("double"))
+    w = Window.partitionBy("metric").orderBy("ts_ns")
+    hybrid = raw.withColumn(
+        "prev_value",
+        F.coalesce(F.col("prev_value"), F.lag("value", 1).over(w)),
+    )
+    return _counter_agg(counter_increase_stored(hybrid), width_ns)
+
+
 def _counter_agg(inc: DataFrame, width_ns: int) -> DataFrame:
     return inc.groupBy(
         "metric",

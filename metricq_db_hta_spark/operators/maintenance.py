@@ -68,19 +68,12 @@ from pyspark.sql import functions as F
 
 from metricq_db_hta_spark.streaming import store_meta
 
-RAW_COLS = ["metric", "ts_ns", "value", "event_id", "delta_ns", "prev_value"]
-
-
-def _raw_col_exprs(df) -> list:
-    """Tolerant RAW_COLS select: a pre-r11 store has no ``prev_value``
-    column; compacting it must not fail (nor invent values) — the column
-    synthesizes to NULL, the same under-count rule the readers apply."""
-    return [
-        F.col(c)
-        if c in df.columns
-        else F.lit(None).cast("double").alias(c)
-        for c in RAW_COLS
-    ]
+# the raw column list + tolerant select live with the pinned reader
+# (sources/rawstore.py) — one owner for the raw schema end to end
+from metricq_db_hta_spark.sources.rawstore import (  # noqa: E402
+    RAW_COLS,
+    raw_col_exprs as _raw_col_exprs,
+)
 
 
 @dataclass(frozen=True)
@@ -192,8 +185,10 @@ def compact_raw(
     plan = plan_compaction(store_dir, min_batches=min_batches)
     if plan is None:
         return None
+    from metricq_db_hta_spark.sources.rawstore import read_raw
+
     raw_root = store_meta.raw_path(store_dir)
-    raw = spark.read.parquet(raw_root)
+    raw = read_raw(spark, store_dir)
     tcol = "ts_date" if "ts_date" in raw.columns else "ts_month"
     src = raw.filter(F.col("ingest_batch").isin(plan.sources))
     n_src_rows = src.count()  # parquet footer counts: no data pages read
@@ -247,7 +242,7 @@ def compact_raw(
         )
         # verification barrier before any delete becomes possible
         dest_rows = (
-            spark.read.parquet(raw_root)
+            read_raw(spark, store_dir)
             .filter(F.col("ingest_batch") == plan.dest)
             .count()
         )

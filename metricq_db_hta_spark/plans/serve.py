@@ -39,6 +39,16 @@ failure (the handler.failed contract — a bad request never kills the
 service). ``refresh`` re-lists the store so data appended by a concurrent
 ingest becomes visible (Parquet DataFrames pin their file listing at
 creation).
+
+Store-mutation contract (r12): a resident server's relations AND its
+prepared-plan cache pin the store state they were built against. Every
+request therefore checks the store epoch — a stat-only composite of the
+commit marker, retention floors, retired ledger and the surgery tick
+(``store_meta.store_epoch``) — and auto-refreshes when it moved, so
+ingest commits, ``retain``, ``compact``, ``delete-metric``/
+``rename-metric`` and ``rebuild-levels`` become visible without a manual
+``refresh``. The explicit ``refresh`` request remains for out-of-band
+mutations the epoch cannot see (e.g. hand-editing parquet files).
 """
 
 from __future__ import annotations
@@ -142,7 +152,9 @@ def build_history_service(
 
         raw = read_raw_snapshot(spark, store)
     else:
-        raw = spark.read.parquet(os.path.join(store, "raw"))
+        from metricq_db_hta_spark.sources.rawstore import read_raw
+
+        raw = read_raw(spark, store)
         excluded = store_meta.excluded_batches_for_read(store)
         if excluded:
             raw = raw.filter(
@@ -225,6 +237,12 @@ class HistoryServer:
         self.snapshot = snapshot
         if static_plans:
             spark.conf.set("spark.sql.adaptive.enabled", "false")
+        from metricq_db_hta_spark.streaming import store_meta as _sm
+
+        # epoch captured BEFORE the relations are built (same ordering
+        # as _do_refresh): a mutation landing mid-build triggers an
+        # auto-refresh on the first request instead of being missed
+        self._epoch = _sm.store_epoch(store)
         self._svc = self._build()
         self._hists = self._discover_tables("hist")
         self._counters = self._discover_tables("counter")
@@ -256,6 +274,13 @@ class HistoryServer:
         # relations cannot reinstate it after the refresh cleared the
         # cache (the put is dropped instead — see _plan_put)
         self._plan_gen = 0
+        # store-mutation clock: every request compares the store's
+        # current epoch (4 stat calls — store_meta.store_epoch) against
+        # the one its relations were built at and auto-refreshes on
+        # change, so retain/erase/rename/compact/ingest commits become
+        # visible without a manual refresh; the lock serializes
+        # concurrent handler threads detecting the same change
+        self._refresh_lock = threading.Lock()
 
     def _record(self, rtype: str, dt_s: float, rows: int, error: bool) -> None:
         with self._stats_lock:
@@ -339,6 +364,41 @@ class HistoryServer:
         return build_history_service(
             self.spark, self.store, self.widths, snapshot=self.snapshot
         )
+
+    def _do_refresh(self) -> None:
+        """Re-list the store and drop every prepared plan — the single
+        consistency point at which appended batches, retention floors,
+        surgery and level rebuilds become visible. Caller holds
+        ``_refresh_lock``."""
+        from metricq_db_hta_spark.streaming import store_meta as _sm
+
+        # capture BEFORE re-listing: a mutation landing mid-refresh makes
+        # the next request refresh again rather than being missed
+        epoch = _sm.store_epoch(self.store)
+        self._svc = self._build()
+        self._hists = self._discover_tables("hist")
+        self._counters = self._discover_tables("counter")
+        self._floors = self._read_floors()
+        self._counter_gaps = self._counter_coverage()
+        self._epoch = epoch
+        with self._plan_lock:
+            self._plans.clear()
+            self._plan_gen += 1
+
+    def _maybe_auto_refresh(self) -> None:
+        """The store-mutation/refresh contract, automated: if the store's
+        epoch moved since this server's relations were built (ingest
+        commit, retention pass, compaction retire, erase/rename/rebuild
+        tick), refresh before serving — a prepared plan pins its parquet
+        file listing, so serving across a mutation would return stale or
+        vanished files. Cost on the hot path: four stat calls."""
+        from metricq_db_hta_spark.streaming import store_meta as _sm
+
+        if _sm.store_epoch(self.store) == self._epoch:
+            return
+        with self._refresh_lock:
+            if _sm.store_epoch(self.store) != self._epoch:
+                self._do_refresh()
 
     def _counter_coverage(self) -> dict[int, dict[str, list[tuple[int, int]]]]:
         """Per-width, per-metric month spans that raw holds but the
@@ -427,15 +487,10 @@ class HistoryServer:
         try:
             rtype = req["type"]
             if rtype == "refresh":
-                self._svc = self._build()
-                self._hists = self._discover_tables("hist")
-                self._counters = self._discover_tables("counter")
-                self._floors = self._read_floors()
-                self._counter_gaps = self._counter_coverage()
-                with self._plan_lock:
-                    self._plans.clear()
-                    self._plan_gen += 1
+                with self._refresh_lock:
+                    self._do_refresh()
                 return {"rows": [], "n": 0}
+            self._maybe_auto_refresh()
             # prepared-plan fast path: an identical request re-executes
             # its cached (already-planned) DataFrame — no Catalyst, no
             # plan rebuild. Only requests that reached the common
@@ -645,6 +700,15 @@ class HistoryServer:
                         "(full-history increases from the persisted "
                         f"prev_value chain): {attribution!r}"
                     }
+                # maintained counter widths dividing the request, widest
+                # first — the ONE width-selection rule for both
+                # attributions (computed once; the leveled fast path
+                # below additionally filters it by coverage)
+                cw = [
+                    w
+                    for w in sorted(self._counters, reverse=True)
+                    if width % w == 0
+                ]
                 if attribution == "stored":
                     # full-history-exact increases served from the
                     # counter level tables; bucket-aligned history stays
@@ -654,11 +718,6 @@ class HistoryServer:
                     # the sub-bucket edge slivers (reported as gaps).
                     # Works for both the single-metric and fleet (glob)
                     # forms — the level sums merge across metrics too.
-                    cw = [
-                        w
-                        for w in sorted(self._counters, reverse=True)
-                        if width % w == 0
-                    ]
                     if not cw:
                         return {
                             "error": "attribution=stored needs a "
@@ -703,23 +762,23 @@ class HistoryServer:
                 # enabled on a store with pre-existing history) is
                 # skipped — the raw fallback stays correct, and
                 # ``fsck rebuild-levels`` restores the fast path.
-                cw = [
-                    w
-                    for w in sorted(self._counters, reverse=True)
-                    if width % w == 0
-                    and not self._coverage_spans(w, metric, None, start, end)
-                ]
-                if df_done:
-                    pass
-                elif cw:
-                    df = self._svc.counter_rate_timeline_leveled(
-                        self._counters[cw[0]], cw[0], metric, start, end,
-                        width,
-                    )
-                else:
-                    df = self._svc.counter_rate_timeline(
-                        metric, start, end, width
-                    )
+                if not df_done:
+                    cw_cov = [
+                        w
+                        for w in cw
+                        if not self._coverage_spans(
+                            w, metric, None, start, end
+                        )
+                    ]
+                    if cw_cov:
+                        df = self._svc.counter_rate_timeline_leveled(
+                            self._counters[cw_cov[0]], cw_cov[0], metric,
+                            start, end, width,
+                        )
+                    else:
+                        df = self._svc.counter_rate_timeline(
+                            metric, start, end, width
+                        )
             elif rtype == "histogram_percentile":
                 if not self._hists:
                     return {

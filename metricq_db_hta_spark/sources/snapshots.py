@@ -55,9 +55,8 @@ def read_raw_snapshot(spark: SparkSession, store_dir: str) -> DataFrame:
                 "is gone - vacuum grace shorter than reader staleness?"
             )
         paths.append(d)
-    # basePath keeps the ingest_batch/metric/time partition columns in
-    # the schema even though we enumerate leaf dirs explicitly
-    return (
-        spark.read.option("basePath", store_meta.raw_path(store_dir))
-        .parquet(*paths)
-    )
+    # schema-pinned read (sources/rawstore.py): basePath keeps the
+    # partition columns even though we enumerate leaf dirs explicitly
+    from metricq_db_hta_spark.sources.rawstore import read_raw
+
+    return read_raw(spark, store_dir, paths=paths)

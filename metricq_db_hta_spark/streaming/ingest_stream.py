@@ -107,20 +107,12 @@ BUCKET_STATE_SCHEMA = StructType([StructField("wm_blob", BinaryType())])
 
 def _raw_cols(df: DataFrame) -> list:
     """Raw-table column list: the kept-sample schema minus the drop
-    counters. ``prev_value`` synthesizes to NULL when the input predates
-    the column (pre-r11 raw), so every consumer sees one schema."""
-    cols = [
-        F.col("metric"),
-        F.col("ts_ns"),
-        F.col("value"),
-        F.col("event_id"),
-        F.col("delta_ns"),
-    ]
-    if "prev_value" in df.columns:
-        cols.append(F.col("prev_value"))
-    else:
-        cols.append(F.lit(None).cast("double").alias("prev_value"))
-    return cols
+    counters — the shared tolerant select (sources/rawstore.py), which
+    synthesizes ``prev_value`` to NULL when the input predates the
+    column, so every consumer sees one schema."""
+    from metricq_db_hta_spark.sources.rawstore import raw_col_exprs
+
+    return raw_col_exprs(df)
 
 
 def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
@@ -555,7 +547,9 @@ class StreamingIngest:
         double-count level recomputes and watermark seeds). No filter is
         added when nothing is retired, keeping the common-case plan
         byte-identical to a bare read."""
-        raw = self.spark.read.parquet(self.raw_path)
+        from metricq_db_hta_spark.sources.rawstore import read_raw
+
+        raw = read_raw(self.spark, self.store)
         retired = store_meta.retired_batches(self.store)
         if retired:
             raw = raw.filter(
@@ -601,7 +595,9 @@ class StreamingIngest:
         )
         if not suspect:
             return set()
-        raw = self.spark.read.parquet(self.raw_path)
+        from metricq_db_hta_spark.sources.rawstore import read_raw
+
+        raw = read_raw(self.spark, self.store)
         kept = raw.filter(F.col("ingest_batch").isin([int(b) for b in suspect]))
         kept = kept.select(*_raw_cols(kept))
         if not kept.isEmpty():

@@ -407,3 +407,51 @@ def counter_coverage_gaps(
                 spans.append((lo, hi))
         gaps[metric] = spans
     return gaps
+
+
+# -- store epoch (mutation clock for resident readers) -----------------------
+
+
+def epoch_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "_epoch")
+
+
+def bump_store_epoch(store_dir: str) -> int:
+    """Advance the explicit surgery tick. Called by mutators whose work
+    is INVISIBLE in the other metadata files a reader can stat — metric
+    erase/rename (when no batch empties, they only rewrite data dirs)
+    and level rebuilds. Writers that already move the commit marker /
+    retention floors / retired ledger don't need it: ``store_epoch``
+    folds those files' stat signatures in."""
+    try:
+        with open(epoch_path(store_dir)) as f:
+            n = int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        n = 0
+    n += 1
+    tmp = epoch_path(store_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(n))
+    os.replace(tmp, epoch_path(store_dir))
+    return n
+
+
+def store_epoch(store_dir: str) -> tuple:
+    """Cheap composite mutation stamp: changes whenever committed data,
+    retention floors, the retired ledger, or the surgery tick change —
+    i.e. whenever a resident server's pinned relations and prepared
+    plans may be stale. Four stat calls, no file reads; compare tuples
+    for equality only."""
+    sig = []
+    for p in (
+        marker_path(store_dir),
+        os.path.join(store_dir, "_retention.json"),
+        retired_path(store_dir),
+        epoch_path(store_dir),
+    ):
+        try:
+            st = os.stat(p)
+            sig.append((st.st_mtime_ns, st.st_size))
+        except FileNotFoundError:
+            sig.append(None)
+    return tuple(sig)

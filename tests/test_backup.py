@@ -93,3 +93,35 @@ def test_backup_refusals(spark, committed_store, tmp_path):
         backup.backup_store(store, dest)
     with pytest.raises(ValueError, match="no snapshot"):
         backup.backup_store(str(tmp_path / "not_a_store"), str(tmp_path / "x"))
+
+
+def test_backup_captures_drops_log_through_torn_swap(
+    spark, committed_store, tmp_path
+):
+    """A store crashed between _swap_drops' rename-out and rename-in
+    holds drops_log only as ``drops_log.swap_old``; the backup must
+    still capture it (under the live name — the copy is clean), not
+    silently produce a store with no drops_log (r12 review)."""
+    store, svc, src = committed_store
+    # give the store a drops_log: one stale streaming row
+    top = max(r[0] for r in src.select("ts_ns").collect())
+    chunk = tmp_path / "in_swapchunk"
+    chunk.mkdir()
+    spark.createDataFrame(
+        [("click", 1, 9.9, 10**6), ("click", top + W0, 1.0, 10**6 + 1)],
+        "metric string, ts_ns long, value double, event_id long",
+    ).coalesce(1).write.parquet(str(chunk / "c"))
+    svc.run_until_drained(str(chunk))
+    droot = os.path.join(store, "drops_log")
+    want = spark.read.parquet(droot).count()
+    assert want > 0
+
+    os.rename(droot, droot + ".swap_old")  # the torn-swap crash window
+    try:
+        dest = str(tmp_path / "bak_swap")
+        res = backup.backup_store(store, dest)
+        assert "drops_log" in res.tables
+        got = spark.read.parquet(os.path.join(dest, "drops_log")).count()
+        assert got == want
+    finally:
+        os.rename(droot + ".swap_old", droot)

@@ -595,3 +595,65 @@ def test_counter_coverage_guard_on_late_enablement(spark, sf_dir, tmp_path):
         }
     )
     assert stored2["uncovered"] == []
+
+
+def test_rebuild_levels_preserves_stored_counter_chain(
+    spark, sf_dir, tmp_path
+):
+    """rebuild_levels must repair counter tables LOSSLESSLY where raw
+    still holds the truth (r12 review): a metric's first in-scope sample
+    carries its true predecessor in the stored prev_value column (here: a
+    backfill seam two months back), so the rebuilt bucket keeps the
+    cross-seam increase instead of being nulled by a scope-bounded lag.
+    Bit-equal to the cascade-written table, and fsck stays green."""
+    from metricq_db_hta_spark import operators
+    from metricq_db_hta_spark.operators.fsck import check_store, rebuild_levels
+    from metricq_db_hta_spark.operators.retention import (
+        RetentionPolicy,
+        expire,
+        retention_floors,
+    )
+
+    src = samples(spark, sf_dir).orderBy("event_id").limit(800)
+    rows = src.collect()
+    half = len(rows) // 2
+    early = spark.createDataFrame(rows[:half], schema=src.schema)
+    shift = 60 * 86_400 * 1_000_000_000
+    late = spark.createDataFrame(rows[half:], schema=src.schema).withColumn(
+        "ts_ns", (F.col("ts_ns") + F.lit(shift)).cast("long")
+    )
+    store = str(tmp_path / "store_rebuild_chain")
+    svc = StreamingIngest(
+        spark, store, level_widths_ns=(W0,), counter_widths_ns=(W0,),
+        raw_partition="day",
+    )
+    svc.backfill(early)
+    svc.backfill(late)  # seam: late's first sample per metric measures
+    #                      against early's stored last value
+
+    # retention floor INSIDE month 1: rebuild scope starts at month 2,
+    # where the first in-scope rows' predecessors live below scope
+    ts = sorted(r[0] for r in spark.read.parquet(f"{store}/raw").select("ts_ns").collect())
+    lo, hi = ts[0], ts[-1]
+    now = hi + 10 * W0
+    expire(
+        store, RetentionPolicy(raw_max_age_ns=now - (lo + 3 * 86_400 * 10**9)),
+        now_ns=now,
+    )
+    assert retention_floors(store)["raw"] > lo
+
+    def snap():
+        return {
+            (r["metric"], r["bucket_start_ns"]): (
+                r["increase_sum"], r["n_resets"]
+            )
+            for r in spark.read.parquet(f"{store}/counter_{W0}")
+            .drop("bucket_month")
+            .collect()
+        }
+
+    want = snap()
+    rebuild_levels(spark, store)
+    got = snap()
+    assert got == want, "rebuild changed the stored counter chain"
+    assert check_store(spark, store).ok

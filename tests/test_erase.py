@@ -612,3 +612,58 @@ def test_fsck_ignores_retired_batches(spark, sf_dir, tmp_path):
     # was checked (n_checked == stored bucket count)
     lvl = spark.read.parquet(os.path.join(store, f"level_{W0}"))
     assert rep.levels[0].n_checked == lvl.count()
+
+
+def test_rename_resume_refuses_foreign_new_name_batches(spark, erase_store):
+    """A rename crash-resumed AFTER the remapped ingest kept writing the
+    NEW name (r12 review): the journal's recorded batch set tells our
+    own half-moved dirs from fresh new-name batches — rolling forward
+    over the latter would merge two delta_ns chains, so the resume
+    refuses with both sides named."""
+    import json
+
+    from metricq_db_hta_spark.operators.erase import (
+        _escape_partition_value,
+        _rename_journal_path,
+        rename_metric,
+    )
+
+    store, _svc, src = erase_store
+
+    # a REAL journal (as the current code writes it): run the rename but
+    # crash it after the journal + one moved dir, by reproducing those
+    # two steps by hand with the recorded batch set included
+    holding = sorted(
+        int(b)
+        for b in store_meta.raw_batches_on_disk(store)
+        if os.path.isdir(
+            os.path.join(
+                store_meta.batch_dir(store, b),
+                "metric=" + _escape_partition_value("view"),
+            )
+        )
+    )
+    assert holding
+    with open(_rename_journal_path(store), "w", encoding="utf-8") as f:
+        json.dump(
+            {"old": "view", "new": "view2", "batches_old": holding}, f
+        )
+    new_dirname = "metric=" + _escape_partition_value("view2")
+    first = _metric_dirs(store, "view")[0]
+    os.rename(first, os.path.join(os.path.dirname(first), new_dirname))
+
+    # the remapped ingest commits a FRESH batch under the new name
+    # across the crash window
+    top = max(r[0] for r in src.select("ts_ns").collect())
+    StreamingIngest(spark, store, level_widths_ns=(W0,)).backfill(
+        spark.createDataFrame(
+            [("view2", top + 5 * W0, 1.0, 10**7)],
+            "metric string, ts_ns long, value double, event_id long",
+        )
+    )
+
+    with pytest.raises(RuntimeError, match="AFTER the rename journal"):
+        rename_metric(store, "view", "view2", spark=spark)
+    # the half-moved state is untouched by the refusal
+    assert _metric_dirs(store, "view")
+    assert os.path.exists(_rename_journal_path(store))

@@ -640,3 +640,71 @@ def test_plan_cache_repeats_and_refresh_invalidates(spark, sf_dir, tmp_path):
     stats = srv.handle({"type": "stats"})
     agg_row = [r for r in stats["rows"] if r["type"] == "aggregate"][0]
     assert agg_row["plan_hits"] == 1 and agg_row["n"] == 3
+
+
+def test_store_epoch_auto_refresh(spark, sf_dir, tmp_path):
+    """The store-mutation contract, automated (r11 VERDICT #5): a
+    resident server picks up ingest commits, retention floors, and
+    metric surgery WITHOUT an explicit refresh — every request checks
+    the store epoch (stat-only) and re-lists on change, dropping its
+    prepared plans."""
+    from metricq_db_hta_spark.operators.erase import delete_metric
+    from metricq_db_hta_spark.operators.retention import (
+        RetentionPolicy,
+        expire,
+    )
+
+    src = samples(spark, sf_dir).orderBy("event_id").limit(600)
+    rows = src.collect()
+    half = len(rows) // 2
+    store = str(tmp_path / "store_epoch")
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc.backfill(spark.createDataFrame(rows[:half], schema=src.schema))
+
+    srv = HistoryServer(spark, store, [W0])
+    req = {"type": "aggregate", "metric": "click"}
+    first = srv.handle(req)
+    assert first.get("n") == 1
+
+    # (a) ingest commit: the same request sees the appended history with
+    # no refresh call — the commit marker moved the epoch
+    svc.backfill(spark.createDataFrame(rows[half:], schema=src.schema))
+    second = srv.handle(req)
+    assert second["rows"][0]["count"] > first["rows"][0]["count"]
+
+    # (b) retention pass: the advertised floor is picked up (clamped
+    # response) with no refresh — _retention.json moved the epoch
+    ts = sorted(
+        r[0]
+        for r in spark.read.parquet(f"{store}/raw")
+        .select("ts_ns")
+        .collect()
+    )
+    lo, hi = ts[0], ts[-1]
+    now = hi + 10 * W0
+    expire(
+        store,
+        RetentionPolicy(
+            raw_max_age_ns=now - (lo + (hi - lo) // 2),
+            level_max_age_ns={},
+        ),
+        now_ns=now,
+    )
+    from metricq_db_hta_spark.operators.retention import retention_floors
+
+    floor = retention_floors(store)["raw"]
+    clamped = srv.handle(
+        {
+            "type": "flex_timeline", "metric": "click",
+            "start_ns": 0, "end_ns": hi + 1,
+            "interval_max_ns": 1,  # raw fallthrough -> raw floor applies
+        }
+    )
+    assert clamped.get("clamped_start_ns") == floor, clamped
+
+    # (c) metric surgery: delete_metric ticks the explicit epoch even
+    # when no batch empties; the served metric vanishes with no refresh
+    gone = delete_metric(store, "click", spark=spark)
+    assert gone.raw_dirs > 0
+    after = srv.handle(req)
+    assert after.get("n", 0) == 0, after
