@@ -75,6 +75,29 @@ def sf1_cache_dir(sf_dir: str, reps: int = REPS) -> str:
     return d
 
 
+def prewarm_files(data_dir: str) -> int:
+    """Read every data file under ``data_dir`` into the OS page cache and
+    return the byte count. Measurement-protocol pin (VERDICT r11 #4): the
+    sf3/sf10 ratio swung 2x between rounds purely on whether the replica
+    files happened to be page-cache-warm (a round that re-built them had
+    warmed them; a round that reused them had not warmed DuckDB's reads).
+    Pre-warming BOTH engines' input deterministically (warm-warm) makes
+    per-round denominators comparable; recorded as cache_protocol in
+    SCALE_SWEEP.json."""
+    n = 0
+    buf = bytearray(1 << 20)
+    for dirpath, _dirs, files in os.walk(data_dir):
+        for fname in files:
+            p = os.path.join(dirpath, fname)
+            with open(p, "rb", buffering=0) as f:
+                while True:
+                    got = f.readinto(buf)
+                    if not got:
+                        break
+                    n += got
+    return n
+
+
 def build_sf1(sf_dir: str) -> str:
     return build_replica(sf_dir, REPS)
 
@@ -340,6 +363,10 @@ def main() -> None:
     if sf1_enabled:
         try:
             big_dir = build_sf1(sf_dir)
+            # warm-warm cache protocol (VERDICT r11 #4): both engines read
+            # page-cache-warm files every round, whether the replica was
+            # just built or reused — denominators stay comparable
+            prewarm_files(big_dir)
             sf1_cold, sf1_resident, sf1_spread = time_spark(spark, names, big_dir)
             sf1_duck = time_duckdb(names, big_dir)
         except Exception as e:  # noqa: BLE001 — fall back to sf0.1-only
@@ -622,6 +649,7 @@ def main() -> None:
             "ingest_serve/counter_serve read ingest-time derived layouts "
             "(sources/derived.py); duckdb recomputes from flat parquet"
         )
+        out["cache_protocol"] = "warm-warm (prewarm_files before engines)"
         # the measured ratio-vs-scale curve (scripts/scale_sweep.py, full
         # 14-query set, same replication recipe): surfaced on the summary
         # line so the per-round artifact records where the 2x bar is met

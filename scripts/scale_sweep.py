@@ -58,6 +58,8 @@ def main() -> int:
         sf_label = f"sf{reps / 10:g}"
         print(f"== building {sf_label} ({reps}x {args.sf_dir}) ==", flush=True)
         data_dir = bench.build_replica(args.sf_dir, reps)
+        nb = bench.prewarm_files(data_dir)  # warm-warm cache protocol
+        print(f"== prewarmed {nb/1e9:.2f} GB ==", flush=True)
         print(f"== spark {sf_label} ==", flush=True)
         cold, resident, spread = bench.time_spark(
             spark, names, data_dir, resident_sweeps=args.sweeps
@@ -80,6 +82,8 @@ def main() -> int:
         tot_d = round(sum(duck.values()), 3)
         result[sf_label] = {
             "reps": reps,
+            "cache_protocol": "warm-warm: every replica file read into "
+            "the page cache before either engine runs (bench.prewarm_files)",
             "queries": entry,
             "total_cold": tot_c,
             "total_resident": tot_r,
