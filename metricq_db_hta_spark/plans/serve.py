@@ -46,7 +46,7 @@ request therefore checks the store epoch — a stat-only composite of the
 commit marker, retention floors, retired ledger and the surgery tick
 (``store_meta.store_epoch``) — and auto-refreshes when it moved, so
 ingest commits, ``retain``, ``compact``, ``delete-metric``/
-``rename-metric`` and ``rebuild-levels`` become visible without a manual
+``rename-metric`` and ``fsck --repair`` level rebuilds become visible without a manual
 ``refresh``. The explicit ``refresh`` request remains for out-of-band
 mutations the epoch cannot see (e.g. hand-editing parquet files).
 """
@@ -403,7 +403,7 @@ class HistoryServer:
     def _counter_coverage(self) -> dict[int, dict[str, list[tuple[int, int]]]]:
         """Per-width, per-metric month spans that raw holds but the
         counter level table does not (counter levels enabled on a store
-        with pre-existing history — healed by ``fsck rebuild-levels``).
+        with pre-existing history — healed by ``fsck --repair``).
         Computed from the directory layout at build/refresh time (one
         raw walk shared across widths, no data scan); empty on a healthy
         store, so the per-request guard below is a dict lookup."""
@@ -761,7 +761,7 @@ class HistoryServer:
                 # counter table MISSES months raw holds in-range (levels
                 # enabled on a store with pre-existing history) is
                 # skipped — the raw fallback stays correct, and
-                # ``fsck rebuild-levels`` restores the fast path.
+                # ``fsck --repair`` restores the fast path.
                 if not df_done:
                     cw_cov = [
                         w
