@@ -2,7 +2,7 @@
 
 * brute_force_topk — exact top-k cosine for a bounded query set: the
   queries ship to every corpus partition, scoring is Arrow-vectorized
-  (mapInPandas) with per-batch partial top-k, and only |partitions| x
+  (mapInArrow) with per-batch partial top-k, and only |partitions| x
   |q| x k candidates reach the final ranking shuffle. This is the
   correctness baseline AND the scan shape you want at 100 TB — cost is
   |queries| x |corpus| FLOPs but |pairs| never materializes as rows.
@@ -177,7 +177,7 @@ def brute_force_topk(
 
     Scale architecture (the 100 TB shape): the bounded query set (see
     MAX_COLLECTED_QUERIES) is shipped to every corpus partition, scoring
-    runs Arrow-vectorized inside ``mapInPandas`` with a per-batch partial
+    runs Arrow-vectorized inside ``mapInArrow`` with a per-batch partial
     top-k, so at most |partitions| x |q| x k candidate rows — not |pairs|
     — reach the single tiny final ranking shuffle. Per-pair float ops are
     the same left-fold sequence as DuckDB's ``list_dot_product``, so
@@ -185,6 +185,11 @@ def brute_force_topk(
     to the former flat-codegen broadcast-join path, which this replaced
     after measuring 1.105 s vs 0.409 s at sf0.1 — the 64-term codegen
     expression never got hot enough for HotSpot to JIT at 16k pairs).
+    mapInArrow rather than mapInPandas (r12): the corpus matrix is built
+    by ONE fancy-indexed gather from the Arrow list column's flat values
+    buffer instead of pandas materializing 160k per-row ndarray objects
+    and a Python loop re-stacking them — the float32 -> float64 widening
+    is exact, so the scored doubles are bit-identical to the pandas path.
 
     ``dim`` is used only as a fallback width when every query vector is
     NULL; otherwise the vectorized path infers width from the data.
@@ -196,7 +201,6 @@ def brute_force_topk(
     ``_guarded_sim``'s zero-norm branch on the join path.
     """
     import numpy as np
-    import pandas as pd
 
     integral = {"tinyint", "smallint", "int", "bigint"}
     for side, frame in (("corpus", corpus), ("queries", queries)):
@@ -241,38 +245,56 @@ def brute_force_topk(
     ) if qdim else np.zeros(len(qrows))
 
     def score(batches):
-        for pdf in batches:
-            if not len(pdf):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            vlist = list(pdf[vec_col])
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            la = rb.column(1)
+            # list<float32|float64> taken apart buffer-wise: per-row
+            # lengths (NULL rows -> 0), one flat values array excluding
+            # NULL entries' slots (list_flatten respects validity), and
+            # row starts as the running sum — slice-offset-safe without
+            # touching raw offset buffers.
+            lens = pc.fill_null(
+                pc.list_value_length(la).cast(pa.int64()), 0
+            ).to_numpy(zero_copy_only=False)
+            flat = pc.list_flatten(la).to_numpy(zero_copy_only=False)
+            starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+            if la.null_count:
+                notnull = pc.is_valid(la).to_numpy(zero_copy_only=False)
+            else:
+                notnull = np.ones(n, dtype=bool)
             # qdim == 0 (every query vector NULL and no dim fallback):
             # zero-length corpus vectors would otherwise pass the length
             # check, making A an (m, 0) matrix whose A[:, 0] accumulation
             # raises — mark everything invalid so vidx stays empty and
             # the documented sim = 0.0 path applies uniformly.
             valid = (
-                np.array(
-                    [v is not None and len(v) == qdim for v in vlist],
-                    dtype=bool,
-                )
+                notnull & (lens == qdim)
                 if qdim
-                else np.zeros(len(vlist), dtype=bool)
+                else np.zeros(n, dtype=bool)
             )
             vidx = np.nonzero(valid)[0]
-            nc = np.zeros(len(vlist))
+            nc = np.zeros(n)
             A = None
             if len(vidx):
-                A = np.array(
-                    [np.asarray(vlist[i], dtype=np.float64) for i in vidx]
-                )
+                # ONE gather builds the (m, qdim) matrix; float32 ->
+                # float64 widening is exact, so scores are bit-identical
+                # to a per-row float64 conversion
+                A = flat[
+                    starts[vidx][:, None] + np.arange(qdim)
+                ].astype(np.float64, copy=False)
                 acc = A[:, 0] * A[:, 0]
                 for i in range(1, A.shape[1]):
                     acc = acc + A[:, i] * A[:, i]
                 nc[vidx] = np.sqrt(acc)
             out_q, out_id, out_sim = [], [], []
             for j in range(len(Q)):
-                d = np.zeros(len(vlist))
+                d = np.zeros(n)
                 if A is not None:
                     d[vidx] = _leftfold_dots(A, Q[j])
                 with np.errstate(invalid="ignore", divide="ignore"):
@@ -289,15 +311,18 @@ def brute_force_topk(
                 out_q.extend([qids[j]] * len(sel))
                 out_id.extend(ids[sel])
                 out_sim.extend(sim[sel])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.array(out_q, dtype=np.int64),
-                    id_col: np.array(out_id, dtype=np.int64),
-                    "sim": np.array(out_sim, dtype=np.float64),
-                }
+            yield pa.record_batch(
+                [
+                    pa.array(np.array(out_q, dtype=np.int64), type=pa.int64()),
+                    pa.array(np.array(out_id, dtype=np.int64), type=pa.int64()),
+                    pa.array(
+                        np.array(out_sim, dtype=np.float64), type=pa.float64()
+                    ),
+                ],
+                names=["query_id", id_col, "sim"],
             )
 
-    cand = _python_stage_coalesce(corpus.select(id_col, vec_col)).mapInPandas(
+    cand = _python_stage_coalesce(corpus.select(id_col, vec_col)).mapInArrow(
         score, f"query_id long, {id_col} long, sim double"
     )
     return _ranked(cand, k, cand_id=id_col)
