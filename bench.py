@@ -31,9 +31,34 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame
+
 from metricq_db_hta_spark import get_spark
 from metricq_db_hta_spark.queries import REGISTRY
 from metricq_db_hta_spark.sources.tables import TABLES, load_table
+
+
+def _reexecute(spark, df):
+    """A fresh ``QueryExecution`` over ``df``'s ANALYZED logical plan.
+
+    The honest resident re-execution form (r12). Re-collecting the SAME
+    Dataset does NOT re-run the pipeline: each exchange caches its
+    shuffle RDD on the physical plan object, so a second action skips
+    every map stage (measured: 0.35 s vs 0.85 s for a 20M-row shuffle —
+    stage reuse, not speed). ``Dataset.ofRows`` over the kept analyzed
+    plan builds a fresh physical plan — full optimization, fresh shuffle
+    dependencies, the whole pipeline runs — while skipping exactly what
+    a resident server skips per request: py4j logical-plan construction
+    and Catalyst analysis. Falls back to None if the internal API moves;
+    callers then rebuild via the registry (cold-shaped, still honest).
+    """
+    try:
+        jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, df._jdf.queryExecution().analyzed()
+        )
+        return DataFrame(jdf, spark)
+    except Exception:  # noqa: BLE001 — internal API; rebuild instead
+        return None
 
 #: sf1 replica recipe version — bump when the replication recipe changes so
 #: a stale /tmp cache from an older recipe is never measured. The cache dir
@@ -255,21 +280,35 @@ def _static_plan_policy(spark, spec):
             spark.conf.set(k, v)
 
 
-def time_spark(spark, names, data_dir, cold_runs=2, resident_sweeps=3):
+def time_spark(spark, names, data_dir, cold_runs=2, resident_sweeps=5):
     """Cold (plan rebuilt per run) and resident (plan reused) timings.
+
+    Action protocol v3 (r12): every measured run ends in ``toArrow()`` —
+    the result is Arrow-materialized in the driver, the same delivery
+    work the DuckDB side pays (``fetch_arrow_table``). The previous noop
+    sink discarded Spark's results while DuckDB materialized rows
+    (asymmetric), and its write command re-ran full Catalyst per call
+    (measured ~0.05-0.12 s/query of wrapper re-planning), so "resident"
+    never actually skipped analysis as documented.
 
     Cold: one unmeasured run absorbs one-off session costs (codegen/JIT,
     parquet footer reads, broadcast machinery), then min of ``cold_runs``
     full build+execute cycles. Resident: the deployment story is a
     long-lived serving session (plans/serve.py) where a query's plan is
-    built once and re-executed per request — re-executing the SAME
-    DataFrame skips py4j plan construction and Catalyst analysis but runs
-    the full physical pipeline every time (scan, joins, shuffles, AQE,
-    noop commit); nothing is cached (spark.catalog caches are cleared
+    built once and re-executed per request — each measured run goes
+    through ``_reexecute`` (fresh QueryExecution over the kept analyzed
+    plan): py4j plan construction and Catalyst analysis are skipped, but
+    the FULL physical pipeline runs every time (scan, joins, shuffles,
+    AQE, Arrow collect) — re-collecting one Dataset would instead reuse
+    its cached shuffle map outputs and skip whole stages (see
+    ``_reexecute``); nothing is cached (spark.catalog caches are cleared
     every run so operators that cache() intermediates recompute them).
 
     Resident runs as ``resident_sweeps`` SEPARATED sweeps over all
-    queries; within each sweep every query gets one unmeasured warm run
+    queries (5 since r12: this VM's host reclaims page cache between
+    sweeps unpredictably, so 3 samples often had zero quiet ones — 5
+    keeps the min honest without changing the protocol shape); within
+    each sweep every query gets one unmeasured warm run
     (page cache + AQE stats — the same immediately-preceding-run state
     the old consecutive protocol measured under, so each sample stays
     comparable to prior rounds' numbers) followed by one measured run.
@@ -293,20 +332,30 @@ def time_spark(spark, names, data_dir, cold_runs=2, resident_sweeps=3):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 df = spec.spark(spark, data_dir)
-                df.write.mode("overwrite").format("noop").save()
+                df.toArrow()
                 if measured:
                     runs.append(time.perf_counter() - t0)
         cold[name] = round(min(runs), 3)
     dfs = {name: REGISTRY[name].spark(spark, data_dir) for name in names}
     samples: dict[str, list[float]] = {name: [] for name in names}
+
+    def _resident_run(name):
+        # warm and measured runs each need their OWN fresh execution —
+        # a shared one would let the measured run reuse the warm run's
+        # shuffle outputs (see _reexecute)
+        df = _reexecute(spark, dfs[name])
+        if df is None:
+            df = REGISTRY[name].spark(spark, data_dir)
+        df.toArrow()
+
     for _sweep in range(resident_sweeps):
         for name in names:
             with _static_plan_policy(spark, REGISTRY[name]):
                 spark.catalog.clearCache()
-                dfs[name].write.mode("overwrite").format("noop").save()  # warm
+                _resident_run(name)  # warm
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                dfs[name].write.mode("overwrite").format("noop").save()
+                _resident_run(name)
                 samples[name].append(time.perf_counter() - t0)
     resident = {name: round(min(s), 3) for name, s in samples.items()}
     spread = {
@@ -322,9 +371,17 @@ def time_spark(spark, names, data_dir, cold_runs=2, resident_sweeps=3):
 
 def time_duckdb(names, data_dir):
     """The declared oracle SQL on DuckDB over the same parquet (the
-    BASELINE.md comparison target); min-of-2 after a warm run."""
+    BASELINE.md comparison target); Arrow-materialized results (the same
+    delivery work the Spark side's ``toArrow`` pays — protocol v3);
+    min-of-3 after a warm run — matching the Spark resident protocol:
+    this VM's host reclaims page cache aggressively (observed: ~1 GB
+    cached immediately after a multi-GB bench read), so any single run
+    can hit a transient IO stall; min-of-N keeps the denominator honest
+    in both directions. ``prewarm_files`` runs right before this phase
+    (not only once per venue) for the same reason."""
     import duckdb
 
+    prewarm_files(data_dir)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
     for t in TABLES:
@@ -336,11 +393,11 @@ def time_duckdb(names, data_dir):
         spec = REGISTRY[name]
         if spec.oracle is None:
             continue
-        con.execute(spec.oracle).fetchall()  # warm
+        con.execute(spec.oracle).fetch_arrow_table()  # warm
         d_runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
-            con.execute(spec.oracle).fetchall()
+            con.execute(spec.oracle).fetch_arrow_table()
             d_runs.append(time.perf_counter() - t0)
         duck[name] = round(min(d_runs), 3)
     return duck
@@ -590,9 +647,7 @@ def main() -> None:
             load_table(spark, sf_dir, "region")
             .groupBy("r_regionkey")
             .count()
-            .write.mode("overwrite")
-            .format("noop")
-            .save()
+            .toArrow()
         )
         if m:
             floor_runs.append(time.perf_counter() - t0)
@@ -649,7 +704,18 @@ def main() -> None:
             "ingest_serve/counter_serve read ingest-time derived layouts "
             "(sources/derived.py); duckdb recomputes from flat parquet"
         )
-        out["cache_protocol"] = "warm-warm (prewarm_files before engines)"
+        out["cache_protocol"] = (
+            "warm-warm (prewarm_files before each engine phase; duckdb "
+            "min-of-3 after warm — host page-cache reclaim makes single "
+            "runs unreliable)"
+        )
+        out["action_protocol"] = (
+            "v3: Arrow-materialized results both engines (spark toArrow "
+            "/ duckdb fetch_arrow_table); resident = fresh QueryExecution "
+            "over the kept analyzed plan, full pipeline per run (was: "
+            "noop sink, which discarded Spark results and re-ran "
+            "Catalyst in the write wrapper every call)"
+        )
         # the measured ratio-vs-scale curve (scripts/scale_sweep.py, full
         # 14-query set, same replication recipe): surfaced on the summary
         # line so the per-round artifact records where the 2x bar is met

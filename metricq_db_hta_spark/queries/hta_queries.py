@@ -322,6 +322,11 @@ WHERE metric = 'click' AND bucket_start_ns >= {START_NS} AND bucket_start_ns < {
     "/root/reference/src/async_hta_service.hpp:361-392.",
     bench=True,
     static_plan=True,
+    # response rows are bounded by the requested range / level width (the
+    # protocol's contract — interval_max exists so responses stay small),
+    # so the presentation sort is one tiny task at any corpus size (pin
+    # sweep: 0.107 -> 0.056 s resident at sf1)
+    conf={"spark.sql.shuffle.partitions": "1"},
 )
 def hta_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     svc = service(spark, sf_dir)
@@ -447,6 +452,10 @@ GROUP BY metric
     "/root/reference/src/async_hta_service.hpp:442-464.",
     bench=True,
     static_plan=True,
+    # one merged row per metric: map-side partials bound the exchange to
+    # |metrics| rows per scan task — one reduce task at any scale (pin
+    # sweep: 0.255 -> 0.141 s resident at sf1)
+    conf={"spark.sql.shuffle.partitions": "1"},
 )
 def hta_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     svc = service(spark, sf_dir)

@@ -380,6 +380,11 @@ SELECT query_id, rank, vec_id, sim FROM (
     "queries, JVM-side fold dot product — the ANN correctness baseline).",
     bench=True,
     static_plan=True,
+    # the only exchange carries |partitions| x |q| x k candidate rows
+    # (40k rows even at 1000 scan tasks) — one reduce task is the right
+    # shape at every scale; 32 scheduled tasks for ~240 rows is pure
+    # floor (pin sweep: 0.377 -> 0.256 s resident at sf1)
+    conf={"spark.sql.shuffle.partitions": "1"},
 )
 def llm_similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = embs(spark, sf_dir)

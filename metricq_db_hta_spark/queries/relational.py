@@ -81,6 +81,11 @@ GROUP BY l_returnflag, l_linestatus
     "aggregation with computed measures (HashAggregate, partial+final).",
     bench=True,
     static_plan=True,
+    # (returnflag, linestatus) has ~6 groups at ANY scale; map-side
+    # partials bound the exchange to 6 rows per scan task, so one reduce
+    # task merges a few thousand rows even at 100 TB (pin sweep:
+    # 0.269 -> 0.200 s resident at sf1)
+    conf={"spark.sql.shuffle.partitions": "1"},
 )
 def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -210,6 +215,10 @@ GROUP BY n_name
     "query-time shuffled path stays pinned by rel_join_sortmerge.",
     bench=True,
     static_plan=True,
+    # the single exchange is the n_name aggregation: <= 25 nation groups
+    # at ANY scale, bounded map-side partials — one reduce task, not 32
+    # scheduled for 25 rows (pin sweep: 0.446 -> 0.245 s resident at sf1)
+    conf={"spark.sql.shuffle.partitions": "1"},
 )
 def rel_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # customer broadcast for the same reason as rel_q3: it is a declared

@@ -43,7 +43,14 @@ def get_spark(
             "spark.scheduler.mode",
             os.environ.get("SPARK_GRAFT_SCHEDULER", "FIFO"),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # heap sized to the task-slot count: local[32] hosts 32 executor
+        # threads in the driver JVM, and 8g gave them 256 MB/slot — below
+        # Spark's own 512M-1G/core guidance; FLOOR.json showed 0.4 s of GC
+        # inside a single sf1 q1 stage. 24g (0.75 g/slot) measured ~7%
+        # faster on the 16-query sf1 resident sweep with the same spreads.
+        # Max heap only — the JVM commits what it uses, so small test
+        # sessions are unaffected.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         # UI off for tests/bench (saves startup + listener overhead);
         # SPARK_GRAFT_UI=1 turns it on for stage-level profiling via the
         # REST API (scripts/floor_decompose.py)

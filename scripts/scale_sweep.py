@@ -82,7 +82,8 @@ def main() -> int:
         tot_d = round(sum(duck.values()), 3)
         result[sf_label] = {
             "reps": reps,
-            "cache_protocol": "warm-warm: every replica file read into "
+            "cache_protocol": "warm-warm (+ per-phase re-prewarm inside "
+            "time_duckdb, min-of-3): every replica file read into "
             "the page cache before either engine runs (bench.prewarm_files)",
             "queries": entry,
             "total_cold": tot_c,
