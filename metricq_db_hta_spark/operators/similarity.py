@@ -252,6 +252,12 @@ def brute_force_topk(
             n = rb.num_rows
             if not n:
                 continue
+            if rb.column(0).null_count:
+                # the pandas path raised on NULL ids (int64 coercion);
+                # Arrow's to_numpy would silently produce garbage instead
+                raise ValueError(
+                    f"brute_force_topk: NULL {id_col} in corpus batch"
+                )
             ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             la = rb.column(1)
             # list<float32|float64> taken apart buffer-wise: per-row
