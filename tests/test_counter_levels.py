@@ -332,7 +332,13 @@ def test_counter_rate_stored_survives_raw_expiry(spark, sf_dir, tmp_path):
     )
     from metricq_db_hta_spark.plans.serve import HistoryServer
 
-    src = samples(spark, sf_dir).orderBy("event_id").limit(2_000)
+    # thin by event_id modulus instead of limit(): a prefix of a denser
+    # fixture (sf0.01) spans under one day, putting the day-aligned
+    # expiry floor AT the data start (r12 soak finding) — the modulus
+    # keeps ~2k rows spread over the fixture's FULL time range at any sf
+    all_src = samples(spark, sf_dir)
+    k = max(1, all_src.count() // 2_000)
+    src = all_src.filter(F.col("event_id") % k == 0)
     store = str(tmp_path / "store_tiered_counter")
     StreamingIngest(
         spark, store, level_widths_ns=(W0,), counter_widths_ns=(W0,),

@@ -358,14 +358,17 @@ def test_history_server_aggregate_pattern(spark, sf_dir, tmp_path):
         assert again.get("n") == resp["n"]
 
         # dense fleet timeline: full spine, gaps carry the merge identity
-        # with n_metrics=0; non-gap rows equal the sparse merged rows
-        t0 = 1_704_067_200_000_000_000
-        t1 = t0 + 48 * W0
+        # with n_metrics=0; non-gap rows equal the sparse merged rows.
+        # The spine starts two buckets BEFORE the data epoch so the gap
+        # assertion below holds at any fixture density (at sf0.01 the
+        # first 48 in-data buckets are all populated — r12 soak finding)
+        t0 = 1_704_067_200_000_000_000 - 2 * W0
+        t1 = t0 + 50 * W0
         dense = _rpc(
             f, s, {"type": "gapfill_timeline", "pattern": "*u*",
                    "start_ns": t0, "end_ns": t1, "interval_max_ns": W0}
         )
-        assert dense.get("n") == 48, dense
+        assert dense.get("n") == 50, dense
         sparse = {
             r["bucket_start_ns"]: r
             for r in _rpc(
