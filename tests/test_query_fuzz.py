@@ -1543,3 +1543,146 @@ def test_random_counter_serving_plans_agree(spark, sf_dir, spec):
         )
     )
     _same(got3, want3, "fleet stored vs direct merge")
+
+
+# ---------------------------------------------------------------------------
+# fuzz class 17 (r12): mixed-generation counter stores — random interleavings
+# of legacy batches (pre-r11 layout: data files WITHOUT prev_value) and
+# modern backfills, x optional compaction, then fsck --repair
+# (rebuild_levels). Oracle: the counter_<W0> table must equal the TRUE
+# full-chain reference computed in plain Python from the generated sample
+# stream (per-metric consecutive increases, reset = post-reset reading,
+# first-ever sample NULL) — lossless where the store persisted prev_value,
+# lag-recovered where files predate the column — and check_store must be
+# green afterwards. Guards the r12 schema-pinned raw reads + lossless
+# rebuild (sources/rawstore.py, fsck.rebuild_levels, hta.counter_level_rebuilt).
+# ---------------------------------------------------------------------------
+
+mixed_gen_spec = st.fixed_dictionaries(
+    {
+        "n_segments": st.integers(2, 4),
+        "legacy_mask": st.integers(0, 15),  # bit i => segment i is legacy
+        "per_seg": st.integers(6, 20),
+        "step_a": st.integers(1, 40),
+        "step_b": st.integers(1, 40),
+        "mod_a": st.integers(25, 400),
+        "mod_b": st.integers(25, 400),
+        "spacing_i": st.integers(1, 30),
+        "compact": st.booleans(),
+    }
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=mixed_gen_spec)
+def test_random_mixed_generation_counter_rebuild(spark, spec, tmp_path_factory):
+    import shutil
+
+    from metricq_db_hta_spark.operators import fsck as fsck_mod
+    from metricq_db_hta_spark.operators import maintenance
+    from metricq_db_hta_spark.queries.hta_queries import W0
+    from metricq_db_hta_spark.sources.rawstore import read_raw
+    from metricq_db_hta_spark.streaming import store_meta
+    from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
+
+    store = str(tmp_path_factory.mktemp("mixed_gen_store"))
+    shutil.rmtree(store, ignore_errors=True)
+
+    # deterministic two-metric counter stream: strictly increasing ts per
+    # metric, integer values (exact in float), wrap-around resets
+    spacing = W0 * spec["spacing_i"] // 7 + 1  # unaligned on purpose
+    rows = []  # (metric, ts_ns, value, event_id)
+    eid = 0
+    for i in range(spec["n_segments"] * spec["per_seg"]):
+        for m, step, mod in (
+            ("cnt_a", spec["step_a"], spec["mod_a"]),
+            ("cnt_b", spec["step_b"], spec["mod_b"]),
+        ):
+            rows.append((m, HTA_T0 + i * spacing, float((i * step) % mod), eid))
+            eid += 1
+    segs = [
+        rows[k * 2 * spec["per_seg"]: (k + 1) * 2 * spec["per_seg"]]
+        for k in range(spec["n_segments"])
+    ]
+
+    svc = StreamingIngest(
+        spark, store, level_widths_ns=(W0,), counter_widths_ns=(W0,)
+    )
+    for k, seg in enumerate(segs):
+        if (spec["legacy_mask"] >> k) & 1 and k > 0:
+            # pre-r11-shaped batch: same layout the old writer produced —
+            # no prev_value column, no counter-cascade maintenance
+            df = spark.createDataFrame(
+                [(m, t, v, e, 0) for (m, t, v, e) in seg],
+                "metric string, ts_ns long, value double, event_id long, "
+                "delta_ns long",
+            )
+            bid = 10_000 + k
+            (
+                df.withColumn("ingest_batch", F.lit(bid))
+                .withColumn(
+                    "ts_month",
+                    F.trunc(
+                        F.to_date(
+                            F.timestamp_micros(
+                                (F.col("ts_ns") / 1000).cast("long")
+                            )
+                        ),
+                        "month",
+                    ),
+                )
+                .write.mode("append")
+                .partitionBy("ingest_batch", "metric", "ts_month")
+                .parquet(store_meta.raw_path(store))
+            )
+            store_meta.update_commit_marker(store, add={bid})
+        else:
+            svc.backfill(
+                spark.createDataFrame(
+                    seg, "metric string, ts_ns long, value double, event_id long"
+                )
+            )
+
+    if spec["compact"]:
+        maintenance.compact_raw(spark, store, min_batches=2)
+
+    fsck_mod.rebuild_levels(spark, store)
+    rep = fsck_mod.check_store(spark, store)
+    assert rep.ok, (spec, [r for r in rep.levels if not r.ok])
+
+    # plain-Python full-chain reference
+    expected: dict = {}
+    prev: dict = {}
+    for m, t, v, _e in sorted(rows, key=lambda r: (r[0], r[1])):
+        p = prev.get(m)
+        b = (m, t - t % W0)
+        acc = expected.setdefault(b, [None, 0])
+        if p is not None:
+            inc = v - p if v >= p else v
+            acc[0] = (acc[0] or 0.0) + inc
+            acc[1] += 1 if v < p else 0
+        prev[m] = v
+
+    got = {
+        (r["metric"], r["bucket_start_ns"]): (
+            None if r["increase_sum"] is None else float(r["increase_sum"]),
+            r["n_resets"],
+        )
+        for r in spark.read.parquet(f"{store}/counter_{W0}")
+        .select("metric", "bucket_start_ns", "increase_sum", "n_resets")
+        .collect()
+    }
+    want = {k: (v[0], v[1]) for k, v in expected.items()}
+    assert got == want, (
+        spec,
+        {k: (got.get(k), want.get(k)) for k in set(got) ^ set(want) or list(want)[:3]},
+    )
+
+    # the schema-pinned reader surfaces prev_value NULL for legacy rows,
+    # real for modern rows — never garbage, regardless of footer order
+    raw = read_raw(spark, store)
+    assert "prev_value" in raw.columns
