@@ -493,7 +493,13 @@ class HistoryServer:
             self._maybe_auto_refresh()
             # prepared-plan fast path: an identical request re-executes
             # its cached (already-planned) DataFrame — no Catalyst, no
-            # plan rebuild. Only requests that reached the common
+            # plan rebuild; Spark additionally reuses the plan's cached
+            # shuffle map outputs across actions, which is CORRECT here
+            # precisely because the cache is store-epoch-guarded (any
+            # mutation drops the plans) — a serving win the bench
+            # deliberately does NOT take (bench._reexecute builds a fresh
+            # QueryExecution per run so measurements cover the full
+            # pipeline). Only requests that reached the common
             # collect tail are ever stored, so early-return types
             # (list_metrics, errors) never hit here.
             cache_key = json.dumps(req, sort_keys=True, default=str)
