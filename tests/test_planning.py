@@ -247,3 +247,47 @@ def test_static_plan_queries_aqe_invariant(spark, sf_dir, name):
     with bench._static_plan_policy(spark, spec):
         rows_off = sorted(map(tuple, spec.spark(spark, sf_dir).collect()))
     assert rows_on == rows_off
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime semi-join reduction (scale feature, plan-pinned): on a
+    shuffled join with a selective build side, Spark injects a
+    bloom_filter_agg subquery over the build keys and a might_contain
+    filter above the PROBE scan — at 100 TB that is the difference
+    between shuffling the whole fact table and shuffling only rows that
+    can match. The default 10 GB application-side scan threshold means
+    it (correctly) never fires at test scale, so the capability is
+    pinned by lowering the threshold: the filter must appear, and the
+    answer must be invariant."""
+    from pyspark.sql import functions as F
+
+    def q():
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400_000
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        return (
+            li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+
+    key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    plain = q()
+    assert "might_contain" not in plain._jdf.queryExecution().executedPlan().toString()
+    rows_plain = sorted(map(tuple, plain.collect()))
+
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "10KB")
+    try:
+        pruned = q()
+        txt = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in txt and "bloom_filter_agg" in txt, txt[:500]
+        rows_pruned = sorted(map(tuple, pruned.collect()))
+    finally:
+        spark.conf.set(key, prev)
+    assert rows_plain == rows_pruned
