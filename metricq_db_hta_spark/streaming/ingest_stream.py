@@ -610,11 +610,14 @@ class StreamingIngest:
         """Retry-idempotent sink. foreachBatch may replay a batch after a
         mid-write failure, so nothing here may be an unconditional append:
 
-        * raw is partitioned by (ingest_batch, metric, ts_month|ts_date) and written
-          with dynamic-partition OVERWRITE — a replay of batch N rewrites
-          exactly batch N's partitions (the stateful filter's output for a
-          replayed batch is identical: its state store is versioned per
-          batch). No duplicate rows, ever.
+        * raw is partitioned by (ingest_batch, metric, ts_month|ts_date);
+          batch N's files all live under raw/ingest_batch=N/, so a replay
+          reclaims that subtree and appends — rewriting exactly batch N's
+          rows (the stateful filter's output for a replayed batch is
+          identical: its state store is versioned per batch). No duplicate
+          rows, ever. (r12: this replaced dynamic-partition overwrite,
+          which reached the same end state at ~3x the write cost — see the
+          raw-write comment below.)
         * level tables are NOT merged incrementally from partials (merging
           twice would double-count on replay); instead every touched bucket
           is RECOMPUTED from raw — which the raw write just made correct —
@@ -694,6 +697,26 @@ class StreamingIngest:
                 tcol, texpr = "ts_date", _ns_to_date(F.col("ts_ns"))
             else:
                 tcol, texpr = "ts_month", _ns_to_month(F.col("ts_ns"))
+            # Idempotence WITHOUT dynamic overwrite (r12): every file this
+            # write produces lives under raw/ingest_batch=<id>/ — the batch
+            # id uniquely owns its subtree — so a replay only needs to
+            # reclaim that subtree and append. Dynamic-partition overwrite
+            # reached the same end state but paid its staging+commit
+            # machinery on EVERY batch (measured 2.9 s vs 0.8 s for a 1M-row
+            # batch, ~30% of backfill wall); the torn-write exposure is
+            # unchanged — append publishes files at job commit (tasks write
+            # under _temporary, which readers ignore), the same narrow
+            # non-atomic window as dynamic overwrite's partition moves, and
+            # recover()/stream replay handle an uncommitted batch either
+            # way. The LEVEL tables keep dynamic overwrite: their touched
+            # (metric, bucket_month) partitions are not batch-owned.
+            replay_dir = os.path.join(
+                self.raw_path, f"ingest_batch={int(batch_id)}"
+            )
+            if os.path.isdir(replay_dir):
+                import shutil as _shutil
+
+                _shutil.rmtree(replay_dir)
             (
                 kept.select(*_raw_cols(kept))
                 .withColumn(tcol, texpr)
@@ -702,11 +725,7 @@ class StreamingIngest:
                 # key, each of a handful of tasks serially creates one
                 # directory per date (measured 3x slower at 300 dates)
                 .repartition("metric", tcol)
-                .write.mode("overwrite")
-                # writer-level dynamic overwrite (ADVICE r1): mutating the
-                # session conf would silently change overwrite semantics for
-                # every later partitioned write in the same session
-                .option("partitionOverwriteMode", "dynamic")
+                .write.mode("append")
                 .partitionBy("ingest_batch", "metric", tcol)
                 .parquet(self.raw_path)
             )
@@ -846,13 +865,23 @@ class StreamingIngest:
                 # write action IS the materialization barrier; an eager
                 # localCheckpoint here would double the compute without
                 # the in-memory cascade consuming it
-                (
-                    recomputed.repartition("metric", "bucket_month")
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("metric", "bucket_month")
-                    .parquet(path)
-                )
+                writer = recomputed.repartition(
+                    "metric", "bucket_month"
+                ).write
+                if fresh_store and not os.path.isdir(path):
+                    # truly fresh table (no raw before this batch AND no
+                    # table dir — e.g. not a tiered store whose raw fully
+                    # expired while levels live on): append == dynamic
+                    # overwrite at ~1/3 the write cost. A torn first
+                    # batch that DID land raw re-enters as
+                    # fresh_store=False and dynamic-overwrites the torn
+                    # partitions (r12, same reasoning as the raw write).
+                    writer = writer.mode("append")
+                else:
+                    writer = writer.mode("overwrite").option(
+                        "partitionOverwriteMode", "dynamic"
+                    )
+                writer.partitionBy("metric", "bucket_month").parquet(path)
                 lower_path = path
                 lower_df = recomputed
         finally:
