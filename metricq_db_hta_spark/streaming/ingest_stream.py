@@ -680,16 +680,25 @@ class StreamingIngest:
                         if len(head) <= _DROPS_INLINE
                         else drops  # recompute from the checkpointed batch
                     )
-                    # partitioned by ingest_batch + dynamic overwrite, same
-                    # retry-idempotence contract as the raw write below: a
-                    # replayed microbatch rewrites exactly its own batch's
-                    # drop rows instead of appending them twice
+                    # partitioned by ingest_batch, same batch-subtree
+                    # retry-idempotence as the raw write below: a replayed
+                    # microbatch reclaims exactly its own batch's drop
+                    # rows instead of appending them twice (r12: same
+                    # delete+append form as raw — dynamic overwrite paid
+                    # its commit machinery per microbatch for a tiny file)
+                    drops_root = os.path.join(self.store, "drops_log")
+                    drops_dir = os.path.join(
+                        drops_root, f"ingest_batch={int(batch_id)}"
+                    )
+                    if os.path.isdir(drops_dir):
+                        import shutil as _shutil
+
+                        _shutil.rmtree(drops_dir)
                     (
                         log_df.withColumn("ingest_batch", F.lit(int(batch_id)))
-                        .write.mode("overwrite")
-                        .option("partitionOverwriteMode", "dynamic")
+                        .write.mode("append")
                         .partitionBy("ingest_batch")
-                        .parquet(os.path.join(self.store, "drops_log"))
+                        .parquet(drops_root)
                     )
             # A6: idempotent raw write (see docstring); (metric, time)
             # sub-partitioning gives Q2/Q4 range scans partition pruning
