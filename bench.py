@@ -468,9 +468,19 @@ def main() -> None:
         warm_store = tempfile.mkdtemp(prefix="bench_ingest_warm_")
         store = tempfile.mkdtemp(prefix="bench_ingest_")
         try:
+            # two warm rounds: the tiny one compiles the pipeline, the
+            # full-size one gets HotSpot past the write path's JIT
+            # thresholds — a 2k-row warm alone leaves the measured run
+            # ~20% under the steady-state rate a long-lived service
+            # sustains (r12: 69k first run vs 105-118k runs 2-3)
+            warm_svc = StreamingIngest(
+                spark, warm_store, level_widths_ns=(W0, W0 * 10, W0 * 100)
+            )
+            warm_svc.backfill(src.limit(2_000))
+            shutil.rmtree(warm_store, ignore_errors=True)
             StreamingIngest(
                 spark, warm_store, level_widths_ns=(W0, W0 * 10, W0 * 100)
-            ).backfill(src.limit(2_000))
+            ).backfill(big)
             svc = StreamingIngest(
                 spark, store, level_widths_ns=(W0, W0 * 10, W0 * 100)
             )
