@@ -1686,3 +1686,106 @@ def test_random_mixed_generation_counter_rebuild(spark, spec, tmp_path_factory):
     # real for modern rows — never garbage, regardless of footer order
     raw = read_raw(spark, store)
     assert "prev_value" in raw.columns
+
+
+# ---------------------------------------------------------------------------
+# fuzz class 18 (r12): leveled-counter coverage guard — counter levels
+# enabled LATE on a store with pre-existing raw (random split point, random
+# month gap between the eras, random request ranges/widths, optionally
+# healed by fsck.rebuild_levels). Property: the serve router's plain
+# counter_rate answer equals the all-raw recompute
+# (HistoryService.counter_rate_timeline) for EVERY enablement state and
+# range — the guard must route pre-enablement months to the raw fallback,
+# never serve them silently empty from level rows (the r11 ADVICE medium),
+# and the healed store must answer identically from the fast path.
+# ---------------------------------------------------------------------------
+
+late_enable_spec = st.fixed_dictionaries(
+    {
+        "split_pct": st.integers(20, 80),
+        "gap_months": st.integers(1, 3),
+        "width_mult": st.sampled_from([1, 3, 24]),
+        "jit_lo": st.integers(0, 3_600_000_000_000),
+        "span_pct": st.integers(30, 100),
+        "rebuild": st.booleans(),
+    }
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=late_enable_spec)
+def test_random_late_counter_enablement_serves_raw_truth(
+    spark, sf_dir, spec, tmp_path_factory
+):
+    import shutil
+
+    from metricq_db_hta_spark.operators.fsck import rebuild_levels
+    from metricq_db_hta_spark.plans.serve import (
+        HistoryServer,
+        build_history_service,
+    )
+    from metricq_db_hta_spark.queries.hta_queries import W0, samples
+    from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
+
+    store_root = str(tmp_path_factory.mktemp("late_enable_fuzz"))
+    store = store_root + "/store"
+    shutil.rmtree(store, ignore_errors=True)
+
+    src = samples(spark, sf_dir).orderBy("event_id").limit(1_000)
+    rows = src.collect()
+    cut = max(1, len(rows) * spec["split_pct"] // 100)
+    early = spark.createDataFrame(rows[:cut], schema=src.schema)
+    shift = spec["gap_months"] * 31 * 86_400 * 1_000_000_000
+    late = spark.createDataFrame(
+        rows[cut:] or rows[:1], schema=src.schema
+    ).withColumn("ts_ns", (F.col("ts_ns") + F.lit(shift)).cast("long"))
+
+    StreamingIngest(spark, store, level_widths_ns=(W0,)).backfill(early)
+    StreamingIngest(
+        spark, store, level_widths_ns=(W0,), counter_widths_ns=(W0,)
+    ).backfill(late)
+    if spec["rebuild"]:
+        rebuild_levels(spark, store)
+
+    ts = sorted(
+        r[0]
+        for r in spark.read.parquet(f"{store}/raw")
+        .filter("metric = 'click'")
+        .select("ts_ns")
+        .collect()
+    )
+    lo, hi = ts[0], ts[-1]
+    width = W0 * spec["width_mult"]
+    start = lo - lo % width + spec["jit_lo"] % width
+    if start > lo:
+        start -= width
+    end = start + max(
+        width, (hi - start) * spec["span_pct"] // 100 // width * width
+    )
+
+    srv = HistoryServer(spark, store, [W0])
+    svc = build_history_service(spark, store)
+    want = [
+        r.asDict()
+        for r in svc.counter_rate_timeline("click", start, end, width)
+        .limit(100_000)
+        .collect()
+    ]
+    got = srv.handle(
+        {
+            "type": "counter_rate", "metric": "click", "width_ns": width,
+            "start_ns": start, "end_ns": end, "limit": 100_000,
+        }
+    )
+    assert "error" not in got, (spec, got)
+    assert got["rows"] == want, (
+        spec,
+        len(got["rows"]),
+        len(want),
+        got["rows"][:2],
+        want[:2],
+    )
