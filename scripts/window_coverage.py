@@ -33,25 +33,17 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 sys.path.insert(0, REPO)
 
-#: first round on the current testdata generation (see module docstring)
-FIRST_VALID_ROUND = 4
-#: the driver records this many registry entries per round
-WINDOW_SIZE = 50
+from metricq_db_hta_spark.queries.window import (  # noqa: E402
+    FIRST_VALID_ROUND,  # noqa: F401 — re-exported; the docstring references it
+    WINDOW_SIZE,
+    green_rounds as _green_rounds,
+)
 
 
 def green_rounds() -> dict[int, set[str]]:
-    out: dict[int, set[str]] = {}
-    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        m = re.search(r"_r(\d+)\.json$", path)
-        if not m or int(m.group(1)) < FIRST_VALID_ROUND:
-            continue
-        rows = json.load(open(path))
-        out[int(m.group(1))] = {
-            name
-            for name, r in rows.items()
-            if r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
-        }
-    return out
+    # Since r13 the parsing lives in queries/window.py — the same ledger
+    # logic that DERIVES the window — so audit and schedule cannot diverge.
+    return _green_rounds(REPO)
 
 
 def main() -> int:
