@@ -122,6 +122,7 @@ def _refuse_unsafe(store_dir: str, metric: str, verb: str) -> dict[int, str]:
             "compaction journal pending - settle it (recover_compaction) "
             f"before {verb} a metric"
         )
+    store_meta.require_committed_batches_on_disk(store_dir, f"{verb} a metric")
     holding = _batches_holding(store_dir, metric)
     committed = store_meta.committed_batches(store_dir)
     # retired batches (deferred-delete compaction sources) are

@@ -345,6 +345,7 @@ def rebuild_levels(
             "compaction journal pending - settle it (recover_compaction) "
             "before rebuilding levels"
         )
+    store_meta.require_committed_batches_on_disk(store_dir, "rebuilding levels")
     from metricq_db_hta_spark.operators.maintenance import _rmtree_strict
 
     floors = retention_floors(store_dir)

@@ -182,6 +182,7 @@ def compact_raw(
         raise RuntimeError(
             "unfinished compaction journal present - run recover_compaction()"
         )
+    store_meta.require_committed_batches_on_disk(store_dir, "compacting raw")
     plan = plan_compaction(store_dir, min_batches=min_batches)
     if plan is None:
         return None

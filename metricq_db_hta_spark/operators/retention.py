@@ -287,6 +287,7 @@ def expire(
             "compaction journal pending - settle it (recover_compaction) "
             "before running retention"
         )
+    store_meta.require_committed_batches_on_disk(store_dir, "running retention")
     level_widths = _discovered_widths(store_dir, "level")
     hist_widths = _discovered_widths(store_dir, "hist")
     counter_widths = _discovered_widths(store_dir, "counter")

@@ -683,23 +683,30 @@ class StreamingIngest:
                     # partitioned by ingest_batch, same batch-subtree
                     # retry-idempotence as the raw write below: a replayed
                     # microbatch reclaims exactly its own batch's drop
-                    # rows instead of appending them twice (r12: same
-                    # delete+append form as raw — dynamic overwrite paid
-                    # its commit machinery per microbatch for a tiny file)
+                    # rows instead of appending them twice — via the same
+                    # stage-then-swap as raw (ADVICE r12: never delete the
+                    # committed subtree before the replacement is durable)
                     drops_root = os.path.join(self.store, "drops_log")
                     drops_dir = os.path.join(
                         drops_root, f"ingest_batch={int(batch_id)}"
                     )
                     if os.path.isdir(drops_dir):
-                        import shutil as _shutil
-
-                        _shutil.rmtree(drops_dir)
-                    (
-                        log_df.withColumn("ingest_batch", F.lit(int(batch_id)))
-                        .write.mode("append")
-                        .partitionBy("ingest_batch")
-                        .parquet(drops_root)
-                    )
+                        staging = store_meta.replay_stage_path(
+                            drops_root, int(batch_id)
+                        )
+                        log_df.write.mode("overwrite").parquet(staging)
+                        store_meta.swap_replayed_subtree(
+                            drops_root, int(batch_id)
+                        )
+                    else:
+                        (
+                            log_df.withColumn(
+                                "ingest_batch", F.lit(int(batch_id))
+                            )
+                            .write.mode("append")
+                            .partitionBy("ingest_batch")
+                            .parquet(drops_root)
+                        )
             # A6: idempotent raw write (see docstring); (metric, time)
             # sub-partitioning gives Q2/Q4 range scans partition pruning
             if self.raw_partition == "day":
@@ -709,35 +716,49 @@ class StreamingIngest:
             # Idempotence WITHOUT dynamic overwrite (r12): every file this
             # write produces lives under raw/ingest_batch=<id>/ — the batch
             # id uniquely owns its subtree — so a replay only needs to
-            # reclaim that subtree and append. Dynamic-partition overwrite
-            # reached the same end state but paid its staging+commit
-            # machinery on EVERY batch (measured 2.9 s vs 0.8 s for a 1M-row
-            # batch, ~30% of backfill wall); the torn-write exposure is
-            # unchanged — append publishes files at job commit (tasks write
-            # under _temporary, which readers ignore), the same narrow
-            # non-atomic window as dynamic overwrite's partition moves, and
-            # recover()/stream replay handle an uncommitted batch either
-            # way. The LEVEL tables keep dynamic overwrite: their touched
-            # (metric, bucket_month) partitions are not batch-owned.
-            replay_dir = os.path.join(
-                self.raw_path, f"ingest_batch={int(batch_id)}"
-            )
-            if os.path.isdir(replay_dir):
-                import shutil as _shutil
-
-                _shutil.rmtree(replay_dir)
-            (
+            # reclaim that subtree. Dynamic-partition overwrite reached the
+            # same end state but paid its staging+commit machinery on EVERY
+            # batch (measured 2.9 s vs 0.8 s for a 1M-row batch, ~30% of
+            # backfill wall). The LEVEL tables keep dynamic overwrite:
+            # their touched (metric, bucket_month) partitions are not
+            # batch-owned.
+            #
+            # Replay reclaim is stage-then-swap, never delete-then-append
+            # (ADVICE r12): rmtree before the append job left batch N's
+            # rows absent from raw for the whole job if it failed, while
+            # the marker still claimed N committed — maintenance run in
+            # that window would bake the loss into level tables. Now the
+            # replacement is written to raw/_replay_staging/<N> (readers
+            # ignore the underscore dir), and the committed subtree is
+            # touched only AFTER the new files are durable — two atomic
+            # renames, every crash point settled by
+            # store_meta.settle_replay_staging.
+            replay_dir = store_meta.batch_dir(self.store, int(batch_id))
+            writer = (
                 kept.select(*_raw_cols(kept))
                 .withColumn(tcol, texpr)
-                .withColumn("ingest_batch", F.lit(int(batch_id)))
                 # repartition on BOTH partition keys: with only the metric
                 # key, each of a handful of tasks serially creates one
                 # directory per date (measured 3x slower at 300 dates)
                 .repartition("metric", tcol)
-                .write.mode("append")
-                .partitionBy("ingest_batch", "metric", tcol)
-                .parquet(self.raw_path)
             )
+            if os.path.isdir(replay_dir):
+                staging = store_meta.replay_stage_path(
+                    self.raw_path, int(batch_id)
+                )
+                (
+                    writer.write.mode("overwrite")
+                    .partitionBy("metric", tcol)
+                    .parquet(staging)
+                )
+                store_meta.swap_replayed_subtree(self.raw_path, int(batch_id))
+            else:
+                (
+                    writer.withColumn("ingest_batch", F.lit(int(batch_id)))
+                    .write.mode("append")
+                    .partitionBy("ingest_batch", "metric", tcol)
+                    .parquet(self.raw_path)
+                )
             if fresh_store:
                 # raw on disk == kept (just written to an empty store):
                 # aggregate the already-checkpointed rows instead of
@@ -913,6 +934,11 @@ class StreamingIngest:
             recover_compaction,
         )
 
+        # a crashed replay swap is settled FIRST (ADVICE r12): the journal
+        # rollback below and any level recompute read raw, which must hold
+        # every marker-committed batch before they look
+        for act in store_meta.settle_replay_staging(self.store):
+            _log.warning("settled torn replay swap: %s", act)
         # the liveness guard (refuse to roll back a FRESH writing-state
         # journal — a live compaction heartbeats its mtime) lives inside
         # recover_compaction itself, so every caller gets it

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 
@@ -60,7 +61,20 @@ def update_commit_marker(
     marker update: committed := ((committed - remove) | add) ∩ on-disk.
     Returns the new committed set."""
     new = (committed_batches(store_dir) - set(remove)) | set(add)
-    new &= raw_batches_on_disk(store_dir)
+    on_disk = raw_batches_on_disk(store_dir)
+    clipped = new - on_disk
+    if clipped:
+        # A committed batch missing from disk without an explicit remove=
+        # is the torn-replay loss signature (ADVICE r12); clipping it
+        # silently would erase the only evidence. Warn loudly — the
+        # maintenance guards (missing_committed_batches) refuse to run
+        # before any marker update could reach this clip.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "commit marker clipped batches missing from raw: %s", sorted(clipped)
+        )
+    new &= on_disk
     path = marker_path(store_dir)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -93,6 +107,130 @@ def replayable_batches(store_dir: str) -> set[int]:
     return _checkpoint_log_ids(store_dir, "offsets") - _checkpoint_log_ids(
         store_dir, "commits"
     )
+
+
+# -- replay staging (torn-replay durability, ADVICE r12) -------------------
+#
+# A replayed microbatch must REPLACE its own committed batch subtree
+# (raw/ingest_batch=N, drops_log/ingest_batch=N). Deleting the old subtree
+# before the replacement write is durable opens a window where batch N's
+# rows are absent from disk while the commit marker still claims them —
+# maintenance run in that window would bake the loss into level tables.
+# Protocol (all renames same-filesystem, atomic):
+#
+#   1. write the replacement under <parent>/_replay_staging/<N>
+#      (underscore prefix: Spark/Hadoop readers ignore it; the batch-dir
+#      scan above only matches ``ingest_batch=``). Job commit drops
+#      ``_SUCCESS`` — the durability certificate.
+#   2. rename <final> -> _replay_staging/<N>.old        (old data kept)
+#   3. rename _replay_staging/<N> -> <final>
+#   4. rmtree the .old aside
+#
+# Every crash point is settled by ``settle_replay_staging``: after 3 the
+# aside is garbage; between 2 and 3 the staging's _SUCCESS proves the swap
+# may complete; before 2 the old subtree is untouched and any staging is
+# stale (the stream will replay the batch again).
+
+
+def replay_staging_root(parent: str) -> str:
+    return os.path.join(parent, "_replay_staging")
+
+
+def replay_stage_path(parent: str, batch_id: int) -> str:
+    return os.path.join(replay_staging_root(parent), str(int(batch_id)))
+
+
+def swap_replayed_subtree(parent: str, batch_id: int) -> None:
+    """Steps 2-4 above. The staging dir must hold a job-committed write."""
+    final = os.path.join(parent, f"ingest_batch={int(batch_id)}")
+    staging = replay_stage_path(parent, batch_id)
+    aside = staging + ".old"
+    if os.path.isdir(aside):  # leftover from an earlier settled crash
+        shutil.rmtree(aside)
+    if os.path.isdir(final):
+        os.rename(final, aside)
+    os.rename(staging, final)
+    if os.path.isdir(aside):
+        shutil.rmtree(aside)
+    try:
+        os.rmdir(replay_staging_root(parent))  # only when empty
+    except OSError:
+        pass
+
+
+def settle_replay_staging(store_dir: str) -> list[str]:
+    """Finish or roll back any replay swap interrupted by a crash, so the
+    invariant 'every marker-committed batch's subtree is on disk' is
+    restored before anything reads or mutates the store. Idempotent;
+    returns a human-readable action list (empty in the common case)."""
+    actions: list[str] = []
+    for parent in (raw_path(store_dir), os.path.join(store_dir, "drops_log")):
+        root = replay_staging_root(parent)
+        if not os.path.isdir(root):
+            continue
+        names = sorted(os.listdir(root))
+        # asides first: they encode the furthest-along crash states and
+        # may consume their staging sibling
+        for name in [n for n in names if n.endswith(".old")] + [
+            n for n in names if not n.endswith(".old")
+        ]:
+            path = os.path.join(root, name)
+            if not os.path.exists(path):  # consumed by an earlier branch
+                continue
+            bid = name[:-4] if name.endswith(".old") else name
+            final = os.path.join(parent, f"ingest_batch={bid}")
+            if name.endswith(".old"):
+                staging = os.path.join(root, bid)
+                if os.path.isdir(final):
+                    shutil.rmtree(path)  # crashed after step 3
+                    actions.append(f"dropped settled aside {path}")
+                elif os.path.isfile(os.path.join(staging, "_SUCCESS")):
+                    os.rename(staging, final)  # crashed between 2 and 3
+                    shutil.rmtree(path)
+                    actions.append(f"completed replay swap into {final}")
+                else:  # defensive: protocol can't reach here
+                    os.rename(path, final)
+                    actions.append(f"restored {final} from aside")
+            else:
+                # stale staging (crash before step 2, or after a deliberate
+                # batch removal): the old subtree — if the batch still
+                # exists — is intact, and the stream replays the batch
+                # anyway, so dropping is always safe
+                shutil.rmtree(path)
+                actions.append(f"dropped stale replay staging {path}")
+        try:
+            os.rmdir(root)  # only when empty
+        except OSError:
+            pass
+    return actions
+
+
+def missing_committed_batches(store_dir: str) -> set[int]:
+    """Marker-committed batch ids whose raw subtree is absent — the
+    torn-replay loss signature. Maintenance must refuse to run while this
+    is non-empty (after ``settle_replay_staging`` had its chance to heal):
+    rebuild/compact/retention would otherwise bake the loss into derived
+    state."""
+    return (
+        committed_batches(store_dir)
+        - raw_batches_on_disk(store_dir)
+        - set(retired_batches(store_dir))
+    )
+
+
+def require_committed_batches_on_disk(store_dir: str, op: str) -> None:
+    """Maintenance pre-flight: settle any crashed replay swap, then refuse
+    if a marker-committed batch is STILL missing from raw — running
+    rebuild/compact/retention/erase over a raw view with a committed batch
+    absent would permanently bake the loss into derived state."""
+    settle_replay_staging(store_dir)
+    missing = missing_committed_batches(store_dir)
+    if missing:
+        raise RuntimeError(
+            f"marker-committed batches missing from raw: {sorted(missing)} "
+            f"- torn replay or manual deletion; restore them (or remove "
+            f"them from the commit marker explicitly) before {op}"
+        )
 
 
 def checkpoint_committed(store_dir: str, batch_id: int) -> bool:

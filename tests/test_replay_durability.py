@@ -1,0 +1,178 @@
+"""Torn-replay durability (ADVICE r12 medium).
+
+A replayed microbatch replaces its own committed batch subtree. The r12
+implementation rmtree'd the committed subtree BEFORE the replacement write
+job ran; a failure in that window left batch N's rows absent from raw while
+the commit marker still claimed them committed — maintenance run then would
+bake the loss into level tables. The fix is stage-then-swap
+(``store_meta.replay_stage_path`` / ``swap_replayed_subtree``): the
+committed subtree is touched only after the replacement is durable, every
+crash point is settled by ``settle_replay_staging``, and maintenance
+refuses to run while a marker-committed batch is missing from raw
+(``require_committed_batches_on_disk``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from metricq_db_hta_spark.streaming import store_meta
+from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
+
+W = 3_600_000_000_000  # 1h level
+BASE = 1_760_000_000_000_000_000
+
+
+@pytest.fixture()
+def store_one_batch(spark, tmp_path):
+    """A store with exactly one committed streaming batch (id 0)."""
+    rows = [
+        ("m1", BASE + i * 1_000_000_000, float(i), i) for i in range(1, 21)
+    ] + [("m2", BASE + i * 1_000_000_000, float(i) * 2, 100 + i) for i in range(1, 11)]
+    input_dir = tmp_path / "in"
+    input_dir.mkdir()
+    spark.createDataFrame(
+        rows, ["metric", "ts_ns", "value", "event_id"]
+    ).coalesce(1).write.parquet(str(input_dir / "c1"))
+    store = str(tmp_path / "store")
+    svc = StreamingIngest(spark, store, level_widths_ns=(W,))
+    svc.run_until_drained(str(input_dir))
+    (batch_id,) = store_meta.committed_batches(store)
+    return svc, store, batch_id
+
+
+def _replay_kept(spark, svc):
+    """The stateful filter's (deterministic) output for a replay of the
+    whole store — what foreachBatch would hand ``_process_batch`` again."""
+    kept = spark.read.parquet(svc.raw_path).select(
+        "metric", "ts_ns", "value", "event_id", "delta_ns"
+    )
+    return kept
+
+
+def test_failed_replay_write_leaves_committed_subtree_intact(
+    spark, store_one_batch, monkeypatch
+):
+    """Crash-before-swap: if the replay's staging write succeeds but the
+    process dies before the swap, the committed subtree and every row in
+    it are still on disk — the old code had already rmtree'd it."""
+    svc, store, batch_id = store_one_batch
+    final = store_meta.batch_dir(store, batch_id)
+    rows_before = sorted(
+        spark.read.parquet(svc.raw_path).select("metric", "ts_ns", "value").collect()
+    )
+
+    def boom(parent, bid):
+        raise RuntimeError("simulated crash before swap")
+
+    monkeypatch.setattr(store_meta, "swap_replayed_subtree", boom)
+    # also patch the name imported inside ingest_stream (module attribute)
+    import metricq_db_hta_spark.streaming.ingest_stream as ist
+
+    monkeypatch.setattr(ist.store_meta, "swap_replayed_subtree", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        svc._process_batch(_replay_kept(spark, svc), batch_id)
+
+    assert os.path.isdir(final), "committed subtree deleted before swap"
+    assert batch_id in store_meta.committed_batches(store)
+    assert store_meta.missing_committed_batches(store) == set()
+    rows_after = sorted(
+        spark.read.parquet(svc.raw_path).select("metric", "ts_ns", "value").collect()
+    )
+    assert rows_after == rows_before
+
+    monkeypatch.undo()
+    # the retry (the engine replays the batch) completes normally
+    svc._process_batch(_replay_kept(spark, svc), batch_id)
+    rows_retry = sorted(
+        spark.read.parquet(svc.raw_path).select("metric", "ts_ns", "value").collect()
+    )
+    assert rows_retry == rows_before
+    assert not os.path.isdir(store_meta.replay_staging_root(svc.raw_path))
+
+
+def test_settle_completes_crash_between_renames(spark, store_one_batch):
+    """Crash between the two swap renames: final is aside, staging holds a
+    job-committed replacement. settle must finish the swap — the store
+    reads identically afterwards."""
+    svc, store, batch_id = store_one_batch
+    final = store_meta.batch_dir(store, batch_id)
+    rows_before = sorted(
+        spark.read.parquet(svc.raw_path).select("metric", "ts_ns", "value").collect()
+    )
+    staging = store_meta.replay_stage_path(svc.raw_path, batch_id)
+    os.makedirs(os.path.dirname(staging), exist_ok=True)
+    shutil.copytree(final, staging)  # a complete replacement (_SUCCESS-less
+    # parquet dirs: streaming writes carry _SUCCESS; emulate it)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    os.rename(final, staging + ".old")
+    assert store_meta.missing_committed_batches(store) == {batch_id}
+
+    actions = store_meta.settle_replay_staging(store)
+    assert any("completed replay swap" in a for a in actions)
+    assert os.path.isdir(final)
+    assert store_meta.missing_committed_batches(store) == set()
+    rows_after = sorted(
+        spark.read.parquet(svc.raw_path).select("metric", "ts_ns", "value").collect()
+    )
+    assert rows_after == rows_before
+    assert not os.path.isdir(store_meta.replay_staging_root(svc.raw_path))
+
+
+def test_settle_drops_stale_staging_and_aside(spark, store_one_batch):
+    """Crash before the swap started (staging partial, final intact) and
+    after the swap finished (aside left behind): settle removes the
+    garbage and touches nothing else."""
+    svc, store, batch_id = store_one_batch
+    final = store_meta.batch_dir(store, batch_id)
+    staging = store_meta.replay_stage_path(svc.raw_path, batch_id)
+    os.makedirs(staging)  # partial: no _SUCCESS
+    open(os.path.join(staging, "part-0.parquet"), "w").close()
+    aside = staging + ".old"
+    os.makedirs(aside)
+
+    store_meta.settle_replay_staging(store)
+    assert os.path.isdir(final)
+    assert not os.path.exists(staging)
+    assert not os.path.exists(aside)
+    assert store_meta.missing_committed_batches(store) == set()
+
+
+def test_maintenance_refuses_on_missing_committed_batch(spark, store_one_batch):
+    """A marker-committed batch missing from raw with nothing to settle is
+    unrecoverable loss evidence: compaction/retention/rebuild/erase must
+    refuse instead of baking it into derived state."""
+    from metricq_db_hta_spark.operators.maintenance import compact_raw
+    from metricq_db_hta_spark.operators.retention import RetentionPolicy, expire
+
+    svc, store, batch_id = store_one_batch
+    shutil.rmtree(store_meta.batch_dir(store, batch_id))
+    assert store_meta.missing_committed_batches(store) == {batch_id}
+
+    with pytest.raises(RuntimeError, match="missing from raw"):
+        compact_raw(spark, store)
+    with pytest.raises(RuntimeError, match="missing from raw"):
+        expire(
+            store, RetentionPolicy(raw_max_age_ns=1), now_ns=BASE + 10**15
+        )
+
+
+def test_recover_settles_torn_swap_first(spark, store_one_batch):
+    """recover() on a store whose writer died mid-swap restores the batch
+    before looking for torn level state (the entry-point settle)."""
+    svc, store, batch_id = store_one_batch
+    final = store_meta.batch_dir(store, batch_id)
+    staging = store_meta.replay_stage_path(svc.raw_path, batch_id)
+    os.makedirs(os.path.dirname(staging), exist_ok=True)
+    shutil.copytree(final, staging)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    os.rename(final, staging + ".old")
+
+    svc2 = StreamingIngest(spark, store, level_widths_ns=(W,))
+    svc2.recover()
+    assert os.path.isdir(final)
+    assert store_meta.missing_committed_batches(store) == set()
