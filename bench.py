@@ -38,6 +38,13 @@ from metricq_db_hta_spark.queries import REGISTRY
 from metricq_db_hta_spark.sources.tables import TABLES, load_table
 
 
+#: set True the first time _reexecute's Spark-internal seam is missing —
+#: surfaced in the artifact's action_protocol (ADVICE r12: a silent
+#: fallback would publish cold-shaped timings as 'resident' after a Spark
+#: upgrade with no trace)
+_REEXECUTE_FELL_BACK = False
+
+
 def _reexecute(spark, df):
     """A fresh ``QueryExecution`` over ``df``'s ANALYZED logical plan.
 
@@ -50,14 +57,23 @@ def _reexecute(spark, df):
     dependencies, the whole pipeline runs — while skipping exactly what
     a resident server skips per request: py4j logical-plan construction
     and Catalyst analysis. Falls back to None if the internal API moves;
-    callers then rebuild via the registry (cold-shaped, still honest).
+    callers then rebuild via the registry (cold-shaped, still honest) and
+    the artifact's action_protocol records the fallback.
     """
+    global _REEXECUTE_FELL_BACK
     try:
         jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
             spark._jsparkSession, df._jdf.queryExecution().analyzed()
         )
         return DataFrame(jdf, spark)
-    except Exception:  # noqa: BLE001 — internal API; rebuild instead
+    except Exception as e:  # noqa: BLE001 — internal API; rebuild instead
+        if not _REEXECUTE_FELL_BACK:
+            _REEXECUTE_FELL_BACK = True
+            print(
+                f"bench: Dataset.ofRows seam unavailable ({e!r}) — "
+                "resident runs rebuild plans per run (cold-shaped)",
+                file=sys.stderr,
+            )
         return None
 
 #: sf1 replica recipe version — bump when the replication recipe changes so
@@ -369,16 +385,21 @@ def time_spark(spark, names, data_dir, cold_runs=2, resident_sweeps=5):
     return cold, resident, spread
 
 
-def time_duckdb(names, data_dir):
+def time_duckdb(names, data_dir, sweeps=5):
     """The declared oracle SQL on DuckDB over the same parquet (the
     BASELINE.md comparison target); Arrow-materialized results (the same
-    delivery work the Spark side's ``toArrow`` pays — protocol v3);
-    min-of-3 after a warm run — matching the Spark resident protocol:
-    this VM's host reclaims page cache aggressively (observed: ~1 GB
-    cached immediately after a multi-GB bench read), so any single run
-    can hit a transient IO stall; min-of-N keeps the denominator honest
-    in both directions. ``prewarm_files`` runs right before this phase
-    (not only once per venue) for the same reason."""
+    delivery work the Spark side's ``toArrow`` pays — protocol v3).
+
+    Sweep shape MIRRORS the Spark resident protocol (ADVICE r12: the old
+    min-of-3-consecutive-after-one-warm drew DuckDB's minimum from
+    differently-conditioned samples than Spark's warm-then-measure
+    pairs): ``sweeps`` separated sweeps over all queries, each query
+    getting one unmeasured warm run immediately before its measured run,
+    min over sweeps. This VM's host reclaims page cache aggressively
+    (observed: ~1 GB cached immediately after a multi-GB bench read), so
+    any single run can hit a transient IO stall; identical sweep shapes
+    keep both minima honest. ``prewarm_files`` runs right before this
+    phase (not only once per venue) for the same reason."""
     import duckdb
 
     prewarm_files(data_dir)
@@ -388,19 +409,16 @@ def time_duckdb(names, data_dir):
         p = os.path.join(data_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    duck: dict[str, float] = {}
-    for name in names:
-        spec = REGISTRY[name]
-        if spec.oracle is None:
-            continue
-        con.execute(spec.oracle).fetch_arrow_table()  # warm
-        d_runs = []
-        for _ in range(3):
+    oracle_names = [n for n in names if REGISTRY[n].oracle is not None]
+    samples: dict[str, list[float]] = {n: [] for n in oracle_names}
+    for _sweep in range(sweeps):
+        for name in oracle_names:
+            spec = REGISTRY[name]
+            con.execute(spec.oracle).fetch_arrow_table()  # warm
             t0 = time.perf_counter()
             con.execute(spec.oracle).fetch_arrow_table()
-            d_runs.append(time.perf_counter() - t0)
-        duck[name] = round(min(d_runs), 3)
-    return duck
+            samples[name].append(time.perf_counter() - t0)
+    return {name: round(min(s), 3) for name, s in samples.items()}
 
 
 def main() -> None:
@@ -500,6 +518,7 @@ def main() -> None:
     # reference never reaches (its fleet is 4,368 metrics) and the provider
     # a 100 TB deployment runs.
     state_rate = None
+    state_rate_first = None
     try:
         import shutil
         import tempfile
@@ -538,24 +557,43 @@ def main() -> None:
         )
         try:
             rows.coalesce(8).write.parquet(os.path.join(tmp, "in", "c1"))
-            stream = (
-                spark.readStream.schema(SAMPLE_SCHEMA)
-                .option("recursiveFileLookup", "true")
-                .parquet(os.path.join(tmp, "in"))
-            )
-            t0 = time.perf_counter()
-            q = (
-                monotonic_stateful(stream)
-                .writeStream.outputMode("append")
-                .format("noop")
-                .option("checkpointLocation", os.path.join(tmp, "cp"))
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(300)
-            if q.exception() is not None:
-                raise q.exception()
-            state_rate = round(3 * n_keys / (time.perf_counter() - t0), 1)
+            # Three trials, each a FRESH checkpoint + state store over the
+            # same input; best-of wins (r13). The single-trial figure
+            # r9-r12 recorded was dominated by one-time streaming-pipeline
+            # compile/JIT (measured: ~7 s first trial vs ~2.1 s warm —
+            # 42k vs 135-150k samples/s), so round-over-round deltas in it
+            # tracked JVM warm-up, not the state path (the r11->r12 '88k
+            # -> 73k regression' A/B'd as pure noise: interleaved runs of
+            # both trees overlap at 124-150k warm). Steady-state is what
+            # the reference's sustained O(100k)/s bar describes; the
+            # compile-inclusive first trial is recorded alongside.
+            first_rate = None
+            best_dt = None
+            for trial in range(3):
+                cp = os.path.join(tmp, f"cp{trial}")
+                stream = (
+                    spark.readStream.schema(SAMPLE_SCHEMA)
+                    .option("recursiveFileLookup", "true")
+                    .parquet(os.path.join(tmp, "in"))
+                )
+                t0 = time.perf_counter()
+                q = (
+                    monotonic_stateful(stream)
+                    .writeStream.outputMode("append")
+                    .format("noop")
+                    .option("checkpointLocation", cp)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(300)
+                if q.exception() is not None:
+                    raise q.exception()
+                dt = time.perf_counter() - t0
+                if trial == 0:
+                    first_rate = round(3 * n_keys / dt, 1)
+                best_dt = dt if best_dt is None else min(best_dt, dt)
+            state_rate = round(3 * n_keys / best_dt, 1)
+            state_rate_first = first_rate
         finally:
             if prev_provider is None:
                 spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
@@ -603,44 +641,56 @@ def main() -> None:
             ]
             for r in reqs * 2:  # warm-up: plans compiled, relations cached
                 srv.handle(r)
-            n_reqs = 60
-            t0 = time.perf_counter()
-            for i in range(n_reqs):
-                resp = srv.handle(reqs[i % len(reqs)])
-                if "error" in resp:
-                    raise RuntimeError(resp["error"])
-            serve_rate = round(n_reqs / (time.perf_counter() - t0), 1)
 
-            # concurrent throughput: the serial number above is per-request
-            # LATENCY (plan-build + schedule + collect, ~0.1 s floor); a
-            # resident server takes overlapping clients, and Spark runs
-            # their small jobs concurrently — this is the number a fleet
-            # of dashboards sees
+            # Best-of-3 sweeps for BOTH rates (r13): single-shot serve
+            # rates swing +/-20% on this venue (JIT warm-up of the serving
+            # code path + page-cache reclaim — the same noise the query
+            # benches already counter with min-of-N), so r11 vs r12
+            # single-sample deltas were dominated by measurement, not
+            # code. Sweep 1 doubles as the JIT warm-up for sweeps 2-3.
             import threading as _threading
 
+            n_reqs = 60
             n_clients, per_client = 4, 15
-            errs: list[str] = []
+            serial_rates: list[float] = []
+            conc_rates: list[float] = []
+            for _sweep in range(3):
+                t0 = time.perf_counter()
+                for i in range(n_reqs):
+                    resp = srv.handle(reqs[i % len(reqs)])
+                    if "error" in resp:
+                        raise RuntimeError(resp["error"])
+                serial_rates.append(n_reqs / (time.perf_counter() - t0))
 
-            def _client(ci: int) -> None:
-                for i in range(per_client):
-                    r = srv.handle(reqs[(ci + i) % len(reqs)])
-                    if "error" in r:
-                        errs.append(r["error"])
+                # concurrent throughput: the serial number above is
+                # per-request LATENCY (plan-build + schedule + collect,
+                # ~0.1 s floor); a resident server takes overlapping
+                # clients, and Spark runs their small jobs concurrently —
+                # this is the number a fleet of dashboards sees
+                errs: list[str] = []
 
-            t0 = time.perf_counter()
-            ts = [
-                _threading.Thread(target=_client, args=(c,))
-                for c in range(n_clients)
-            ]
-            for t in ts:
-                t.start()
-            for t in ts:
-                t.join(600)
-            if errs:
-                raise RuntimeError(errs[0])
-            serve_rate_conc = round(
-                n_clients * per_client / (time.perf_counter() - t0), 1
-            )
+                def _client(ci: int) -> None:
+                    for i in range(per_client):
+                        r = srv.handle(reqs[(ci + i) % len(reqs)])
+                        if "error" in r:
+                            errs.append(r["error"])
+
+                t0 = time.perf_counter()
+                ts = [
+                    _threading.Thread(target=_client, args=(c,))
+                    for c in range(n_clients)
+                ]
+                for t in ts:
+                    t.start()
+                for t in ts:
+                    t.join(600)
+                if errs:
+                    raise RuntimeError(errs[0])
+                conc_rates.append(
+                    n_clients * per_client / (time.perf_counter() - t0)
+                )
+            serve_rate = round(max(serial_rates), 1)
+            serve_rate_conc = round(max(conc_rates), 1)
         finally:
             shutil.rmtree(srv_store, ignore_errors=True)
     except Exception as e:  # noqa: BLE001 — informational, but not silent
@@ -693,6 +743,8 @@ def main() -> None:
         out["ingest_samples_per_sec"] = ingest_rate
     if state_rate is not None:
         out["state_100k_keys_samples_per_sec"] = state_rate
+        if state_rate_first is not None:
+            out["state_100k_keys_first_trial"] = state_rate_first
     if serve_rate is not None:
         out["serve_requests_per_sec"] = serve_rate
     if serve_rate_conc is not None:
@@ -716,8 +768,9 @@ def main() -> None:
         )
         out["cache_protocol"] = (
             "warm-warm (prewarm_files before each engine phase; duckdb "
-            "min-of-3 after warm — host page-cache reclaim makes single "
-            "runs unreliable)"
+            "min over 5 warm-then-measure sweeps — the same sweep shape "
+            "as Spark resident, so both minima are drawn from "
+            "identically-conditioned samples)"
         )
         out["action_protocol"] = (
             "v3: Arrow-materialized results both engines (spark toArrow "
@@ -726,6 +779,11 @@ def main() -> None:
             "noop sink, which discarded Spark results and re-ran "
             "Catalyst in the write wrapper every call)"
         )
+        if _REEXECUTE_FELL_BACK:
+            out["action_protocol"] += (
+                " (FALLBACK: ofRows seam unavailable — resident plans "
+                "rebuilt per run, cold-shaped)"
+            )
         # the measured ratio-vs-scale curve (scripts/scale_sweep.py, full
         # 14-query set, same replication recipe): surfaced on the summary
         # line so the per-round artifact records where the 2x bar is met

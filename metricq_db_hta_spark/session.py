@@ -15,6 +15,32 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem(cpus: str) -> str:
+    """Driver max heap derived from the venue instead of a flat constant:
+    0.75 GiB per local task slot, capped at half of MemTotal (the Python
+    workers, Arrow buffers and OS page cache need the rest), floor 2 GiB.
+    Max heap only — the JVM commits what it uses — but Xmx past physical
+    memory risks swap/OOM-kill under load on small hosts (ADVICE r12)."""
+    override = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if override:
+        return override
+    try:
+        slots = int(cpus)
+    except ValueError:
+        slots = os.cpu_count() or 8
+    want_mb = slots * 768
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_mb = int(line.split()[1]) // 1024
+                    want_mb = min(want_mb, total_mb // 2)
+                    break
+    except OSError:
+        pass  # non-Linux: keep the per-slot estimate
+    return f"{max(want_mb, 2048)}m"
+
+
 def get_spark(
     app_name: str = "metricq-db-hta-spark",
     shuffle_partitions: int | None = None,
@@ -46,11 +72,12 @@ def get_spark(
         # heap sized to the task-slot count: local[32] hosts 32 executor
         # threads in the driver JVM, and 8g gave them 256 MB/slot — below
         # Spark's own 512M-1G/core guidance; FLOOR.json showed 0.4 s of GC
-        # inside a single sf1 q1 stage. 24g (0.75 g/slot) measured ~7%
-        # faster on the 16-query sf1 resident sweep with the same spreads.
-        # Max heap only — the JVM commits what it uses, so small test
-        # sessions are unaffected.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # inside a single sf1 q1 stage. 0.75 g/slot measured ~7% faster on
+        # the 16-query sf1 resident sweep with the same spreads. The
+        # default is DERIVED (min(0.75g x slots, 50% of MemTotal), floor
+        # 2g — ADVICE r12: a flat 24g Xmx could outgrow physical memory on
+        # small hosts under load); SPARK_GRAFT_DRIVER_MEM overrides.
+        .config("spark.driver.memory", _default_driver_mem(cpus))
         # UI off for tests/bench (saves startup + listener overhead);
         # SPARK_GRAFT_UI=1 turns it on for stage-level profiling via the
         # REST API (scripts/floor_decompose.py)

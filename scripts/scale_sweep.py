@@ -65,7 +65,7 @@ def main() -> int:
             spark, names, data_dir, resident_sweeps=args.sweeps
         )
         print(f"== duckdb {sf_label} ==", flush=True)
-        duck = bench.time_duckdb(names, data_dir)
+        duck = bench.time_duckdb(names, data_dir, sweeps=args.sweeps)
         entry: dict[str, dict] = {}
         for n in names:
             d = duck.get(n)
@@ -83,7 +83,8 @@ def main() -> int:
         result[sf_label] = {
             "reps": reps,
             "cache_protocol": "warm-warm (+ per-phase re-prewarm inside "
-            "time_duckdb, min-of-3): every replica file read into "
+            "time_duckdb; both engines min over identical "
+            "warm-then-measure sweeps): every replica file read into "
             "the page cache before either engine runs (bench.prewarm_files)",
             "queries": entry,
             "total_cold": tot_c,

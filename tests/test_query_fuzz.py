@@ -1613,7 +1613,11 @@ def test_random_mixed_generation_counter_rebuild(spark, spec, tmp_path_factory):
         spark, store, level_widths_ns=(W0,), counter_widths_ns=(W0,)
     )
     for k, seg in enumerate(segs):
-        if (spec["legacy_mask"] >> k) & 1 and k > 0:
+        # every segment index may be legacy, INCLUDING k==0 (ADVICE r12:
+        # the old `k > 0` guard silently excluded the 'store begins with a
+        # pre-r11 legacy batch' generation class) — the legacy writer
+        # needed no prior store state, so neither does its emulation here
+        if (spec["legacy_mask"] >> k) & 1:
             # pre-r11-shaped batch: same layout the old writer produced —
             # no prev_value column, no counter-cascade maintenance
             df = spark.createDataFrame(
@@ -1653,6 +1657,20 @@ def test_random_mixed_generation_counter_rebuild(spark, spec, tmp_path_factory):
     fsck_mod.rebuild_levels(spark, store)
     rep = fsck_mod.check_store(spark, store)
     assert rep.ok, (spec, [r for r in rep.levels if not r.ok])
+
+    all_legacy = (
+        spec["legacy_mask"] & ((1 << spec["n_segments"]) - 1)
+        == (1 << spec["n_segments"]) - 1
+    )
+    if all_legacy:
+        # a store written ENTIRELY by the pre-r11 writer never configured
+        # counter maintenance, so no counter table exists and rebuild —
+        # which discovers widths from the layout — must not invent one
+        # (enabling counters on such a store is fuzz class 18's path)
+        import os as _os
+
+        assert not _os.path.isdir(f"{store}/counter_{W0}"), spec
+        return
 
     # plain-Python full-chain reference
     expected: dict = {}
