@@ -23,17 +23,72 @@ Scale notes (100 TB import):
 * Predicate pushdown applies: a ``WHERE metric IN (...)`` filter on the
   returned DataFrame is pushed into the remote SQL.
 
-This container ships no JDBC driver jar, so ``load()`` fails fast with
-Spark's actionable driver-resolution error (contract-tested, same
-acceptance pattern as the kafka source — see COVERAGE.md A1); the option
-plumbing and the downstream ETL chain are identical with or without the
-jar, which is what the gate pins.
+Driver jars: none ship on the default classpath, but any JDBC driver jar
+already on the machine can be registered at RUNTIME via ``ADD JAR``
+(:func:`register_driver_jar`) — no session restart, executors pick it up
+through Spark's mutable classloader. :func:`find_driver_jar` discovers a
+jar in the usual local artifact caches (ivy2 / coursier / $SPARK_HOME
+jars), so the end-to-end import path is exercised wherever ANY driver is
+present (the test suite uses the DuckDB JDBC driver as the legacy
+database stand-in; with no jar anywhere, ``load()`` still fails fast with
+Spark's actionable driver-resolution error — the r8-accepted gate).
+
+:func:`jdbc_import` is the full importer-parity entry point
+(/root/reference/src/tools/metricq_importer/importer.py:197-249): bound
+probe -> chunked partitioned scan (the ``--mysql-chunk-size 10000000``
+analogue) -> ``StreamingIngest.backfill``, with connection concurrency
+capped the way the importer caps ``num_workers``.
 """
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: vendor -> (jar glob stem, driver class) for local-cache discovery
+_KNOWN_DRIVERS = {
+    "duckdb": ("duckdb_jdbc*.jar", "org.duckdb.DuckDBDriver"),
+    "mysql": ("mysql-connector*.jar", "com.mysql.cj.jdbc.Driver"),
+    "mariadb": ("mariadb-java-client*.jar", "org.mariadb.jdbc.Driver"),
+    "postgresql": ("postgresql-*.jar", "org.postgresql.Driver"),
+    "sqlite": ("sqlite-jdbc*.jar", "org.sqlite.JDBC"),
+}
+
+
+def find_driver_jar(vendor: str = "duckdb") -> tuple[str, str] | None:
+    """Locate a JDBC driver jar for ``vendor`` in the local artifact
+    caches. Returns ``(jar_path, driver_class)`` or None. Search order:
+    ``$SPARK_GRAFT_JDBC_JAR`` (explicit override — the driver class is
+    then taken from the vendor table), ``~/.ivy2``, ``~/.cache/coursier``,
+    ``$SPARK_HOME/jars``. Nothing is downloaded."""
+    stem, cls = _KNOWN_DRIVERS[vendor]
+    override = os.environ.get("SPARK_GRAFT_JDBC_JAR")
+    if override and os.path.isfile(override):
+        return override, cls
+    home = os.path.expanduser("~")
+    roots = [
+        os.path.join(home, ".ivy2"),
+        os.path.join(home, ".cache", "coursier"),
+        os.path.join(os.environ.get("SPARK_HOME", "/nonexistent"), "jars"),
+    ]
+    for root in roots:
+        if not os.path.isdir(root):
+            continue
+        hits = sorted(glob.glob(os.path.join(root, "**", stem), recursive=True))
+        if hits:
+            return hits[-1], cls  # highest version sorts last
+    return None
+
+
+def register_driver_jar(spark: SparkSession, jar_path: str) -> None:
+    """Put a driver jar on the session's classloader at runtime (Spark's
+    ``ADD JAR`` — distributed to executors, picked up by the JDBC
+    source's DriverRegistry). Idempotent: re-adding the same path is a
+    no-op in Spark."""
+    spark.sql(f"ADD JAR '{jar_path}'")
 
 
 def jdbc_samples_source(
@@ -51,6 +106,7 @@ def jdbc_samples_source(
     driver: str | None = None,
     user: str | None = None,
     password: str | None = None,
+    push_down_predicate: bool = True,
 ) -> DataFrame:
     """Partitioned JDBC scan of a legacy samples table, projected to the
     canonical ``(metric, ts_ns, value, event_id)`` sample schema.
@@ -62,6 +118,16 @@ def jdbc_samples_source(
     contract the ingest chain enforces anyway.
     """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if not push_down_predicate:
+        # the import path disables remote predicate pushdown: the scan is
+        # full-table by design (everything gets imported) and Spark's
+        # DEFAULT JDBC dialect renders NaN/Infinity double literals as
+        # bare identifiers — the ingest chain's validity filter would
+        # arrive at the legacy server as invalid SQL ("Binder Error:
+        # Referenced column 'Infinity' not found", DuckDB). Filtering in
+        # the engine matches the reference, where hta_mysql_import reads
+        # raw chunks and HTA applies the sample filters.
+        reader = reader.option("pushDownPredicate", "false")
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:
             raise ValueError(
@@ -85,3 +151,68 @@ def jdbc_samples_source(
         F.col(value_col).cast("double").alias("value"),
         (F.col(ts_ms_col).cast("long") * F.lit(1_000_000)).alias("event_id"),
     )
+
+
+def jdbc_import(
+    spark: SparkSession,
+    ingest,
+    url: str,
+    table: str,
+    *,
+    partition_column: str,
+    chunk_rows: int = 10_000_000,
+    max_connections: int = 8,
+    driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    **source_kwargs,
+) -> int:
+    """Importer-parity bulk import: probe the legacy table's key range,
+    chunk it, scan it with bounded connection concurrency, and replay it
+    through ``StreamingIngest.backfill`` — the one ETL chain every other
+    backfill uses (monotonicity filter, raw write, level cascade).
+
+    Parity with the reference importer
+    (/root/reference/src/tools/metricq_importer/importer.py:197-249):
+    ``chunk_rows`` is ``--mysql-chunk-size`` (10M rows/chunk — here a
+    per-partition KEY span, the same index-range-scan shape);
+    ``max_connections`` caps concurrent legacy-server connections the way
+    the importer's ``num_workers`` caps its subprocess fleet. The bound
+    probe is ONE single-row remote aggregate, pushed down as a subquery.
+    Returns the number of rows imported."""
+    opts = {"url": url}
+    for k, v in (("driver", driver), ("user", user), ("password", password)):
+        if v is not None:
+            opts[k] = v
+    bounds_q = (
+        f"(SELECT MIN({partition_column}) AS lo, MAX({partition_column}) "
+        f"AS hi, COUNT(*) AS n FROM {table}) bounds"
+    )
+    probe = (
+        spark.read.format("jdbc")
+        .options(**opts, dbtable=bounds_q)
+        .load()
+        .collect()[0]
+    )
+    if probe["n"] == 0:
+        return 0
+    lo, hi = int(probe["lo"]), int(probe["hi"])
+    # chunk count from the ROW count (a sparse key range must not explode
+    # into empty chunks), connection-capped like the importer's workers
+    n_parts = max(1, min(int(max_connections), -(-int(probe["n"]) // chunk_rows)))
+    src = jdbc_samples_source(
+        spark,
+        url,
+        table,
+        partition_column=partition_column,
+        lower_bound=lo,
+        upper_bound=hi,
+        num_partitions=n_parts,
+        driver=driver,
+        user=user,
+        password=password,
+        push_down_predicate=False,  # full-table import; see source note
+        **source_kwargs,
+    )
+    ingest.backfill(src)
+    return int(probe["n"])  # rows read from legacy (probe already paid)
