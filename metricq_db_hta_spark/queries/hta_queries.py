@@ -252,6 +252,9 @@ FROM served GROUP BY metric
     "(/root/reference/src/async_hta_service.hpp:361-441).",
     bench=True,
     static_plan=True,
+    # one summary row per metric: 4 reduce tasks cover the tiny merge
+    # without paying 32 launches (venue latency pin, r13 A/B)
+    conf={"spark.sql.shuffle.partitions": "4"},
 )
 def hta_ingest_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metricq_db_hta_spark.sources.derived import raw_serve_table
@@ -282,6 +285,11 @@ FROM level0
     "bucket) — reference A5 with engine-defined integral semantics.",
     bench=True,
     static_plan=True,
+    # reduce side is (metric, 1h-bucket) — a few hundred k small rows; 8
+    # reduce tasks beat 32 at this venue (0.42 vs 0.59 s resident sf1 A/B
+    # r13: task-launch floor dominates) while keeping the merge parallel.
+    # Venue latency policy only — a cluster run leaves AQE to coalesce.
+    conf={"spark.sql.shuffle.partitions": "8"},
 )
 def hta_level0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _present(hta.level0(samples(spark, sf_dir), W0))
@@ -907,6 +915,9 @@ FROM inc GROUP BY 1, 2
     "(/root/reference/src/async_hta_service.hpp:361-441).",
     bench=True,
     static_plan=True,
+    # (metric, bucket) reduce side, bounded by range/width: 8 reduce
+    # tasks vs 32 saves ~0.04 s of launch floor at sf1 (r13 A/B)
+    conf={"spark.sql.shuffle.partitions": "8"},
 )
 def hta_counter_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metricq_db_hta_spark.sources.derived import raw_serve_table

@@ -60,6 +60,10 @@ JOIN (SELECT sha256(text) AS h, MIN(doc_id) AS keep_id
     "survives (hash-groupBy, one shuffle).",
     bench=True,
     static_plan=True,
+    # the hash-group reduce side is |distinct texts| small rows; 4 reduce
+    # tasks halve the sf1 resident time vs 32 (0.20 vs 0.38 s, r13 A/B —
+    # launch floor, not compute). Venue latency pin; clusters keep AQE.
+    conf={"spark.sql.shuffle.partitions": "4"},
 )
 def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs(spark, sf_dir)).select(

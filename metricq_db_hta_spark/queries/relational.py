@@ -131,6 +131,12 @@ GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
+    conf={
+        # post-pushdown reduce side is the surviving (orderkey, date)
+        # groups of one mktsegment-year sliver — 4 reduce tasks vs 32
+        # shave the launch floor (0.26 vs 0.29 s sf1 resident, r13 A/B)
+        "spark.sql.shuffle.partitions": "4",
+    },
     doc="TPC-H-Q3 shape: 3-way join, grouped revenue, deterministic top-10 "
     "(TakeOrderedAndProject), over BUCKETED fact storage (r8, same "
     "rationale as rel_q5): the orders⋈lineitem chain joins bucket-aligned "
@@ -513,6 +519,10 @@ FROM purch p ASOF LEFT JOIN clicks c
     "scan, ONE exchange); oracle uses native ASOF JOIN.",
     bench=True,
     static_plan=True,
+    # the union trick's ONE exchange carries |events-in-window| rows into
+    # a per-user window; 8 reduce tasks beat 32 at sf1 (0.14 vs 0.19 s
+    # resident, r13 A/B — launch floor). Venue latency pin.
+    conf={"spark.sql.shuffle.partitions": "8"},
 )
 def rel_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_df(spark, sf_dir)
