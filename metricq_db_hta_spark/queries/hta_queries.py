@@ -285,11 +285,11 @@ FROM level0
     "bucket) — reference A5 with engine-defined integral semantics.",
     bench=True,
     static_plan=True,
-    # reduce side is (metric, 1h-bucket) — a few hundred k small rows; 8
-    # reduce tasks beat 32 at this venue (0.42 vs 0.59 s resident sf1 A/B
-    # r13: task-launch floor dominates) while keeping the merge parallel.
-    # Venue latency policy only — a cluster run leaves AQE to coalesce.
-    conf={"spark.sql.shuffle.partitions": "8"},
+    # NOT reduce-side pinned (r13): the (metric, 1h-bucket) reduce side
+    # GROWS with data — 8 tasks won 0.42 vs 0.59 s at sf1 but lost 2.0 vs
+    # 0.9 s at sf10 (SCALE_SWEEP A/B). Queries whose exchange payload
+    # scales keep the session's partition count; only group-BOUNDED
+    # reduces get conf pins.
 )
 def hta_level0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _present(hta.level0(samples(spark, sf_dir), W0))

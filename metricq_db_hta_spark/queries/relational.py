@@ -131,12 +131,10 @@ GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
-    conf={
-        # post-pushdown reduce side is the surviving (orderkey, date)
-        # groups of one mktsegment-year sliver — 4 reduce tasks vs 32
-        # shave the launch floor (0.26 vs 0.29 s sf1 resident, r13 A/B)
-        "spark.sql.shuffle.partitions": "4",
-    },
+    # NOT reduce-side pinned (r13): the surviving (orderkey, date) group
+    # count scales with the fact table — 4 tasks won 0.03 s at sf1 but
+    # cost 0.10 s at sf10 (SCALE_SWEEP A/B); scale-growing reduces keep
+    # the session partition count
     doc="TPC-H-Q3 shape: 3-way join, grouped revenue, deterministic top-10 "
     "(TakeOrderedAndProject), over BUCKETED fact storage (r8, same "
     "rationale as rel_q5): the orders⋈lineitem chain joins bucket-aligned "
