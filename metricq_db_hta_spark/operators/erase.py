@@ -295,6 +295,10 @@ def delete_metric(
         _rmtree_strict(mdir)
         bdir = store_meta.batch_dir(store_dir, b)
         if not any(n.startswith("metric=") for n in os.listdir(bdir)):
+            # intent before whole-dir delete: a crash before the marker
+            # de-commit must read as deliberate removal, not torn-replay
+            # loss (see store_meta.settle_removal_intent)
+            store_meta.record_removal_intent(store_dir, {b})
             shutil.rmtree(bdir)
             emptied.append(b)
     if emptied and not dry_run:
@@ -304,6 +308,7 @@ def delete_metric(
         # dir is gone, waiting for vacuum to clear a tombstone would
         # just leave a dangling entry until then
         store_meta.update_commit_marker(store_dir, add=set(), remove=set(emptied))
+        store_meta.clear_removal_intent(store_dir, set(emptied))
         gone_retired = set(emptied) & set(
             store_meta.retired_batches(store_dir)
         )

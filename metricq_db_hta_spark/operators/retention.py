@@ -347,12 +347,18 @@ def expire(
                 if n_deleted and remaining == 0:
                     emptied.append(b)
             elif not any(n.startswith("metric=") for n in os.listdir(bdir)):
+                # whole-batch-dir deletion: record the intent FIRST so a
+                # crash before the marker de-commit below reads as a
+                # deliberate removal (settled automatically), never as
+                # torn-replay loss wedging the maintenance guard
+                store_meta.record_removal_intent(store_dir, {b})
                 shutil.rmtree(bdir)
                 emptied.append(b)
         if emptied and not dry_run:
             # drop fully-expired ids from the committed set (clips to
             # on-disk, republishes the snapshot manifest)
             store_meta.update_commit_marker(store_dir, add=set(), remove=set(emptied))
+            store_meta.clear_removal_intent(store_dir, set(emptied))
 
     # -- level / hist tables ----------------------------------------------
     for key, floor in floors.items():

@@ -74,12 +74,22 @@ def find_driver_jar(vendor: str = "duckdb") -> tuple[str, str] | None:
         os.path.join(home, ".cache", "coursier"),
         os.path.join(os.environ.get("SPARK_HOME", "/nonexistent"), "jars"),
     ]
+    def _version_key(path: str) -> tuple:
+        # numeric-aware: 1.10.0 must beat 1.9.2 (plain lexicographic
+        # sorting inverts multi-digit components — r13 review)
+        import re as _re
+
+        return tuple(
+            int(t) if t.isdigit() else t
+            for t in _re.split(r"(\d+)", os.path.basename(path))
+        )
+
     for root in roots:
         if not os.path.isdir(root):
             continue
-        hits = sorted(glob.glob(os.path.join(root, "**", stem), recursive=True))
+        hits = glob.glob(os.path.join(root, "**", stem), recursive=True)
         if hits:
-            return hits[-1], cls  # highest version sorts last
+            return max(hits, key=_version_key), cls
     return None
 
 
@@ -88,7 +98,8 @@ def register_driver_jar(spark: SparkSession, jar_path: str) -> None:
     ``ADD JAR`` — distributed to executors, picked up by the JDBC
     source's DriverRegistry). Idempotent: re-adding the same path is a
     no-op in Spark."""
-    spark.sql(f"ADD JAR '{jar_path}'")
+    quoted = jar_path.replace("'", "\\'")  # paths may carry apostrophes
+    spark.sql(f"ADD JAR '{quoted}'")
 
 
 def jdbc_samples_source(
@@ -211,7 +222,10 @@ def jdbc_import(
         driver=driver,
         user=user,
         password=password,
-        push_down_predicate=False,  # full-table import; see source note
+        # full-table import defaults pushdown OFF (see the source note);
+        # popped from kwargs so a caller's explicit choice is honored
+        # instead of colliding (TypeError) with the default
+        push_down_predicate=source_kwargs.pop("push_down_predicate", False),
         **source_kwargs,
     )
     ingest.backfill(src)

@@ -939,6 +939,11 @@ class StreamingIngest:
         # every marker-committed batch before they look
         for act in store_meta.settle_replay_staging(self.store):
             _log.warning("settled torn replay swap: %s", act)
+        # ... and a crash-interrupted deliberate removal (retention/erase
+        # whole-batch-dir delete) finishes its marker de-commit, so the
+        # marker never claims a deliberately removed batch
+        for act in store_meta.settle_removal_intent(self.store):
+            _log.warning("settled interrupted batch removal: %s", act)
         # the liveness guard (refuse to roll back a FRESH writing-state
         # journal — a live compaction heartbeats its mtime) lives inside
         # recover_compaction itself, so every caller gets it

@@ -218,12 +218,74 @@ def missing_committed_batches(store_dir: str) -> set[int]:
     )
 
 
+# -- removal intent (deliberate batch-dir deletion, r13) -------------------
+#
+# retention/erase delete a fully-emptied batch DIRECTORY and then de-commit
+# it from the marker. A crash between the two produces the same
+# "marker-committed batch missing from raw" signature as torn-replay loss —
+# and would permanently wedge the maintenance guard below (r13 review #1:
+# unlike compaction there is no journal to roll forward). So whole-batch
+# deletions record their intent FIRST; the settle finishes the de-commit
+# for any intent batch whose dir is gone, and drops intents whose dir
+# still exists (the op re-runs idempotently).
+
+
+def removal_intent_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "_removal_intent.json")
+
+
+def read_removal_intent(store_dir: str) -> set[int]:
+    try:
+        with open(removal_intent_path(store_dir)) as f:
+            return {int(b) for b in json.load(f).get("batches", [])}
+    except (FileNotFoundError, ValueError):
+        return set()
+
+
+def record_removal_intent(store_dir: str, ids: set[int]) -> None:
+    cur = read_removal_intent(store_dir) | {int(b) for b in ids}
+    _write_json_atomic(removal_intent_path(store_dir), {"batches": sorted(cur)})
+
+
+def clear_removal_intent(store_dir: str, ids: set[int]) -> None:
+    cur = read_removal_intent(store_dir) - {int(b) for b in ids}
+    if cur:
+        _write_json_atomic(removal_intent_path(store_dir), {"batches": sorted(cur)})
+    else:
+        try:
+            os.remove(removal_intent_path(store_dir))
+        except FileNotFoundError:
+            pass
+
+
+def settle_removal_intent(store_dir: str) -> list[str]:
+    """Finish a crash-interrupted deliberate batch removal: any intent
+    batch whose dir is gone gets its marker de-commit completed; intents
+    whose dir survived are dropped (the op re-runs from scratch).
+    Idempotent."""
+    intent = read_removal_intent(store_dir)
+    if not intent:
+        return []
+    actions: list[str] = []
+    gone = intent - raw_batches_on_disk(store_dir)
+    finish = gone & committed_batches(store_dir)
+    if finish:
+        update_commit_marker(store_dir, add=set(), remove=finish)
+        actions.append(
+            f"finished de-commit of deliberately removed batches {sorted(finish)}"
+        )
+    clear_removal_intent(store_dir, intent)
+    return actions
+
+
 def require_committed_batches_on_disk(store_dir: str, op: str) -> None:
-    """Maintenance pre-flight: settle any crashed replay swap, then refuse
-    if a marker-committed batch is STILL missing from raw — running
+    """Maintenance pre-flight: settle any crashed replay swap and any
+    crash-interrupted deliberate removal, then refuse if a
+    marker-committed batch is STILL missing from raw — running
     rebuild/compact/retention/erase over a raw view with a committed batch
     absent would permanently bake the loss into derived state."""
     settle_replay_staging(store_dir)
+    settle_removal_intent(store_dir)
     missing = missing_committed_batches(store_dir)
     if missing:
         raise RuntimeError(

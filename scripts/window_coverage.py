@@ -23,10 +23,7 @@ Exit status: 0 when every query is fresh or scheduled, 1 otherwise.
 from __future__ import annotations
 
 import argparse
-import glob
-import json
 import os
-import re
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))

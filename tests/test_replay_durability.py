@@ -176,3 +176,45 @@ def test_recover_settles_torn_swap_first(spark, store_one_batch):
     svc2.recover()
     assert os.path.isdir(final)
     assert store_meta.missing_committed_batches(store) == set()
+
+
+def test_interrupted_deliberate_removal_does_not_wedge_maintenance(
+    spark, store_one_batch, tmp_path
+):
+    """r13 review #1: retention/erase delete an emptied batch DIR and then
+    de-commit it; a crash between the two used to read as torn-replay loss
+    and wedge every maintenance op forever (no journal heals it). With the
+    removal-intent ledger, the interrupted removal settles automatically:
+    the de-commit completes and maintenance proceeds."""
+    from metricq_db_hta_spark.operators.maintenance import compact_raw
+
+    svc, store, batch_id = store_one_batch
+    # simulate the crash window: intent recorded, dir deleted, marker
+    # UPDATE never ran (exactly what expire()/erase do before de-commit)
+    store_meta.record_removal_intent(store, {batch_id})
+    shutil.rmtree(store_meta.batch_dir(store, batch_id))
+    assert store_meta.missing_committed_batches(store) == {batch_id}
+
+    # the guard settles instead of wedging: de-commit completes...
+    store_meta.require_committed_batches_on_disk(store, "test")
+    assert batch_id not in store_meta.committed_batches(store)
+    assert store_meta.read_removal_intent(store) == set()
+    # ...and maintenance runs (nothing to compact on an empty store = None)
+    assert compact_raw(spark, store) is None
+
+    # counter-case: intent recorded but the dir SURVIVED (crash before the
+    # delete) — the intent is dropped, the batch stays committed
+    svc2_store = str(tmp_path / "store_intact")
+    rows = [("m1", BASE + i * 1_000_000_000, float(i), i) for i in range(1, 6)]
+    input_dir = tmp_path / "in2"
+    input_dir.mkdir()
+    spark.createDataFrame(
+        rows, ["metric", "ts_ns", "value", "event_id"]
+    ).coalesce(1).write.parquet(str(input_dir / "c1"))
+    svc2 = StreamingIngest(spark, svc2_store, level_widths_ns=(W,))
+    svc2.run_until_drained(str(input_dir))
+    (bid2,) = store_meta.committed_batches(svc2_store)
+    store_meta.record_removal_intent(svc2_store, {bid2})
+    store_meta.require_committed_batches_on_disk(svc2_store, "test")
+    assert bid2 in store_meta.committed_batches(svc2_store)
+    assert store_meta.read_removal_intent(svc2_store) == set()

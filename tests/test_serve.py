@@ -721,8 +721,17 @@ def test_concurrent_throughput_scales_over_serial(spark, sf_dir, tmp_path):
     collapses the ratio to ~1.0x; healthy overlap measures ~2.5-3.5x.
     The guard is RELATIVE (same process, same plans, interleaved sweeps)
     so it is venue-independent, unlike a pinned req/s floor."""
+    import os
     import threading
     import time
+
+    import pytest
+
+    if (os.cpu_count() or 1) < 8:
+        # on few-core machines one request's job already saturates the
+        # executor threads, so overlap buys little — the ratio bound
+        # would measure the HARDWARE, not the serve path (r13 review)
+        pytest.skip("concurrency-scaling guard needs >= 8 cores")
 
     src = samples(spark, sf_dir).limit(2000)
     store = str(tmp_path / "store_scaling")
