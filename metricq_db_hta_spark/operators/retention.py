@@ -215,12 +215,9 @@ def _advertise(store_dir: str, updates: dict[str, int]) -> dict[str, int]:
 
 
 def _discovered_widths(store_dir: str, prefix: str) -> list[int]:
-    out = []
-    for name in os.listdir(store_dir) if os.path.isdir(store_dir) else []:
-        head, _, tail = name.partition("_")
-        if head == prefix and tail.isdigit():
-            out.append(int(tail))
-    return sorted(out)
+    if not os.path.isdir(store_dir):
+        return []
+    return sorted(store_meta.width_table_dirs(store_dir, prefix))
 
 
 def _time_dirs(parent: str) -> list[tuple[str, dt.date, str]]:

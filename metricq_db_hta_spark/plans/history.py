@@ -326,6 +326,35 @@ def _counter_rate_aggs(increase, width_ns: int) -> list:
     ]
 
 
+#: gapfill level-slice rows above this are joined SHUFFLED, not broadcast:
+#: the slice has at most one row per spine bucket, and a fine-width
+#: long-range request (legal under serve's 10M-point spine guard) would
+#: otherwise collect millions of Aggregate rows onto the driver for the
+#: broadcast — a resource crash on a request the guard deemed safe
+#: (r13 review). 1M rows x 8 cols is ~100 MB serialized, a safe ceiling.
+GAPFILL_BROADCAST_MAX_BUCKETS = 1_000_000
+
+
+def _gapfill_join(spine: DataFrame, tl: DataFrame, n_buckets: int) -> DataFrame:
+    right = F.broadcast(tl) if n_buckets <= GAPFILL_BROADCAST_MAX_BUCKETS else tl
+    return spine.join(right, "bucket_start_ns", "left")
+
+
+def _counter_level_aggs(width_ns: int) -> list:
+    """The counter_rate output record merged from stored LEVEL partials
+    (``increase_sum``/``n_resets`` columns, decimal-exact from the
+    cascade) — the level-side twin of :func:`_counter_rate_aggs`. One
+    owner (r13 review): the stored and leveled serving forms are
+    documented bit-equal, so a rounding/typing fix must reach both."""
+    return [
+        F.round(F.sum("increase_sum"), 6).cast("double").alias("increase"),
+        F.sum("n_resets").cast("long").alias("n_resets"),
+        F.round(
+            F.sum("increase_sum").cast("double") / F.lit(width_ns / 1e9), 6
+        ).alias("rate_per_s"),
+    ]
+
+
 @dataclass
 class HistoryService:
     raw: DataFrame                      # (metric, ts_ns, value)
@@ -383,10 +412,12 @@ class HistoryService:
 
         Scale shape: the spine is ``spark.range`` — a parallel iota scan
         that reads no data — left-joined against the pruned rollup slice,
-        which is log-sized by construction and explicitly broadcast. Zero
-        exchanges on the spine side regardless of range length, so a
-        year-long dense minutely spine (~0.5M rows) costs one codegen
-        stage. The reference returns sparse timelines and leaves gap
+        broadcast while it is driver-safe (<= GAPFILL_BROADCAST_MAX_BUCKETS
+        spine buckets; beyond that the slice itself can be millions of
+        rows and the join runs shuffled instead). Under the broadcast
+        bound there are zero exchanges on the spine side regardless of
+        range length, so a year-long dense minutely spine (~0.5M rows)
+        costs one codegen stage. The reference returns sparse timelines and leaves gap
         handling to clients (/root/reference/src/async_hta_service.hpp:
         361-392); a dashboard over a large store wants the dense form
         computed next to the data.
@@ -398,8 +429,8 @@ class HistoryService:
             F.col("id").alias("bucket_start_ns")
         )
         types = dict(tl.dtypes)
-        filled = spine.join(
-            F.broadcast(tl.drop("metric")), "bucket_start_ns", "left"
+        filled = _gapfill_join(
+            spine, tl.drop("metric"), (end_ns - first) // width
         )
         zero_filled = ("sum", "count", "integral", "active_time")
         return filled.select(
@@ -477,8 +508,8 @@ class HistoryService:
         identity extended with ``n_metrics = 0`` (no metric present), so
         the dense fleet form still merges/rolls up exactly like the
         sparse one. Same plan shape as the single-metric gapfill: a
-        spark.range spine left-joined against the broadcast log-sized
-        merged slice — zero spine-side exchanges at any range length."""
+        spark.range spine left-joined against the merged slice (broadcast
+        under the same driver-safety bound, shuffled past it)."""
         width = choose_level(self.widths, interval_max_ns) or self.widths[0]
         tl = self.aggregate_timeline_pattern(
             pattern, start_ns, end_ns, interval_max_ns
@@ -488,7 +519,7 @@ class HistoryService:
             F.col("id").alias("bucket_start_ns")
         )
         types = dict(tl.dtypes)
-        filled = spine.join(F.broadcast(tl), "bucket_start_ns", "left")
+        filled = _gapfill_join(spine, tl, (end_ns - first) // width)
         zero_filled = (
             "n_metrics", "sum", "count", "integral", "active_time",
         )
@@ -921,18 +952,7 @@ class HistoryService:
                             - F.col("bucket_start_ns") % F.lit(width_ns)
                         ).alias("bucket_start_ns"),
                     )
-                    .agg(
-                        F.round(F.sum("increase_sum"), 6)
-                        .cast("double")
-                        .alias("increase"),
-                        F.sum("n_resets").cast("long").alias("n_resets"),
-                        F.round(
-                            F.sum("increase_sum").cast("double")
-                            / F.lit(width_ns / 1e9),
-                            6,
-                        ).alias("rate_per_s"),
-                        *fleet_tail,
-                    )
+                    .agg(*_counter_level_aggs(width_ns), *fleet_tail)
                 )
             )
 
@@ -1118,17 +1138,7 @@ class HistoryService:
                     - F.col("bucket_start_ns") % F.lit(width_ns)
                 ).alias("bucket_start_ns"),
             )
-            .agg(
-                F.round(F.sum("increase_sum"), 6)
-                .cast("double")
-                .alias("increase"),
-                F.sum("n_resets").cast("long").alias("n_resets"),
-                F.round(
-                    F.sum("increase_sum").cast("double")
-                    / F.lit(width_ns / 1e9),
-                    6,
-                ).alias("rate_per_s"),
-            )
+            .agg(*_counter_level_aggs(width_ns))
         )
         parts = [lo, interior]
         if aligned_end < end_ns:
@@ -1218,10 +1228,35 @@ def resample_linear(
     range/step) generated rows, nothing read. A single-metric request
     skips even the metric-list scan (one literal row).
     """
-    s = samples if metric is None else samples.filter(
+    src = samples if metric is None else samples.filter(
         F.col(metric_col) == metric
     )
-    s = s.select(
+    src = src.select(metric_col, ts_col, value_col)
+    # Only the samples INSIDE [start, end) plus the single nearest
+    # neighbor on each side per metric can affect any grid point, so the
+    # window below sorts range-sized input instead of the metric's whole
+    # history (r13 review: an unpruned 1-hour resample of a 10-year
+    # metric window-sorted the full decade in one task). The in-range
+    # slice partition-prunes; each neighbor is ONE max_by/min_by
+    # aggregation row — a map-side-combined scan, no sort, no window.
+    in_range = _time_pruned(src, start_ns, end_ns).filter(
+        (F.col(ts_col) >= start_ns) & (F.col(ts_col) < end_ns)
+    )
+    pair = F.struct(ts_col, value_col)
+    lo_n = (
+        src.filter(F.col(ts_col) < start_ns)
+        .groupBy(metric_col)
+        .agg(F.max_by(pair, F.col(ts_col)).alias("r"))
+        .select(metric_col, f"r.{ts_col}", f"r.{value_col}")
+    )
+    hi_n = (
+        src.filter(F.col(ts_col) >= end_ns)
+        .groupBy(metric_col)
+        .agg(F.min_by(pair, F.col(ts_col)).alias("r"))
+        .select(metric_col, f"r.{ts_col}", f"r.{value_col}")
+    )
+    pruned = in_range.unionByName(lo_n).unionByName(hi_n)
+    s = pruned.select(
         metric_col,
         F.col(ts_col).alias("pos"),
         F.col(value_col).alias("v"),
@@ -1230,7 +1265,11 @@ def resample_linear(
     )
     spark = samples.sparkSession
     if metric is None:
-        mets = samples.select(metric_col).distinct()
+        # every metric in src has at least one row in pruned (any sample
+        # falls in exactly one of the three slices, and the neighbor aggs
+        # keep one row per metric), so this distinct reads the pruned
+        # slice, not full history
+        mets = pruned.select(metric_col).distinct()
     else:
         mets = spark.createDataFrame([(metric,)], f"{metric_col} string")
     spine = (

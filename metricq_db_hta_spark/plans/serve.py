@@ -102,14 +102,9 @@ def discover_level_widths(store: str) -> list[int]:
     """Level widths from the store layout (``level_<width>`` dirs) — the
     writer's configuration read back from what it actually built, so a
     reader can never silently disagree with it."""
-    import glob as _glob
+    from metricq_db_hta_spark.streaming import store_meta
 
-    out = []
-    for d in _glob.glob(os.path.join(store, "level_*")):
-        tail = os.path.basename(d).split("_", 1)[1]
-        if tail.isdigit():
-            out.append(int(tail))
-    return sorted(out)
+    return sorted(store_meta.width_table_dirs(store, "level"))
 
 
 def build_history_service(
@@ -160,10 +155,22 @@ def build_history_service(
             raw = raw.filter(
                 ~F.col("ingest_batch").isin([int(b) for b in excluded])
             )
+    missing = [
+        w
+        for w in level_widths_ns
+        if not os.path.exists(os.path.join(store, f"level_{w}"))
+    ]
+    if missing:
+        # fail loudly at build time (r13 review: the old silent drop
+        # could yield an EMPTY width list from an explicit request, and
+        # every later request died with IndexError instead)
+        raise ValueError(
+            f"requested level widths have no tables under {store}: "
+            f"{sorted(missing)} (on disk: {discover_level_widths(store)})"
+        )
     levels = {
         w: spark.read.parquet(os.path.join(store, f"level_{w}"))
         for w in level_widths_ns
-        if os.path.exists(os.path.join(store, f"level_{w}"))
     }
     return HistoryService(raw=raw, levels=levels)
 
@@ -184,21 +191,38 @@ def register_store_views(spark: SparkSession, store: str) -> list[str]:
     for w, df in sorted(svc.levels.items()):
         df.createOrReplaceTempView(f"level_{w}")
         names.append(f"level_{w}")
-    import glob as _glob
+    from metricq_db_hta_spark.streaming import store_meta
 
     for prefix in ("hist", "counter"):
-        for d in sorted(_glob.glob(os.path.join(store, f"{prefix}_*"))):
-            tail = os.path.basename(d).split("_", 1)[1]
-            if tail.isdigit():
-                spark.read.parquet(d).createOrReplaceTempView(
-                    f"{prefix}_{tail}"
-                )
-                names.append(f"{prefix}_{tail}")
+        for w, d in sorted(store_meta.width_table_dirs(store, prefix).items()):
+            spark.read.parquet(d).createOrReplaceTempView(f"{prefix}_{w}")
+            names.append(f"{prefix}_{w}")
     drops = os.path.join(store, "drops_log")
     if os.path.isdir(drops):
         spark.read.parquet(drops).createOrReplaceTempView("drops_log")
         names.append("drops_log")
     return names
+
+
+class _StoreState:
+    """One immutable snapshot of everything a request reads that a
+    refresh replaces: the routed relations, the optional level families,
+    the retention floors, counter coverage gaps, and the store epoch the
+    lot was built against. Installed atomically (one reference
+    assignment) by ``_do_refresh`` and read ONCE per request — handler
+    threads can never observe a torn mix of pre- and post-refresh state
+    (r13 review: new relations + old floors silently truncated tiered
+    responses; old counter dict + new width set raised KeyError)."""
+
+    __slots__ = ("svc", "hists", "counters", "floors", "counter_gaps", "epoch")
+
+    def __init__(self, svc, hists, counters, floors, counter_gaps, epoch):
+        self.svc = svc
+        self.hists = hists
+        self.counters = counters
+        self.floors = floors
+        self.counter_gaps = counter_gaps
+        self.epoch = epoch
 
 
 class HistoryServer:
@@ -237,17 +261,14 @@ class HistoryServer:
         self.snapshot = snapshot
         if static_plans:
             spark.conf.set("spark.sql.adaptive.enabled", "false")
-        from metricq_db_hta_spark.streaming import store_meta as _sm
-
-        # epoch captured BEFORE the relations are built (same ordering
-        # as _do_refresh): a mutation landing mid-build triggers an
-        # auto-refresh on the first request instead of being missed
-        self._epoch = _sm.store_epoch(store)
-        self._svc = self._build()
-        self._hists = self._discover_tables("hist")
-        self._counters = self._discover_tables("counter")
-        self._floors = self._read_floors()
-        self._counter_gaps = self._counter_coverage()
+        # ALL refresh-swapped state lives in ONE immutable snapshot,
+        # installed with a single reference assignment (atomic in
+        # CPython): handler threads read self._state once per request and
+        # can never see a torn mix of pre- and post-refresh relations /
+        # floors / counter tables (r13 review: the old five separate
+        # attribute swaps let a racing request pair new relations with
+        # old floors — silently truncated tiered responses)
+        self._state = self._build_state()
         # self-monitoring (reference db_stats parity,
         # /root/reference/src/db_stats.hpp:41-53: per-operation completed/
         # failed counts + durations + data sizes): one record per request
@@ -332,13 +353,15 @@ class HistoryServer:
 
         return retention_floors(self.store)
 
-    def _clamp_floor(self, start: int, key: str) -> tuple[int, int | None]:
+    def _clamp_floor(
+        self, st: "_StoreState", start: int, key: str
+    ) -> tuple[int, int | None]:
         """Clamp a request's start to the serving table's retention floor
         so an expired range returns an EXPLICIT ``clamped_start_ns``
         instead of silently missing rows — the serve-side half of the
         retention contract (operators/retention.py floor semantics).
         Returns (possibly-raised start, floor-if-clamped)."""
-        floor = self._floors.get(key, 0)
+        floor = st.floors.get(key, 0)
         if floor > start:
             return floor, floor
         return start, None
@@ -349,38 +372,49 @@ class HistoryServer:
         with ``counter_widths_ns``) — discovered from the store layout,
         never configured twice. Empty dict when the store maintains
         none."""
-        out = {}
-        import glob as _glob
+        from metricq_db_hta_spark.streaming import store_meta
 
-        for d in sorted(
-            _glob.glob(os.path.join(self.store, f"{prefix}_*"))
-        ):
-            tail = os.path.basename(d).split("_", 1)[1]
-            if tail.isdigit():
-                out[int(tail)] = self.spark.read.parquet(d)
-        return out
+        return {
+            w: self.spark.read.parquet(d)
+            for w, d in sorted(
+                store_meta.width_table_dirs(self.store, prefix).items()
+            )
+        }
 
     def _build(self) -> HistoryService:
         return build_history_service(
             self.spark, self.store, self.widths, snapshot=self.snapshot
         )
 
+    def _build_state(self) -> "_StoreState":
+        """One complete, immutable view of the store: relations, optional
+        level families, retention floors, counter coverage — stamped with
+        the epoch captured BEFORE the relations are built, so a mutation
+        landing mid-build triggers an auto-refresh on the next request
+        instead of being missed."""
+        from metricq_db_hta_spark.streaming import store_meta as _sm
+
+        epoch = _sm.store_epoch(self.store)
+        counters = self._discover_tables("counter")
+        return _StoreState(
+            svc=self._build(),
+            hists=self._discover_tables("hist"),
+            counters=counters,
+            floors=self._read_floors(),
+            counter_gaps=self._counter_coverage(counters),
+            epoch=epoch,
+        )
+
     def _do_refresh(self) -> None:
         """Re-list the store and drop every prepared plan — the single
         consistency point at which appended batches, retention floors,
         surgery and level rebuilds become visible. Caller holds
-        ``_refresh_lock``."""
-        from metricq_db_hta_spark.streaming import store_meta as _sm
-
-        # capture BEFORE re-listing: a mutation landing mid-refresh makes
-        # the next request refresh again rather than being missed
-        epoch = _sm.store_epoch(self.store)
-        self._svc = self._build()
-        self._hists = self._discover_tables("hist")
-        self._counters = self._discover_tables("counter")
-        self._floors = self._read_floors()
-        self._counter_gaps = self._counter_coverage()
-        self._epoch = epoch
+        ``_refresh_lock``. The new state is installed in ONE assignment;
+        in-flight requests finish against the snapshot they started with
+        (their prepared plans pinned the old file listing — consistent,
+        just pre-mutation, exactly like a request that completed a moment
+        earlier)."""
+        self._state = self._build_state()
         with self._plan_lock:
             self._plans.clear()
             self._plan_gen += 1
@@ -394,20 +428,22 @@ class HistoryServer:
         vanished files. Cost on the hot path: four stat calls."""
         from metricq_db_hta_spark.streaming import store_meta as _sm
 
-        if _sm.store_epoch(self.store) == self._epoch:
+        if _sm.store_epoch(self.store) == self._state.epoch:
             return
         with self._refresh_lock:
-            if _sm.store_epoch(self.store) != self._epoch:
+            if _sm.store_epoch(self.store) != self._state.epoch:
                 self._do_refresh()
 
-    def _counter_coverage(self) -> dict[int, dict[str, list[tuple[int, int]]]]:
+    def _counter_coverage(
+        self, counters: dict[int, "object"]
+    ) -> dict[int, dict[str, list[tuple[int, int]]]]:
         """Per-width, per-metric month spans that raw holds but the
         counter level table does not (counter levels enabled on a store
         with pre-existing history — healed by ``fsck --repair``).
         Computed from the directory layout at build/refresh time (one
         raw walk shared across widths, no data scan); empty on a healthy
         store, so the per-request guard below is a dict lookup."""
-        if not self._counters:
+        if not counters:
             return {}
         from metricq_db_hta_spark.streaming import store_meta
 
@@ -416,11 +452,12 @@ class HistoryServer:
             w: store_meta.counter_coverage_gaps(
                 self.store, w, raw_months=raw_months
             )
-            for w in self._counters
+            for w in counters
         }
 
     def _coverage_spans(
         self,
+        st: "_StoreState",
         w: int,
         metric: str | None,
         pattern: str | None,
@@ -429,7 +466,7 @@ class HistoryServer:
     ) -> list[tuple[int, int]]:
         """Counter-coverage gap spans intersecting [start, end) for one
         metric (or the union over a fleet glob) at level width ``w``."""
-        gaps = self._counter_gaps.get(w) or {}
+        gaps = st.counter_gaps.get(w) or {}
         if not gaps:
             return []
         if pattern is not None:
@@ -491,6 +528,10 @@ class HistoryServer:
                     self._do_refresh()
                 return {"rows": [], "n": 0}
             self._maybe_auto_refresh()
+            # ONE consistent snapshot for the whole request: a
+            # concurrent refresh installs a new state object but
+            # never mutates this one (r13 review torn-read fix)
+            st = self._state
             # prepared-plan fast path: an identical request re-executes
             # its cached (already-planned) DataFrame — no Catalyst, no
             # plan rebuild; Spark additionally reuses the plan's cached
@@ -525,17 +566,17 @@ class HistoryServer:
                 # optional "pattern" glob: PER-METRIC rows for every
                 # matching metric (the multi-line chart); the merged
                 # fleet form is aggregate_timeline_pattern
-                w = choose_level(self._svc.widths, imax) or self._svc.widths[0]
-                start, clamped = self._clamp_floor(start, f"level_{w}")
-                df = self._svc.aggregate_timeline(
+                w = choose_level(st.svc.widths, imax) or st.svc.widths[0]
+                start, clamped = self._clamp_floor(st, start, f"level_{w}")
+                df = st.svc.aggregate_timeline(
                     metric, start, end, imax, pattern=req.get("pattern")
                 )
             elif rtype == "flex_timeline":
-                w = choose_level(self._svc.widths, imax)
-                start, clamped = self._clamp_floor(
+                w = choose_level(st.svc.widths, imax)
+                start, clamped = self._clamp_floor(st, 
                     start, "raw" if w is None else f"level_{w}"
                 )
-                df = self._svc.flex_timeline(metric, start, end, imax)
+                df = st.svc.flex_timeline(metric, start, end, imax)
             elif rtype == "aggregate":
                 # Q3 may decompose across every level; the FINEST level's
                 # floor is the highest under the tiering invariant, so
@@ -543,10 +584,10 @@ class HistoryServer:
                 # the reported range (a degraded-resolution answer from
                 # coarse-only buckets below it would be a different,
                 # wider-bucket quantity — explicit clamp over silent mix)
-                start, clamped = self._clamp_floor(
-                    start, f"level_{self._svc.widths[0]}"
+                start, clamped = self._clamp_floor(st, 
+                    start, f"level_{st.svc.widths[0]}"
                 )
-                df = self._svc.aggregate(metric, start, end)
+                df = st.svc.aggregate(metric, start, end)
             elif rtype == "aggregate_tiered":
                 # retention-aware Q3: serve expired-raw history from the
                 # coarse levels that retain it (exact values, degraded
@@ -554,10 +595,10 @@ class HistoryServer:
                 # ``uncovered`` — the tiered-store alternative to the
                 # plain ``aggregate`` clamp above
                 floors = {
-                    w: self._floors.get(f"level_{w}", 0)
-                    for w in self._svc.widths
+                    w: st.floors.get(f"level_{w}", 0)
+                    for w in st.svc.widths
                 }
-                df, gaps = self._svc.aggregate_tiered(
+                df, gaps = st.svc.aggregate_tiered(
                     metric, start, end, floors
                 )
                 uncovered = [[lo, hi] for lo, hi in gaps]
@@ -567,10 +608,10 @@ class HistoryServer:
                 # requested resolution; rows carry width_ns, unservable
                 # slivers reported in ``uncovered``
                 floors = {
-                    w: self._floors.get(f"level_{w}", 0)
-                    for w in self._svc.widths
+                    w: st.floors.get(f"level_{w}", 0)
+                    for w in st.svc.widths
                 }
-                df, gaps = self._svc.timeline_tiered(
+                df, gaps = st.svc.timeline_tiered(
                     metric, start, end, imax, floors
                 )
                 uncovered = [[lo, hi] for lo, hi in gaps]
@@ -585,9 +626,9 @@ class HistoryServer:
                         "error": "aggregate_timeline_pattern requires "
                         "a pattern"
                     }
-                w = choose_level(self._svc.widths, imax) or self._svc.widths[0]
-                start, clamped = self._clamp_floor(start, f"level_{w}")
-                df = self._svc.aggregate_timeline_pattern(
+                w = choose_level(st.svc.widths, imax) or st.svc.widths[0]
+                start, clamped = self._clamp_floor(st, start, f"level_{w}")
+                df = st.svc.aggregate_timeline_pattern(
                     str(pat), start, end, imax
                 )
             elif rtype == "aggregate_pattern":
@@ -597,14 +638,14 @@ class HistoryServer:
                 pat = req.get("pattern")
                 if not pat:
                     return {"error": "aggregate_pattern requires a pattern"}
-                start, clamped = self._clamp_floor(
-                    start, f"level_{self._svc.widths[0]}"
+                start, clamped = self._clamp_floor(st, 
+                    start, f"level_{st.svc.widths[0]}"
                 )
-                df = self._svc.aggregate_pattern(str(pat), start, end)
+                df = st.svc.aggregate_pattern(str(pat), start, end)
             elif rtype == "last_value":
                 # optional fleet glob: {"type": "last_value",
                 # "pattern": "host.*.power"} — one request, M rows
-                df = self._svc.last_value(
+                df = st.svc.last_value(
                     metric, pattern=req.get("pattern")
                 )
             elif rtype == "list_metrics":
@@ -619,7 +660,7 @@ class HistoryServer:
                 # tested; fnmatch would diverge on [seq] classes).
                 from metricq_db_hta_spark.plans.history import glob_match
 
-                w = self._svc.widths[0]
+                w = st.svc.widths[0]
                 troot = os.path.join(self.store, f"level_{w}")
                 names = sorted(
                     unquote(n.split("=", 1)[1])
@@ -648,21 +689,21 @@ class HistoryServer:
                         "error": "gapfill_timeline requires explicit "
                         "start_ns and end_ns"
                     }
-                width = choose_level(self._svc.widths, imax) or (
-                    self._svc.widths[0]
+                width = choose_level(st.svc.widths, imax) or (
+                    st.svc.widths[0]
                 )
-                start, clamped = self._clamp_floor(start, f"level_{width}")
+                start, clamped = self._clamp_floor(st, start, f"level_{width}")
                 err = self._spine_guard(start, end, width)
                 if err:
                     return err
                 if pat is not None:
                     # dense MERGED fleet timeline: gap rows carry the
                     # merge identity + n_metrics=0
-                    df = self._svc.aggregate_timeline_pattern_gapfill(
+                    df = st.svc.aggregate_timeline_pattern_gapfill(
                         str(pat), start, end, imax
                     )
                 else:
-                    df = self._svc.aggregate_timeline_gapfill(
+                    df = st.svc.aggregate_timeline_gapfill(
                         metric, start, end, imax
                     )
             elif rtype == "resample":
@@ -676,11 +717,11 @@ class HistoryServer:
                 step = int(req.get("step_ns", 0))
                 if step <= 0:
                     return {"error": "resample requires step_ns > 0"}
-                start, clamped = self._clamp_floor(start, "raw")
+                start, clamped = self._clamp_floor(st, start, "raw")
                 err = self._spine_guard(start, end, step)
                 if err:
                     return err
-                df = resample_linear(self._svc.raw, metric, start, end, step)
+                df = resample_linear(st.svc.raw, metric, start, end, step)
             elif rtype == "counter_rate":
                 # monotonic-counter rate timeline from raw (the
                 # range-pruned serving form of the hta_counter_rate
@@ -695,7 +736,7 @@ class HistoryServer:
                         "error": "counter_rate requires exactly one of "
                         "metric / pattern"
                     }
-                width = int(req.get("width_ns", self._svc.widths[0]))
+                width = int(req.get("width_ns", st.svc.widths[0]))
                 if width <= 0:
                     return {"error": f"width_ns must be > 0: {width}"}
                 attribution = str(req.get("attribution", "range"))
@@ -712,7 +753,7 @@ class HistoryServer:
                 # below additionally filters it by coverage)
                 cw = [
                     w
-                    for w in sorted(self._counters, reverse=True)
+                    for w in sorted(st.counters, reverse=True)
                     if width % w == 0
                 ]
                 if attribution == "stored":
@@ -731,14 +772,14 @@ class HistoryServer:
                             "divides width_ns (run the writer with "
                             "counter_widths_ns)"
                         }
-                    start, clamped = self._clamp_floor(
+                    start, clamped = self._clamp_floor(st, 
                         start, f"counter_{cw[0]}"
                     )
-                    df, gaps = self._svc.counter_rate_timeline_stored(
-                        self._counters[cw[0]], cw[0], metric, start, end,
-                        width, raw_floor_ns=self._floors.get("raw", 0),
+                    df, gaps = st.svc.counter_rate_timeline_stored(
+                        st.counters[cw[0]], cw[0], metric, start, end,
+                        width, raw_floor_ns=st.floors.get("raw", 0),
                         pattern=None if pat is None else str(pat),
-                        coverage_gaps=self._coverage_spans(
+                        coverage_gaps=self._coverage_spans(st, 
                             cw[0], metric, pat, start, end
                         ),
                     )
@@ -749,13 +790,13 @@ class HistoryServer:
                 elif pat is not None:
                     # fleet form: per-metric increases summed across the
                     # glob (additive, like histogram bins) — from raw
-                    start, clamped = self._clamp_floor(start, "raw")
-                    df = self._svc.counter_rate_timeline_pattern(
+                    start, clamped = self._clamp_floor(st, start, "raw")
+                    df = st.svc.counter_rate_timeline_pattern(
                         str(pat), start, end, width
                     )
                     df_done = True
                 else:
-                    start, clamped = self._clamp_floor(start, "raw")
+                    start, clamped = self._clamp_floor(st, start, "raw")
                     df_done = False
                 # serve from the maintained counter_<w> family when one
                 # divides the requested width: interior buckets come from
@@ -772,21 +813,21 @@ class HistoryServer:
                     cw_cov = [
                         w
                         for w in cw
-                        if not self._coverage_spans(
+                        if not self._coverage_spans(st, 
                             w, metric, None, start, end
                         )
                     ]
                     if cw_cov:
-                        df = self._svc.counter_rate_timeline_leveled(
-                            self._counters[cw_cov[0]], cw_cov[0], metric,
+                        df = st.svc.counter_rate_timeline_leveled(
+                            st.counters[cw_cov[0]], cw_cov[0], metric,
                             start, end, width,
                         )
                     else:
-                        df = self._svc.counter_rate_timeline(
+                        df = st.svc.counter_rate_timeline(
                             metric, start, end, width
                         )
             elif rtype == "histogram_percentile":
-                if not self._hists:
+                if not st.hists:
                     return {
                         "error": "store maintains no histogram levels "
                         "(run the writer with hist_widths_ns)"
@@ -803,10 +844,10 @@ class HistoryServer:
                     return {
                         "error": "pass at most one of metric / pattern"
                     }
-                widths = sorted(self._hists)
+                widths = sorted(st.hists)
                 width = choose_level(widths, imax) or widths[0]
-                start, clamped = self._clamp_floor(start, f"hist_{width}")
-                h = self._hists[width]
+                start, clamped = self._clamp_floor(st, start, f"hist_{width}")
+                h = st.hists[width]
                 if metric is not None:
                     h = h.filter(h["metric"] == metric)
                 # directory-partition pruning on the store's bucket_month

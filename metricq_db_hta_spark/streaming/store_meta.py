@@ -33,6 +33,22 @@ def marker_path(store_dir: str) -> str:
     return os.path.join(store_dir, "_last_commit.json")
 
 
+def width_table_dirs(store_dir: str, prefix: str) -> dict[int, str]:
+    """``<prefix>_<digits>`` table dirs under the store root, as
+    ``{width_ns: path}``. The ONE owner of this layout parse (r13 review:
+    it was re-implemented four times across serve discovery, SQL view
+    registration and retention width discovery — a convention change
+    fixed in one copy would silently desynchronize the others)."""
+    import glob
+
+    out: dict[int, str] = {}
+    for d in sorted(glob.glob(os.path.join(store_dir, f"{prefix}_*"))):
+        tail = os.path.basename(d).split("_", 1)[1]
+        if tail.isdigit():
+            out[int(tail)] = d
+    return out
+
+
 def raw_batches_on_disk(store_dir: str) -> set[int]:
     """ingest_batch ids present in raw, from the directory layout — no
     data scan."""

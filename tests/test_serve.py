@@ -779,3 +779,41 @@ def test_concurrent_throughput_scales_over_serial(spark, sf_dir, tmp_path):
         f"{best_conc:.1f} vs {best_serial:.1f} req/s (ratio {ratio:.2f}) — "
         "something is serializing concurrent requests"
     )
+
+
+def test_refresh_installs_one_atomic_snapshot(spark, sf_dir, tmp_path):
+    """r13 review: refresh-swapped state (relations, floors, counter
+    tables, coverage, epoch) must live in ONE immutable object installed
+    by a single assignment — five separate attribute swaps let a racing
+    request pair new relations with old floors. Pins the shape so the
+    torn-read fix cannot quietly regress to per-attribute swaps."""
+    src = samples(spark, sf_dir).limit(300)
+    store = str(tmp_path / "store_snapshot")
+    StreamingIngest(spark, store, level_widths_ns=(W0,)).backfill(src)
+    srv = HistoryServer(spark, store, [W0])
+
+    for attr in ("_svc", "_floors", "_counters", "_hists", "_counter_gaps",
+                 "_epoch"):
+        assert not hasattr(srv, attr), f"refresh-swapped attr {attr} leaked"
+    st1 = srv._state
+    assert st1.svc is not None and st1.epoch is not None
+
+    assert srv.handle({"type": "refresh"}) == {"rows": [], "n": 0}
+    st2 = srv._state
+    assert st2 is not st1, "refresh must install a NEW snapshot object"
+
+    resp = srv.handle({"type": "last_value", "metric": "click"})
+    assert resp.get("n") == 1, resp
+
+
+def test_explicit_missing_level_width_fails_at_build(spark, sf_dir, tmp_path):
+    """r13 review: an explicitly requested level width with no table dir
+    must raise at build time, not return a server whose every request
+    dies with IndexError."""
+    import pytest
+
+    src = samples(spark, sf_dir).limit(300)
+    store = str(tmp_path / "store_badwidth")
+    StreamingIngest(spark, store, level_widths_ns=(W0,)).backfill(src)
+    with pytest.raises(ValueError, match="no tables under"):
+        HistoryServer(spark, store, [W0 * 7])
