@@ -1243,19 +1243,26 @@ def resample_linear(
         (F.col(ts_col) >= start_ns) & (F.col(ts_col) < end_ns)
     )
     pair = F.struct(ts_col, value_col)
-    lo_n = (
-        src.filter(F.col(ts_col) < start_ns)
+    # Both neighbors from ONE scan + ONE groupBy: max_by/min_by ignore
+    # NULL ordering keys, so a side-gated `when` key makes each pick only
+    # from its own slice. One row per metric out of the partial agg —
+    # the exchange is dimension-sized regardless of history length.
+    out_lo = F.col(ts_col) < start_ns
+    out_hi = F.col(ts_col) >= end_ns
+    nbrs = (
+        src.filter(out_lo | out_hi)
         .groupBy(metric_col)
-        .agg(F.max_by(pair, F.col(ts_col)).alias("r"))
+        .agg(
+            F.max_by(pair, F.when(out_lo, F.col(ts_col))).alias("lo"),
+            F.min_by(pair, F.when(out_hi, F.col(ts_col))).alias("hi"),
+        )
+        .select(
+            metric_col,
+            F.explode(F.array_compact(F.array("lo", "hi"))).alias("r"),
+        )
         .select(metric_col, f"r.{ts_col}", f"r.{value_col}")
     )
-    hi_n = (
-        src.filter(F.col(ts_col) >= end_ns)
-        .groupBy(metric_col)
-        .agg(F.min_by(pair, F.col(ts_col)).alias("r"))
-        .select(metric_col, f"r.{ts_col}", f"r.{value_col}")
-    )
-    pruned = in_range.unionByName(lo_n).unionByName(hi_n)
+    pruned = in_range.unionByName(nbrs)
     s = pruned.select(
         metric_col,
         F.col(ts_col).alias("pos"),

@@ -551,7 +551,7 @@ def test_counter_coverage_guard_on_late_enablement(spark, sf_dir, tmp_path):
     # fast path (no gap intersects it) and still matches raw
     lo2 = min(t for t in ts if t >= lo + shift // 2)
     s2, e2 = lo2 - lo2 % W0, end
-    assert not srv._coverage_spans(W0, "click", None, s2, e2)
+    assert not srv._coverage_spans(srv._state, W0, "click", None, s2, e2)
     got2 = srv.handle(
         {
             "type": "counter_rate", "metric": "click", "width_ns": W0,

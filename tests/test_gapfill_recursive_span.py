@@ -168,7 +168,11 @@ def test_new_query_plan_shapes(spark, sf_dir):
     budgets = {
         # (hash exchanges, broadcast exchanges)
         "hta_timeline_gapfill": (0, 1),
-        "hta_resample_linear": (2, 1),
+        # ingest-chain window + fused neighbor max_by/min_by agg (one
+        # groupBy serving BOTH sides via NULL-gated ordering keys) +
+        # resample window over the pruned union — the r13 range-pruning
+        # rewrite costs exactly ONE extra (dimension-sized) exchange
+        "hta_resample_linear": (3, 1),
         "llm_ngram_span_dedup": (3, 0),
         "hta_percentile_timeline": (1, 0),
     }
