@@ -413,7 +413,10 @@ class HistoryServer:
         in-flight requests finish against the snapshot they started with
         (their prepared plans pinned the old file listing — consistent,
         just pre-mutation, exactly like a request that completed a moment
-        earlier)."""
+        earlier). INSTALL ORDER CONTRACT: the state assignment must
+        precede the generation bump — _handle_inner captures the
+        generation before reading the state and relies on this order to
+        never pair a pre-refresh state with a post-refresh generation."""
         self._state = self._build_state()
         with self._plan_lock:
             self._plans.clear()
@@ -528,10 +531,6 @@ class HistoryServer:
                     self._do_refresh()
                 return {"rows": [], "n": 0}
             self._maybe_auto_refresh()
-            # ONE consistent snapshot for the whole request: a
-            # concurrent refresh installs a new state object but
-            # never mutates this one (r13 review torn-read fix)
-            st = self._state
             # prepared-plan fast path: an identical request re-executes
             # its cached (already-planned) DataFrame — no Catalyst, no
             # plan rebuild; Spark additionally reuses the plan's cached
@@ -545,6 +544,17 @@ class HistoryServer:
             # (list_metrics, errors) never hit here.
             cache_key = json.dumps(req, sort_keys=True, default=str)
             hit, plan_gen = self._plan_get(cache_key)
+            # ONE consistent snapshot for the whole request: a concurrent
+            # refresh installs a new state object but never mutates this
+            # one (r13 torn-read fix). ORDER MATTERS: the generation is
+            # captured BEFORE the state read, and _do_refresh installs
+            # the new state BEFORE bumping the generation — so a refresh
+            # landing between these two reads pairs the OLD generation
+            # with the NEW state, and _plan_put drops the entry. The
+            # reverse order could pair a pre-refresh state with the
+            # post-refresh generation and pin a stale file listing into
+            # the fresh cache (r14 review fix).
+            st = self._state
             self._tls.plan_hit = hit is not None
             if hit is not None:
                 df_lim, clamped, uncovered = hit

@@ -15,12 +15,15 @@ import os
 from pyspark.sql import SparkSession
 
 
-def _default_driver_mem(cpus: str) -> str:
+def _default_driver_mem(cpus: str, _meminfo: str = "/proc/meminfo") -> str:
     """Driver max heap derived from the venue instead of a flat constant:
-    0.75 GiB per local task slot, capped at half of MemTotal (the Python
-    workers, Arrow buffers and OS page cache need the rest), floor 2 GiB.
-    Max heap only — the JVM commits what it uses — but Xmx past physical
-    memory risks swap/OOM-kill under load on small hosts (ADVICE r12)."""
+    0.75 GiB per local task slot with a 2 GiB floor, then capped at half
+    of MemTotal (the Python workers, Arrow buffers and OS page cache need
+    the rest). The CAP beats the floor (r14 review: floor-after-cap gave
+    small hosts Xmx above half of physical memory — exactly the swap/OOM
+    scenario the cap exists for); a 512m absolute minimum keeps a
+    degenerate meminfo reading from emitting an unstartable heap. Max
+    heap only — the JVM commits what it uses (ADVICE r12)."""
     override = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if override:
         return override
@@ -28,9 +31,9 @@ def _default_driver_mem(cpus: str) -> str:
         slots = int(cpus)
     except ValueError:
         slots = os.cpu_count() or 8
-    want_mb = slots * 768
+    want_mb = max(slots * 768, 2048)
     try:
-        with open("/proc/meminfo") as f:
+        with open(_meminfo) as f:
             for line in f:
                 if line.startswith("MemTotal:"):
                     total_mb = int(line.split()[1]) // 1024
@@ -38,7 +41,7 @@ def _default_driver_mem(cpus: str) -> str:
                     break
     except OSError:
         pass  # non-Linux: keep the per-slot estimate
-    return f"{max(want_mb, 2048)}m"
+    return f"{max(want_mb, 512)}m"
 
 
 def get_spark(

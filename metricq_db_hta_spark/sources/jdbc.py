@@ -207,10 +207,36 @@ def jdbc_import(
     )
     if probe["n"] == 0:
         return 0
+    if probe["lo"] is None or probe["hi"] is None:
+        # n > 0 with NULL MIN/MAX: every partition_column value is NULL —
+        # range-partitioned scanning cannot chunk such a table (and the
+        # rows carry no usable key for the ingest chain either)
+        raise ValueError(
+            f"jdbc_import: {table}.{partition_column} is NULL in every row "
+            f"({int(probe['n'])} rows) - pick a non-NULL partition_column"
+        )
     lo, hi = int(probe["lo"]), int(probe["hi"])
     # chunk count from the ROW count (a sparse key range must not explode
     # into empty chunks), connection-capped like the importer's workers
-    n_parts = max(1, min(int(max_connections), -(-int(probe["n"]) // chunk_rows)))
+    want_parts = -(-int(probe["n"]) // chunk_rows)
+    n_parts = max(1, min(int(max_connections), want_parts))
+    if want_parts > n_parts:
+        # the connection budget, not chunk_rows, is sizing the chunks now:
+        # each of the n_parts scans covers ~want/n x chunk_rows rows — a
+        # silent deviation from the importer's per-connection chunk bound
+        # worth surfacing (e.g. 1B rows @ 8 connections = 125M-row scans)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "jdbc_import: %s rows need %d chunks of %d rows but "
+            "max_connections=%d caps the scan at %d partitions "
+            "(~%d rows each, exceeding chunk_rows %.1fx); raise "
+            "max_connections or chunk_rows to restore importer-parity "
+            "chunking",
+            int(probe["n"]), want_parts, chunk_rows, int(max_connections),
+            n_parts, int(probe["n"]) // n_parts,
+            (int(probe["n"]) / n_parts) / chunk_rows,
+        )
     src = jdbc_samples_source(
         spark,
         url,

@@ -174,11 +174,39 @@ def swap_replayed_subtree(parent: str, batch_id: int) -> None:
         pass
 
 
-def settle_replay_staging(store_dir: str) -> list[str]:
+#: a _SUCCESS-less replay staging whose newest tree mtime is younger than
+#: this is presumed to belong to a LIVE replay write (Spark's task commits
+#: touch the staging tree continuously; replay writers have no journal to
+#: heartbeat, so tree freshness is the liveness signal — same window as
+#: maintenance.LIVENESS_WINDOW_S for the compaction journal)
+REPLAY_LIVENESS_WINDOW_S = 15 * 60
+
+
+def _newest_tree_mtime(path: str) -> float:
+    newest = 0.0
+    for dirpath, _dirs, files in os.walk(path):
+        for p in [dirpath] + [os.path.join(dirpath, f) for f in files]:
+            try:
+                newest = max(newest, os.stat(p).st_mtime)
+            except OSError:
+                continue
+    return newest
+
+
+def settle_replay_staging(store_dir: str, refuse_live: bool = False) -> list[str]:
     """Finish or roll back any replay swap interrupted by a crash, so the
     invariant 'every marker-committed batch's subtree is on disk' is
     restored before anything reads or mutates the store. Idempotent;
-    returns a human-readable action list (empty in the common case)."""
+    returns a human-readable action list (empty in the common case).
+
+    ``refuse_live=True`` (the maintenance pre-flight) raises instead of
+    dropping a _SUCCESS-less staging whose tree mtime is fresh — that
+    write may belong to a LIVE ingest replay running concurrently, and
+    rmtree'ing it mid-write crashes the stream batch (r14 review; mirrors
+    recover_compaction's journal liveness guard). A dead staging ages
+    past the window, so a refused maintenance run always unblocks by
+    waiting. The stream's own ``recover()`` keeps the unconditional
+    settle: it is the single writer, so no live peer can exist there."""
     actions: list[str] = []
     for parent in (raw_path(store_dir), os.path.join(store_dir, "drops_log")):
         root = replay_staging_root(parent)
@@ -211,7 +239,18 @@ def settle_replay_staging(store_dir: str) -> list[str]:
                 # stale staging (crash before step 2, or after a deliberate
                 # batch removal): the old subtree — if the batch still
                 # exists — is intact, and the stream replays the batch
-                # anyway, so dropping is always safe
+                # anyway, so dropping is safe — UNLESS the write is still
+                # running (no _SUCCESS yet = possibly mid-write)
+                if refuse_live:
+                    age = time.time() - _newest_tree_mtime(path)
+                    if age < REPLAY_LIVENESS_WINDOW_S:
+                        raise RuntimeError(
+                            f"replay staging {path} is fresh "
+                            f"({age:.0f}s old, no _SUCCESS) - a live "
+                            "ingest replay may be writing it; wait for "
+                            "it to finish (a dead staging ages out of "
+                            f"the {REPLAY_LIVENESS_WINDOW_S}s window)"
+                        )
                 shutil.rmtree(path)
                 actions.append(f"dropped stale replay staging {path}")
         try:
@@ -300,7 +339,9 @@ def require_committed_batches_on_disk(store_dir: str, op: str) -> None:
     marker-committed batch is STILL missing from raw — running
     rebuild/compact/retention/erase over a raw view with a committed batch
     absent would permanently bake the loss into derived state."""
-    settle_replay_staging(store_dir)
+    # refuse_live: a concurrently-writing replay's staging must not be
+    # reclaimed out from under the live stream by a maintenance pre-flight
+    settle_replay_staging(store_dir, refuse_live=True)
     settle_removal_intent(store_dir)
     missing = missing_committed_batches(store_dir)
     if missing:

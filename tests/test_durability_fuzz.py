@@ -28,6 +28,17 @@ from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
 W = 3_600_000_000_000
 T0 = 1_704_067_200_000_000_000
 
+
+def _backdate_tree(path: str) -> None:
+    """Age every entry under ``path`` past the replay liveness window —
+    crash-state fixtures model a writer that died in the past."""
+    import time
+
+    old = time.time() - store_meta.REPLAY_LIVENESS_WINDOW_S - 60
+    for dirpath, _dirs, files in os.walk(path):
+        for p in [dirpath] + [os.path.join(dirpath, f) for f in files]:
+            os.utime(p, (old, old))
+
 INCIDENTS = [
     "none",
     "torn_swap_mid",          # replay swap crashed between the two renames
@@ -124,6 +135,10 @@ def test_random_crash_state_then_maintenance(spark, spec, tmp_path_factory):
         )
         os.makedirs(staging)
         open(os.path.join(staging, "part-junk.parquet"), "w").close()
+        # the minted crash state models a DEAD writer: age it past the
+        # maintenance pre-flight's liveness window (a fresh _SUCCESS-less
+        # staging is presumed live and refused — tested separately)
+        _backdate_tree(staging)
     elif inc == "removal_intent_only":
         store_meta.record_removal_intent(store, {victim})
     elif inc == "removal_dir_deleted":

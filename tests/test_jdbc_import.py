@@ -171,3 +171,62 @@ def test_jdbc_import_empty_table_is_noop(spark, tmp_path):
     )
     assert n == 0
     assert not os.path.isdir(svc.raw_path) or not os.listdir(svc.raw_path)
+
+
+def test_jdbc_import_null_partition_column_raises(spark, tmp_path):
+    """r14 review: a non-empty table whose partition_column is NULL in
+    every row probed (n>0, lo/hi NULL) must fail with a clear error, not
+    a TypeError from int(None)."""
+    jar, driver_cls = _JAR
+    register_driver_jar(spark, jar)
+    db = str(tmp_path / "nullpk.db")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE samples AS SELECT 'm' AS metric, "
+        "1700000000000 + i AS timestamp, i / 10.0 AS value, "
+        "CAST(NULL AS BIGINT) AS pk FROM range(5) t(i)"
+    )
+    con.close()
+    svc = StreamingIngest(
+        spark, str(tmp_path / "store_nullpk"), level_widths_ns=(W0,)
+    )
+    with pytest.raises(ValueError, match="NULL in every row"):
+        jdbc_import(
+            spark,
+            svc,
+            f"jdbc:duckdb:{db}",
+            "samples",
+            partition_column="pk",
+            driver=driver_cls,
+        )
+
+
+def test_jdbc_import_warns_when_connection_cap_inflates_chunks(
+    spark, legacy_db, tmp_path, caplog
+):
+    """r14 review: when row-count-derived chunking wants more partitions
+    than max_connections allows, the effective per-connection span
+    silently outgrows chunk_rows — the deviation from importer-parity
+    chunking must be logged."""
+    import logging
+
+    jar, driver_cls = _JAR
+    register_driver_jar(spark, jar)
+    store = str(tmp_path / "store_capwarn")
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    # 1202 rows, chunk_rows=100 -> wants 13 chunks; cap at 2 connections
+    with caplog.at_level(logging.WARNING, logger="metricq_db_hta_spark.sources.jdbc"):
+        n = jdbc_import(
+            spark,
+            svc,
+            f"jdbc:duckdb:{legacy_db}",
+            "samples",
+            partition_column="pk",
+            chunk_rows=100,
+            max_connections=2,
+            driver=driver_cls,
+        )
+    assert n == 1202
+    assert any(
+        "exceeding chunk_rows" in r.getMessage() for r in caplog.records
+    ), caplog.records

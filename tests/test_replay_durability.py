@@ -218,3 +218,42 @@ def test_interrupted_deliberate_removal_does_not_wedge_maintenance(
     store_meta.require_committed_batches_on_disk(svc2_store, "test")
     assert bid2 in store_meta.committed_batches(svc2_store)
     assert store_meta.read_removal_intent(svc2_store) == set()
+
+
+def test_maintenance_preflight_refuses_live_replay_staging(
+    spark, store_one_batch
+):
+    """r14 review: the maintenance pre-flight settle must NOT rmtree a
+    FRESH _SUCCESS-less staging — that write may belong to a live ingest
+    replay running concurrently, and deleting it mid-write crashes the
+    stream batch. It refuses instead (mirroring recover_compaction's
+    journal liveness guard); once the staging ages past the window (the
+    writer is provably dead) the same pre-flight drops it. The stream's
+    own recover() path keeps the unconditional settle — it is the single
+    writer, so no live peer can exist there."""
+    import time
+
+    svc, store, batch_id = store_one_batch
+    staging = store_meta.replay_stage_path(svc.raw_path, batch_id)
+    os.makedirs(staging)
+    open(os.path.join(staging, "part-0.parquet"), "w").close()  # no _SUCCESS
+
+    with pytest.raises(RuntimeError, match="live ingest replay"):
+        store_meta.require_committed_batches_on_disk(store, "test")
+    assert os.path.isdir(staging), "refusal must leave the staging intact"
+
+    # owner path (refuse_live default False): drops it even when fresh
+    staging2 = store_meta.replay_stage_path(svc.raw_path, batch_id + 1)
+    os.makedirs(staging2)
+    store_meta.settle_replay_staging(store)
+    assert not os.path.exists(staging2)
+    assert not os.path.exists(staging)
+
+    # dead staging: recreate, age past the window — pre-flight now settles
+    os.makedirs(staging)
+    open(os.path.join(staging, "part-0.parquet"), "w").close()
+    old = time.time() - store_meta.REPLAY_LIVENESS_WINDOW_S - 60
+    for p in (staging, os.path.join(staging, "part-0.parquet")):
+        os.utime(p, (old, old))
+    store_meta.require_committed_batches_on_disk(store, "test")
+    assert not os.path.exists(staging)

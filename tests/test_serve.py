@@ -817,3 +817,56 @@ def test_explicit_missing_level_width_fails_at_build(spark, sf_dir, tmp_path):
     StreamingIngest(spark, store, level_widths_ns=(W0,)).backfill(src)
     with pytest.raises(ValueError, match="no tables under"):
         HistoryServer(spark, store, [W0 * 7])
+
+
+def test_plan_generation_captured_before_state_read(spark, sf_dir, tmp_path):
+    """r14 review: the request path must capture the plan-cache
+    generation BEFORE reading the state snapshot (and refresh must
+    install the state BEFORE bumping the generation). A refresh landing
+    between the two reads then pairs the OLD generation with the NEW
+    state: the answer reflects the refreshed store and the plan put is
+    dropped. The reverse read order pairs the pre-refresh state with the
+    post-refresh generation — a plan pinned to the old file listing gets
+    stored into the freshly-cleared cache and served until the NEXT
+    mutation. Simulated by forcing a refresh inside _plan_get."""
+    import json as _json
+
+    src = samples(spark, sf_dir).orderBy("event_id").limit(400)
+    rows = src.collect()
+    half = len(rows) // 2
+    store = str(tmp_path / "store_genorder")
+    svc = StreamingIngest(spark, store, level_widths_ns=(W0,))
+    svc.backfill(spark.createDataFrame(rows[:half], schema=src.schema))
+
+    srv = HistoryServer(spark, store, [W0])
+    req = {"type": "aggregate", "metric": "click"}
+    base = srv.handle(req)["rows"][0]["count"]
+
+    # more history lands; the victim request must NOT see it via the
+    # auto-refresh epoch check — the refresh is injected exactly between
+    # the generation capture and the state read instead
+    svc.backfill(spark.createDataFrame(rows[half:], schema=src.schema))
+    racy = {"type": "aggregate", "metric": "click", "limit": 999}
+    key = _json.dumps(racy, sort_keys=True, default=str)
+    orig_get = srv._plan_get
+
+    def refresh_after_gen_capture(k):
+        res = orig_get(k)
+        with srv._refresh_lock:
+            srv._do_refresh()
+        return res
+
+    srv._plan_get = refresh_after_gen_capture
+    srv._maybe_auto_refresh = lambda: None
+    try:
+        got = srv.handle(racy)
+    finally:
+        srv._plan_get = orig_get
+        del srv._maybe_auto_refresh
+
+    full = srv.handle(req)["rows"][0]["count"]
+    assert full > base, "fixture must actually grow across the mutation"
+    # the victim served the post-refresh snapshot, not the stale one
+    assert got["rows"][0]["count"] == full, got
+    # and its plan put was dropped (old generation vs cleared cache)
+    assert orig_get(key)[0] is None, "stale plan must not enter the cache"
