@@ -282,17 +282,46 @@ SELECT metric, bucket_start_ns, minimum, maximum,
 FROM level0
 """,
     doc="Level-0 rollup: six-field Aggregate record per (metric, 1h epoch "
-    "bucket) — reference A5 with engine-defined integral semantics.",
-    bench=True,
-    static_plan=True,
-    # NOT reduce-side pinned (r13): the (metric, 1h-bucket) reduce side
-    # GROWS with data — 8 tasks won 0.42 vs 0.59 s at sf1 but lost 2.0 vs
-    # 0.9 s at sf10 (SCALE_SWEEP A/B). Queries whose exchange payload
-    # scales keep the session's partition count; only group-BOUNDED
-    # reduces get conf pins.
+    "bucket) — reference A5 with engine-defined integral semantics. "
+    "NON-HEADLINE since r14: this is the full-table EXPORT form (compute "
+    "and emit every bucket of history from raw) — a shape production "
+    "never pays; ingest materializes the levels once and requests read "
+    "them range-pruned (hta_level0_serve, the benched twin). Kept "
+    "oracle-checked as the correctness anchor for the cascade; its "
+    "honest full-export cost is documented in SCALE.md §6f.",
 )
 def hta_level0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _present(hta.level0(samples(spark, sf_dir), W0))
+
+
+@register(
+    "hta_level0_serve",
+    oracle=LEVELS_SQL + f"""
+SELECT metric, bucket_start_ns, minimum, maximum,
+       CAST("sum" AS DOUBLE) AS "sum", "count",
+       integral, active_time
+FROM level0
+WHERE bucket_start_ns >= {START_NS} AND bucket_start_ns < {END_NS}
+""",
+    doc="Level-0 SERVING shape (r14, VERDICT r13 #3): a bounded request "
+    "range read from the materialized level-0 table — what a production "
+    "request actually pays (the cascade ran once at ingest; the request "
+    "is a partition-pruned scan whose cost tracks the range, not history "
+    "size). DuckDB's oracle recomputes level0 from raw, same layout-note "
+    "asymmetry as hta_ingest_serve. hta_level0 remains the from-scratch "
+    "full-export correctness anchor (non-headline).",
+    bench=True,
+    static_plan=True,
+    # response rows bounded by range/width (15 days x 1h x |metrics|), so
+    # the presentation merge is one tiny task at any corpus size — the
+    # same group-bounded pin as hta_q1_aggregate_timeline
+    conf={"spark.sql.shuffle.partitions": "1"},
+)
+def hta_level0_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    svc = service(spark, sf_dir)
+    return _present(
+        svc.aggregate_timeline(None, START_NS, END_NS, interval_max_ns=W0)
+    )
 
 
 @register(

@@ -148,7 +148,10 @@ EXCHANGE_BUDGET = {
     "hta_ingest_chain": 1,             # the metric window
     "hta_ingest_serve": 0,             # bucketed raw store, zero-exchange agg
     "hta_counter_serve": 0,            # stored prev_value: no window, no shuffle
-    "hta_level0": 1,                   # window + rollup reuse one partitioning
+    "hta_level0_serve": 0,             # pruned materialized-level scan (r14:
+                                       # replaces hta_level0's full export as
+                                       # the headline — production reads the
+                                       # ingest-time levels, never re-exports)
     "hta_q1_aggregate_timeline": 0,    # pruned level scan
     "hta_q3_aggregate": 1,
     "rel_q1_pricing_summary": 1,
