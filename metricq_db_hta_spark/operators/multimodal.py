@@ -15,11 +15,16 @@ pure-Python worker can parse without media libraries:
 * **WAV** (RIFF/WAVE, PCM) — chunk walk over ``fmt ``/``data`` ->
   (frames, channels) reported as (width, height)
 
-Compressed formats (JPEG/PNG/MP3/H.264) need PIL/ffmpeg, which this
-container does not ship: ``decode_media(..., strict=True)`` raises
-NotImplementedError for those, marking the exact extension point; with
-``strict=False`` an unknown payload falls back to a deterministic fake
-decode so the plumbing stays testable on arbitrary bytes.
+* **PNG** (8-bit RGB, non-interlaced) — REAL stdlib decode, graduated
+  r14: ``decode_media`` reads (width, height) from IHDR;
+  ``decode_png_pixels`` runs the full zlib inflate + per-row filter
+  reconstruction (all five spec filter types) to the raw pixel buffer.
+
+Formats needing real codec libraries (JPEG/MP3/H.264) remain the
+extension point: ``decode_media(..., strict=True)`` raises
+NotImplementedError for those, marking it exactly; with ``strict=False``
+an unknown payload falls back to a deterministic fake decode so the
+plumbing stays testable on arbitrary bytes.
 
 ``encode_fixture_media`` builds real payloads of all three formats from
 the documents fixture (deterministic per doc_id, dimensions arithmetically
@@ -216,10 +221,18 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                 return parse_bmp(p)
             if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
                 return parse_wav(p)
+            if p[:8] == b"\x89PNG\r\n\x1a\n":
+                # IHDR is the first chunk: bytes 16..24 are (w, h). The
+                # FULL pixel decode (inflate + filter reconstruction)
+                # lives in decode_png_pixels; metadata extraction here
+                # only needs the header (r14 PNG graduation).
+                w, h = struct.unpack_from(">II", p, 16)
+                return int(w), int(h)
             if strict:
                 raise NotImplementedError(
-                    "compressed/unknown media format: real decode requires "
-                    "PIL/ffmpeg, not in this container"
+                    "compressed/unknown media format (JPEG/MP3/H.264 need "
+                    "real codec libraries, not in this container; PNG is "
+                    "handled above)"
                 )
             return fake_decode(p)
 
@@ -308,3 +321,212 @@ def sample_frames(df: DataFrame, n_frames: int = 4, frame_bytes: int = 256) -> D
             yield _pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PNG: the one compressed image format stdlib can genuinely decode
+# (zlib inflate + per-row filter reconstruction + struct chunk walk) —
+# graduated from the strict-mode extension point in r14 the way the JDBC
+# leg graduated in r13. JPEG/MP3/H.264 remain the documented
+# NotImplementedError: they need real codec libraries this container
+# does not ship.
+# ---------------------------------------------------------------------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+PNG_DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("decoded_n_bytes", LongType()),
+        StructField("pixel_sha256", StringType()),
+    ]
+)
+
+
+def encode_fixture_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL PNG payloads (8-bit RGB, color type 2, non-interlaced),
+    deterministic in ``doc_id``: w = id%29+4, h = id%17+4, raw pixel byte
+    stream ``(id + 31*r + j) % 256`` for row r, byte j. Row r is encoded
+    with filter type ``r % 5`` — decoding these files REQUIRES real
+    Sub/Up/Average/Paeth reconstruction, not just a header read. The
+    dimensions (and the reconstructed byte count 3*w*h) are pure
+    arithmetic in doc_id, so the decode is DuckDB-oracle-checkable; the
+    compressed size is zlib-version-dependent and deliberately NOT part
+    of any oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        def filt(ftype: int, row: bytes, prev: bytes, bpp: int = 3) -> bytes:
+            if ftype == 0:
+                return row
+            out = bytearray(len(row))
+            for j, x in enumerate(row):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:  # 4: Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out[j] = (x - pred) & 0xFF
+            return bytes(out)
+
+        def png(i: int) -> bytes:
+            w, h = i % 29 + 4, i % 17 + 4
+            stride = 3 * w
+            prev = bytes(stride)
+            stream = bytearray()
+            for r in range(h):
+                row = bytes((i + 31 * r + j) % 256 for j in range(stride))
+                stream.append(r % 5)
+                stream += filt(r % 5, row, prev)
+                prev = row
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(stream)))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [png(int(i)) for i in pdf["doc_id"]],
+                    "media_type": ["image/png"] * len(pdf),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        run, schema=schema
+    )
+
+
+def decode_png_pixels(df: DataFrame) -> DataFrame:
+    """FULL PNG decode, Arrow-batched: struct chunk walk -> concatenated
+    IDAT zlib inflate -> per-row filter reconstruction (all five filter
+    types per the PNG spec) -> raw RGB pixel buffer. Emits the
+    reconstructed byte count (== 3*w*h iff the inflate+unfilter produced
+    exactly the spec'd amount of data) and the sha256 of the pixel
+    buffer, which tests pin against the generator formula. Supports the
+    fixture's profile (8-bit, color type 2 RGB, non-interlaced) and
+    raises NotImplementedError for other PNG profiles — the same
+    documented extension-point contract as JPEG."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+        import zlib
+
+        def unfilt(ftype: int, cur: bytes, prev: bytes, bpp: int = 3) -> bytes:
+            if ftype == 0:
+                return bytes(cur)
+            out = bytearray(len(cur))
+            for j, x in enumerate(cur):
+                a = out[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                elif ftype == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"invalid PNG filter type {ftype}")
+                out[j] = (x + pred) & 0xFF
+            return bytes(out)
+
+        def decode(p: bytes) -> tuple[int, int, bytes]:
+            if p[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("not a PNG payload")
+            i, n = 8, len(p)
+            idat = bytearray()
+            w = h = None
+            while i + 8 <= n:
+                (size,) = struct.unpack_from(">I", p, i)
+                tag = p[i + 4 : i + 8]
+                body = p[i + 8 : i + 8 + size]
+                if tag == b"IHDR":
+                    w, h, depth, ctype, _comp, _filt, ilace = struct.unpack(
+                        ">IIBBBBB", body
+                    )
+                    if depth != 8 or ctype != 2 or ilace != 0:
+                        raise NotImplementedError(
+                            "PNG profile beyond 8-bit RGB non-interlaced: "
+                            f"depth={depth} color_type={ctype} "
+                            f"interlace={ilace}"
+                        )
+                elif tag == b"IDAT":
+                    idat += body
+                elif tag == b"IEND":
+                    break
+                i += 12 + size
+            stream = zlib.decompress(bytes(idat))
+            stride = 3 * w
+            if len(stream) != h * (1 + stride):
+                raise ValueError(
+                    f"PNG scanline stream is {len(stream)} bytes, "
+                    f"expected {h * (1 + stride)}"
+                )
+            prev = bytes(stride)
+            px = bytearray()
+            for r in range(h):
+                off = r * (1 + stride)
+                row = unfilt(
+                    stream[off], stream[off + 1 : off + 1 + stride], prev
+                )
+                px += row
+                prev = row
+            return w, h, bytes(px)
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "decoded_n_bytes": [],
+                "pixel_sha256": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["decoded_n_bytes"].append(len(px))
+                out["pixel_sha256"].append(hashlib.sha256(px).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema=PNG_DECODED_SCHEMA
+    )

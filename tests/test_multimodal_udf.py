@@ -99,3 +99,87 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
     )
     for r in joined:
         assert abs(r["approx"] - r["exact"]) <= max(2, 0.05 * r["exact"])
+
+
+def test_png_roundtrip_pins_pixels_and_filters(spark, sf_dir):
+    """r14 PNG graduation: encode_fixture_png -> decode_png_pixels must
+    reconstruct EXACTLY the generator's pixel formula through zlib and
+    all five row filters (doc heights >= 5 exercise Paeth)."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    enc = multimodal.encode_fixture_png(docs)
+    out = {r["doc_id"]: r for r in multimodal.decode_png_pixels(enc).collect()}
+    assert len(out) == 60
+    saw_paeth = False
+    for i, r in out.items():
+        w, h = i % 29 + 4, i % 17 + 4
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["decoded_n_bytes"] == 3 * w * h
+        want = bytes((i + 31 * rr + j) % 256 for rr in range(h) for j in range(3 * w))
+        assert r["pixel_sha256"] == hashlib.sha256(want).hexdigest(), i
+        saw_paeth |= h >= 5
+    assert saw_paeth, "fixture must include rows using filter 4 (Paeth)"
+
+
+def test_png_decoder_spec_conformance_independent_of_encoder(spark):
+    """The decoder is checked against a PNG built here from the spec
+    directly (filter 0 rows only: chunk layout + inflate, no shared
+    filter math with the encoder), so an encoder/decoder bug pair cannot
+    cancel out."""
+    import hashlib
+    import struct
+    import zlib
+
+    w, h = 3, 2
+    px = bytes(range(3 * w * h))  # 18 deterministic bytes
+    stream = b"".join(
+        b"\x00" + px[r * 3 * w : (r + 1) * 3 * w] for r in range(h)
+    )
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(stream))
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame(
+        [(1, payload)], "doc_id long, payload binary"
+    )
+    (r,) = multimodal.decode_png_pixels(df).collect()
+    assert (r["width"], r["height"], r["decoded_n_bytes"]) == (w, h, 3 * w * h)
+    assert r["pixel_sha256"] == hashlib.sha256(px).hexdigest()
+    # and the metadata path recognizes PNG without raising in strict mode
+    meta = multimodal.decode_media(
+        df.withColumn("media_type", F.lit("image/png")), strict=True
+    ).collect()
+    assert (meta[0]["width"], meta[0]["height"]) == (w, h)
+
+
+def test_png_unknown_profile_raises(spark):
+    """Non-RGB / 16-bit / interlaced PNGs are the documented extension
+    point — a clear NotImplementedError, not silent wrong pixels."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    rgba = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03\x04"))
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame([(1, rgba)], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|profile"):
+        multimodal.decode_png_pixels(df).collect()
