@@ -144,8 +144,11 @@ def plan_compaction(store_dir: str, min_batches: int = 2) -> CompactionPlan | No
     n_files = sum(
         _count_data_files(store_meta.batch_dir(store_dir, b)) for b in sources
     )
-    # the backfill/compaction shared allocator: next id below everything
-    dest = min(min(on_disk), 0) - 1
+    # the backfill/compaction shared allocator — a locked RESERVATION, not
+    # a local min(on_disk)-1 (which a concurrent backfill could also
+    # compute: the colliding append then swaps over this plan's dest —
+    # fuzz class 20). A plan that is never executed wastes one id.
+    dest = store_meta.allocate_negative_batch_id(store_dir)
     return CompactionPlan(sources=sources, dest=dest, n_files_before=n_files)
 
 

@@ -1099,12 +1099,15 @@ class StreamingIngest:
                 "- expired ranges cannot be re-imported without first "
                 "clearing _retention.json and the affected level history"
             )
-        batch_id = -1
+        # id from the locked shared allocator, never computed locally:
+        # a concurrent compaction allocating the same min(on_disk)-1 id
+        # turns this append into a false "replay" that swaps over the
+        # compaction dest (store_meta.allocate_negative_batch_id; fuzz
+        # class 20, tests/test_live_writer_fuzz.py)
+        batch_id = store_meta.allocate_negative_batch_id(self.store)
         wm = None
         if self._raw_present():
             raw = self._read_raw()
-            low = raw.agg(F.min("ingest_batch")).collect()[0][0]
-            batch_id = min(int(low or 0), 0) - 1
             wm = raw.groupBy("metric").agg(
                 F.max("ts_ns").alias("__wm_ts"),
                 F.max_by("value", "ts_ns").alias("__wm_lastv"),

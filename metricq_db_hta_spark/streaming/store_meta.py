@@ -15,10 +15,80 @@ committed would permanently disable its `recover()` repair.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import threading
 import time
+
+# -- store mutation lock (r14: live writer racing maintenance) ---------------
+#
+# Every metadata mutator below is a read-modify-write over a small JSON
+# file (marker, retired set, removal intents). Atomic rename makes each
+# WRITE all-or-nothing, but two concurrent mutators can still interleave
+# read->write and lose one update (ingest committing batch N while
+# retention de-commits batch M drops one of the two changes). The lock
+# serializes those RMWs: a per-store re-entrant thread lock (the normal
+# deployment — one driver hosts both the stream and maintenance ops) plus
+# an fcntl flock on <store>/_mutation.lock for cross-process safety on
+# POSIX stores. Leaf mutators take it internally; composite operations may
+# wrap whole sequences (re-entrant).
+
+_MUTEX_GUARD = threading.Lock()
+_MUTEX: dict[str, tuple[threading.RLock, list]] = {}
+
+
+def _locked(fn):
+    """Decorator form of :func:`mutation_lock` for the leaf RMW mutators
+    (first positional arg must be ``store_dir``)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(store_dir, *a, **k):
+        with mutation_lock(store_dir):
+            return fn(store_dir, *a, **k)
+
+    return wrapper
+
+
+@contextlib.contextmanager
+def mutation_lock(store_dir: str):
+    key = os.path.abspath(store_dir)
+    with _MUTEX_GUARD:
+        ent = _MUTEX.get(key)
+        if ent is None:
+            # [lock fd, depth] — flock taken once per process at depth 0;
+            # same-process threads serialize on the RLock alone
+            ent = _MUTEX[key] = (threading.RLock(), [None, 0])
+    rlock, state = ent
+    with rlock:
+        if state[1] == 0:
+            os.makedirs(store_dir, exist_ok=True)
+            fd = os.open(
+                os.path.join(key, "_mutation.lock"), os.O_CREAT | os.O_RDWR
+            )
+            try:
+                import fcntl
+
+                fcntl.flock(fd, fcntl.LOCK_EX)
+            except (ImportError, OSError):
+                pass  # non-POSIX FS: thread lock still covers one process
+            state[0] = fd
+        state[1] += 1
+        try:
+            yield
+        finally:
+            state[1] -= 1
+            if state[1] == 0:
+                fd, state[0] = state[0], None
+                try:
+                    import fcntl
+
+                    fcntl.flock(fd, fcntl.LOCK_UN)
+                except (ImportError, OSError):
+                    pass
+                os.close(fd)
 
 
 def raw_path(store_dir: str) -> str:
@@ -70,6 +140,7 @@ def committed_batches(store_dir: str) -> set[int]:
         return set(json.load(f).get("committed_batches", []))
 
 
+@_locked
 def update_commit_marker(
     store_dir: str, add: set[int], remove: set[int] = frozenset()
 ) -> set[int]:
@@ -101,6 +172,34 @@ def update_commit_marker(
     # per-microbatch cost is two tiny json writes + a rename
     publish_snapshot(store_dir)
     return new
+
+
+def _alloc_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "_batch_alloc.json")
+
+
+@_locked
+def allocate_negative_batch_id(store_dir: str) -> int:
+    """Shared descending-negative batch-id allocator for the two writers
+    outside the streaming engine's namespace (backfill appends, compaction
+    dests). The id must be RESERVED atomically, not just computed: before
+    r14 both writers independently derived ``min(on_disk) - 1``, and a
+    backfill racing a compaction could allocate the SAME id — the
+    compaction dest dir then appears under the backfill's id, the
+    backfill's isdir check mistakes its fresh append for a streaming
+    replay, and the stage-then-swap replaces the compaction's rows with
+    the backfill's (silent loss; caught by fuzz class 20). The floor file
+    only ever decreases, so a crashed reservation wastes one id and can
+    never hand it out twice."""
+    try:
+        with open(_alloc_path(store_dir)) as f:
+            floor = int(json.load(f)["floor"])
+    except (FileNotFoundError, ValueError, KeyError):
+        floor = 0
+    on = raw_batches_on_disk(store_dir)
+    bid = min(min(on) if on else 0, floor, 0) - 1
+    _write_json_atomic(_alloc_path(store_dir), {"floor": bid})
+    return bid
 
 
 def _checkpoint_log_ids(store_dir: str, log: str) -> set[int]:
@@ -297,11 +396,13 @@ def read_removal_intent(store_dir: str) -> set[int]:
         return set()
 
 
+@_locked
 def record_removal_intent(store_dir: str, ids: set[int]) -> None:
     cur = read_removal_intent(store_dir) | {int(b) for b in ids}
     _write_json_atomic(removal_intent_path(store_dir), {"batches": sorted(cur)})
 
 
+@_locked
 def clear_removal_intent(store_dir: str, ids: set[int]) -> None:
     cur = read_removal_intent(store_dir) - {int(b) for b in ids}
     if cur:
@@ -313,6 +414,7 @@ def clear_removal_intent(store_dir: str, ids: set[int]) -> None:
             pass
 
 
+@_locked
 def settle_removal_intent(store_dir: str) -> list[str]:
     """Finish a crash-interrupted deliberate batch removal: any intent
     batch whose dir is gone gets its marker de-commit completed; intents
@@ -477,6 +579,7 @@ def retired_batches(store_dir: str) -> dict[int, float]:
         return {}
 
 
+@_locked
 def retire_batches(store_dir: str, ids: set[int]) -> None:
     """Atomic merge-write; idempotent — a re-run (crash-recovery
     roll-forward) keeps the FIRST retirement time so the vacuum grace
@@ -492,6 +595,7 @@ def retire_batches(store_dir: str, ids: set[int]) -> None:
     )
 
 
+@_locked
 def clear_retired(store_dir: str, ids: set[int]) -> None:
     cur = {
         k: v for k, v in retired_batches(store_dir).items() if k not in ids
@@ -516,6 +620,7 @@ def current_snapshot(store_dir: str) -> dict | None:
         return None
 
 
+@_locked
 def publish_snapshot(store_dir: str) -> dict:
     """Pin the current consistent readable set — committed minus retired
     minus any pending-journal exclusion — as the next manifest version
