@@ -340,21 +340,36 @@ LIVENESS_WINDOW_S = 15 * 60
 _HEARTBEAT_S = 60
 
 
-def recover_compaction(store_dir: str, force: bool = False) -> str:
+def recover_compaction(
+    store_dir: str, force: bool = False, skip_live: bool = False
+) -> str:
     """Finish or roll back a torn compaction. Returns the action taken:
-    ``"none"`` (no journal), ``"rolled_back"`` (dest deleted, sources
-    intact), or ``"completed"`` (source deletes finished, marker
-    updated).
+    ``"none"`` (no journal), ``"live"`` (``skip_live`` and the journal is
+    fresh — a compaction appears to be RUNNING; nothing touched),
+    ``"rolled_back"`` (dest deleted, sources intact), or ``"completed"``
+    (source deletes finished, marker updated).
 
     Liveness guard: a FRESH ``writing``-state journal may belong to a
     compaction that is still running (compact_raw heartbeats the journal
     mtime during its write) — rolling it back would delete the dest
     partitions out from under the live job, so this raises instead
-    unless ``force=True``. The ``written`` state is always safe to roll
-    forward (dest verified complete, deletes idempotent)."""
+    unless ``force=True``. ``skip_live=True`` (the ingest writer's entry
+    settle, r14) neither raises nor acts on a fresh journal of EITHER
+    state: the writer can proceed — its reads exclude the journal's
+    pending side via ``excluded_batches_for_read`` — and a concurrent
+    roll-forward of a fresh ``written`` journal would race the live
+    compactor's own source deletes (two rmtrees of the same dirs). A
+    stale journal (dead compactor) settles as before."""
     j = store_meta.read_journal(store_dir)
     if j is None:
         return "none"
+    if skip_live and not force:
+        try:
+            age = time.time() - os.path.getmtime(_journal_path(store_dir))
+        except FileNotFoundError:
+            return "none"  # settled concurrently
+        if age < LIVENESS_WINDOW_S:
+            return "live"
     if j["state"] == "writing":
         if not force:
             try:

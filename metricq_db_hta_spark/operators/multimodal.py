@@ -221,11 +221,13 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                 return parse_bmp(p)
             if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
                 return parse_wav(p)
-            if p[:8] == b"\x89PNG\r\n\x1a\n":
+            if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24:
                 # IHDR is the first chunk: bytes 16..24 are (w, h). The
                 # FULL pixel decode (inflate + filter reconstruction)
                 # lives in decode_png_pixels; metadata extraction here
-                # only needs the header (r14 PNG graduation).
+                # only needs the header (r14 PNG graduation). The length
+                # guard keeps a truncated PNG-magic blob on the
+                # arbitrary-bytes path below instead of a struct.error.
                 w, h = struct.unpack_from(">II", p, 16)
                 return int(w), int(h)
             if strict:

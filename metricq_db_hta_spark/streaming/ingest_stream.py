@@ -542,18 +542,23 @@ class StreamingIngest:
 
     def _read_raw(self) -> DataFrame:
         """The writer-side authoritative raw view: everything on disk
-        MINUS retired batches (deferred-delete compaction sources whose
-        rows live on in the compaction dest — including them would
-        double-count level recomputes and watermark seeds). No filter is
-        added when nothing is retired, keeping the common-case plan
-        byte-identical to a bare read."""
+        MINUS the exactly-once exclusions — retired batches (deferred-
+        delete compaction sources whose rows live on in the dest) AND,
+        while a compaction journal is pending, the journal's
+        state-appropriate side (``writing``: the partial dest; ``written``:
+        the surviving source duplicates). r14 review: filtering only
+        retired let a backfill racing a live compaction read BOTH the
+        verified dest and its not-yet-deleted sources and double-count
+        every compacted row into recomputed level partitions. No filter is
+        added in the common case, keeping the plan byte-identical to a
+        bare read."""
         from metricq_db_hta_spark.sources.rawstore import read_raw
 
         raw = read_raw(self.spark, self.store)
-        retired = store_meta.retired_batches(self.store)
-        if retired:
+        excluded = store_meta.excluded_batches_for_read(self.store)
+        if excluded:
             raw = raw.filter(
-                ~F.col("ingest_batch").isin([int(b) for b in retired])
+                ~F.col("ingest_batch").isin([int(b) for b in excluded])
             )
         return raw
 
@@ -588,11 +593,23 @@ class StreamingIngest:
         # vacuum) are on disk but deliberately uncommitted — their rows
         # live on in the compaction dest, so "repairing" them here would
         # double-count level buckets and re-commit duplicates
+        # excluded_batches_for_read, not just retired (r14 review): while
+        # a LIVE compaction's journal is in the writing state its partial
+        # dest is on disk and uncommitted — "repairing" levels from it and
+        # committing it would bake half a batch into derived state
         suspect = (
             self._raw_batches_on_disk()
             - self._committed_batches()
-            - set(store_meta.retired_batches(self.store))
+            - store_meta.excluded_batches_for_read(self.store)
         )
+        j = store_meta.read_journal(self.store)
+        if j is not None:
+            # a pending journal that survived the settle above belongs to
+            # a LIVE compaction (skip_live): every id it names — dest AND
+            # sources — is that compactor's to finish, never recover()'s
+            # to adopt (early-committing its verified dest would double-
+            # count rows against the still-committed sources)
+            suspect -= {int(j["dest"]), *(int(b) for b in j["sources"])}
         if not suspect:
             return set()
         from metricq_db_hta_spark.sources.rawstore import read_raw
@@ -944,11 +961,15 @@ class StreamingIngest:
         # marker never claims a deliberately removed batch
         for act in store_meta.settle_removal_intent(self.store):
             _log.warning("settled interrupted batch removal: %s", act)
-        # the liveness guard (refuse to roll back a FRESH writing-state
-        # journal — a live compaction heartbeats its mtime) lives inside
-        # recover_compaction itself, so every caller gets it
-        action = recover_compaction(self.store)
-        if action != "none":
+        # skip_live (r14): a FRESH journal of either state belongs to a
+        # compaction that is plausibly RUNNING — the writer neither raises
+        # (a backfill racing a live compact is legal) nor settles (a
+        # concurrent roll-forward would race the compactor's own source
+        # deletes); its reads exclude the journal's pending side via
+        # excluded_batches_for_read, and a dead compactor's journal ages
+        # out and settles on the next entry
+        action = recover_compaction(self.store, skip_live=True)
+        if action not in ("none", "live"):
             _log.warning("settled torn compaction journal: %s", action)
 
     def _stored_watermarks_df(self) -> DataFrame | None:

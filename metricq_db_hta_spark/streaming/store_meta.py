@@ -197,7 +197,14 @@ def allocate_negative_batch_id(store_dir: str) -> int:
     except (FileNotFoundError, ValueError, KeyError):
         floor = 0
     on = raw_batches_on_disk(store_dir)
-    bid = min(min(on) if on else 0, floor, 0) - 1
+    lo = min(min(on) if on else 0, floor, 0)
+    # a pending compaction journal names a dest that may not be on disk
+    # yet (and, on a store whose floor file predates this allocator, not
+    # under the floor either) — never hand that id out
+    j = read_journal(store_dir)
+    if j is not None:
+        lo = min(lo, int(j["dest"]))
+    bid = lo - 1
     _write_json_atomic(_alloc_path(store_dir), {"floor": bid})
     return bid
 
@@ -324,6 +331,27 @@ def settle_replay_staging(store_dir: str, refuse_live: bool = False) -> list[str
             final = os.path.join(parent, f"ingest_batch={bid}")
             if name.endswith(".old"):
                 staging = os.path.join(root, bid)
+                # LIVENESS for the swap window too (r14 review): an aside
+                # also exists for the few steps of a LIVE
+                # swap_replayed_subtree. The aside's own mtimes are the
+                # ORIGINAL batch's (rename preserves them), so liveness is
+                # judged from the freshly-written side: the staging tree
+                # (live between renames 1 and 2) or the final tree (live
+                # between rename 2 and the aside cleanup). Completing the
+                # swap here would race the live writer's own rename and
+                # crash its stream batch. Crashed swaps age out.
+                if refuse_live:
+                    probe = staging if os.path.isdir(staging) else final
+                    if os.path.isdir(probe):
+                        age = time.time() - _newest_tree_mtime(probe)
+                        if age < REPLAY_LIVENESS_WINDOW_S:
+                            raise RuntimeError(
+                                f"replay swap around {final} looks live "
+                                f"({age:.0f}s-fresh write) - a live "
+                                "ingest replay may be mid-swap; wait for "
+                                "it (a crashed swap ages out of the "
+                                f"{REPLAY_LIVENESS_WINDOW_S}s window)"
+                            )
                 if os.path.isdir(final):
                     shutil.rmtree(path)  # crashed after step 3
                     actions.append(f"dropped settled aside {path}")
@@ -388,25 +416,48 @@ def removal_intent_path(store_dir: str) -> str:
     return os.path.join(store_dir, "_removal_intent.json")
 
 
-def read_removal_intent(store_dir: str) -> set[int]:
+def _read_intent_map(store_dir: str) -> dict[int, float]:
+    """intent batch id -> record time (unix s). Reads both the r14 map
+    form ({"batches": {"12": ts}}) and the r13 list form ({"batches":
+    [12]}) — list-form entries get timestamp 0 (always stale: they
+    predate this code, so their writer is dead by definition)."""
     try:
         with open(removal_intent_path(store_dir)) as f:
-            return {int(b) for b in json.load(f).get("batches", [])}
+            b = json.load(f).get("batches", {})
     except (FileNotFoundError, ValueError):
-        return set()
+        return {}
+    if isinstance(b, list):
+        return {int(x): 0.0 for x in b}
+    return {int(k): float(v) for k, v in b.items()}
+
+
+def read_removal_intent(store_dir: str) -> set[int]:
+    return set(_read_intent_map(store_dir))
 
 
 @_locked
 def record_removal_intent(store_dir: str, ids: set[int]) -> None:
-    cur = read_removal_intent(store_dir) | {int(b) for b in ids}
-    _write_json_atomic(removal_intent_path(store_dir), {"batches": sorted(cur)})
+    cur = _read_intent_map(store_dir)
+    now = time.time()
+    for b in ids:
+        cur[int(b)] = now
+    _write_json_atomic(
+        removal_intent_path(store_dir),
+        {"batches": {str(k): v for k, v in sorted(cur.items())}},
+    )
 
 
 @_locked
 def clear_removal_intent(store_dir: str, ids: set[int]) -> None:
-    cur = read_removal_intent(store_dir) - {int(b) for b in ids}
+    cur = {
+        k: v for k, v in _read_intent_map(store_dir).items()
+        if k not in {int(b) for b in ids}
+    }
     if cur:
-        _write_json_atomic(removal_intent_path(store_dir), {"batches": sorted(cur)})
+        _write_json_atomic(
+            removal_intent_path(store_dir),
+            {"batches": {str(k): v for k, v in sorted(cur.items())}},
+        )
     else:
         try:
             os.remove(removal_intent_path(store_dir))
@@ -417,21 +468,35 @@ def clear_removal_intent(store_dir: str, ids: set[int]) -> None:
 @_locked
 def settle_removal_intent(store_dir: str) -> list[str]:
     """Finish a crash-interrupted deliberate batch removal: any intent
-    batch whose dir is gone gets its marker de-commit completed; intents
-    whose dir survived are dropped (the op re-runs from scratch).
-    Idempotent."""
-    intent = read_removal_intent(store_dir)
-    if not intent:
+    batch whose dir is gone gets its marker de-commit completed (safe and
+    idempotent even if the owning op is still alive — its own de-commit
+    then no-ops under the lock); an intent whose dir SURVIVED is dropped
+    only once it is STALE (the op is dead and re-runs from scratch). A
+    fresh alive-dir intent belongs to a retention/erase pass that is
+    still running (r14 review: clearing it mid-flight reopened the r13
+    wedge — the op deletes the dir after losing its intent, crashes
+    before the de-commit, and the loss signature permanently blocks
+    maintenance). Idempotent."""
+    intents = _read_intent_map(store_dir)
+    if not intents:
         return []
     actions: list[str] = []
-    gone = intent - raw_batches_on_disk(store_dir)
+    on_disk = raw_batches_on_disk(store_dir)
+    gone = set(intents) - on_disk
     finish = gone & committed_batches(store_dir)
     if finish:
         update_commit_marker(store_dir, add=set(), remove=finish)
         actions.append(
             f"finished de-commit of deliberately removed batches {sorted(finish)}"
         )
-    clear_removal_intent(store_dir, intent)
+    now = time.time()
+    clearable = gone | {
+        b
+        for b in set(intents) & on_disk
+        if now - intents[b] >= REPLAY_LIVENESS_WINDOW_S
+    }
+    if clearable:
+        clear_removal_intent(store_dir, clearable)
     return actions
 
 

@@ -29,15 +29,8 @@ W = 3_600_000_000_000
 T0 = 1_704_067_200_000_000_000
 
 
-def _backdate_tree(path: str) -> None:
-    """Age every entry under ``path`` past the replay liveness window —
-    crash-state fixtures model a writer that died in the past."""
-    import time
-
-    old = time.time() - store_meta.REPLAY_LIVENESS_WINDOW_S - 60
-    for dirpath, _dirs, files in os.walk(path):
-        for p in [dirpath] + [os.path.join(dirpath, f) for f in files]:
-            os.utime(p, (old, old))
+from conftest import backdate_removal_intent  # noqa: E402
+from conftest import backdate_tree as _backdate_tree  # noqa: E402
 
 INCIDENTS = [
     "none",
@@ -129,6 +122,10 @@ def test_random_crash_state_then_maintenance(spark, spec, tmp_path_factory):
         shutil.copytree(vdir, staging)
         open(os.path.join(staging, "_SUCCESS"), "w").close()
         os.rename(vdir, staging + ".old")
+        # dead-writer model: the swap-liveness guard treats a fresh
+        # staging/aside as a LIVE mid-swap replay and refuses
+        _backdate_tree(staging)
+        _backdate_tree(staging + ".old")
     elif inc == "stale_staging":
         staging = store_meta.replay_stage_path(
             store_meta.raw_path(store), victim
@@ -141,8 +138,10 @@ def test_random_crash_state_then_maintenance(spark, spec, tmp_path_factory):
         _backdate_tree(staging)
     elif inc == "removal_intent_only":
         store_meta.record_removal_intent(store, {victim})
+        backdate_removal_intent(store)  # dead-op model; fresh = live op
     elif inc == "removal_dir_deleted":
         store_meta.record_removal_intent(store, {victim})
+        backdate_removal_intent(store)
         shutil.rmtree(vdir)
         lost = True  # deliberately removed — settle finishes the de-commit
     elif inc == "genuine_loss":

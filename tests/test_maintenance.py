@@ -342,6 +342,11 @@ def test_recover_settles_torn_compaction_first(spark, multi_batch_store):
     maintenance._write_journal(
         store, {"state": "written", "sources": [-3, -2, -1], "dest": -4}
     )
+    # the crash state models a DEAD compactor: age the journal past the
+    # liveness window (the writer's entry settle skips FRESH journals —
+    # those belong to a live compaction racing the writer, r14)
+    old = __import__("time").time() - maintenance.LIVENESS_WINDOW_S - 60
+    os.utime(maintenance._journal_path(store), (old, old))
     # recover(), not recover_compaction(): must roll the journal forward
     # itself, then find nothing suspect
     assert svc.recover() == set()
@@ -404,19 +409,30 @@ def test_torn_written_partial_deletes_roll_forward(spark, multi_batch_store):
     assert spark.read.parquet(svc.raw_path).count() == 900
 
 
-def test_fresh_writing_journal_blocks_writer_entry(spark, sf_dir, multi_batch_store):
-    """Liveness guard (review finding): a FRESH writing-state journal may
-    belong to a live compaction — writer entry points must refuse to
-    settle it (rolling back would delete the dest out from under the
-    running job). A stale journal settles normally."""
+def test_fresh_writing_journal_skips_writer_entry(spark, sf_dir, multi_batch_store):
+    """Liveness guard, r14 form: a FRESH writing-state journal may belong
+    to a LIVE compaction — writer entry points must neither roll it back
+    (deleting the dest out from under the running job) NOR refuse (a
+    backfill racing a live compact is legal since fuzz class 20): they
+    proceed, leave the journal untouched, read around its pending side
+    (excluded_batches_for_read), and never allocate its dest id. A stale
+    journal (dead compactor) settles normally on the next entry."""
     store, svc = multi_batch_store
     maintenance._write_journal(
         store, {"state": "writing", "sources": [-3, -2, -1], "dest": -4}
     )
-    with pytest.raises(RuntimeError, match="may still be running"):
-        svc.recover()
-    with pytest.raises(RuntimeError, match="may still be running"):
-        svc.backfill(samples(spark, sf_dir).limit(10))
+    assert svc.recover() == set()  # proceeds, adopts nothing
+    assert os.path.exists(maintenance._journal_path(store))
+    fresh_rows = spark.createDataFrame(
+        [("race_m", 2_000_000_000_000_000_000 + i, float(i), i) for i in range(5)],
+        "metric string, ts_ns long, value double, event_id long",
+    )
+    svc.backfill(fresh_rows)
+    assert os.path.exists(maintenance._journal_path(store))
+    # the backfill skipped the journal's dest id (-4) — colliding with it
+    # would hand the live compactor's rollback the backfill's subtree
+    assert -4 not in store_meta.raw_batches_on_disk(store)
+    assert -5 in store_meta.raw_batches_on_disk(store)
     # age the journal past the liveness window -> settles as rollback
     old = __import__("time").time() - 20 * 60
     os.utime(maintenance._journal_path(store), (old, old))

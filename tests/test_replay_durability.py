@@ -20,6 +20,8 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import backdate_removal_intent
+
 from metricq_db_hta_spark.streaming import store_meta
 from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
 
@@ -193,6 +195,7 @@ def test_interrupted_deliberate_removal_does_not_wedge_maintenance(
     # UPDATE never ran (exactly what expire()/erase do before de-commit)
     store_meta.record_removal_intent(store, {batch_id})
     shutil.rmtree(store_meta.batch_dir(store, batch_id))
+    backdate_removal_intent(store)
     assert store_meta.missing_committed_batches(store) == {batch_id}
 
     # the guard settles instead of wedging: de-commit completes...
@@ -215,6 +218,7 @@ def test_interrupted_deliberate_removal_does_not_wedge_maintenance(
     svc2.run_until_drained(str(input_dir))
     (bid2,) = store_meta.committed_batches(svc2_store)
     store_meta.record_removal_intent(svc2_store, {bid2})
+    backdate_removal_intent(svc2_store)  # dead-op model; fresh = live op
     store_meta.require_committed_batches_on_disk(svc2_store, "test")
     assert bid2 in store_meta.committed_batches(svc2_store)
     assert store_meta.read_removal_intent(svc2_store) == set()
@@ -250,10 +254,10 @@ def test_maintenance_preflight_refuses_live_replay_staging(
     assert not os.path.exists(staging)
 
     # dead staging: recreate, age past the window — pre-flight now settles
+    from conftest import backdate_tree
+
     os.makedirs(staging)
     open(os.path.join(staging, "part-0.parquet"), "w").close()
-    old = time.time() - store_meta.REPLAY_LIVENESS_WINDOW_S - 60
-    for p in (staging, os.path.join(staging, "part-0.parquet")):
-        os.utime(p, (old, old))
+    backdate_tree(staging)
     store_meta.require_committed_batches_on_disk(store, "test")
     assert not os.path.exists(staging)
