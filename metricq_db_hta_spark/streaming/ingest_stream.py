@@ -711,6 +711,11 @@ class StreamingIngest:
                         staging = store_meta.replay_stage_path(
                             drops_root, int(batch_id)
                         )
+                        # liveness marker BEFORE the job: keeps a racing
+                        # maintenance settle from rmdir'ing the staging
+                        # root under Spark's own mkdirs, and gives its
+                        # pre-flight the refuse-live signal (r14)
+                        store_meta.mark_replay_writer(drops_root)
                         log_df.write.mode("overwrite").parquet(staging)
                         store_meta.swap_replayed_subtree(
                             drops_root, int(batch_id)
@@ -763,6 +768,8 @@ class StreamingIngest:
                 staging = store_meta.replay_stage_path(
                     self.raw_path, int(batch_id)
                 )
+                # liveness marker BEFORE the job (see drops_log branch)
+                store_meta.mark_replay_writer(self.raw_path)
                 (
                     writer.write.mode("overwrite")
                     .partitionBy("metric", tcol)

@@ -262,6 +262,38 @@ def replay_stage_path(parent: str, batch_id: int) -> str:
     return os.path.join(replay_staging_root(parent), str(int(batch_id)))
 
 
+def replay_writer_marker(parent: str) -> str:
+    """Liveness marker a replay writer plants INSIDE the staging root
+    before handing the staging write to Spark (r14 review). Two jobs:
+    (1) the root is never empty while a write may be in flight, so a
+    concurrent settle's only-when-empty ``os.rmdir(root)`` cannot race
+    Spark's own mkdirs of the staging path (observed: the rmdir landed
+    between Hadoop's mkdir and chmod and crashed the write); (2) its
+    mtime gives the maintenance pre-flight an early, unambiguous
+    liveness signal. Removed by ``swap_replayed_subtree`` on completion,
+    so it is fresh only while a write/swap is actually live; a crash
+    leaves it to age out and the settle sweeps it."""
+    return os.path.join(replay_staging_root(parent), "_writer_alive")
+
+
+def mark_replay_writer(parent: str) -> None:
+    """Create/refresh the writer-liveness marker. Retries the
+    mkdir+touch pair: a concurrent settle's rmdir of a momentarily-empty
+    root can win between the two calls, but never after the marker
+    exists (rmdir only removes empty dirs)."""
+    marker = replay_writer_marker(parent)
+    for _ in range(100):
+        os.makedirs(replay_staging_root(parent), exist_ok=True)
+        try:
+            with open(marker, "w"):
+                pass
+            os.utime(marker)
+            return
+        except FileNotFoundError:
+            continue
+    raise RuntimeError(f"could not establish replay-writer marker {marker}")
+
+
 def swap_replayed_subtree(parent: str, batch_id: int) -> None:
     """Steps 2-4 above. The staging dir must hold a job-committed write."""
     final = os.path.join(parent, f"ingest_batch={int(batch_id)}")
@@ -274,6 +306,10 @@ def swap_replayed_subtree(parent: str, batch_id: int) -> None:
     os.rename(staging, final)
     if os.path.isdir(aside):
         shutil.rmtree(aside)
+    try:
+        os.remove(replay_writer_marker(parent))  # write+swap complete
+    except FileNotFoundError:
+        pass
     try:
         os.rmdir(replay_staging_root(parent))  # only when empty
     except OSError:
@@ -318,7 +354,41 @@ def settle_replay_staging(store_dir: str, refuse_live: bool = False) -> list[str
         root = replay_staging_root(parent)
         if not os.path.isdir(root):
             continue
-        names = sorted(os.listdir(root))
+        # writer-liveness marker first (r14): a FRESH marker means a
+        # replay writer may be mid-write or mid-swap RIGHT NOW — the
+        # maintenance pre-flight refuses before touching anything (the
+        # per-entry tree-mtime guards below stay as the crash-state
+        # backstop); a stale marker is a crash leftover and is swept
+        marker = replay_writer_marker(parent)
+        try:
+            marker_age = time.time() - os.path.getmtime(marker)
+        except OSError:
+            marker_age = None
+        if marker_age is not None:
+            if refuse_live and marker_age < REPLAY_LIVENESS_WINDOW_S:
+                raise RuntimeError(
+                    f"replay writer marker {marker} is fresh "
+                    f"({marker_age:.0f}s old) - a live ingest replay "
+                    "may be writing; wait for it (a dead writer's "
+                    "marker ages out of the "
+                    f"{REPLAY_LIVENESS_WINDOW_S}s window)"
+                )
+            # owner settle (the single writer itself) or a stale marker:
+            # the crash leftover is swept so the root can empty out
+            try:
+                os.remove(marker)
+                actions.append(f"swept replay writer marker {marker}")
+            except FileNotFoundError:
+                pass
+        try:
+            names = sorted(
+                n for n in os.listdir(root) if n != "_writer_alive"
+            )
+        except FileNotFoundError:
+            # the root vanished between the isdir check and the listing:
+            # a live writer's swap just completed and emptied it — there
+            # is nothing left to settle here
+            continue
         # asides first: they encode the furthest-along crash states and
         # may consume their staging sibling
         for name in [n for n in names if n.endswith(".old")] + [
@@ -329,62 +399,91 @@ def settle_replay_staging(store_dir: str, refuse_live: bool = False) -> list[str
                 continue
             bid = name[:-4] if name.endswith(".old") else name
             final = os.path.join(parent, f"ingest_batch={bid}")
-            if name.endswith(".old"):
-                staging = os.path.join(root, bid)
-                # LIVENESS for the swap window too (r14 review): an aside
-                # also exists for the few steps of a LIVE
-                # swap_replayed_subtree. The aside's own mtimes are the
-                # ORIGINAL batch's (rename preserves them), so liveness is
-                # judged from the freshly-written side: the staging tree
-                # (live between renames 1 and 2) or the final tree (live
-                # between rename 2 and the aside cleanup). Completing the
-                # swap here would race the live writer's own rename and
-                # crash its stream batch. Crashed swaps age out.
+            try:
+                _settle_one_staging_entry(
+                    actions, refuse_live, root, parent, path, name, bid,
+                    final,
+                )
+            except FileNotFoundError:
+                # the entry vanished mid-action: only a LIVE writer's own
+                # swap can consume it concurrently (crash states are
+                # inert) — the pre-flight refuses, the owner moves on
                 if refuse_live:
-                    probe = staging if os.path.isdir(staging) else final
-                    if os.path.isdir(probe):
-                        age = time.time() - _newest_tree_mtime(probe)
-                        if age < REPLAY_LIVENESS_WINDOW_S:
-                            raise RuntimeError(
-                                f"replay swap around {final} looks live "
-                                f"({age:.0f}s-fresh write) - a live "
-                                "ingest replay may be mid-swap; wait for "
-                                "it (a crashed swap ages out of the "
-                                f"{REPLAY_LIVENESS_WINDOW_S}s window)"
-                            )
-                if os.path.isdir(final):
-                    shutil.rmtree(path)  # crashed after step 3
-                    actions.append(f"dropped settled aside {path}")
-                elif os.path.isfile(os.path.join(staging, "_SUCCESS")):
-                    os.rename(staging, final)  # crashed between 2 and 3
-                    shutil.rmtree(path)
-                    actions.append(f"completed replay swap into {final}")
-                else:  # defensive: protocol can't reach here
-                    os.rename(path, final)
-                    actions.append(f"restored {final} from aside")
-            else:
-                # stale staging (crash before step 2, or after a deliberate
-                # batch removal): the old subtree — if the batch still
-                # exists — is intact, and the stream replays the batch
-                # anyway, so dropping is safe — UNLESS the write is still
-                # running (no _SUCCESS yet = possibly mid-write)
-                if refuse_live:
-                    age = time.time() - _newest_tree_mtime(path)
-                    if age < REPLAY_LIVENESS_WINDOW_S:
-                        raise RuntimeError(
-                            f"replay staging {path} is fresh "
-                            f"({age:.0f}s old, no _SUCCESS) - a live "
-                            "ingest replay may be writing it; wait for "
-                            "it to finish (a dead staging ages out of "
-                            f"the {REPLAY_LIVENESS_WINDOW_S}s window)"
-                        )
-                shutil.rmtree(path)
-                actions.append(f"dropped stale replay staging {path}")
+                    raise RuntimeError(
+                        f"replay staging entry {path} vanished mid-settle "
+                        "- a live ingest replay is swapping concurrently; "
+                        "wait for it"
+                    )
         try:
             os.rmdir(root)  # only when empty
         except OSError:
             pass
     return actions
+
+
+def _settle_one_staging_entry(
+    actions: list[str],
+    refuse_live: bool,
+    root: str,
+    parent: str,
+    path: str,
+    name: str,
+    bid: str,
+    final: str,
+) -> None:
+    """One staging-root entry's settle action (split out of the scan loop
+    so the loop can map a concurrent FileNotFoundError to 'a live writer
+    consumed this entry')."""
+    if name.endswith(".old"):
+        staging = os.path.join(root, bid)
+        # LIVENESS for the swap window too (r14 review): an aside also
+        # exists for the few steps of a LIVE swap_replayed_subtree. The
+        # aside's own mtimes are the ORIGINAL batch's (rename preserves
+        # them), so liveness is judged from the freshly-written side: the
+        # staging tree (live between renames 1 and 2) or the final tree
+        # (live between rename 2 and the aside cleanup). Completing the
+        # swap here would race the live writer's own rename and crash its
+        # stream batch. Crashed swaps age out.
+        if refuse_live:
+            probe = staging if os.path.isdir(staging) else final
+            if os.path.isdir(probe):
+                age = time.time() - _newest_tree_mtime(probe)
+                if age < REPLAY_LIVENESS_WINDOW_S:
+                    raise RuntimeError(
+                        f"replay swap around {final} looks live "
+                        f"({age:.0f}s-fresh write) - a live "
+                        "ingest replay may be mid-swap; wait for "
+                        "it (a crashed swap ages out of the "
+                        f"{REPLAY_LIVENESS_WINDOW_S}s window)"
+                    )
+        if os.path.isdir(final):
+            shutil.rmtree(path)  # crashed after step 3
+            actions.append(f"dropped settled aside {path}")
+        elif os.path.isfile(os.path.join(staging, "_SUCCESS")):
+            os.rename(staging, final)  # crashed between 2 and 3
+            shutil.rmtree(path)
+            actions.append(f"completed replay swap into {final}")
+        else:  # defensive: protocol can't reach here
+            os.rename(path, final)
+            actions.append(f"restored {final} from aside")
+    else:
+        # stale staging (crash before step 2, or after a deliberate
+        # batch removal): the old subtree — if the batch still
+        # exists — is intact, and the stream replays the batch
+        # anyway, so dropping is safe — UNLESS the write is still
+        # running (no _SUCCESS yet = possibly mid-write)
+        if refuse_live:
+            age = time.time() - _newest_tree_mtime(path)
+            if age < REPLAY_LIVENESS_WINDOW_S:
+                raise RuntimeError(
+                    f"replay staging {path} is fresh "
+                    f"({age:.0f}s old, no _SUCCESS) - a live "
+                    "ingest replay may be writing it; wait for "
+                    "it to finish (a dead staging ages out of "
+                    f"the {REPLAY_LIVENESS_WINDOW_S}s window)"
+                )
+        shutil.rmtree(path)
+        actions.append(f"dropped stale replay staging {path}")
 
 
 def missing_committed_batches(store_dir: str) -> set[int]:
@@ -512,6 +611,25 @@ def require_committed_batches_on_disk(store_dir: str, op: str) -> None:
     settle_removal_intent(store_dir)
     missing = missing_committed_batches(store_dir)
     if missing:
+        # a batch can be transiently "missing" during the two renames of a
+        # LIVE swap that started after the settle's marker probe — check
+        # the writer markers before declaring loss, so the race surfaces
+        # as the retriable live-replay refusal, not the torn-replay alarm
+        for parent in (
+            raw_path(store_dir),
+            os.path.join(store_dir, "drops_log"),
+        ):
+            marker = replay_writer_marker(parent)
+            try:
+                age = time.time() - os.path.getmtime(marker)
+            except OSError:
+                continue
+            if age < REPLAY_LIVENESS_WINDOW_S:
+                raise RuntimeError(
+                    f"replay writer marker {marker} is fresh "
+                    f"({age:.0f}s old) - a live ingest replay may be "
+                    f"mid-swap; retry {op} when it finishes"
+                )
         raise RuntimeError(
             f"marker-committed batches missing from raw: {sorted(missing)} "
             f"- torn replay or manual deletion; restore them (or remove "

@@ -193,3 +193,93 @@ def test_mutation_lock_serializes_marker_rmw(tmp_path):
     with store_meta.mutation_lock(store):
         store_meta.update_commit_marker(store, add=set(), remove={31})
     assert store_meta.committed_batches(store) == set(range(31))
+
+
+def test_live_replay_races_maintenance_preflight(spark, sf_dir, tmp_path):
+    """The REPLAY half of the live-writer axis: a stage-then-swap replay
+    (raw/_replay_staging/<N> write + two renames) runs repeatedly while
+    maintenance pre-flights and no-op passes hammer the store. The
+    pre-flight's liveness guards must refuse (documented errors only)
+    rather than rmtree the live staging or complete the swap under the
+    writer; the replay must never crash; afterwards the store reads
+    identically and settle converges."""
+    from metricq_db_hta_spark.operators.retention import (
+        RetentionPolicy,
+        expire,
+    )
+    from metricq_db_hta_spark.queries.hta_queries import samples
+
+    src = samples(spark, sf_dir).orderBy("event_id").limit(300)
+    store = str(tmp_path / "store_replayrace")
+    svc = StreamingIngest(spark, store, level_widths_ns=(W,))
+    svc.backfill(src)
+    (batch_id,) = store_meta.committed_batches(store)
+    before = _raw_content(spark, store)
+
+    errors: list[str] = []
+    replays_done = threading.Event()
+    refusals = {"n": 0}
+
+    def _record(e: BaseException) -> None:
+        import traceback
+
+        errors.append("".join(traceback.format_exception(e)))
+
+    def replayer() -> None:
+        try:
+            for _ in range(4):
+                # foreachBatch's retry shape: re-process the SAME batch id
+                # (isdir -> replay branch -> staging + swap). Built fresh
+                # per replay: _process_batch eagerly checkpoints its input
+                # BEFORE the swap replaces the underlying files
+                kept = spark.read.parquet(svc.raw_path).select(
+                    "metric", "ts_ns", "value", "event_id", "delta_ns"
+                )
+                svc._process_batch(kept, int(batch_id))
+        except BaseException as e:  # noqa: BLE001
+            _record(e)
+        finally:
+            replays_done.set()
+
+    def maintenance() -> None:
+        try:
+            while not replays_done.is_set():
+                for op in (
+                    lambda: store_meta.require_committed_batches_on_disk(
+                        store, "race-preflight"
+                    ),
+                    lambda: expire(
+                        store,
+                        RetentionPolicy(raw_max_age_ns=10**18),
+                        now_ns=1,
+                    ),
+                ):
+                    try:
+                        op()
+                    except RuntimeError as e:
+                        msg = str(e)
+                        if (
+                            "live ingest replay" not in msg
+                            and "mid-swap" not in msg
+                        ):
+                            raise
+                        refusals["n"] += 1
+        except BaseException as e:  # noqa: BLE001
+            _record(e)
+
+    tw = threading.Thread(target=replayer, name="replayer")
+    tm = threading.Thread(target=maintenance, name="maintenance")
+    tw.start()
+    tm.start()
+    tw.join(timeout=600)
+    tm.join(timeout=600)
+    assert not tw.is_alive() and not tm.is_alive(), "race deadlocked"
+    assert not errors, "\n".join(errors)
+
+    # settle converges; nothing lost or duplicated by the replays
+    StreamingIngest(spark, store, level_widths_ns=(W,)).recover()
+    assert store_meta.missing_committed_batches(store) == set()
+    assert not os.path.isdir(
+        store_meta.replay_staging_root(store_meta.raw_path(store))
+    )
+    assert _raw_content(spark, store) == before
