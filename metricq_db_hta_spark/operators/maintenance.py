@@ -23,9 +23,9 @@ Protocol (write-new-then-delete, journaled):
    the replay resurrect it (duplicate rows). The checkpoint commits file
    is the engine's replay barrier, so requiring both closes the window.
    Uncommitted ids stay untouched and self-heal as usual.
-2. Allocate the destination id from the same descending-negative
-   allocator as backfill (min(on-disk, 0) - 1): one namespace, no
-   collisions by construction.
+2. Reserve the destination id from the locked allocator backfill shares
+   (store_meta.allocate_negative_batch_id): one namespace, and a
+   concurrent backfill can never compute the same id (fuzz class 20).
 3. Journal ``_compaction.json`` (atomic tmp+rename) with
    ``state=writing``, then rewrite the sources' rows under the dest id,
    repartitioned to one task per (metric, month) partition — the shuffle
@@ -79,7 +79,10 @@ from metricq_db_hta_spark.sources.rawstore import (  # noqa: E402
 @dataclass(frozen=True)
 class CompactionPlan:
     sources: list[int]  # committed + replay-barriered batch ids to merge
-    dest: int  # allocated destination batch id
+    #: destination batch id — None from the PURE planner
+    #: (plan_compaction); compact_raw reserves the real id via the locked
+    #: allocator only when it commits to executing the plan
+    dest: int | None
     n_files_before: int  # data files across the source batches
 
 
@@ -144,12 +147,10 @@ def plan_compaction(store_dir: str, min_batches: int = 2) -> CompactionPlan | No
     n_files = sum(
         _count_data_files(store_meta.batch_dir(store_dir, b)) for b in sources
     )
-    # the backfill/compaction shared allocator — a locked RESERVATION, not
-    # a local min(on_disk)-1 (which a concurrent backfill could also
-    # compute: the colliding append then swaps over this plan's dest —
-    # fuzz class 20). A plan that is never executed wastes one id.
-    dest = store_meta.allocate_negative_batch_id(store_dir)
-    return CompactionPlan(sources=sources, dest=dest, n_files_before=n_files)
+    # dest stays None here so planning keeps its advertised purity (dry
+    # runs, status probes, read-only stores); compact_raw reserves the
+    # real id from the locked shared allocator at execution time
+    return CompactionPlan(sources=sources, dest=None, n_files_before=n_files)
 
 
 #: target compacted file size. 128 MB matches
@@ -189,6 +190,11 @@ def compact_raw(
     plan = plan_compaction(store_dir, min_batches=min_batches)
     if plan is None:
         return None
+    # the backfill/compaction shared allocator — a locked RESERVATION, not
+    # a local min(on_disk)-1 (which a concurrent backfill could also
+    # compute: the colliding append then swaps over this dest — fuzz
+    # class 20). Reserved only now, when the plan actually executes.
+    dest = store_meta.allocate_negative_batch_id(store_dir)
     from metricq_db_hta_spark.sources.rawstore import read_raw
 
     raw_root = store_meta.raw_path(store_dir)
@@ -210,7 +216,7 @@ def compact_raw(
         {
             "state": "writing",
             "sources": plan.sources,
-            "dest": plan.dest,
+            "dest": dest,
             "defer": bool(defer_source_delete),
         },
     )
@@ -231,7 +237,7 @@ def compact_raw(
     try:
         (
             src.select(*_raw_col_exprs(src), tcol)
-            .withColumn("ingest_batch", F.lit(plan.dest))
+            .withColumn("ingest_batch", F.lit(dest))
             .repartition("metric", tcol)
             # ts-sorted output files: compaction is the one cheap moment
             # to cluster rows so parquet row-group min/max on ts_ns
@@ -247,7 +253,7 @@ def compact_raw(
         # verification barrier before any delete becomes possible
         dest_rows = (
             read_raw(spark, store_dir)
-            .filter(F.col("ingest_batch") == plan.dest)
+            .filter(F.col("ingest_batch") == dest)
             .count()
         )
     finally:
@@ -261,18 +267,18 @@ def compact_raw(
         {
             "state": "written",
             "sources": plan.sources,
-            "dest": plan.dest,
+            "dest": dest,
             "defer": bool(defer_source_delete),
         },
     )
     if defer_source_delete:
-        _finish_retire(store_dir, plan.sources, plan.dest)
+        _finish_retire(store_dir, plan.sources, dest)
     else:
-        _finish_deletes(store_dir, plan.sources, plan.dest)
-    n_after = _count_data_files(store_meta.batch_dir(store_dir, plan.dest))
+        _finish_deletes(store_dir, plan.sources, dest)
+    n_after = _count_data_files(store_meta.batch_dir(store_dir, dest))
     return CompactionResult(
         sources=plan.sources,
-        dest=plan.dest,
+        dest=dest,
         n_files_before=plan.n_files_before,
         n_files_after=n_after,
         n_rows=n_src_rows,
@@ -340,6 +346,16 @@ LIVENESS_WINDOW_S = 15 * 60
 _HEARTBEAT_S = 60
 
 
+def _journal_age(store_dir: str) -> float | None:
+    """Seconds since the journal's last heartbeat, or None when it was
+    settled concurrently — the ONE freshness probe both liveness guards
+    below share."""
+    try:
+        return time.time() - os.path.getmtime(_journal_path(store_dir))
+    except FileNotFoundError:
+        return None
+
+
 def recover_compaction(
     store_dir: str, force: bool = False, skip_live: bool = False
 ) -> str:
@@ -364,17 +380,15 @@ def recover_compaction(
     if j is None:
         return "none"
     if skip_live and not force:
-        try:
-            age = time.time() - os.path.getmtime(_journal_path(store_dir))
-        except FileNotFoundError:
+        age = _journal_age(store_dir)
+        if age is None:
             return "none"  # settled concurrently
         if age < LIVENESS_WINDOW_S:
             return "live"
     if j["state"] == "writing":
         if not force:
-            try:
-                age = time.time() - os.path.getmtime(_journal_path(store_dir))
-            except FileNotFoundError:
+            age = _journal_age(store_dir)
+            if age is None:
                 return "none"  # settled concurrently
             if age < LIVENESS_WINDOW_S:
                 raise RuntimeError(

@@ -612,9 +612,13 @@ class StreamingIngest:
             suspect -= {int(j["dest"]), *(int(b) for b in j["sources"])}
         if not suspect:
             return set()
-        from metricq_db_hta_spark.sources.rawstore import read_raw
-
-        raw = read_raw(self.spark, self.store)
+        # the level recompute reads through the exactly-once writer view
+        # (r14 review #2: the bare read_raw includes retired batches and a
+        # pending journal's duplicate side — recomputing touched level
+        # partitions from that double-counts every duplicated row into
+        # derived state); suspect ids are never excluded, so the filter
+        # below still sees them all
+        raw = self._read_raw()
         kept = raw.filter(F.col("ingest_batch").isin([int(b) for b in suspect]))
         kept = kept.select(*_raw_cols(kept))
         if not kept.isEmpty():

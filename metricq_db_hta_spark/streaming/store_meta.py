@@ -64,16 +64,23 @@ def mutation_lock(store_dir: str):
     rlock, state = ent
     with rlock:
         if state[1] == 0:
-            os.makedirs(store_dir, exist_ok=True)
-            fd = os.open(
-                os.path.join(key, "_mutation.lock"), os.O_CREAT | os.O_RDWR
-            )
+            # the flock leg degrades gracefully on read-only/odd mounts
+            # (r14 review #4: a read-only fsck walk must not crash on the
+            # lockfile open) — the re-entrant thread lock alone still
+            # serializes every mutator within this process, which is the
+            # normal single-driver deployment
+            fd = None
             try:
+                os.makedirs(store_dir, exist_ok=True)
+                fd = os.open(
+                    os.path.join(key, "_mutation.lock"),
+                    os.O_CREAT | os.O_RDWR,
+                )
                 import fcntl
 
                 fcntl.flock(fd, fcntl.LOCK_EX)
             except (ImportError, OSError):
-                pass  # non-POSIX FS: thread lock still covers one process
+                pass  # thread lock still covers one process
             state[0] = fd
         state[1] += 1
         try:
@@ -82,13 +89,14 @@ def mutation_lock(store_dir: str):
             state[1] -= 1
             if state[1] == 0:
                 fd, state[0] = state[0], None
-                try:
-                    import fcntl
+                if fd is not None:
+                    try:
+                        import fcntl
 
-                    fcntl.flock(fd, fcntl.LOCK_UN)
-                except (ImportError, OSError):
-                    pass
-                os.close(fd)
+                        fcntl.flock(fd, fcntl.LOCK_UN)
+                    except (ImportError, OSError):
+                        pass
+                    os.close(fd)
 
 
 def raw_path(store_dir: str) -> str:
@@ -150,7 +158,16 @@ def update_commit_marker(
     new = (committed_batches(store_dir) - set(remove)) | set(add)
     on_disk = raw_batches_on_disk(store_dir)
     clipped = new - on_disk
-    if clipped:
+    if clipped and _any_fresh_writer_marker(store_dir):
+        # a batch is transiently absent from raw during the two renames of
+        # a LIVE replay swap — clipping it here would silently de-commit
+        # it and drop its rows from every committed-set-based read until a
+        # later recover() re-adopts it (r14 review #2: the write-side twin
+        # of require_committed_batches_on_disk's transient-missing check).
+        # Keep it committed; if it is REAL loss, the maintenance guard
+        # still reports it once the writer marker ages out.
+        clipped = set()
+    elif clipped:
         # A committed batch missing from disk without an explicit remove=
         # is the torn-replay loss signature (ADVICE r12); clipping it
         # silently would erase the only evidence. Warn loudly — the
@@ -161,7 +178,7 @@ def update_commit_marker(
         logging.getLogger(__name__).warning(
             "commit marker clipped batches missing from raw: %s", sorted(clipped)
         )
-    new &= on_disk
+        new -= clipped
     path = marker_path(store_dir)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -277,21 +294,39 @@ def replay_writer_marker(parent: str) -> str:
 
 
 def mark_replay_writer(parent: str) -> None:
-    """Create/refresh the writer-liveness marker. Retries the
-    mkdir+touch pair: a concurrent settle's rmdir of a momentarily-empty
-    root can win between the two calls, but never after the marker
-    exists (rmdir only removes empty dirs)."""
+    """Create/refresh the writer-liveness marker. Holds the parent-keyed
+    mutation lock so a settle's stale-marker sweep can never interleave
+    between this touch and its own stat (r14 review #3); the retry covers
+    a settle's rmdir of a momentarily-empty root winning between mkdir
+    and touch across PROCESSES that lost the flock leg (read-only-FS
+    degradation) — never after the marker exists (rmdir only removes
+    empty dirs)."""
     marker = replay_writer_marker(parent)
-    for _ in range(100):
-        os.makedirs(replay_staging_root(parent), exist_ok=True)
-        try:
-            with open(marker, "w"):
-                pass
-            os.utime(marker)
-            return
-        except FileNotFoundError:
-            continue
+    with mutation_lock(parent):
+        for _ in range(100):
+            os.makedirs(replay_staging_root(parent), exist_ok=True)
+            try:
+                with open(marker, "w"):
+                    pass
+                os.utime(marker)
+                return
+            except FileNotFoundError:
+                continue
     raise RuntimeError(f"could not establish replay-writer marker {marker}")
+
+
+def _any_fresh_writer_marker(store_dir: str) -> bool:
+    """True when a replay writer's liveness marker (raw or drops_log) is
+    inside the liveness window — a batch dir may be transiently absent
+    mid-swap right now."""
+    for parent in (raw_path(store_dir), os.path.join(store_dir, "drops_log")):
+        try:
+            age = time.time() - os.path.getmtime(replay_writer_marker(parent))
+        except OSError:
+            continue
+        if age < REPLAY_LIVENESS_WINDOW_S:
+            return True
+    return False
 
 
 def swap_replayed_subtree(parent: str, batch_id: int) -> None:
@@ -359,27 +394,34 @@ def settle_replay_staging(store_dir: str, refuse_live: bool = False) -> list[str
         # maintenance pre-flight refuses before touching anything (the
         # per-entry tree-mtime guards below stay as the crash-state
         # backstop); a stale marker is a crash leftover and is swept
+        # stat-and-sweep under the parent-keyed mutation lock, the same
+        # lock mark_replay_writer holds for its touch — without it a
+        # writer could refresh the marker between this stat and the
+        # remove, and the sweep would delete a FRESH marker and reopen
+        # the rmdir-vs-mkdirs race the marker closes (r14 review #3)
         marker = replay_writer_marker(parent)
-        try:
-            marker_age = time.time() - os.path.getmtime(marker)
-        except OSError:
-            marker_age = None
-        if marker_age is not None:
-            if refuse_live and marker_age < REPLAY_LIVENESS_WINDOW_S:
-                raise RuntimeError(
-                    f"replay writer marker {marker} is fresh "
-                    f"({marker_age:.0f}s old) - a live ingest replay "
-                    "may be writing; wait for it (a dead writer's "
-                    "marker ages out of the "
-                    f"{REPLAY_LIVENESS_WINDOW_S}s window)"
-                )
-            # owner settle (the single writer itself) or a stale marker:
-            # the crash leftover is swept so the root can empty out
+        with mutation_lock(parent):
             try:
-                os.remove(marker)
-                actions.append(f"swept replay writer marker {marker}")
-            except FileNotFoundError:
-                pass
+                marker_age = time.time() - os.path.getmtime(marker)
+            except OSError:
+                marker_age = None
+            if marker_age is not None:
+                if refuse_live and marker_age < REPLAY_LIVENESS_WINDOW_S:
+                    raise RuntimeError(
+                        f"replay writer marker {marker} is fresh "
+                        f"({marker_age:.0f}s old) - a live ingest replay "
+                        "may be writing; wait for it (a dead writer's "
+                        "marker ages out of the "
+                        f"{REPLAY_LIVENESS_WINDOW_S}s window)"
+                    )
+                # owner settle (the single writer itself) or a stale
+                # marker: the crash leftover is swept so the root can
+                # empty out
+                try:
+                    os.remove(marker)
+                    actions.append(f"swept replay writer marker {marker}")
+                except FileNotFoundError:
+                    pass
         try:
             names = sorted(
                 n for n in os.listdir(root) if n != "_writer_alive"
@@ -615,21 +657,11 @@ def require_committed_batches_on_disk(store_dir: str, op: str) -> None:
         # LIVE swap that started after the settle's marker probe — check
         # the writer markers before declaring loss, so the race surfaces
         # as the retriable live-replay refusal, not the torn-replay alarm
-        for parent in (
-            raw_path(store_dir),
-            os.path.join(store_dir, "drops_log"),
-        ):
-            marker = replay_writer_marker(parent)
-            try:
-                age = time.time() - os.path.getmtime(marker)
-            except OSError:
-                continue
-            if age < REPLAY_LIVENESS_WINDOW_S:
-                raise RuntimeError(
-                    f"replay writer marker {marker} is fresh "
-                    f"({age:.0f}s old) - a live ingest replay may be "
-                    f"mid-swap; retry {op} when it finishes"
-                )
+        if _any_fresh_writer_marker(store_dir):
+            raise RuntimeError(
+                "a replay writer marker is fresh - a live ingest replay "
+                f"may be mid-swap; retry {op} when it finishes"
+            )
         raise RuntimeError(
             f"marker-committed batches missing from raw: {sorted(missing)} "
             f"- torn replay or manual deletion; restore them (or remove "
