@@ -283,3 +283,40 @@ def test_live_replay_races_maintenance_preflight(spark, sf_dir, tmp_path):
         store_meta.replay_staging_root(store_meta.raw_path(store))
     )
     assert _raw_content(spark, store) == before
+
+
+def test_allocator_never_reuses_ids(tmp_path):
+    """Property pin for the locked allocator (pure metadata, no Spark):
+    ids strictly decrease across any interleaving of allocations,
+    on-disk dirs, journal dests, and floor-file crash-loss simulation —
+    reuse is the silent-data-loss precondition fuzz class 20 caught."""
+    import json as _json
+
+    store = str(tmp_path / "store_alloc")
+    seen = []
+    for step in range(40):
+        bid = store_meta.allocate_negative_batch_id(store)
+        assert bid < 0
+        assert not seen or bid < seen[-1], (bid, seen)
+        seen.append(bid)
+        if step % 3 == 0:
+            # the id becomes a real dir (normal execution)
+            os.makedirs(store_meta.batch_dir(store, bid))
+        elif step % 3 == 1:
+            # crashed reservation: floor file survives, dir never appears
+            pass
+        else:
+            # a pending journal names a dest below everything else —
+            # the allocator must clear it even if the floor file is lost
+            store_meta._write_json_atomic(
+                store_meta.journal_path(store),
+                {"state": "writing", "sources": [], "dest": bid - 1},
+            )
+            os.remove(store_meta._alloc_path(store))
+            nxt = store_meta.allocate_negative_batch_id(store)
+            assert nxt <= bid - 2, (nxt, bid)
+            seen.append(nxt)
+            os.remove(store_meta.journal_path(store))
+    # the floor file is the durable word: it equals the last handout
+    with open(store_meta._alloc_path(store)) as f:
+        assert int(_json.load(f)["floor"]) == seen[-1]
