@@ -455,6 +455,36 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — baseline is informational
         duck01 = {}
 
+    # ---- non-headline rows (ADVICE r14 low #5): r14 moved the benched
+    # level-0 headline to the range-pruned serve shape (hta_level0_serve);
+    # the full-export form stays measured and published HERE (BENCH_DETAIL
+    # only, outside the headline totals) so pre-r14 BENCH rows, the
+    # reference's full-export shape, and cross-engine comparisons remain
+    # apples-to-apples.
+    non_headline: dict = {}
+    try:
+        nh_names = [n for n in ("hta_level0",) if n in REGISTRY]
+        if nh_names:
+            nh_dir = big_dir if sf1_enabled else sf_dir
+            nh_cold, nh_res, nh_spread = time_spark(
+                spark, nh_names, nh_dir, cold_runs=1, resident_sweeps=3
+            )
+            try:
+                nh_duck = time_duckdb(nh_names, nh_dir, sweeps=3)
+            except Exception:  # noqa: BLE001 — informational
+                nh_duck = {}
+            non_headline = {
+                "venue": "sf1"
+                if sf1_enabled
+                else os.path.basename(os.path.normpath(sf_dir)),
+                "cold": nh_cold,
+                "resident": nh_res,
+                "resident_spread": nh_spread,
+                "duckdb": nh_duck or None,
+            }
+    except Exception as e:  # noqa: BLE001 — never blocks the headline line
+        print(f"non-headline bench skipped: {e!r}", file=sys.stderr)
+
     # ingest throughput: the reference's headline operational number is
     # sustained samples/s into the HTA store (BASELINE.md: MetricQ sustains
     # O(100k) samples/s with this db as archival sink). Measure the full
@@ -828,6 +858,7 @@ def main() -> None:
             "resident_spread": spread01,
             "duckdb": duck01 or None,
         },
+        "non_headline": non_headline or None,
     }
     try:
         here = os.path.dirname(os.path.abspath(__file__))

@@ -494,6 +494,12 @@ def decode_png_pixels(df: DataFrame) -> DataFrame:
                 elif tag == b"IEND":
                     break
                 i += 12 + size
+            if w is None:
+                # valid magic but the chunk walk found no IHDR (truncated
+                # or hostile payload): fail inside the module's documented
+                # ValueError contract, not with an opaque TypeError from
+                # 3 * None below (ADVICE r14)
+                raise ValueError("PNG missing IHDR chunk")
             stream = zlib.decompress(bytes(idat))
             stride = 3 * w
             if len(stream) != h * (1 + stride):

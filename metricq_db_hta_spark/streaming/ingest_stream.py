@@ -720,10 +720,18 @@ class StreamingIngest:
                         # root under Spark's own mkdirs, and gives its
                         # pre-flight the refuse-live signal (r14)
                         store_meta.mark_replay_writer(drops_root)
-                        log_df.write.mode("overwrite").parquet(staging)
-                        store_meta.swap_replayed_subtree(
-                            drops_root, int(batch_id)
-                        )
+                        try:
+                            log_df.write.mode("overwrite").parquet(staging)
+                            store_meta.swap_replayed_subtree(
+                                drops_root, int(batch_id)
+                            )
+                        except BaseException:
+                            # in-process crash: drop the writer flock so
+                            # the next settle sees a provably dead writer,
+                            # not a live one forever (marker stays — its
+                            # mtime documents the recent write)
+                            store_meta.release_replay_writer(drops_root)
+                            raise
                     else:
                         (
                             log_df.withColumn(
@@ -774,12 +782,19 @@ class StreamingIngest:
                 )
                 # liveness marker BEFORE the job (see drops_log branch)
                 store_meta.mark_replay_writer(self.raw_path)
-                (
-                    writer.write.mode("overwrite")
-                    .partitionBy("metric", tcol)
-                    .parquet(staging)
-                )
-                store_meta.swap_replayed_subtree(self.raw_path, int(batch_id))
+                try:
+                    (
+                        writer.write.mode("overwrite")
+                        .partitionBy("metric", tcol)
+                        .parquet(staging)
+                    )
+                    store_meta.swap_replayed_subtree(
+                        self.raw_path, int(batch_id)
+                    )
+                except BaseException:
+                    # see drops_log branch: flock off, marker stays
+                    store_meta.release_replay_writer(self.raw_path)
+                    raise
             else:
                 (
                     writer.withColumn("ingest_batch", F.lit(int(batch_id)))
@@ -946,7 +961,7 @@ class StreamingIngest:
             for c in ckpts:
                 c.unpersist()
 
-    def _settle_pending_compaction(self) -> None:
+    def _settle_pending_compaction(self, refuse_live: bool = False) -> None:
         """A torn compaction journal means raw may hold a row twice (the
         merged dest copy AND its undeleted sources) or a partial dest
         batch — either would poison any level recompute or watermark seed
@@ -964,8 +979,20 @@ class StreamingIngest:
 
         # a crashed replay swap is settled FIRST (ADVICE r12): the journal
         # rollback below and any level recompute read raw, which must hold
-        # every marker-committed batch before they look
-        for act in store_meta.settle_replay_staging(self.store):
+        # every marker-committed batch before they look.
+        # refuse_live=True from start()/backfill() (ADVICE r14): those
+        # entry points may run CONCURRENTLY with a live peer writer on the
+        # same store (backfill while the stream replays, start while a
+        # backfill replays) and must not rmtree its fresh staging;
+        # recover() keeps the unconditional settle — it is the offline
+        # repair path for a store whose writer died. The refusal is cheap
+        # in practice: the marker-flock probe settles a provably dead
+        # writer's leftovers immediately, so only a genuinely live peer
+        # (flock held / fresh unknown-flock staging) triggers the
+        # retriable wait-for-it error.
+        for act in store_meta.settle_replay_staging(
+            self.store, refuse_live=refuse_live
+        ):
             _log.warning("settled torn replay swap: %s", act)
         # ... and a crash-interrupted deliberate removal (retention/erase
         # whole-batch-dir delete) finishes its marker de-commit, so the
@@ -1041,7 +1068,7 @@ class StreamingIngest:
         (db.cpp:116-122)."""
         if (input_dir is None) == (source is None):
             raise ValueError("pass exactly one of input_dir or source")
-        self._settle_pending_compaction()
+        self._settle_pending_compaction(refuse_live=True)
         if source is not None:
             stream = source
         else:
@@ -1113,7 +1140,7 @@ class StreamingIngest:
         from metricq_db_hta_spark.operators.ingest import ingest_batch
         from metricq_db_hta_spark.operators.retention import raw_floor_ns
 
-        self._settle_pending_compaction()
+        self._settle_pending_compaction(refuse_live=True)
         filtered = ingest_batch(stream, self.mapping)
         # Retention guard: importing rows below the advertised raw floor
         # would make the level cascade recompute expired (metric,

@@ -37,6 +37,9 @@ import time
 
 _MUTEX_GUARD = threading.Lock()
 _MUTEX: dict[str, tuple[threading.RLock, list]] = {}
+#: stores already warned about a degraded (thread-only) mutation lock —
+#: the flock failure repeats on every acquisition, the warning must not
+_FLOCK_WARNED: set[str] = set()
 
 
 def _locked(fn):
@@ -79,8 +82,26 @@ def mutation_lock(store_dir: str):
                 import fcntl
 
                 fcntl.flock(fd, fcntl.LOCK_EX)
-            except (ImportError, OSError):
-                pass  # thread lock still covers one process
+            except (ImportError, OSError) as e:
+                # thread lock still covers one process — but the
+                # CROSS-process guarantees built on this flock (the
+                # batch-id allocator's collision-free reservation, marker
+                # RMW atomicity vs a separate maintenance process) are
+                # silently gone on this mount. Say so once per store so a
+                # multi-process deployment on an odd/read-only mount gets
+                # a signal instead of a quietly reopened fuzz-class-20
+                # race (ADVICE r14).
+                if key not in _FLOCK_WARNED:
+                    _FLOCK_WARNED.add(key)
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "mutation lock on %s: flock unavailable (%r) - "
+                        "cross-process mutual exclusion degraded to "
+                        "thread-only for this store",
+                        key,
+                        e,
+                    )
             state[0] = fd
         state[1] += 1
         try:
@@ -293,14 +314,29 @@ def replay_writer_marker(parent: str) -> str:
     return os.path.join(replay_staging_root(parent), "_writer_alive")
 
 
+#: marker abspath -> fd holding LOCK_EX while a replay write/swap is
+#: in flight IN THIS PROCESS. The flock is the EXACT liveness signal the
+#: marker mtime only approximates: a live writer (thread or process)
+#: holds it for the whole write+swap, the kernel releases it the instant
+#: the holder dies, so a probe distinguishes "live writer — wait" from
+#: "crash leftover — settle now" without the 15-minute age-out (r15,
+#: ADVICE r14: refuse_live from backfill()/start() would otherwise make
+#: every crash restart wait out the window).
+_WRITER_FLOCKS: dict[str, int] = {}
+
+
 def mark_replay_writer(parent: str) -> None:
-    """Create/refresh the writer-liveness marker. Holds the parent-keyed
-    mutation lock so a settle's stale-marker sweep can never interleave
-    between this touch and its own stat (r14 review #3); the retry covers
-    a settle's rmdir of a momentarily-empty root winning between mkdir
-    and touch across PROCESSES that lost the flock leg (read-only-FS
-    degradation) — never after the marker exists (rmdir only removes
-    empty dirs)."""
+    """Create/refresh the writer-liveness marker and take (or keep) the
+    writer flock on it. Holds the parent-keyed mutation lock so a
+    settle's stale-marker sweep can never interleave between this touch
+    and its own stat (r14 review #3); the retry covers a settle's rmdir
+    of a momentarily-empty root winning between mkdir and touch across
+    PROCESSES that lost the flock leg (read-only-FS degradation) — never
+    after the marker exists (rmdir only removes empty dirs).
+
+    The flock is best-effort: if it cannot be taken (unsupported mount,
+    or another live writer already holds it) the marker mtime window
+    remains the liveness signal, exactly the pre-r15 behavior."""
     marker = replay_writer_marker(parent)
     with mutation_lock(parent):
         for _ in range(100):
@@ -309,17 +345,84 @@ def mark_replay_writer(parent: str) -> None:
                 with open(marker, "w"):
                     pass
                 os.utime(marker)
-                return
             except FileNotFoundError:
                 continue
+            key = os.path.abspath(marker)
+            if key not in _WRITER_FLOCKS:
+                fd = None
+                try:
+                    fd = os.open(marker, os.O_RDWR)
+                    import fcntl
+
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    _WRITER_FLOCKS[key] = fd
+                except (ImportError, OSError):
+                    if fd is not None:
+                        os.close(fd)
+            return
     raise RuntimeError(f"could not establish replay-writer marker {marker}")
+
+
+def release_replay_writer(parent: str) -> None:
+    """Drop this process's writer flock WITHOUT removing the marker — the
+    failure path of a replay write (the marker's mtime keeps documenting
+    the recent write; a settle sweeps it once provably dead). Process
+    death releases the flock implicitly; this is for the in-process
+    crash (exception) where the fd would otherwise stay registered and
+    read as a live writer forever."""
+    key = os.path.abspath(replay_writer_marker(parent))
+    fd = _WRITER_FLOCKS.pop(key, None)
+    if fd is not None:
+        try:
+            import fcntl
+
+            fcntl.flock(fd, fcntl.LOCK_UN)
+        except (ImportError, OSError):
+            pass
+        os.close(fd)
+
+
+def probe_replay_writer_live(parent: str) -> bool | None:
+    """Exact writer liveness from the marker flock.
+
+    ``True``  — some writer (this process or another) holds the flock:
+                a replay write/swap is in flight RIGHT NOW.
+    ``False`` — the marker exists but nobody holds its flock: the writer
+                is provably dead (kernel released it), whatever the
+                marker's age.
+    ``None``  — no marker, or flock is unusable on this mount: fall back
+                to the mtime window."""
+    marker = replay_writer_marker(parent)
+    if not os.path.exists(marker):
+        return None
+    fd = None
+    try:
+        fd = os.open(marker, os.O_RDWR)
+        import fcntl
+
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except BlockingIOError:
+            return True
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        return False
+    except (ImportError, OSError):
+        return None  # unsupported mount / marker vanished mid-probe
+    finally:
+        if fd is not None:
+            os.close(fd)
 
 
 def _any_fresh_writer_marker(store_dir: str) -> bool:
     """True when a replay writer's liveness marker (raw or drops_log) is
-    inside the liveness window — a batch dir may be transiently absent
-    mid-swap right now."""
+    flock-held by a live writer OR inside the mtime liveness window — a
+    batch dir may be transiently absent mid-swap right now. The flock leg
+    extends protection to writes longer than the window; the mtime leg is
+    the conservative backstop where flock is unavailable (both legs
+    suppress the loss alarm, never assert loss)."""
     for parent in (raw_path(store_dir), os.path.join(store_dir, "drops_log")):
+        if probe_replay_writer_live(parent) is True:
+            return True
         try:
             age = time.time() - os.path.getmtime(replay_writer_marker(parent))
         except OSError:
@@ -330,7 +433,20 @@ def _any_fresh_writer_marker(store_dir: str) -> bool:
 
 
 def swap_replayed_subtree(parent: str, batch_id: int) -> None:
-    """Steps 2-4 above. The staging dir must hold a job-committed write."""
+    """Steps 2-4 above. The staging dir must hold a job-committed write.
+
+    The writer-liveness marker is RE-TOUCHED here, not trusted from the
+    caller's pre-write mark: a staging write longer than
+    ``REPLAY_LIVENESS_WINDOW_S`` (plausible for large replayed batches)
+    would otherwise arrive at this swap with a stale marker, and during
+    the two-rename window — the one moment the batch is genuinely absent
+    from ``parent`` — ``update_commit_marker`` would see
+    ``_any_fresh_writer_marker() == False`` and de-commit the mid-swap
+    batch with a false torn-replay warning, while
+    ``require_committed_batches_on_disk`` would raise the non-retriable
+    torn-replay alarm instead of the retriable live-replay refusal
+    (ADVICE r14, medium)."""
+    mark_replay_writer(parent)
     final = os.path.join(parent, f"ingest_batch={int(batch_id)}")
     staging = replay_stage_path(parent, batch_id)
     aside = staging + ".old"
@@ -341,10 +457,18 @@ def swap_replayed_subtree(parent: str, batch_id: int) -> None:
     os.rename(staging, final)
     if os.path.isdir(aside):
         shutil.rmtree(aside)
-    try:
-        os.remove(replay_writer_marker(parent))  # write+swap complete
-    except FileNotFoundError:
-        pass
+    with mutation_lock(parent):
+        # drop our flock first, then remove the marker only if no OTHER
+        # writer is live on this parent (raw can have a stream replay and
+        # a backfill replay concurrently; the first finisher must not
+        # strip the second's liveness signal). The lock serializes this
+        # probe-and-remove against a concurrent mark_replay_writer touch.
+        release_replay_writer(parent)
+        if probe_replay_writer_live(parent) is not True:
+            try:
+                os.remove(replay_writer_marker(parent))  # write+swap done
+            except FileNotFoundError:
+                pass
     try:
         os.rmdir(replay_staging_root(parent))  # only when empty
     except OSError:
@@ -400,13 +524,35 @@ def settle_replay_staging(store_dir: str, refuse_live: bool = False) -> list[str
         # remove, and the sweep would delete a FRESH marker and reopen
         # the rmdir-vs-mkdirs race the marker closes (r14 review #3)
         marker = replay_writer_marker(parent)
+        writer_known_dead = False
         with mutation_lock(parent):
+            # flock probe first (r15): exact liveness beats the mtime
+            # window in BOTH directions — a flock-held marker is a live
+            # writer even if its mtime aged out (a >15-min staging
+            # write), and a flock-free marker is a provably dead writer
+            # even seconds after the crash, so the settle need not wait
+            # out the window (the availability cost ADVICE r14's
+            # refuse_live-from-backfill/start fix would otherwise add to
+            # every crash restart).
+            live = probe_replay_writer_live(parent)
+            if live is True:
+                # raised on the unconditional path too: the owner settles
+                # BEFORE it writes, so it can never hold its own flock
+                # here — a held flock is always a live peer, and sweeping
+                # under it would reopen the rmdir-vs-mkdirs race
+                raise RuntimeError(
+                    f"replay writer marker {marker} is flock-held - a "
+                    "live ingest replay is writing on this parent; wait "
+                    "for it to finish"
+                )
             try:
                 marker_age = time.time() - os.path.getmtime(marker)
             except OSError:
                 marker_age = None
             if marker_age is not None:
-                if refuse_live and marker_age < REPLAY_LIVENESS_WINDOW_S:
+                if live is False:
+                    writer_known_dead = True  # settle entries immediately
+                elif refuse_live and marker_age < REPLAY_LIVENESS_WINDOW_S:
                     raise RuntimeError(
                         f"replay writer marker {marker} is fresh "
                         f"({marker_age:.0f}s old) - a live ingest replay "
@@ -414,9 +560,9 @@ def settle_replay_staging(store_dir: str, refuse_live: bool = False) -> list[str
                         "marker ages out of the "
                         f"{REPLAY_LIVENESS_WINDOW_S}s window)"
                     )
-                # owner settle (the single writer itself) or a stale
-                # marker: the crash leftover is swept so the root can
-                # empty out
+                # owner settle (the single writer itself), a provably
+                # dead writer, or a stale marker: the crash leftover is
+                # swept so the root can empty out
                 try:
                     os.remove(marker)
                     actions.append(f"swept replay writer marker {marker}")
@@ -443,7 +589,13 @@ def settle_replay_staging(store_dir: str, refuse_live: bool = False) -> list[str
             final = os.path.join(parent, f"ingest_batch={bid}")
             try:
                 _settle_one_staging_entry(
-                    actions, refuse_live, root, parent, path, name, bid,
+                    actions,
+                    refuse_live and not writer_known_dead,
+                    root,
+                    parent,
+                    path,
+                    name,
+                    bid,
                     final,
                 )
             except FileNotFoundError:
@@ -475,7 +627,9 @@ def _settle_one_staging_entry(
 ) -> None:
     """One staging-root entry's settle action (split out of the scan loop
     so the loop can map a concurrent FileNotFoundError to 'a live writer
-    consumed this entry')."""
+    consumed this entry'). ``refuse_live`` arrives pre-resolved by the
+    caller: False when the marker flock proved the writer dead, so fresh
+    tree mtimes (the approximate backstop) no longer block the settle."""
     if name.endswith(".old"):
         staging = os.path.join(root, bid)
         # LIVENESS for the swap window too (r14 review): an aside also

@@ -183,3 +183,26 @@ def test_png_unknown_profile_raises(spark):
     df = spark.createDataFrame([(1, rgba)], "doc_id long, payload binary")
     with pytest.raises(Exception, match="NotImplementedError|profile"):
         multimodal.decode_png_pixels(df).collect()
+
+
+def test_png_missing_ihdr_raises_value_error(spark):
+    """ADVICE r14: a payload with a valid PNG magic but no IHDR chunk
+    (truncated/hostile input) must fail inside the documented ValueError
+    contract, not with an opaque ``3 * None`` TypeError."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    headless = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame([(1, headless)], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="missing IHDR"):
+        multimodal.decode_png_pixels(df).collect()

@@ -261,3 +261,187 @@ def test_maintenance_preflight_refuses_live_replay_staging(
     backdate_tree(staging)
     store_meta.require_committed_batches_on_disk(store, "test")
     assert not os.path.exists(staging)
+
+
+# -- r15: marker-flock exact liveness (ADVICE r14 medium + low #3) ----------
+
+
+def test_writer_flock_probe_states(spark, store_one_batch):
+    """probe_replay_writer_live distinguishes the three states exactly:
+    flock held = live, marker-without-flock = provably dead crash
+    leftover, no marker = no writer."""
+    svc, store, _ = store_one_batch
+    parent = svc.raw_path
+    assert store_meta.probe_replay_writer_live(parent) is None
+    store_meta.mark_replay_writer(parent)
+    try:
+        assert store_meta.probe_replay_writer_live(parent) is True
+    finally:
+        store_meta.release_replay_writer(parent)
+    # marker still exists, nobody holds it: dead
+    assert os.path.exists(store_meta.replay_writer_marker(parent))
+    assert store_meta.probe_replay_writer_live(parent) is False
+    store_meta.settle_replay_staging(store)
+    assert store_meta.probe_replay_writer_live(parent) is None
+
+
+def test_settle_refuses_flock_held_then_settles_dead_immediately(
+    spark, store_one_batch
+):
+    """A flock-held marker refuses settle on BOTH paths (a live peer can
+    exist even under the 'owner' settle once backfill and streaming
+    share a store); the moment the holder dies (flock released), the
+    settle proceeds WITHOUT waiting out the 15-minute mtime window —
+    the availability win the exact liveness signal buys (r15)."""
+    svc, store, batch_id = store_one_batch
+    parent = svc.raw_path
+    staging = store_meta.replay_stage_path(parent, batch_id + 7)
+    os.makedirs(staging, exist_ok=True)
+    open(os.path.join(staging, "part-0.parquet"), "w").close()  # no _SUCCESS
+    store_meta.mark_replay_writer(parent)
+    try:
+        with pytest.raises(RuntimeError, match="flock-held"):
+            store_meta.settle_replay_staging(store)
+        with pytest.raises(RuntimeError, match="flock-held"):
+            store_meta.settle_replay_staging(store, refuse_live=True)
+        assert os.path.isdir(staging)
+    finally:
+        store_meta.release_replay_writer(parent)
+    # writer provably dead: marker mtime is seconds old and the staging
+    # tree is fresh, yet the pre-flight settle sweeps both immediately
+    actions = store_meta.settle_replay_staging(store, refuse_live=True)
+    assert any("writer marker" in a for a in actions)
+    assert not os.path.exists(staging)
+
+
+def test_entry_points_refuse_live_peer_writer(spark, store_one_batch):
+    """ADVICE r14 low #3: backfill()/start() must not sweep a live peer's
+    replay staging — their pre-flight settle runs with refuse_live=True
+    and surfaces the retriable wait-for-it error while the peer's flock
+    is held; recover() (the offline repair path) keeps the unconditional
+    settle but still refuses under a held flock."""
+    svc, store, _ = store_one_batch
+    parent = svc.raw_path
+    store_meta.mark_replay_writer(parent)
+    try:
+        with pytest.raises(RuntimeError, match="flock-held"):
+            svc._settle_pending_compaction(refuse_live=True)
+        with pytest.raises(RuntimeError, match="flock-held"):
+            svc.recover()
+    finally:
+        store_meta.release_replay_writer(parent)
+    # peer gone: both paths proceed
+    svc._settle_pending_compaction(refuse_live=True)
+    svc.recover()
+
+
+def test_swap_retouches_stale_marker_and_reads_live_mid_swap(
+    spark, store_one_batch, monkeypatch
+):
+    """ADVICE r14 medium: a staging write longer than the liveness window
+    arrives at the swap with a stale marker; during the two renames the
+    batch is genuinely absent from raw, and a stale marker there would
+    make update_commit_marker de-commit it as torn-replay loss.
+    swap_replayed_subtree must re-touch the marker (mtime fresh) AND the
+    flock must read live at the first rename."""
+    import time as _time
+
+    svc, store, batch_id = store_one_batch
+    parent = svc.raw_path
+    final = store_meta.batch_dir(store, batch_id)
+    staging = store_meta.replay_stage_path(parent, batch_id)
+    os.makedirs(os.path.dirname(staging), exist_ok=True)
+    shutil.copytree(final, staging)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+
+    # the long write: marker created at write start, stale by swap time
+    store_meta.mark_replay_writer(parent)
+    marker = store_meta.replay_writer_marker(parent)
+    old = _time.time() - store_meta.REPLAY_LIVENESS_WINDOW_S - 120
+    os.utime(marker, (old, old))
+
+    seen = {}
+    real_rename = os.rename
+
+    def spy(src, dst):
+        # fire on the staging->final rename: final was renamed aside, so
+        # the batch is genuinely absent from raw RIGHT NOW — the exact
+        # window the medium finding is about
+        if dst == final and not seen:
+            seen["marker_age"] = _time.time() - os.path.getmtime(marker)
+            seen["flock_live"] = store_meta.probe_replay_writer_live(parent)
+            # the end-to-end pin: a commit-marker RMW during the rename
+            # window must NOT clip the mid-swap batch
+            committed = store_meta.update_commit_marker(store, set())
+            seen["still_committed"] = batch_id in committed
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", spy)
+    store_meta.swap_replayed_subtree(parent, batch_id)
+    monkeypatch.undo()
+
+    assert seen["marker_age"] < 60, "swap did not re-touch the stale marker"
+    assert seen["flock_live"] is True
+    assert seen["still_committed"], "mid-swap batch was de-committed"
+    assert batch_id in store_meta.committed_batches(store)
+    assert store_meta.missing_committed_batches(store) == set()
+    assert not os.path.exists(marker)
+
+
+def test_failed_replay_write_releases_flock_but_keeps_marker(
+    spark, store_one_batch, monkeypatch
+):
+    """In-process crash (exception) between mark and swap: the writer
+    flock is released so later settles see a provably dead writer —
+    without the release, every future settle would refuse forever."""
+    svc, store, batch_id = store_one_batch
+    parent = svc.raw_path
+
+    def boom(p, bid):
+        raise RuntimeError("simulated crash before swap")
+
+    import metricq_db_hta_spark.streaming.ingest_stream as ist
+
+    monkeypatch.setattr(ist.store_meta, "swap_replayed_subtree", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        svc._process_batch(_replay_kept(spark, svc), batch_id)
+    monkeypatch.undo()
+
+    marker = store_meta.replay_writer_marker(parent)
+    assert os.path.exists(marker), "marker documents the recent write"
+    assert store_meta.probe_replay_writer_live(parent) is False
+    # a restart's pre-flight settles immediately (no 15-minute wait) ...
+    svc._settle_pending_compaction(refuse_live=True)
+    assert not os.path.exists(marker)
+    # ... and the retry completes normally
+    svc._process_batch(_replay_kept(spark, svc), batch_id)
+    assert store_meta.missing_committed_batches(store) == set()
+
+
+def test_mutation_lock_warns_once_when_flock_degrades(
+    spark, tmp_path, monkeypatch, caplog
+):
+    """ADVICE r14 low #2: the flock leg of mutation_lock degrading to
+    thread-only locking must warn (once per store), not stay silent —
+    multi-process deployments on odd mounts lose the cross-process
+    guarantee the batch-id allocator and marker RMWs rely on."""
+    import logging
+
+    import fcntl as _fcntl
+
+    def no_flock(fd, op):
+        raise OSError("flock unsupported on this mount (simulated)")
+
+    monkeypatch.setattr(_fcntl, "flock", no_flock)
+    store = str(tmp_path / "degraded_store")
+    with caplog.at_level(logging.WARNING, logger=store_meta.__name__):
+        with store_meta.mutation_lock(store):
+            pass
+        with store_meta.mutation_lock(store):
+            pass
+    hits = [
+        r
+        for r in caplog.records
+        if "cross-process mutual exclusion degraded" in r.getMessage()
+    ]
+    assert len(hits) == 1, f"expected exactly one warning, got {len(hits)}"
