@@ -20,6 +20,12 @@ pure-Python worker can parse without media libraries:
   ``decode_png_pixels`` runs the full zlib inflate + per-row filter
   reconstruction (all five spec filter types) to the raw pixel buffer.
 
+* **GIF** (GIF87a/89a, non-interlaced) — REAL stdlib decode, graduated
+  r15: ``decode_media`` reads (width, height) from the logical screen
+  descriptor; ``decode_gif_pixels`` runs a complete GIF-flavor LZW
+  decompression (variable 9->12-bit code widths, clear/end codes,
+  KwKwK case, 4096-entry table cap) plus palette mapping to RGB.
+
 Formats needing real codec libraries (JPEG/MP3/H.264) remain the
 extension point: ``decode_media(..., strict=True)`` raises
 NotImplementedError for those, marking it exactly; with ``strict=False``
@@ -229,6 +235,11 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                 # guard keeps a truncated PNG-magic blob on the
                 # arbitrary-bytes path below instead of a struct.error.
                 w, h = struct.unpack_from(">II", p, 16)
+                return int(w), int(h)
+            if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+                # logical screen descriptor; the FULL pixel decode (LZW)
+                # lives in decode_gif_pixels (r15 GIF graduation)
+                w, h = struct.unpack_from("<HH", p, 6)
                 return int(w), int(h)
             if strict:
                 raise NotImplementedError(
@@ -480,8 +491,14 @@ def decode_png_pixels(df: DataFrame) -> DataFrame:
                 tag = p[i + 4 : i + 8]
                 body = p[i + 8 : i + 8 + size]
                 if tag == b"IHDR":
+                    if len(body) < 13:
+                        # declared-size lies / truncation: stay inside
+                        # the ValueError contract, not struct.error
+                        raise ValueError(
+                            f"PNG IHDR truncated ({len(body)} bytes)"
+                        )
                     w, h, depth, ctype, _comp, _filt, ilace = struct.unpack(
-                        ">IIBBBBB", body
+                        ">IIBBBBB", body[:13]
                     )
                     if depth != 8 or ctype != 2 or ilace != 0:
                         raise NotImplementedError(
@@ -500,7 +517,10 @@ def decode_png_pixels(df: DataFrame) -> DataFrame:
                 # ValueError contract, not with an opaque TypeError from
                 # 3 * None below (ADVICE r14)
                 raise ValueError("PNG missing IHDR chunk")
-            stream = zlib.decompress(bytes(idat))
+            try:
+                stream = zlib.decompress(bytes(idat))
+            except zlib.error as e:
+                raise ValueError(f"PNG IDAT corrupt: {e}") from e
             stride = 3 * w
             if len(stream) != h * (1 + stride):
                 raise ValueError(
@@ -537,4 +557,282 @@ def decode_png_pixels(df: DataFrame) -> DataFrame:
 
     return df.select("doc_id", "payload").mapInPandas(
         run, schema=PNG_DECODED_SCHEMA
+    )
+
+
+GIF_DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("decoded_n_bytes", LongType()),
+        StructField("rgb_sha256", StringType()),
+    ]
+)
+
+
+def encode_fixture_gif(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL GIF89a payloads (256-color global palette, non-interlaced),
+    deterministic in ``doc_id``: w = id%23+4, h = id%13+4, palette index
+    stream ``(id + 7*j) % 256``, palette entry k = (k, 31k%256, 77k%256).
+    The index stream is REAL LZW-compressed (variable code width 9->12
+    bits, clear/reset at table-full — the GIF flavor), and a Graphic
+    Control Extension precedes the image so decoders must walk extension
+    sub-blocks. Dimensions and the decoded index count w*h are pure
+    arithmetic in doc_id (DuckDB-oracle-checkable); the compressed size
+    depends on the LZW table evolution and is deliberately NOT part of
+    any oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def lzw(data: bytes, min_code: int = 8) -> bytes:
+            clear, end = 1 << min_code, (1 << min_code) + 1
+            out = bytearray()
+            acc = [0, 0]  # bit accumulator, bit count (LSB-first packing)
+            width = [min_code + 1]
+
+            def emit(code: int) -> None:
+                acc[0] |= code << acc[1]
+                acc[1] += width[0]
+                while acc[1] >= 8:
+                    out.append(acc[0] & 0xFF)
+                    acc[0] >>= 8
+                    acc[1] -= 8
+
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            next_code = [end + 1]
+            emit(clear)
+            s = b""
+            for ch in data:
+                sc = s + bytes([ch])
+                if sc in table:
+                    s = sc
+                    continue
+                emit(table[s])
+                if next_code[0] < 4096:
+                    table[sc] = next_code[0]
+                    next_code[0] += 1
+                    # canonical GIF rule (GIFLIB): grow when the next
+                    # code to ASSIGN reaches 2^width — mirrored exactly
+                    # by the decoder's len(table) == 2^width check
+                    if next_code[0] == (1 << width[0]) and width[0] < 12:
+                        width[0] += 1
+                else:
+                    emit(clear)
+                    table = {bytes([i]): i for i in range(1 << min_code)}
+                    next_code[0] = end + 1
+                    width[0] = min_code + 1
+                s = bytes([ch])
+            if s:
+                emit(table[s])
+            emit(end)
+            if acc[1]:
+                out.append(acc[0] & 0xFF)
+            return bytes(out)
+
+        def gif(i: int) -> bytes:
+            w, h = i % 23 + 4, i % 13 + 4
+            palette = b"".join(
+                bytes((k, (31 * k) % 256, (77 * k) % 256)) for k in range(256)
+            )
+            idx = bytes((i + 7 * j) % 256 for j in range(w * h))
+            body = lzw(idx)
+            subs = b"".join(
+                bytes([len(body[o : o + 255])]) + body[o : o + 255]
+                for o in range(0, len(body), 255)
+            )
+            return (
+                b"GIF89a"
+                + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 colors
+                + palette
+                + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE (skippable)
+                + b"\x2c"
+                + struct.pack("<HHHHB", 0, 0, w, h, 0)  # no LCT/interlace
+                + bytes([8])  # LZW minimum code size
+                + subs
+                + b"\x00\x3b"  # sub-block terminator + trailer
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [gif(int(i)) for i in pdf["doc_id"]],
+                    "media_type": ["image/gif"] * len(pdf),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        run, schema=schema
+    )
+
+
+def decode_gif_pixels(df: DataFrame) -> DataFrame:
+    """FULL GIF decode, Arrow-batched, stdlib-only: header + logical
+    screen descriptor parse, global color table read, extension-block
+    walk, image descriptor, and a complete GIF-flavor LZW decompression
+    (variable code width, clear/end codes, 12-bit table cap) back to the
+    palette index stream, then palette mapping to the RGB buffer. Emits
+    the decoded index count (== w*h iff the LZW stream produced exactly
+    the spec'd pixel count) and the sha256 of the RGB buffer, which
+    tests pin against the generator formula. Interlaced images and
+    local color tables beyond the fixture profile raise
+    NotImplementedError (the same documented extension-point contract as
+    non-baseline PNG); truncated or corrupt payloads raise ValueError."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+
+        def lzw_decode(data: bytes, min_code: int) -> bytes:
+            clear, end = 1 << min_code, (1 << min_code) + 1
+            base = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+            table = list(base)
+            width = min_code + 1
+            acc = nbits = pos = 0
+            out = bytearray()
+            prev: bytes | None = None
+            n = len(data)
+            while True:
+                while nbits < width:
+                    if pos >= n:
+                        raise ValueError("GIF LZW stream truncated (no END)")
+                    acc |= data[pos] << nbits
+                    nbits += 8
+                    pos += 1
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
+                if code == clear:
+                    table = list(base)
+                    width = min_code + 1
+                    prev = None
+                    continue
+                if code == end:
+                    return bytes(out)
+                if prev is None:
+                    if code >= len(table):
+                        raise ValueError("GIF LZW first code out of range")
+                    entry = table[code]
+                elif code < len(table):
+                    entry = table[code]
+                    if len(table) < 4096:  # table caps at 12-bit codes
+                        table.append(prev + entry[:1])
+                elif code == len(table) and len(table) < 4096:
+                    entry = prev + prev[:1]  # the KwKwK case
+                    table.append(entry)
+                else:
+                    raise ValueError("GIF LZW code out of range")
+                out += entry
+                # canonical decoder rule: the decoder's table runs ONE
+                # entry behind the encoder's (the encoder adds its entry
+                # with the emit; the decoder only learns it from the NEXT
+                # code), so the width grows when the table reaches
+                # 2^width - 1 — growing at 2^width would read one code
+                # too many at the narrow width
+                if len(table) == (1 << width) - 1 and width < 12:
+                    width += 1
+                prev = entry
+
+        def decode(p: bytes) -> tuple[int, int, int, bytes]:
+            if p[:6] not in (b"GIF87a", b"GIF89a"):
+                raise ValueError("not a GIF payload")
+            if len(p) < 13:
+                raise ValueError("GIF header truncated")
+            w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", p, 6)
+            i = 13
+            palette = b""
+            if packed & 0x80:
+                size = 3 * (2 << (packed & 0x07))
+                palette = p[i : i + size]
+                if len(palette) < size:
+                    raise ValueError("GIF global color table truncated")
+                i += size
+            while i < len(p):
+                b0 = p[i]
+                if b0 == 0x21:  # extension: label + sub-blocks
+                    i += 2
+                    while i < len(p) and p[i]:
+                        i += 1 + p[i]
+                    i += 1
+                elif b0 == 0x2C:  # image descriptor
+                    if i + 10 > len(p):
+                        raise ValueError("GIF image descriptor truncated")
+                    _l, _t, iw, ih, ipacked = struct.unpack_from(
+                        "<HHHHB", p, i + 1
+                    )
+                    i += 10
+                    if ipacked & 0x40:
+                        raise NotImplementedError(
+                            "interlaced GIF beyond the fixture profile"
+                        )
+                    if ipacked & 0x80:
+                        size = 3 * (2 << (ipacked & 0x07))
+                        palette = p[i : i + size]  # local table wins
+                        if len(palette) < size:
+                            raise ValueError("GIF local color table truncated")
+                        i += size
+                    if i >= len(p):
+                        raise ValueError("GIF LZW code size missing")
+                    min_code = p[i]
+                    i += 1
+                    if not 2 <= min_code <= 11:
+                        raise ValueError(
+                            f"GIF LZW minimum code size {min_code} invalid"
+                        )
+                    body = bytearray()
+                    while True:
+                        if i >= len(p):
+                            raise ValueError("GIF data sub-blocks truncated")
+                        ln = p[i]
+                        i += 1
+                        if ln == 0:
+                            break
+                        body += p[i : i + ln]
+                        i += ln
+                    idx = lzw_decode(bytes(body), min_code)
+                    if not palette:
+                        raise ValueError("GIF image without a color table")
+                    rgb = bytearray()
+                    ncol = len(palette) // 3
+                    for k in idx:
+                        if k >= ncol:
+                            raise ValueError(
+                                f"GIF palette index {k} >= {ncol}"
+                            )
+                        rgb += palette[3 * k : 3 * k + 3]
+                    return int(iw), int(ih), len(idx), bytes(rgb)
+                elif b0 == 0x3B:  # trailer: no image seen
+                    break
+                else:
+                    raise ValueError(f"unknown GIF block 0x{b0:02x}")
+            raise ValueError("GIF contains no image data")
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "decoded_n_bytes": [],
+                "rgb_sha256": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, n_idx, rgb = decode(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["decoded_n_bytes"].append(n_idx)
+                out["rgb_sha256"].append(hashlib.sha256(rgb).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema=GIF_DECODED_SCHEMA
     )

@@ -780,6 +780,35 @@ def llm_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_multimodal_decode_gif",
+    oracle="""
+SELECT doc_id,
+       CAST(doc_id % 23 + 4 AS BIGINT) AS width,
+       CAST(doc_id % 13 + 4 AS BIGINT) AS height,
+       CAST((doc_id % 23 + 4) * (doc_id % 13 + 4) AS BIGINT)
+           AS decoded_n_bytes
+FROM documents
+""",
+    doc="REAL compressed-image decode #2, stdlib-only (r15): per-doc "
+    "GIF89a payloads (256-color global palette, real LZW compression "
+    "with variable 9->12-bit code widths and clear/reset at table-full) "
+    "encoded in workers, then FULLY decoded back — header/LSD parse, "
+    "palette read, extension-block walk, complete GIF-flavor LZW "
+    "decompression to the palette index stream, palette mapping to RGB. "
+    "The oracle pins width/height (arithmetic in doc_id) and "
+    "decoded_n_bytes == w*h, which only comes out right if the LZW "
+    "stream decompressed to exactly the spec'd pixel count; the RGB "
+    "sha256 against the generator formula is pytest-pinned "
+    "(tests/test_multimodal_udf.py).",
+)
+def llm_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = multimodal.encode_fixture_gif(docs(spark, sf_dir))
+    return multimodal.decode_gif_pixels(d).select(
+        "doc_id", "width", "height", "decoded_n_bytes"
+    )
+
+
 # ---------------------------------------------------------------------------
 # dataset assembly: deterministic split + contamination, sequence packing
 # ---------------------------------------------------------------------------

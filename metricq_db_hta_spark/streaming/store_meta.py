@@ -300,135 +300,191 @@ def replay_stage_path(parent: str, batch_id: int) -> str:
     return os.path.join(replay_staging_root(parent), str(int(batch_id)))
 
 
-def replay_writer_marker(parent: str) -> str:
-    """Liveness marker a replay writer plants INSIDE the staging root
-    before handing the staging write to Spark (r14 review). Two jobs:
-    (1) the root is never empty while a write may be in flight, so a
-    concurrent settle's only-when-empty ``os.rmdir(root)`` cannot race
-    Spark's own mkdirs of the staging path (observed: the rmdir landed
-    between Hadoop's mkdir and chmod and crashed the write); (2) its
-    mtime gives the maintenance pre-flight an early, unambiguous
-    liveness signal. Removed by ``swap_replayed_subtree`` on completion,
-    so it is fresh only while a write/swap is actually live; a crash
-    leaves it to age out and the settle sweeps it."""
-    return os.path.join(replay_staging_root(parent), "_writer_alive")
+#: every writer-liveness marker file starts with this name; each writer
+#: owns its OWN marker (``_writer_alive.<pid>.<n>``) so two concurrent
+#: replay writers on one parent (a stream replay racing a backfill
+#: replay) each hold their own flock — a single shared EX-locked marker
+#: cannot represent two live writers, and 'flock-free means dead' would
+#: then sweep the second, still-live writer's staging (r15 review #1/#2)
+WRITER_MARKER_PREFIX = "_writer_alive"
+
+#: (parent abspath, thread id) -> (marker path, fd|None). The calling
+#: thread's active marker: mark/touch, release and swap all operate on
+#: this thread's own entry, so one writer's release can never drop a
+#: peer's flock. The fd holds LOCK_EX for the whole write+swap; the
+#: kernel releases it the instant the holder dies, so a probe
+#: distinguishes "live writer — wait" from "crash leftover — settle
+#: now" without the 15-minute mtime age-out (r15, ADVICE r14:
+#: refuse_live from backfill()/start() would otherwise make every crash
+#: restart wait out the window).
+_ACTIVE_MARKERS: dict[tuple[str, int], tuple[str, int | None]] = {}
+_MARKER_SEQ = [0]
 
 
-#: marker abspath -> fd holding LOCK_EX while a replay write/swap is
-#: in flight IN THIS PROCESS. The flock is the EXACT liveness signal the
-#: marker mtime only approximates: a live writer (thread or process)
-#: holds it for the whole write+swap, the kernel releases it the instant
-#: the holder dies, so a probe distinguishes "live writer — wait" from
-#: "crash leftover — settle now" without the 15-minute age-out (r15,
-#: ADVICE r14: refuse_live from backfill()/start() would otherwise make
-#: every crash restart wait out the window).
-_WRITER_FLOCKS: dict[str, int] = {}
+def _writer_markers(parent: str) -> list[str]:
+    """All writer-liveness marker files currently in the staging root."""
+    root = replay_staging_root(parent)
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return []
+    return sorted(
+        os.path.join(root, n)
+        for n in names
+        if n.startswith(WRITER_MARKER_PREFIX)
+    )
 
 
-def mark_replay_writer(parent: str) -> None:
-    """Create/refresh the writer-liveness marker and take (or keep) the
-    writer flock on it. Holds the parent-keyed mutation lock so a
-    settle's stale-marker sweep can never interleave between this touch
-    and its own stat (r14 review #3); the retry covers a settle's rmdir
-    of a momentarily-empty root winning between mkdir and touch across
-    PROCESSES that lost the flock leg (read-only-FS degradation) — never
-    after the marker exists (rmdir only removes empty dirs).
+def _marker_key(parent: str) -> tuple[str, int]:
+    return (os.path.abspath(parent), threading.get_ident())
 
-    The flock is best-effort: if it cannot be taken (unsupported mount,
-    or another live writer already holds it) the marker mtime window
-    remains the liveness signal, exactly the pre-r15 behavior."""
-    marker = replay_writer_marker(parent)
+
+def mark_replay_writer(parent: str) -> str:
+    """Create (or refresh) THIS thread's writer-liveness marker inside
+    the staging root and take a LOCK_EX flock on it; returns the marker
+    path. Planted BEFORE the staging write is handed to Spark (r14
+    review). Two jobs: (1) the root is never empty while a write may be
+    in flight, so a concurrent settle's only-when-empty
+    ``os.rmdir(root)`` cannot race Spark's own mkdirs of the staging
+    path; (2) the held flock (exact) and the mtime (backstop) give the
+    maintenance pre-flight its liveness signal. Removed by
+    ``swap_replayed_subtree`` on completion.
+
+    Holds the parent-keyed mutation lock so a settle's marker sweep can
+    never interleave between this touch and its own probe (r14 review
+    #3); the retry covers a settle's rmdir of a momentarily-empty root
+    winning between mkdir and touch across PROCESSES that lost the
+    flock leg. The flock itself can only fail on mounts without flock
+    support (the file name is unique to this writer, and liveness
+    probes take LOCK_SH) — then the mtime window remains the signal,
+    exactly the pre-r15 behavior."""
+    key = _marker_key(parent)
     with mutation_lock(parent):
+        ent = _ACTIVE_MARKERS.get(key)
+        if ent is not None and os.path.exists(ent[0]):
+            os.utime(ent[0])
+            return ent[0]
         for _ in range(100):
             os.makedirs(replay_staging_root(parent), exist_ok=True)
+            _MARKER_SEQ[0] += 1
+            marker = os.path.join(
+                replay_staging_root(parent),
+                f"{WRITER_MARKER_PREFIX}.{os.getpid()}.{_MARKER_SEQ[0]}",
+            )
             try:
                 with open(marker, "w"):
                     pass
                 os.utime(marker)
             except FileNotFoundError:
                 continue
-            key = os.path.abspath(marker)
-            if key not in _WRITER_FLOCKS:
-                fd = None
-                try:
-                    fd = os.open(marker, os.O_RDWR)
-                    import fcntl
+            fd = None
+            try:
+                fd = os.open(marker, os.O_RDWR)
+                import fcntl
 
-                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                    _WRITER_FLOCKS[key] = fd
-                except (ImportError, OSError):
-                    if fd is not None:
-                        os.close(fd)
-            return
-    raise RuntimeError(f"could not establish replay-writer marker {marker}")
+                # a transient LOCK_SH probe from an unlocked reader can
+                # collide with this acquisition — retry briefly rather
+                # than running the whole write flock-naked (r15 review
+                # #3; probes hold SH for microseconds)
+                for attempt in range(5):
+                    try:
+                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                        break
+                    except BlockingIOError:
+                        time.sleep(0.002 * (attempt + 1))
+                else:
+                    raise OSError("flock contended past retries")
+            except (ImportError, OSError):
+                if fd is not None:
+                    os.close(fd)
+                fd = None
+            _ACTIVE_MARKERS[key] = (marker, fd)
+            return marker
+    raise RuntimeError(
+        f"could not establish replay-writer marker under {parent}"
+    )
 
 
 def release_replay_writer(parent: str) -> None:
-    """Drop this process's writer flock WITHOUT removing the marker — the
+    """Drop THIS thread's writer flock WITHOUT removing its marker — the
     failure path of a replay write (the marker's mtime keeps documenting
     the recent write; a settle sweeps it once provably dead). Process
     death releases the flock implicitly; this is for the in-process
     crash (exception) where the fd would otherwise stay registered and
-    read as a live writer forever."""
-    key = os.path.abspath(replay_writer_marker(parent))
-    fd = _WRITER_FLOCKS.pop(key, None)
-    if fd is not None:
+    read as a live writer forever. Never touches a peer's entry."""
+    ent = _ACTIVE_MARKERS.pop(_marker_key(parent), None)
+    if ent is not None and ent[1] is not None:
         try:
             import fcntl
 
-            fcntl.flock(fd, fcntl.LOCK_UN)
+            fcntl.flock(ent[1], fcntl.LOCK_UN)
         except (ImportError, OSError):
             pass
-        os.close(fd)
+        os.close(ent[1])
 
 
-def probe_replay_writer_live(parent: str) -> bool | None:
-    """Exact writer liveness from the marker flock.
-
-    ``True``  — some writer (this process or another) holds the flock:
-                a replay write/swap is in flight RIGHT NOW.
-    ``False`` — the marker exists but nobody holds its flock: the writer
-                is provably dead (kernel released it), whatever the
-                marker's age.
-    ``None``  — no marker, or flock is unusable on this mount: fall back
-                to the mtime window."""
-    marker = replay_writer_marker(parent)
-    if not os.path.exists(marker):
-        return None
+def _probe_marker(marker: str) -> bool | None:
+    """One marker's flock state: True = held (live writer), False =
+    provably unheld (dead writer), None = unknowable (no flock support,
+    or the marker vanished mid-probe). Probes with LOCK_SH so two
+    concurrent probes never read each other as a live writer (r15
+    review #4) while still conflicting with a writer's LOCK_EX."""
     fd = None
     try:
-        fd = os.open(marker, os.O_RDWR)
+        fd = os.open(marker, os.O_RDONLY)
         import fcntl
 
         try:
-            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            fcntl.flock(fd, fcntl.LOCK_SH | fcntl.LOCK_NB)
         except BlockingIOError:
             return True
         fcntl.flock(fd, fcntl.LOCK_UN)
         return False
     except (ImportError, OSError):
-        return None  # unsupported mount / marker vanished mid-probe
+        return None
     finally:
         if fd is not None:
             os.close(fd)
 
 
+def probe_replay_writer_live(parent: str) -> bool | None:
+    """Aggregate writer liveness over every marker in the staging root.
+
+    ``True``  — at least one marker is flock-held: a replay write/swap
+                is in flight RIGHT NOW.
+    ``False`` — markers exist and EVERY one is provably unheld: all
+                writers that planted them are dead, whatever the
+                markers' ages.
+    ``None``  — no markers, or at least one marker's flock state is
+                unknowable: fall back to the mtime window."""
+    markers = _writer_markers(parent)
+    if not markers:
+        return None
+    states = [_probe_marker(m) for m in markers]
+    if any(s is True for s in states):
+        return True
+    if all(s is False for s in states):
+        return False
+    return None
+
+
 def _any_fresh_writer_marker(store_dir: str) -> bool:
-    """True when a replay writer's liveness marker (raw or drops_log) is
-    flock-held by a live writer OR inside the mtime liveness window — a
-    batch dir may be transiently absent mid-swap right now. The flock leg
-    extends protection to writes longer than the window; the mtime leg is
-    the conservative backstop where flock is unavailable (both legs
-    suppress the loss alarm, never assert loss)."""
+    """True when any replay writer's liveness marker (raw or drops_log)
+    is flock-held by a live writer OR inside the mtime liveness window —
+    a batch dir may be transiently absent mid-swap right now. The flock
+    leg extends protection to writes longer than the window; the mtime
+    leg is the conservative backstop where flock is unavailable (both
+    legs suppress the loss alarm, never assert loss)."""
     for parent in (raw_path(store_dir), os.path.join(store_dir, "drops_log")):
-        if probe_replay_writer_live(parent) is True:
-            return True
-        try:
-            age = time.time() - os.path.getmtime(replay_writer_marker(parent))
-        except OSError:
-            continue
-        if age < REPLAY_LIVENESS_WINDOW_S:
-            return True
+        for marker in _writer_markers(parent):
+            if _probe_marker(marker) is True:
+                return True
+            try:
+                age = time.time() - os.path.getmtime(marker)
+            except OSError:
+                continue
+            if age < REPLAY_LIVENESS_WINDOW_S:
+                return True
     return False
 
 
@@ -458,17 +514,27 @@ def swap_replayed_subtree(parent: str, batch_id: int) -> None:
     if os.path.isdir(aside):
         shutil.rmtree(aside)
     with mutation_lock(parent):
-        # drop our flock first, then remove the marker only if no OTHER
-        # writer is live on this parent (raw can have a stream replay and
-        # a backfill replay concurrently; the first finisher must not
-        # strip the second's liveness signal). The lock serializes this
-        # probe-and-remove against a concurrent mark_replay_writer touch.
+        # remove THIS thread's marker (write+swap complete): every writer
+        # owns its own marker file, so a LIVE peer replay writer on the
+        # same parent keeps its liveness signal untouched (r15 review
+        # #1). Provably DEAD sibling markers (flock released — e.g. this
+        # writer's own earlier crashed attempt) are swept too, so a
+        # successful retry leaves the staging root empty; under the
+        # mutation lock a marker is either creator-flocked or its
+        # creator is gone, so a False probe here is conclusive.
+        ent = _ACTIVE_MARKERS.get(_marker_key(parent))
         release_replay_writer(parent)
-        if probe_replay_writer_live(parent) is not True:
+        if ent is not None:
             try:
-                os.remove(replay_writer_marker(parent))  # write+swap done
+                os.remove(ent[0])
             except FileNotFoundError:
                 pass
+        for m in _writer_markers(parent):
+            if _probe_marker(m) is False:
+                try:
+                    os.remove(m)
+                except FileNotFoundError:
+                    pass
     try:
         os.rmdir(replay_staging_root(parent))  # only when empty
     except OSError:
@@ -509,50 +575,66 @@ def settle_replay_staging(store_dir: str, refuse_live: bool = False) -> list[str
     waiting. The stream's own ``recover()`` keeps the unconditional
     settle: it is the single writer, so no live peer can exist there."""
     actions: list[str] = []
-    for parent in (raw_path(store_dir), os.path.join(store_dir, "drops_log")):
-        root = replay_staging_root(parent)
-        if not os.path.isdir(root):
+    parents = (raw_path(store_dir), os.path.join(store_dir, "drops_log"))
+    # phase 1 (r15 review #6): probe EVERY parent for a live writer
+    # BEFORE mutating anything, so a live drops_log writer cannot abort
+    # the settle AFTER raw-side repairs were performed but not yet
+    # reported — the refusal now lands before the first action
+    for parent in parents:
+        if not os.path.isdir(replay_staging_root(parent)):
             continue
-        # writer-liveness marker first (r14): a FRESH marker means a
-        # replay writer may be mid-write or mid-swap RIGHT NOW — the
-        # maintenance pre-flight refuses before touching anything (the
-        # per-entry tree-mtime guards below stay as the crash-state
-        # backstop); a stale marker is a crash leftover and is swept
-        # stat-and-sweep under the parent-keyed mutation lock, the same
-        # lock mark_replay_writer holds for its touch — without it a
-        # writer could refresh the marker between this stat and the
-        # remove, and the sweep would delete a FRESH marker and reopen
-        # the rmdir-vs-mkdirs race the marker closes (r14 review #3)
-        marker = replay_writer_marker(parent)
-        writer_known_dead = False
         with mutation_lock(parent):
-            # flock probe first (r15): exact liveness beats the mtime
-            # window in BOTH directions — a flock-held marker is a live
-            # writer even if its mtime aged out (a >15-min staging
-            # write), and a flock-free marker is a provably dead writer
-            # even seconds after the crash, so the settle need not wait
-            # out the window (the availability cost ADVICE r14's
-            # refuse_live-from-backfill/start fix would otherwise add to
-            # every crash restart).
-            live = probe_replay_writer_live(parent)
-            if live is True:
-                # raised on the unconditional path too: the owner settles
-                # BEFORE it writes, so it can never hold its own flock
-                # here — a held flock is always a live peer, and sweeping
-                # under it would reopen the rmdir-vs-mkdirs race
+            if probe_replay_writer_live(parent) is True:
+                # raised on the unconditional path too: the owner
+                # settles BEFORE it writes, so it can never hold its own
+                # flock here — a held flock is always a live peer, and
+                # sweeping under it would reopen the rmdir-vs-mkdirs
+                # race; repairing a store under a live writer is wrong
+                # on every path
                 raise RuntimeError(
-                    f"replay writer marker {marker} is flock-held - a "
+                    f"a replay writer flock is held under {parent} - a "
                     "live ingest replay is writing on this parent; wait "
                     "for it to finish"
                 )
-            try:
-                marker_age = time.time() - os.path.getmtime(marker)
-            except OSError:
-                marker_age = None
-            if marker_age is not None:
-                if live is False:
-                    writer_known_dead = True  # settle entries immediately
-                elif refuse_live and marker_age < REPLAY_LIVENESS_WINDOW_S:
+    for parent in parents:
+        root = replay_staging_root(parent)
+        if not os.path.isdir(root):
+            continue
+        # writer-liveness markers first (r14): a FRESH or flock-held
+        # marker means a replay writer may be mid-write or mid-swap
+        # RIGHT NOW — the maintenance pre-flight refuses before touching
+        # anything (the per-entry tree-mtime guards below stay as the
+        # crash-state backstop). Markers are probed and swept under the
+        # parent-keyed mutation lock, the same lock mark_replay_writer
+        # holds for its touch — without it a writer could plant a marker
+        # between this probe and the sweep (r14 review #3). Exact flock
+        # liveness beats the mtime window in BOTH directions: a held
+        # flock is a live writer even past the window (>15-min staging
+        # write), and all-markers-unheld is a provably dead writer even
+        # seconds after a crash, so the settle need not wait out the
+        # window (the availability cost ADVICE r14's refuse_live-from-
+        # backfill/start fix would otherwise add to every crash restart).
+        writer_known_dead = False
+        with mutation_lock(parent):
+            live = probe_replay_writer_live(parent)
+            if live is True:  # re-check: phase 1 ran moments ago
+                raise RuntimeError(
+                    f"a replay writer flock is held under {parent} - a "
+                    "live ingest replay is writing on this parent; wait "
+                    "for it to finish"
+                )
+            if live is False:
+                writer_known_dead = True  # settle entries immediately
+            for marker in _writer_markers(parent):
+                try:
+                    marker_age = time.time() - os.path.getmtime(marker)
+                except OSError:
+                    continue  # vanished: a live swap just removed it
+                if (
+                    not writer_known_dead
+                    and refuse_live
+                    and marker_age < REPLAY_LIVENESS_WINDOW_S
+                ):
                     raise RuntimeError(
                         f"replay writer marker {marker} is fresh "
                         f"({marker_age:.0f}s old) - a live ingest replay "
@@ -570,7 +652,9 @@ def settle_replay_staging(store_dir: str, refuse_live: bool = False) -> list[str
                     pass
         try:
             names = sorted(
-                n for n in os.listdir(root) if n != "_writer_alive"
+                n
+                for n in os.listdir(root)
+                if not n.startswith(WRITER_MARKER_PREFIX)
             )
         except FileNotFoundError:
             # the root vanished between the isdir check and the listing:

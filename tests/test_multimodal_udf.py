@@ -206,3 +206,206 @@ def test_png_missing_ihdr_raises_value_error(spark):
     df = spark.createDataFrame([(1, headless)], "doc_id long, payload binary")
     with pytest.raises(Exception, match="missing IHDR"):
         multimodal.decode_png_pixels(df).collect()
+
+    # adjacent hostile shapes stay inside the ValueError contract too
+    # (r15 review #5): a short IHDR body must not leak struct.error,
+    # corrupt IDAT bytes must not leak zlib.error
+    import struct
+
+    short_ihdr = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIB", 2, 2, 8))  # 9 bytes, not 13
+        + chunk(b"IEND", b"")
+    )
+    df2 = spark.createDataFrame(
+        [(1, short_ihdr)], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="IHDR truncated"):
+        multimodal.decode_png_pixels(df2).collect()
+
+    bad_idat = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", b"\xff\xfe\xfd\xfc")  # not a zlib stream
+        + chunk(b"IEND", b"")
+    )
+    df3 = spark.createDataFrame(
+        [(1, bad_idat)], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="IDAT corrupt"):
+        multimodal.decode_png_pixels(df3).collect()
+
+
+# -- r15: GIF graduation (full LZW) -----------------------------------------
+
+
+def test_gif_roundtrip_pins_palette_and_lzw(spark, sf_dir):
+    """encode_fixture_gif -> decode_gif_pixels must recover EXACTLY the
+    generator's index formula through real LZW (the largest fixture
+    images emit >256 table entries, so the 9->10-bit width growth is
+    exercised), then map through the palette to the pinned RGB bytes."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    enc = multimodal.encode_fixture_gif(docs)
+    out = {r["doc_id"]: r for r in multimodal.decode_gif_pixels(enc).collect()}
+    assert len(out) == 60
+    palette = bytes(
+        b for k in range(256) for b in (k, (31 * k) % 256, (77 * k) % 256)
+    )
+    saw_width_growth = False
+    for i, r in out.items():
+        w, h = i % 23 + 4, i % 13 + 4
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["decoded_n_bytes"] == w * h
+        idx = bytes((i + 7 * j) % 256 for j in range(w * h))
+        rgb = b"".join(palette[3 * k : 3 * k + 3] for k in idx)
+        assert r["rgb_sha256"] == hashlib.sha256(rgb).hexdigest(), i
+        # ~one LZW table entry is added per emitted code; >254 pixels
+        # guarantees next_code crosses 512 and the code width grows
+        saw_width_growth |= w * h > 300
+    assert saw_width_growth, "fixture must include images forcing 10-bit codes"
+
+
+def _gif_wrap(w, h, palette, lzw_body, min_code=8, ipacked=0):
+    import struct
+
+    subs = b"".join(
+        bytes([len(lzw_body[o : o + 255])]) + lzw_body[o : o + 255]
+        for o in range(0, len(lzw_body), 255)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        + palette
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+        + bytes([min_code])
+        + subs
+        + b"\x00\x3b"
+    )
+
+
+def test_gif_decoder_spec_conformance_independent_of_encoder(spark):
+    """The decoder is checked against GIF bitstreams built here from the
+    spec directly — a literal-coded stream with interleaved CLEAR codes
+    (never touching the engine encoder's compression paths) and a
+    hand-packed KwKwK sequence — so an encoder/decoder bug pair cannot
+    cancel out."""
+    import hashlib
+
+    palette = bytes(b for k in range(256) for b in (k, k, k))
+
+    # (a) literal-only 9-bit coding with a CLEAR every 250 literals:
+    # width never grows, every pixel is its own code
+    w, h = 25, 20
+    idx = bytes((11 * j) % 256 for j in range(w * h))
+    codes = [256]
+    for n, k in enumerate(idx):
+        if n and n % 250 == 0:
+            codes.append(256)  # CLEAR resets the decoder table mid-image
+        codes.append(k)
+    codes.append(257)  # END
+    acc = nbits = 0
+    body = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        body.append(acc & 0xFF)
+    gif_a = _gif_wrap(w, h, palette, bytes(body))
+
+    # (b) the KwKwK case: codes [CLEAR, 97, 258, END] decode to 'a'+'aa'
+    acc = nbits = 0
+    body2 = bytearray()
+    for c in (256, 97, 258, 257):
+        acc |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            body2.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        body2.append(acc & 0xFF)
+    gif_b = _gif_wrap(1, 3, palette, bytes(body2))
+
+    # (c) a 64x64 literal stream with NO clears, packed with the decoder
+    # width schedule mirrored independently (grow at table 2^w - 1, cap
+    # at 4096): drives the decoder through 10-, 11- and 12-bit reads and
+    # the table-full steady state
+    w3, h3 = 64, 64
+    idx3 = bytes((j * j + 3 * j) % 256 for j in range(w3 * h3))
+    acc = nbits = 0
+    body3 = bytearray()
+    width = 9
+    table_len = 258
+    n_data = 0
+    for c in [256] + list(idx3) + [257]:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            body3.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c not in (256, 257):
+            n_data += 1
+            if n_data >= 2 and table_len < 4096:
+                table_len += 1
+            if table_len == (1 << width) - 1 and width < 12:
+                width += 1
+    if nbits:
+        body3.append(acc & 0xFF)
+    gif_c = _gif_wrap(w3, h3, palette, bytes(body3))
+
+    df = spark.createDataFrame(
+        [(1, gif_a), (2, gif_b), (3, gif_c)], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r for r in multimodal.decode_gif_pixels(df).collect()}
+    rgb_a = b"".join(palette[3 * k : 3 * k + 3] for k in idx)
+    assert got[1]["decoded_n_bytes"] == w * h
+    assert got[1]["rgb_sha256"] == hashlib.sha256(rgb_a).hexdigest()
+    rgb_b = b"".join(palette[3 * 97 : 3 * 97 + 3] for _ in range(3))
+    assert got[2]["decoded_n_bytes"] == 3
+    assert got[2]["rgb_sha256"] == hashlib.sha256(rgb_b).hexdigest()
+    rgb_c = b"".join(palette[3 * k : 3 * k + 3] for k in idx3)
+    assert got[3]["decoded_n_bytes"] == w3 * h3
+    assert got[3]["rgb_sha256"] == hashlib.sha256(rgb_c).hexdigest()
+
+
+def test_gif_hostile_payloads_stay_in_contract(spark):
+    """Truncation/corruption raise the documented ValueError; interlace
+    raises NotImplementedError (the extension point) — never struct
+    errors or silent wrong pixels."""
+    palette = bytes(b for k in range(256) for b in (k, k, k))
+
+    # LZW stream with no END code
+    acc = nbits = 0
+    body = bytearray()
+    for c in (256, 5):
+        acc |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        body.append(acc & 0xFF)
+    no_end = _gif_wrap(1, 1, palette, bytes(body))
+    interlaced = _gif_wrap(2, 2, palette, bytes(body), ipacked=0x40)
+    truncated = _gif_wrap(2, 2, palette, bytes(body))[:-4]
+    cases = [
+        (1, no_end, "truncated"),
+        (2, interlaced, "interlaced"),
+        (3, truncated, "truncated"),
+        (4, b"GIF89a\x00", "header truncated"),
+    ]
+    for doc_id, payload, match in cases:
+        df = spark.createDataFrame(
+            [(doc_id, payload)], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match=match):
+            multimodal.decode_gif_pixels(df).collect()

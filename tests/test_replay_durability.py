@@ -279,7 +279,7 @@ def test_writer_flock_probe_states(spark, store_one_batch):
     finally:
         store_meta.release_replay_writer(parent)
     # marker still exists, nobody holds it: dead
-    assert os.path.exists(store_meta.replay_writer_marker(parent))
+    assert store_meta._writer_markers(parent)
     assert store_meta.probe_replay_writer_live(parent) is False
     store_meta.settle_replay_staging(store)
     assert store_meta.probe_replay_writer_live(parent) is None
@@ -300,9 +300,9 @@ def test_settle_refuses_flock_held_then_settles_dead_immediately(
     open(os.path.join(staging, "part-0.parquet"), "w").close()  # no _SUCCESS
     store_meta.mark_replay_writer(parent)
     try:
-        with pytest.raises(RuntimeError, match="flock-held"):
+        with pytest.raises(RuntimeError, match="flock is held"):
             store_meta.settle_replay_staging(store)
-        with pytest.raises(RuntimeError, match="flock-held"):
+        with pytest.raises(RuntimeError, match="flock is held"):
             store_meta.settle_replay_staging(store, refuse_live=True)
         assert os.path.isdir(staging)
     finally:
@@ -324,9 +324,9 @@ def test_entry_points_refuse_live_peer_writer(spark, store_one_batch):
     parent = svc.raw_path
     store_meta.mark_replay_writer(parent)
     try:
-        with pytest.raises(RuntimeError, match="flock-held"):
+        with pytest.raises(RuntimeError, match="flock is held"):
             svc._settle_pending_compaction(refuse_live=True)
-        with pytest.raises(RuntimeError, match="flock-held"):
+        with pytest.raises(RuntimeError, match="flock is held"):
             svc.recover()
     finally:
         store_meta.release_replay_writer(parent)
@@ -355,8 +355,7 @@ def test_swap_retouches_stale_marker_and_reads_live_mid_swap(
     open(os.path.join(staging, "_SUCCESS"), "w").close()
 
     # the long write: marker created at write start, stale by swap time
-    store_meta.mark_replay_writer(parent)
-    marker = store_meta.replay_writer_marker(parent)
+    marker = store_meta.mark_replay_writer(parent)
     old = _time.time() - store_meta.REPLAY_LIVENESS_WINDOW_S - 120
     os.utime(marker, (old, old))
 
@@ -407,14 +406,62 @@ def test_failed_replay_write_releases_flock_but_keeps_marker(
         svc._process_batch(_replay_kept(spark, svc), batch_id)
     monkeypatch.undo()
 
-    marker = store_meta.replay_writer_marker(parent)
-    assert os.path.exists(marker), "marker documents the recent write"
+    assert store_meta._writer_markers(parent), (
+        "marker documents the recent write"
+    )
     assert store_meta.probe_replay_writer_live(parent) is False
     # a restart's pre-flight settles immediately (no 15-minute wait) ...
     svc._settle_pending_compaction(refuse_live=True)
-    assert not os.path.exists(marker)
+    assert not store_meta._writer_markers(parent)
     # ... and the retry completes normally
     svc._process_batch(_replay_kept(spark, svc), batch_id)
+    assert store_meta.missing_committed_batches(store) == set()
+
+
+def test_concurrent_writers_keep_independent_liveness(spark, store_one_batch):
+    """r15 review #1/#2: two concurrent replay writers on one parent
+    (a stream replay racing a backfill replay) each own a distinct
+    marker+flock; the first finisher's swap removes only ITS marker, so
+    the still-live peer keeps its liveness signal — settles keep
+    refusing until the peer actually releases."""
+    import threading
+
+    svc, store, batch_id = store_one_batch
+    parent = svc.raw_path
+    final = store_meta.batch_dir(store, batch_id)
+    staging = store_meta.replay_stage_path(parent, batch_id)
+    os.makedirs(os.path.dirname(staging), exist_ok=True)
+    shutil.copytree(final, staging)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+
+    marked = threading.Event()
+    done = threading.Event()
+
+    def peer():
+        store_meta.mark_replay_writer(parent)
+        marked.set()
+        done.wait(30)
+        store_meta.release_replay_writer(parent)
+
+    t = threading.Thread(target=peer, name="peer-writer")
+    t.start()
+    assert marked.wait(10)
+    try:
+        # writer A (this thread) runs a complete write+swap while the
+        # peer is still mid-write
+        store_meta.swap_replayed_subtree(parent, batch_id)
+        assert store_meta._writer_markers(parent), (
+            "first finisher stripped the live peer's marker"
+        )
+        assert store_meta.probe_replay_writer_live(parent) is True
+        with pytest.raises(RuntimeError, match="flock is held"):
+            store_meta.settle_replay_staging(store, refuse_live=True)
+    finally:
+        done.set()
+        t.join(10)
+    # peer gone (flock released): the leftover marker sweeps immediately
+    store_meta.settle_replay_staging(store)
+    assert not store_meta._writer_markers(parent)
     assert store_meta.missing_committed_batches(store) == set()
 
 
