@@ -26,7 +26,14 @@ pure-Python worker can parse without media libraries:
   decompression (variable 9->12-bit code widths, clear/end codes,
   KwKwK case, 4096-entry table cap) plus palette mapping to RGB.
 
-Formats needing real codec libraries (JPEG/MP3/H.264) remain the
+* **JPEG** (baseline SOF0, 8-bit grayscale) — REAL stdlib+numpy decode,
+  graduated r15: ``decode_media`` reads (width, height) from the SOF
+  header; ``decode_jpeg_pixels`` runs the full pipeline — generic
+  DQT/DHT parse, Huffman + DC-prediction + run-length entropy decode,
+  dequantize, inverse zigzag, float IDCT. Progressive/color/12-bit/
+  restart-interval JPEGs raise NotImplementedError.
+
+Formats needing real codec libraries (MP3/H.264) remain the
 extension point: ``decode_media(..., strict=True)`` raises
 NotImplementedError for those, marking it exactly; with ``strict=False``
 an unknown payload falls back to a deterministic fake decode so the
@@ -241,11 +248,24 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                 # lives in decode_gif_pixels (r15 GIF graduation)
                 w, h = struct.unpack_from("<HH", p, 6)
                 return int(w), int(h)
+            if p[:2] == b"\xff\xd8":
+                # JPEG: walk marker segments to the SOF frame header
+                # (r15 graduation; full decode in decode_jpeg_pixels)
+                j = 2
+                while j + 4 <= len(p) and p[j] == 0xFF:
+                    m, (ln,) = p[j + 1], struct.unpack_from(">H", p, j + 2)
+                    if m in (0xC0, 0xC1, 0xC2, 0xC3):  # SOFn dims
+                        _, fh, fw = struct.unpack_from(">BHH", p, j + 4)
+                        return int(fw), int(fh)
+                    if m in (0xD9, 0xDA):
+                        break
+                    j += 2 + ln
+                raise ValueError("JPEG missing SOF frame header")
             if strict:
                 raise NotImplementedError(
-                    "compressed/unknown media format (JPEG/MP3/H.264 need "
-                    "real codec libraries, not in this container; PNG is "
-                    "handled above)"
+                    "compressed/unknown media format (MP3/H.264 need real "
+                    "codec libraries, not in this container; PNG/GIF/JPEG "
+                    "are handled above)"
                 )
             return fake_decode(p)
 
@@ -571,7 +591,11 @@ GIF_DECODED_SCHEMA = StructType(
 )
 
 
-def encode_fixture_gif(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def encode_fixture_gif(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    dims_override: tuple[int, int] | None = None,
+) -> DataFrame:
     """REAL GIF89a payloads (256-color global palette, non-interlaced),
     deterministic in ``doc_id``: w = id%23+4, h = id%13+4, palette index
     stream ``(id + 7*j) % 256``, palette entry k = (k, 31k%256, 77k%256).
@@ -581,7 +605,13 @@ def encode_fixture_gif(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     sub-blocks. Dimensions and the decoded index count w*h are pure
     arithmetic in doc_id (DuckDB-oracle-checkable); the compressed size
     depends on the LZW table evolution and is deliberately NOT part of
-    any oracle."""
+    any oracle.
+
+    ``dims_override=(w, h)`` pins every doc to fixed dimensions — a test
+    seam: the code-width boundary cases (exactly 254/766 post-clear data
+    codes) are unreachable under the doc_id formula (254 = 2*127 has no
+    factorization with both sides >= 4), so boundary tests encode e.g.
+    (127, 2) through the REAL encoder instead of hand-packing."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -626,13 +656,22 @@ def encode_fixture_gif(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 s = bytes([ch])
             if s:
                 emit(table[s])
+                # the final emit adds NO table entry on the encoder side,
+                # but the decoder still adds one for it — its table can
+                # hit the 2^w - 1 growth threshold on that add and read
+                # END at the wider width. Mirror that here or a stream
+                # whose final data code lands exactly on the boundary
+                # (254/766/1790 post-clear codes) writes END one bit too
+                # narrow (r15 review, empirically confirmed).
+                if next_code[0] == (1 << width[0]) - 1 and width[0] < 12:
+                    width[0] += 1
             emit(end)
             if acc[1]:
                 out.append(acc[0] & 0xFF)
             return bytes(out)
 
         def gif(i: int) -> bytes:
-            w, h = i % 23 + 4, i % 13 + 4
+            w, h = dims_override or (i % 23 + 4, i % 13 + 4)
             palette = b"".join(
                 bytes((k, (31 * k) % 256, (77 * k) % 256)) for k in range(256)
             )
@@ -681,8 +720,9 @@ def decode_gif_pixels(df: DataFrame) -> DataFrame:
     walk, image descriptor, and a complete GIF-flavor LZW decompression
     (variable code width, clear/end codes, 12-bit table cap) back to the
     palette index stream, then palette mapping to the RGB buffer. Emits
-    the decoded index count (== w*h iff the LZW stream produced exactly
-    the spec'd pixel count) and the sha256 of the RGB buffer, which
+    the decoded RGB byte count (== 3*w*h iff the LZW stream produced
+    exactly the spec'd pixel count — the same unit as the PNG twin's
+    decoded_n_bytes, r15 review #5) and the sha256 of the buffer, which
     tests pin against the generator formula. Interlaced images and
     local color tables beyond the fixture profile raise
     NotImplementedError (the same documented extension-point contract as
@@ -809,7 +849,7 @@ def decode_gif_pixels(df: DataFrame) -> DataFrame:
                                 f"GIF palette index {k} >= {ncol}"
                             )
                         rgb += palette[3 * k : 3 * k + 3]
-                    return int(iw), int(ih), len(idx), bytes(rgb)
+                    return int(iw), int(ih), bytes(rgb)
                 elif b0 == 0x3B:  # trailer: no image seen
                     break
                 else:
@@ -825,14 +865,473 @@ def decode_gif_pixels(df: DataFrame) -> DataFrame:
                 "rgb_sha256": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, n_idx, rgb = decode(bytes(payload))
+                w, h, rgb = decode(bytes(payload))
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
                 out["height"].append(h)
-                out["decoded_n_bytes"].append(n_idx)
+                out["decoded_n_bytes"].append(len(rgb))
                 out["rgb_sha256"].append(hashlib.sha256(rgb).hexdigest())
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(
         run, schema=GIF_DECODED_SCHEMA
+    )
+
+
+JPEG_DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("decoded_n_bytes", LongType()),
+        StructField("pixel_sha256", StringType()),
+    ]
+)
+
+#: the fixture's quantization table in zigzag order — mild, varying, and
+#: deterministic; shared by the encoder and the pytest reference model
+#: (the DECODER never sees this constant: it reads the table from DQT)
+JPEG_FIXTURE_QUANT = [(k % 13) + 4 for k in range(64)]
+
+
+def _jpeg_zigzag() -> list[int]:
+    """The standard 8x8 zigzag index order, generated (not hardcoded):
+    walk anti-diagonals, alternating direction."""
+    order = []
+    for s in range(15):
+        diag = [(r, s - r) for r in range(8) if 0 <= s - r < 8]
+        if s % 2 == 0:
+            diag.reverse()
+        order += [8 * r + c for r, c in diag]
+    return order
+
+
+def _jpeg_tables() -> tuple[list[int], list[int], list[int], list[int]]:
+    """Canonical Huffman table specs (bits-per-length, symbol order) for
+    the fixture: fixed-length codes — 12 DC categories at 4 bits, the
+    full 162-symbol AC alphabet (EOB, ZRL, run 0-15 x size 1-10) at 8
+    bits. Valid canonical JPEG tables (the all-ones codeword stays
+    unused); the FORMAT carries them in DHT, so no spec-appendix
+    constants are involved and the decoder must parse DHT generically."""
+    dc_bits = [0] * 16
+    dc_bits[3] = 12  # twelve 4-bit codes
+    dc_vals = list(range(12))
+    ac_bits = [0] * 16
+    ac_bits[7] = 162  # one-hundred-sixty-two 8-bit codes
+    ac_vals = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    return dc_bits, dc_vals, ac_bits, ac_vals
+
+
+def encode_fixture_jpeg(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    dims_override: tuple[int, int] | None = None,
+) -> DataFrame:
+    """REAL baseline JPEG payloads (SOF0, 8-bit GRAYSCALE, no
+    subsampling, no restart markers), deterministic in ``doc_id``:
+    w = id%25+8, h = id%11+8, pixel (r, c) = (id + 5r + 3c) % 256.
+    Full encode pipeline: edge-replication padding to 8x8 blocks, level
+    shift, float64 2-D DCT-II, quantization by :data:`JPEG_FIXTURE_QUANT`
+    (declared in DQT), zigzag, DC differencing, canonical Huffman coding
+    with the DHT-declared tables from :func:`_jpeg_tables`, 0xFF byte
+    stuffing. JPEG is lossy: the decode oracle pins dimensions and byte
+    counts; pixel EXACTNESS is pinned in pytest against an independent
+    numpy reference of the same quantize round-trip."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        # --- shared helpers (self-contained: see decode_media NOTE) ---
+        def zigzag() -> list[int]:
+            order = []
+            for s in range(15):
+                diag = [(r, s - r) for r in range(8) if 0 <= s - r < 8]
+                if s % 2 == 0:
+                    diag.reverse()
+                order += [8 * r + c for r, c in diag]
+            return order
+
+        ZZ = zigzag()
+        QUANT = [(k % 13) + 4 for k in range(64)]
+        dc_bits = [0] * 16
+        dc_bits[3] = 12
+        dc_vals = list(range(12))
+        ac_bits = [0] * 16
+        ac_bits[7] = 162
+        ac_vals = [0x00, 0xF0] + [
+            (r << 4) | s for r in range(16) for s in range(1, 11)
+        ]
+
+        def canonical_codes(bits, vals):
+            out, code, k = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    out[vals[k]] = (code, ln)
+                    code += 1
+                    k += 1
+                code <<= 1
+            return out
+
+        DC = canonical_codes(dc_bits, dc_vals)
+        AC = canonical_codes(ac_bits, ac_vals)
+        T = np.zeros((8, 8))
+        for u in range(8):
+            cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+            for x in range(8):
+                T[u, x] = cu / 2 * np.cos((2 * x + 1) * u * np.pi / 16)
+
+        class BitWriter:
+            def __init__(self):
+                self.out = bytearray()
+                self.acc = 0
+                self.n = 0
+
+            def put(self, code: int, length: int) -> None:
+                self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+                self.n += length
+                while self.n >= 8:
+                    b = (self.acc >> (self.n - 8)) & 0xFF
+                    self.out.append(b)
+                    if b == 0xFF:
+                        self.out.append(0x00)  # byte stuffing
+                    self.n -= 8
+                self.acc &= (1 << self.n) - 1
+
+            def flush(self) -> bytes:
+                if self.n:
+                    pad = 8 - self.n
+                    b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+                    self.out.append(b)
+                    if b == 0xFF:
+                        self.out.append(0x00)
+                    self.n = 0
+                return bytes(self.out)
+
+        def category(v: int) -> int:
+            return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+        def put_amplitude(bw, v: int, s: int) -> None:
+            if s == 0:
+                return
+            bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+
+        def seg(marker: int, body: bytes) -> bytes:
+            return struct.pack(">HH", marker, len(body) + 2) + body
+
+        def jpeg(i: int) -> bytes:
+            w, h = dims_override or (i % 25 + 8, i % 11 + 8)
+            img = np.fromfunction(
+                lambda r, c: (i + 5 * r + 3 * c) % 256, (h, w)
+            ).astype(np.float64)
+            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+            img = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+            q2d = np.empty(64)
+            q2d[ZZ] = QUANT  # DQT declares zigzag order; use natural here
+            q2d = q2d.reshape(8, 8)
+            bw = BitWriter()
+            prev_dc = 0
+            for br in range(0, ph, 8):
+                for bc in range(0, pw, 8):
+                    blk = img[br : br + 8, bc : bc + 8] - 128.0
+                    F_ = T @ blk @ T.T
+                    coef = np.round(F_ / q2d).astype(int)
+                    zz = [int(coef.flat[k]) for k in ZZ]
+                    diff = zz[0] - prev_dc
+                    prev_dc = zz[0]
+                    s = category(diff)
+                    bw.put(*DC[s])
+                    put_amplitude(bw, diff, s)
+                    run = 0
+                    last_nz = 0
+                    for k in range(1, 64):
+                        if zz[k]:
+                            last_nz = k
+                    for k in range(1, last_nz + 1):
+                        if zz[k] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            bw.put(*AC[0xF0])  # ZRL
+                            run -= 16
+                        s = category(zz[k])
+                        bw.put(*AC[(run << 4) | s])
+                        put_amplitude(bw, zz[k], s)
+                        run = 0
+                    if last_nz < 63:
+                        bw.put(*AC[0x00])  # EOB
+            data = bw.flush()
+            dqt = seg(0xFFDB, bytes([0x00]) + bytes(QUANT))
+            sof = seg(
+                0xFFC0,
+                struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
+            )
+            dht = seg(
+                0xFFC4,
+                bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+                + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals),
+            )
+            sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            return (
+                b"\xff\xd8" + dqt + sof + dht + sos + data + b"\xff\xd9"
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [jpeg(int(i)) for i in pdf["doc_id"]],
+                    "media_type": ["image/jpeg"] * len(pdf),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("media_type", StringType()),
+        ]
+    )
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        run, schema=schema
+    )
+
+
+def decode_jpeg_pixels(df: DataFrame) -> DataFrame:
+    """FULL baseline JPEG decode, Arrow-batched, stdlib+numpy only:
+    marker walk (APPn/COM skipped), generic DQT/DHT parsing (canonical
+    Huffman reconstruction from bits+values — the decoder carries NO
+    table constants of its own), SOF0 frame header, entropy-coded
+    segment with 0xFF00 de-stuffing, Huffman + DC-prediction + run-
+    length decode, dequantize, inverse zigzag, float64 IDCT, level
+    shift, clamp, crop to (w, h). Emits the decoded byte count (== w*h
+    for the grayscale profile iff every MCU decoded) and the sha256 of
+    the gray pixel buffer; pytest pins pixels against an independent
+    numpy quantize-roundtrip reference, so an encoder/decoder bug pair
+    cannot cancel out. Progressive (SOF2), multi-component frames,
+    12-bit precision and restart intervals raise NotImplementedError —
+    the same documented extension-point contract as non-baseline PNG;
+    truncated or corrupt payloads raise ValueError."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+
+        import numpy as np
+
+        def zigzag() -> list[int]:
+            order = []
+            for s in range(15):
+                diag = [(r, s - r) for r in range(8) if 0 <= s - r < 8]
+                if s % 2 == 0:
+                    diag.reverse()
+                order += [8 * r + c for r, c in diag]
+            return order
+
+        ZZ = zigzag()
+        T = np.zeros((8, 8))
+        for u in range(8):
+            cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+            for x in range(8):
+                T[u, x] = cu / 2 * np.cos((2 * x + 1) * u * np.pi / 16)
+
+        def canonical_decode_table(bits, vals):
+            table, code, k = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    table[(ln, code)] = vals[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            return table
+
+        class BitReader:
+            def __init__(self, data: bytes):
+                self.d = data
+                self.pos = 0
+                self.acc = 0
+                self.n = 0
+
+            def bit(self) -> int:
+                if self.n == 0:
+                    if self.pos >= len(self.d):
+                        raise ValueError(
+                            "JPEG entropy data truncated mid-block"
+                        )
+                    self.acc = self.d[self.pos]
+                    self.pos += 1
+                    self.n = 8
+                self.n -= 1
+                return (self.acc >> self.n) & 1
+
+            def bits(self, k: int) -> int:
+                v = 0
+                for _ in range(k):
+                    v = (v << 1) | self.bit()
+                return v
+
+        def huff(br, table):
+            code, ln = 0, 0
+            while ln < 16:
+                code = (code << 1) | br.bit()
+                ln += 1
+                if (ln, code) in table:
+                    return table[(ln, code)]
+            raise ValueError("JPEG Huffman code not in table")
+
+        def extend(v: int, s: int) -> int:
+            return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        def decode(p: bytes) -> tuple[int, int, bytes]:
+            if p[:2] != b"\xff\xd8":
+                raise ValueError("not a JPEG payload (no SOI)")
+            i = 2
+            quant: dict[int, list[int]] = {}
+            dc_tabs: dict[int, dict] = {}
+            ac_tabs: dict[int, dict] = {}
+            w = h = None
+            td = ta = tq = 0
+            data = None
+            while i + 4 <= len(p):
+                if p[i] != 0xFF:
+                    raise ValueError(f"JPEG marker sync lost at {i}")
+                m = p[i + 1]
+                if m == 0xD9:  # EOI before SOS
+                    break
+                (ln,) = struct.unpack_from(">H", p, i + 2)
+                body = p[i + 4 : i + 2 + ln]
+                if len(body) != ln - 2:
+                    raise ValueError("JPEG segment truncated")
+                if m == 0xDB:  # DQT
+                    j = 0
+                    while j < len(body):
+                        pq, tq_id = body[j] >> 4, body[j] & 0x0F
+                        if pq != 0:
+                            raise NotImplementedError(
+                                "16-bit quantization tables"
+                            )
+                        quant[tq_id] = list(body[j + 1 : j + 65])
+                        if len(quant[tq_id]) != 64:
+                            raise ValueError("JPEG DQT truncated")
+                        j += 65
+                elif m == 0xC4:  # DHT
+                    j = 0
+                    while j < len(body):
+                        tc, th = body[j] >> 4, body[j] & 0x0F
+                        bits = list(body[j + 1 : j + 17])
+                        nv = sum(bits)
+                        vals = list(body[j + 17 : j + 17 + nv])
+                        if len(bits) != 16 or len(vals) != nv:
+                            raise ValueError("JPEG DHT truncated")
+                        tab = canonical_decode_table(bits, vals)
+                        (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                        j += 17 + nv
+                elif m == 0xC0:  # SOF0 baseline
+                    prec, h, w, nf = struct.unpack_from(">BHHB", body, 0)
+                    if prec != 8:
+                        raise NotImplementedError("12-bit JPEG precision")
+                    if nf != 1:
+                        raise NotImplementedError(
+                            "multi-component (color) JPEG frames"
+                        )
+                    # per-component fields: body[6]=id, body[7]=H/V
+                    # sampling (moot for one component), body[8]=Tq
+                    tq = body[8]
+                elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                           0xCB, 0xCD, 0xCE, 0xCF):
+                    raise NotImplementedError(
+                        f"JPEG frame type 0xFF{m:02X} beyond baseline "
+                        "sequential SOF0 (progressive/hierarchical/"
+                        "arithmetic)"
+                    )
+                elif m == 0xDD:
+                    raise NotImplementedError("JPEG restart intervals")
+                elif m == 0xDA:  # SOS
+                    ns = body[0]
+                    if ns != 1:
+                        raise NotImplementedError("multi-scan JPEG")
+                    td, ta = body[2] >> 4, body[2] & 0x0F
+                    # entropy data runs from after this segment to EOI;
+                    # de-stuff 0xFF00 and stop at any real marker
+                    j = i + 2 + ln
+                    raw = bytearray()
+                    while j < len(p):
+                        b = p[j]
+                        if b == 0xFF:
+                            nxt = p[j + 1] if j + 1 < len(p) else None
+                            if nxt == 0x00:
+                                raw.append(0xFF)
+                                j += 2
+                                continue
+                            break  # a real marker (EOI expected)
+                        raw.append(b)
+                        j += 1
+                    data = bytes(raw)
+                    break
+                i += 2 + ln
+            if w is None or h is None:
+                raise ValueError("JPEG missing SOF0 frame header")
+            if data is None:
+                raise ValueError("JPEG missing SOS entropy data")
+            if tq not in quant or td not in dc_tabs or ta not in ac_tabs:
+                raise ValueError("JPEG references an undeclared table")
+            q2d = np.empty(64)
+            q2d[ZZ] = quant[tq]
+            q2d = q2d.reshape(8, 8)
+            br = BitReader(data)
+            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+            out = np.empty((ph, pw))
+            prev_dc = 0
+            for brow in range(0, ph, 8):
+                for bcol in range(0, pw, 8):
+                    zz = [0] * 64
+                    s = huff(br, dc_tabs[td])
+                    diff = extend(br.bits(s), s) if s else 0
+                    prev_dc += diff
+                    zz[0] = prev_dc
+                    k = 1
+                    while k < 64:
+                        sym = huff(br, ac_tabs[ta])
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        size = sym & 0x0F
+                        if k > 63:
+                            raise ValueError(
+                                "JPEG AC run past end of block"
+                            )
+                        zz[k] = extend(br.bits(size), size)
+                        k += 1
+                    coef = np.empty(64)
+                    coef[ZZ] = zz
+                    blk = T.T @ (coef.reshape(8, 8) * q2d) @ T
+                    out[brow : brow + 8, bcol : bcol + 8] = blk + 128.0
+            px = np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
+            return int(w), int(h), px.tobytes()
+
+        for pdf in batches:
+            res = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "decoded_n_bytes": [],
+                "pixel_sha256": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode(bytes(payload))
+                res["doc_id"].append(doc_id)
+                res["width"].append(w)
+                res["height"].append(h)
+                res["decoded_n_bytes"].append(len(px))
+                res["pixel_sha256"].append(hashlib.sha256(px).hexdigest())
+            yield pd.DataFrame(res)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema=JPEG_DECODED_SCHEMA
     )

@@ -786,7 +786,7 @@ def llm_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        CAST(doc_id % 23 + 4 AS BIGINT) AS width,
        CAST(doc_id % 13 + 4 AS BIGINT) AS height,
-       CAST((doc_id % 23 + 4) * (doc_id % 13 + 4) AS BIGINT)
+       CAST(3 * (doc_id % 23 + 4) * (doc_id % 13 + 4) AS BIGINT)
            AS decoded_n_bytes
 FROM documents
 """,
@@ -805,6 +805,37 @@ FROM documents
 def llm_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = multimodal.encode_fixture_gif(docs(spark, sf_dir))
     return multimodal.decode_gif_pixels(d).select(
+        "doc_id", "width", "height", "decoded_n_bytes"
+    )
+
+
+@register(
+    "llm_multimodal_decode_jpeg",
+    oracle="""
+SELECT doc_id,
+       CAST(doc_id % 25 + 8 AS BIGINT) AS width,
+       CAST(doc_id % 11 + 8 AS BIGINT) AS height,
+       CAST((doc_id % 25 + 8) * (doc_id % 11 + 8) AS BIGINT)
+           AS decoded_n_bytes
+FROM documents
+""",
+    doc="REAL lossy-codec decode, stdlib+numpy only (r15): per-doc "
+    "baseline JPEG payloads (SOF0 grayscale — full encode: padding, "
+    "float DCT, quantization, zigzag, DC differencing, canonical "
+    "Huffman with DHT-declared tables, byte stuffing) decoded back "
+    "through the complete inverse pipeline (generic DQT/DHT parse, "
+    "Huffman + run-length entropy decode, dequantize, IDCT). The "
+    "oracle pins width/height (arithmetic in doc_id) and "
+    "decoded_n_bytes == w*h (one gray byte per pixel), which only "
+    "comes out right if every MCU entropy-decoded; pixel EXACTNESS vs "
+    "an independent numpy quantize-roundtrip reference is pytest-pinned "
+    "(JPEG is lossy, so the reference models the same quantization). "
+    "Progressive/color/12-bit/restart JPEGs raise NotImplementedError; "
+    "MP3/H.264 remain the documented no-codec extension point.",
+)
+def llm_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = multimodal.encode_fixture_jpeg(docs(spark, sf_dir))
+    return multimodal.decode_jpeg_pixels(d).select(
         "doc_id", "width", "height", "decoded_n_bytes"
     )
 

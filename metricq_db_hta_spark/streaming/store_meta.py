@@ -382,11 +382,11 @@ def mark_replay_writer(parent: str) -> str:
                 fd = os.open(marker, os.O_RDWR)
                 import fcntl
 
-                # a transient LOCK_SH probe from an unlocked reader can
-                # collide with this acquisition — retry briefly rather
-                # than running the whole write flock-naked (r15 review
-                # #3; probes hold SH for microseconds)
-                for attempt in range(5):
+                # probes run under this same mutation lock, so the only
+                # way this NB acquisition of our own fresh file can fail
+                # is a mount without flock support (OSError) — retry a
+                # couple of times for paranoia, then degrade
+                for attempt in range(3):
                     try:
                         fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                         break
@@ -398,6 +398,22 @@ def mark_replay_writer(parent: str) -> str:
                 if fd is not None:
                     os.close(fd)
                 fd = None
+            # the marker RECORDS whether its writer holds a flock ('F')
+            # or is mtime-only ('M', degraded mount): a probe finding an
+            # unheld 'F' marker has PROOF the writer died, while an 'M'
+            # marker is never "provably dead" — without the mode byte, a
+            # flock-degraded LIVE writer would read exactly like a dead
+            # one and its in-progress staging would be swept (r15 review
+            # #2/#3)
+            try:
+                if fd is not None:
+                    os.write(fd, b"F")
+                else:
+                    with open(marker, "w") as f:
+                        f.write("M")
+                os.utime(marker)
+            except OSError:
+                pass  # empty content reads as mtime-only: conservative
             _ACTIVE_MARKERS[key] = (marker, fd)
             return marker
     raise RuntimeError(
@@ -424,14 +440,19 @@ def release_replay_writer(parent: str) -> None:
 
 
 def _probe_marker(marker: str) -> bool | None:
-    """One marker's flock state: True = held (live writer), False =
-    provably unheld (dead writer), None = unknowable (no flock support,
-    or the marker vanished mid-probe). Probes with LOCK_SH so two
-    concurrent probes never read each other as a live writer (r15
-    review #4) while still conflicting with a writer's LOCK_EX."""
+    """One marker's liveness state: True = flock held (live writer),
+    False = an 'F'-mode marker with its flock provably unheld (the
+    writer took the lock and the kernel released it — dead), None =
+    unknowable (an 'M'-mode/legacy marker whose writer never held a
+    flock, no flock support here, or the marker vanished mid-probe).
+    Probes with LOCK_SH so two concurrent probes never read each other
+    as a live writer (r15 review #4) while still conflicting with a
+    writer's LOCK_EX; callers hold the parent mutation lock so a probe
+    can never interleave with mark_replay_writer's own acquisition."""
     fd = None
     try:
         fd = os.open(marker, os.O_RDONLY)
+        mode = os.read(fd, 1)
         import fcntl
 
         try:
@@ -439,7 +460,8 @@ def _probe_marker(marker: str) -> bool | None:
         except BlockingIOError:
             return True
         fcntl.flock(fd, fcntl.LOCK_UN)
-        return False
+        # unheld: only conclusive if the writer RECORDED holding a flock
+        return False if mode == b"F" else None
     except (ImportError, OSError):
         return None
     finally:
@@ -476,15 +498,20 @@ def _any_fresh_writer_marker(store_dir: str) -> bool:
     leg is the conservative backstop where flock is unavailable (both
     legs suppress the loss alarm, never assert loss)."""
     for parent in (raw_path(store_dir), os.path.join(store_dir, "drops_log")):
-        for marker in _writer_markers(parent):
-            if _probe_marker(marker) is True:
-                return True
-            try:
-                age = time.time() - os.path.getmtime(marker)
-            except OSError:
-                continue
-            if age < REPLAY_LIVENESS_WINDOW_S:
-                return True
+        if not os.path.isdir(replay_staging_root(parent)):
+            continue  # no lock either: mutation_lock would CREATE the dir
+        # under the parent lock so probes never collide with a writer's
+        # own flock acquisition in mark_replay_writer (r15 review #3)
+        with mutation_lock(parent):
+            for marker in _writer_markers(parent):
+                if _probe_marker(marker) is True:
+                    return True
+                try:
+                    age = time.time() - os.path.getmtime(marker)
+                except OSError:
+                    continue
+                if age < REPLAY_LIVENESS_WINDOW_S:
+                    return True
     return False
 
 
@@ -566,24 +593,44 @@ def settle_replay_staging(store_dir: str, refuse_live: bool = False) -> list[str
     restored before anything reads or mutates the store. Idempotent;
     returns a human-readable action list (empty in the common case).
 
-    ``refuse_live=True`` (the maintenance pre-flight) raises instead of
+    ``refuse_live=True`` (the maintenance pre-flight and the
+    start()/backfill() entry settles, ADVICE r14) raises instead of
     dropping a _SUCCESS-less staging whose tree mtime is fresh — that
     write may belong to a LIVE ingest replay running concurrently, and
     rmtree'ing it mid-write crashes the stream batch (r14 review; mirrors
-    recover_compaction's journal liveness guard). A dead staging ages
-    past the window, so a refused maintenance run always unblocks by
-    waiting. The stream's own ``recover()`` keeps the unconditional
-    settle: it is the single writer, so no live peer can exist there."""
+    recover_compaction's journal liveness guard). A provably LIVE writer
+    (marker flock held) refuses on EVERY path, including the
+    unconditional ``recover()`` settle — repairing a store under a live
+    writer is wrong everywhere, and the owner settles before it writes so
+    it can never trip over its own flock. A provably DEAD writer (an
+    'F'-mode marker with its flock released) settles immediately; only
+    the ambiguous cases (mtime-only markers, no marker at all) fall back
+    to the fresh-tree age-out, so a refused run always unblocks by
+    waiting."""
     actions: list[str] = []
     parents = (raw_path(store_dir), os.path.join(store_dir, "drops_log"))
-    # phase 1 (r15 review #6): probe EVERY parent for a live writer
-    # BEFORE mutating anything, so a live drops_log writer cannot abort
-    # the settle AFTER raw-side repairs were performed but not yet
-    # reported — the refusal now lands before the first action
-    for parent in parents:
-        if not os.path.isdir(replay_staging_root(parent)):
-            continue
-        with mutation_lock(parent):
+    # BOTH parent locks are held for the whole settle (r15 review #6 +
+    # second pass): marks serialize on the same locks, so no writer can
+    # appear on the drops_log side while the raw side is mid-repair —
+    # phase 1's all-parents probe is therefore conclusive, and a refusal
+    # can only land BEFORE the first repair action. Lock order is
+    # raw-then-drops everywhere; writers take exactly one parent lock at
+    # a time, so no cycle exists.
+    with contextlib.ExitStack() as _locks:
+        # lock only parents whose staging root exists: mutation_lock
+        # CREATES its key directory as a side effect, and materializing
+        # an empty drops_log/ on every settle breaks consumers that
+        # parquet-read it when present (caught by fuzz class 20). A root
+        # created AFTER this selection belongs to a writer marking right
+        # now — _settle_parent's own live probe refuses it.
+        for parent in parents:
+            if os.path.isdir(replay_staging_root(parent)):
+                _locks.enter_context(mutation_lock(parent))
+        # phase 1: probe EVERY parent for a live writer BEFORE mutating
+        # anything
+        for parent in parents:
+            if not os.path.isdir(replay_staging_root(parent)):
+                continue
             if probe_replay_writer_live(parent) is True:
                 # raised on the unconditional path too: the owner
                 # settles BEFORE it writes, so it can never hold its own
@@ -596,106 +643,115 @@ def settle_replay_staging(store_dir: str, refuse_live: bool = False) -> list[str
                     "live ingest replay is writing on this parent; wait "
                     "for it to finish"
                 )
-    for parent in parents:
-        root = replay_staging_root(parent)
-        if not os.path.isdir(root):
-            continue
-        # writer-liveness markers first (r14): a FRESH or flock-held
-        # marker means a replay writer may be mid-write or mid-swap
-        # RIGHT NOW — the maintenance pre-flight refuses before touching
-        # anything (the per-entry tree-mtime guards below stay as the
-        # crash-state backstop). Markers are probed and swept under the
-        # parent-keyed mutation lock, the same lock mark_replay_writer
-        # holds for its touch — without it a writer could plant a marker
-        # between this probe and the sweep (r14 review #3). Exact flock
-        # liveness beats the mtime window in BOTH directions: a held
-        # flock is a live writer even past the window (>15-min staging
-        # write), and all-markers-unheld is a provably dead writer even
-        # seconds after a crash, so the settle need not wait out the
-        # window (the availability cost ADVICE r14's refuse_live-from-
-        # backfill/start fix would otherwise add to every crash restart).
-        writer_known_dead = False
-        with mutation_lock(parent):
-            live = probe_replay_writer_live(parent)
-            if live is True:  # re-check: phase 1 ran moments ago
-                raise RuntimeError(
-                    f"a replay writer flock is held under {parent} - a "
-                    "live ingest replay is writing on this parent; wait "
-                    "for it to finish"
-                )
-            if live is False:
-                writer_known_dead = True  # settle entries immediately
-            for marker in _writer_markers(parent):
-                try:
-                    marker_age = time.time() - os.path.getmtime(marker)
-                except OSError:
-                    continue  # vanished: a live swap just removed it
-                if (
-                    not writer_known_dead
-                    and refuse_live
-                    and marker_age < REPLAY_LIVENESS_WINDOW_S
-                ):
-                    raise RuntimeError(
-                        f"replay writer marker {marker} is fresh "
-                        f"({marker_age:.0f}s old) - a live ingest replay "
-                        "may be writing; wait for it (a dead writer's "
-                        "marker ages out of the "
-                        f"{REPLAY_LIVENESS_WINDOW_S}s window)"
-                    )
-                # owner settle (the single writer itself), a provably
-                # dead writer, or a stale marker: the crash leftover is
-                # swept so the root can empty out
-                try:
-                    os.remove(marker)
-                    actions.append(f"swept replay writer marker {marker}")
-                except FileNotFoundError:
-                    pass
+        for parent in parents:
+            actions += _settle_parent(parent, refuse_live)
+    return actions
+
+
+def _settle_parent(parent: str, refuse_live: bool) -> list[str]:
+    """One parent's settle pass (caller holds every parent lock)."""
+    actions: list[str] = []
+    root = replay_staging_root(parent)
+    if not os.path.isdir(root):
+        return actions
+    # writer-liveness markers first (r14): a FRESH or flock-held
+    # marker means a replay writer may be mid-write or mid-swap
+    # RIGHT NOW — the maintenance pre-flight refuses before touching
+    # anything (the per-entry tree-mtime guards below stay as the
+    # crash-state backstop). Markers are probed and swept under the
+    # parent-keyed mutation lock, the same lock mark_replay_writer
+    # holds for its touch — without it a writer could plant a marker
+    # between this probe and the sweep (r14 review #3). Exact flock
+    # liveness beats the mtime window in BOTH directions: a held
+    # flock is a live writer even past the window (>15-min staging
+    # write), and all-markers-unheld is a provably dead writer even
+    # seconds after a crash, so the settle need not wait out the
+    # window (the availability cost ADVICE r14's refuse_live-from-
+    # backfill/start fix would otherwise add to every crash restart).
+    writer_known_dead = False
+    live = probe_replay_writer_live(parent)
+    if live is True:
+        # normally phase 1 already raised under the held locks; this
+        # re-check covers a root (and writer) that appeared after the
+        # lock selection, where no lock protects the parent
+        raise RuntimeError(
+            f"a replay writer flock is held under {parent} - a live "
+            "ingest replay is writing on this parent; wait for it to "
+            "finish"
+        )
+    if live is False:
+        writer_known_dead = True  # settle entries immediately
+    for marker in _writer_markers(parent):
         try:
-            names = sorted(
-                n
-                for n in os.listdir(root)
-                if not n.startswith(WRITER_MARKER_PREFIX)
+            marker_age = time.time() - os.path.getmtime(marker)
+        except OSError:
+            continue  # vanished: a live swap just removed it
+        if (
+            not writer_known_dead
+            and refuse_live
+            and marker_age < REPLAY_LIVENESS_WINDOW_S
+        ):
+            raise RuntimeError(
+                f"replay writer marker {marker} is fresh "
+                f"({marker_age:.0f}s old) - a live ingest replay "
+                "may be writing; wait for it (a dead writer's "
+                "marker ages out of the "
+                f"{REPLAY_LIVENESS_WINDOW_S}s window)"
+            )
+        # owner settle (the single writer itself), a provably
+        # dead writer, or a stale marker: the crash leftover is
+        # swept so the root can empty out
+        try:
+            os.remove(marker)
+            actions.append(f"swept replay writer marker {marker}")
+        except FileNotFoundError:
+            pass
+    try:
+        names = sorted(
+            n
+            for n in os.listdir(root)
+            if not n.startswith(WRITER_MARKER_PREFIX)
+        )
+    except FileNotFoundError:
+        # the root vanished between the isdir check and the listing:
+        # a live writer's swap just completed and emptied it — there
+        # is nothing left to settle here
+        return actions
+    # asides first: they encode the furthest-along crash states and
+    # may consume their staging sibling
+    for name in [n for n in names if n.endswith(".old")] + [
+        n for n in names if not n.endswith(".old")
+    ]:
+        path = os.path.join(root, name)
+        if not os.path.exists(path):  # consumed by an earlier branch
+            continue
+        bid = name[:-4] if name.endswith(".old") else name
+        final = os.path.join(parent, f"ingest_batch={bid}")
+        try:
+            _settle_one_staging_entry(
+                actions,
+                refuse_live and not writer_known_dead,
+                root,
+                parent,
+                path,
+                name,
+                bid,
+                final,
             )
         except FileNotFoundError:
-            # the root vanished between the isdir check and the listing:
-            # a live writer's swap just completed and emptied it — there
-            # is nothing left to settle here
-            continue
-        # asides first: they encode the furthest-along crash states and
-        # may consume their staging sibling
-        for name in [n for n in names if n.endswith(".old")] + [
-            n for n in names if not n.endswith(".old")
-        ]:
-            path = os.path.join(root, name)
-            if not os.path.exists(path):  # consumed by an earlier branch
-                continue
-            bid = name[:-4] if name.endswith(".old") else name
-            final = os.path.join(parent, f"ingest_batch={bid}")
-            try:
-                _settle_one_staging_entry(
-                    actions,
-                    refuse_live and not writer_known_dead,
-                    root,
-                    parent,
-                    path,
-                    name,
-                    bid,
-                    final,
+            # the entry vanished mid-action: only a LIVE writer's own
+            # swap can consume it concurrently (crash states are
+            # inert) — the pre-flight refuses, the owner moves on
+            if refuse_live:
+                raise RuntimeError(
+                    f"replay staging entry {path} vanished mid-settle "
+                    "- a live ingest replay is swapping concurrently; "
+                    "wait for it"
                 )
-            except FileNotFoundError:
-                # the entry vanished mid-action: only a LIVE writer's own
-                # swap can consume it concurrently (crash states are
-                # inert) — the pre-flight refuses, the owner moves on
-                if refuse_live:
-                    raise RuntimeError(
-                        f"replay staging entry {path} vanished mid-settle "
-                        "- a live ingest replay is swapping concurrently; "
-                        "wait for it"
-                    )
-        try:
-            os.rmdir(root)  # only when empty
-        except OSError:
-            pass
+    try:
+        os.rmdir(root)  # only when empty
+    except OSError:
+        pass
     return actions
 
 

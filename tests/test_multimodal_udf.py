@@ -257,7 +257,7 @@ def test_gif_roundtrip_pins_palette_and_lzw(spark, sf_dir):
     for i, r in out.items():
         w, h = i % 23 + 4, i % 13 + 4
         assert (r["width"], r["height"]) == (w, h)
-        assert r["decoded_n_bytes"] == w * h
+        assert r["decoded_n_bytes"] == 3 * w * h  # RGB bytes, PNG-unit
         idx = bytes((i + 7 * j) % 256 for j in range(w * h))
         rgb = b"".join(palette[3 * k : 3 * k + 3] for k in idx)
         assert r["rgb_sha256"] == hashlib.sha256(rgb).hexdigest(), i
@@ -366,14 +366,42 @@ def test_gif_decoder_spec_conformance_independent_of_encoder(spark):
     )
     got = {r["doc_id"]: r for r in multimodal.decode_gif_pixels(df).collect()}
     rgb_a = b"".join(palette[3 * k : 3 * k + 3] for k in idx)
-    assert got[1]["decoded_n_bytes"] == w * h
+    assert got[1]["decoded_n_bytes"] == 3 * w * h
     assert got[1]["rgb_sha256"] == hashlib.sha256(rgb_a).hexdigest()
     rgb_b = b"".join(palette[3 * 97 : 3 * 97 + 3] for _ in range(3))
-    assert got[2]["decoded_n_bytes"] == 3
+    assert got[2]["decoded_n_bytes"] == 9
     assert got[2]["rgb_sha256"] == hashlib.sha256(rgb_b).hexdigest()
     rgb_c = b"".join(palette[3 * k : 3 * k + 3] for k in idx3)
-    assert got[3]["decoded_n_bytes"] == w3 * h3
+    assert got[3]["decoded_n_bytes"] == 3 * w3 * h3
     assert got[3]["rgb_sha256"] == hashlib.sha256(rgb_c).hexdigest()
+
+
+def test_gif_width_boundary_streams_roundtrip(spark, sf_dir):
+    """r15 review (empirically confirmed pre-fix): a stream whose final
+    data code count lands EXACTLY on the decoder's 2^w - 1 growth
+    threshold (254 post-clear codes at 9 bits, 766 at 10) used to write
+    END one bit narrower than the decoder reads it. Encode such shapes
+    through the REAL encoder via dims_override and pin the roundtrip."""
+    import hashlib
+
+    palette = bytes(
+        b for k in range(256) for b in (k, (31 * k) % 256, (77 * k) % 256)
+    )
+    docs = load_table(spark, sf_dir, "documents").limit(3)
+    for w, h in ((127, 2), (2, 127), (383, 2)):
+        enc = multimodal.encode_fixture_gif(docs, dims_override=(w, h))
+        out = {
+            r["doc_id"]: r
+            for r in multimodal.decode_gif_pixels(enc).collect()
+        }
+        for i, r in out.items():
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["decoded_n_bytes"] == 3 * w * h
+            idx = bytes((i + 7 * j) % 256 for j in range(w * h))
+            rgb = b"".join(palette[3 * k : 3 * k + 3] for k in idx)
+            assert r["rgb_sha256"] == hashlib.sha256(rgb).hexdigest(), (
+                w, h, i,
+            )
 
 
 def test_gif_hostile_payloads_stay_in_contract(spark):
@@ -409,3 +437,126 @@ def test_gif_hostile_payloads_stay_in_contract(spark):
         )
         with pytest.raises(Exception, match=match):
             multimodal.decode_gif_pixels(df).collect()
+
+
+# -- r15: JPEG graduation (baseline SOF0 grayscale) -------------------------
+
+
+def _jpeg_reference(i, w, h):
+    """Independent numpy model of the fixture's quantize round-trip (the
+    decoder's expected output, since JPEG is lossy but deterministic):
+    pad -> DCT -> quantize -> dequantize -> IDCT -> clamp -> crop."""
+    import numpy as np
+
+    from metricq_db_hta_spark.operators import multimodal as mm
+
+    ZZ = mm._jpeg_zigzag()
+    Q = np.empty(64)
+    Q[ZZ] = mm.JPEG_FIXTURE_QUANT
+    Q2 = Q.reshape(8, 8)
+    T = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            T[u, x] = cu / 2 * np.cos((2 * x + 1) * u * np.pi / 16)
+    img = np.fromfunction(
+        lambda r, c: (i + 5 * r + 3 * c) % 256, (h, w)
+    ).astype(np.float64)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    pad = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+    ref = np.empty((ph, pw))
+    for br in range(0, ph, 8):
+        for bc in range(0, pw, 8):
+            blk = pad[br : br + 8, bc : bc + 8] - 128.0
+            qf = np.round((T @ blk @ T.T) / Q2)
+            ref[br : br + 8, bc : bc + 8] = T.T @ (qf * Q2) @ T + 128.0
+    return np.clip(np.round(ref[:h, :w]), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_matches_independent_reference(spark, sf_dir):
+    """encode_fixture_jpeg -> decode_jpeg_pixels must reproduce the
+    independent numpy quantize-roundtrip reference EXACTLY (bit-for-bit:
+    both sides compute the same float pipeline in the same container) —
+    an entropy-coding bug cannot cancel against the reference because
+    the reference never touches Huffman/zigzag/bitstream code. Docs
+    cover multi-block images (w,h up to 32x18 -> 12 MCUs) so the DC
+    prediction chain and EOB/run coding are exercised across blocks."""
+    import hashlib
+
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    enc = multimodal.encode_fixture_jpeg(docs)
+    out = {r["doc_id"]: r for r in multimodal.decode_jpeg_pixels(enc).collect()}
+    assert len(out) == 60
+    multi_mcu = 0
+    for i, r in out.items():
+        w, h = i % 25 + 8, i % 11 + 8
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["decoded_n_bytes"] == w * h
+        ref = _jpeg_reference(i, w, h)
+        assert r["pixel_sha256"] == hashlib.sha256(ref.tobytes()).hexdigest(), i
+        multi_mcu += (-(-w // 8)) * (-(-h // 8)) > 1
+        # lossy-but-close: the reference itself must stay near the source
+        src = np.fromfunction(
+            lambda rr, cc: (i + 5 * rr + 3 * cc) % 256, (h, w)
+        )
+        inner = np.abs(ref.astype(int) - src.astype(int))
+        # wrap-around rows (255->0 jumps) ring hard; median error stays low
+        assert np.median(inner) <= 24, i
+    assert multi_mcu > 30, "fixture must be dominated by multi-MCU images"
+
+
+def test_jpeg_metadata_and_dims_override(spark, sf_dir):
+    """decode_media reads JPEG dims from SOF in strict mode; a 64x24
+    dims_override exercises a 24-MCU image through the full pipeline."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").limit(3)
+    enc = multimodal.encode_fixture_jpeg(docs, dims_override=(64, 24))
+    meta = multimodal.decode_media(enc, strict=True).collect()
+    assert all((m["width"], m["height"]) == (64, 24) for m in meta)
+    out = {r["doc_id"]: r for r in multimodal.decode_jpeg_pixels(enc).collect()}
+    for i, r in out.items():
+        ref = _jpeg_reference(i, 64, 24)
+        assert r["pixel_sha256"] == hashlib.sha256(ref.tobytes()).hexdigest()
+
+
+def test_jpeg_hostile_and_unsupported_payloads_stay_in_contract(spark):
+    """Truncation/corruption raise ValueError; the documented
+    extension points (progressive SOF2, restart intervals) raise
+    NotImplementedError — never opaque struct/numpy errors."""
+    import struct
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    sof2 = (
+        b"\xff\xd8"
+        + seg(0xFFC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    )
+    dri = b"\xff\xd8" + seg(0xFFDD, struct.pack(">H", 4))
+    no_sof = b"\xff\xd8\xff\xd9"
+    # a valid tiny JPEG truncated mid-entropy-data
+    from metricq_db_hta_spark.operators import multimodal as mm
+
+    cases = [
+        (1, sof2, "beyond baseline"),
+        (2, dri, "restart intervals"),
+        (3, no_sof, "missing SOF"),
+        (4, b"\x00\x11\x22", "no SOI"),
+    ]
+    for doc_id, payload, match in cases:
+        df = spark.createDataFrame(
+            [(doc_id, payload)], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match=match):
+            mm.decode_jpeg_pixels(df).collect()
+
+    # truncated entropy stream: encode a real doc, chop the tail
+    docs = spark.createDataFrame([(5,)], "doc_id long")
+    (full,) = mm.encode_fixture_jpeg(docs).collect()
+    chopped = bytes(full["payload"])[:-20]
+    df = spark.createDataFrame([(5, chopped)], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="truncated"):
+        mm.decode_jpeg_pixels(df).collect()

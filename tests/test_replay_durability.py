@@ -418,6 +418,50 @@ def test_failed_replay_write_releases_flock_but_keeps_marker(
     assert store_meta.missing_committed_batches(store) == set()
 
 
+def test_flock_degraded_marker_keeps_mtime_protection(spark, store_one_batch):
+    """r15 second review pass: a writer on a mount without flock support
+    plants an 'M'-mode marker — it must NEVER read as 'provably dead'
+    (that inference is only valid for 'F' markers whose lock the kernel
+    released), so the pre-flight keeps the conservative mtime refusal
+    for it, and a finishing peer's dead-sibling sweep spares it."""
+    import time as _time
+
+    svc, store, batch_id = store_one_batch
+    parent = svc.raw_path
+    root = store_meta.replay_staging_root(parent)
+    os.makedirs(root, exist_ok=True)
+    marker = os.path.join(root, f"{store_meta.WRITER_MARKER_PREFIX}.99999.1")
+    with open(marker, "w") as f:
+        f.write("M")  # flock-degraded writer: mtime is its only signal
+    staging = store_meta.replay_stage_path(parent, batch_id + 3)
+    os.makedirs(staging, exist_ok=True)
+    open(os.path.join(staging, "part-0.parquet"), "w").close()  # no _SUCCESS
+
+    assert store_meta._probe_marker(marker) is None
+    assert store_meta.probe_replay_writer_live(parent) is None
+    with pytest.raises(RuntimeError, match="marker .* is fresh"):
+        store_meta.settle_replay_staging(store, refuse_live=True)
+    assert os.path.exists(marker) and os.path.isdir(staging)
+
+    # a peer's finishing swap must not sweep the fresh M marker either
+    final = store_meta.batch_dir(store, batch_id)
+    peer_staging = store_meta.replay_stage_path(parent, batch_id)
+    shutil.copytree(final, peer_staging)
+    open(os.path.join(peer_staging, "_SUCCESS"), "w").close()
+    store_meta.mark_replay_writer(parent)
+    store_meta.swap_replayed_subtree(parent, batch_id)
+    assert os.path.exists(marker), "peer swap swept a live M-mode marker"
+
+    # once the M marker AGES OUT it sweeps like any stale marker
+    old = _time.time() - store_meta.REPLAY_LIVENESS_WINDOW_S - 60
+    os.utime(marker, (old, old))
+    backdate_tree = __import__("conftest").backdate_tree
+    backdate_tree(staging)
+    store_meta.settle_replay_staging(store, refuse_live=True)
+    assert not os.path.exists(marker)
+    assert not os.path.exists(staging)
+
+
 def test_concurrent_writers_keep_independent_liveness(spark, store_one_batch):
     """r15 review #1/#2: two concurrent replay writers on one parent
     (a stream replay racing a backfill replay) each own a distinct
