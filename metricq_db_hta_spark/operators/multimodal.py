@@ -250,9 +250,12 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                 return int(w), int(h)
             if p[:2] == b"\xff\xd8":
                 # JPEG: walk marker segments to the SOF frame header
-                # (r15 graduation; full decode in decode_jpeg_pixels)
+                # (r15 graduation; full decode in decode_jpeg_pixels).
+                # A JPEG-magic blob with no reachable SOF stays on the
+                # arbitrary-bytes path below under strict=False, the
+                # same truncation-guard pattern as PNG/GIF above.
                 j = 2
-                while j + 4 <= len(p) and p[j] == 0xFF:
+                while j + 9 <= len(p) and p[j] == 0xFF:
                     m, (ln,) = p[j + 1], struct.unpack_from(">H", p, j + 2)
                     if m in (0xC0, 0xC1, 0xC2, 0xC3):  # SOFn dims
                         _, fh, fw = struct.unpack_from(">BHH", p, j + 4)
@@ -260,7 +263,8 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                     if m in (0xD9, 0xDA):
                         break
                     j += 2 + ln
-                raise ValueError("JPEG missing SOF frame header")
+                if strict:
+                    raise ValueError("JPEG missing SOF frame header")
             if strict:
                 raise NotImplementedError(
                     "compressed/unknown media format (MP3/H.264 need real "
@@ -608,10 +612,15 @@ def encode_fixture_gif(
     any oracle.
 
     ``dims_override=(w, h)`` pins every doc to fixed dimensions — a test
-    seam: the code-width boundary cases (exactly 254/766 post-clear data
-    codes) are unreachable under the doc_id formula (254 = 2*127 has no
-    factorization with both sides >= 4), so boundary tests encode e.g.
-    (127, 2) through the REAL encoder instead of hand-packing."""
+    seam: the 9-bit END-width boundary (exactly 254 post-clear data
+    codes: all-distinct pixels, no dictionary hits) is unreachable under
+    the doc_id formula (254 = 2*127 has no factorization with both sides
+    >= 4), so boundary tests encode (127, 2)/(2, 127) through the REAL
+    encoder instead of hand-packing. The deeper 10/11-bit boundaries
+    cannot be hit deterministically through this encoder (repeats past
+    256 pixels create dictionary matches, making the code count
+    data-dependent); the decoder's 10-12-bit width handling is pinned by
+    the independently-packed 64x64 conformance stream instead."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -782,7 +791,7 @@ def decode_gif_pixels(df: DataFrame) -> DataFrame:
                     width += 1
                 prev = entry
 
-        def decode(p: bytes) -> tuple[int, int, int, bytes]:
+        def decode(p: bytes) -> tuple[int, int, bytes]:
             if p[:6] not in (b"GIF87a", b"GIF89a"):
                 raise ValueError("not a GIF payload")
             if len(p) < 13:
@@ -906,23 +915,6 @@ def _jpeg_zigzag() -> list[int]:
     return order
 
 
-def _jpeg_tables() -> tuple[list[int], list[int], list[int], list[int]]:
-    """Canonical Huffman table specs (bits-per-length, symbol order) for
-    the fixture: fixed-length codes — 12 DC categories at 4 bits, the
-    full 162-symbol AC alphabet (EOB, ZRL, run 0-15 x size 1-10) at 8
-    bits. Valid canonical JPEG tables (the all-ones codeword stays
-    unused); the FORMAT carries them in DHT, so no spec-appendix
-    constants are involved and the decoder must parse DHT generically."""
-    dc_bits = [0] * 16
-    dc_bits[3] = 12  # twelve 4-bit codes
-    dc_vals = list(range(12))
-    ac_bits = [0] * 16
-    ac_bits[7] = 162  # one-hundred-sixty-two 8-bit codes
-    ac_vals = [0x00, 0xF0] + [
-        (r << 4) | s for r in range(16) for s in range(1, 11)
-    ]
-    return dc_bits, dc_vals, ac_bits, ac_vals
-
 
 def encode_fixture_jpeg(
     docs: DataFrame,
@@ -935,8 +927,11 @@ def encode_fixture_jpeg(
     Full encode pipeline: edge-replication padding to 8x8 blocks, level
     shift, float64 2-D DCT-II, quantization by :data:`JPEG_FIXTURE_QUANT`
     (declared in DQT), zigzag, DC differencing, canonical Huffman coding
-    with the DHT-declared tables from :func:`_jpeg_tables`, 0xFF byte
-    stuffing. JPEG is lossy: the decode oracle pins dimensions and byte
+    with CUSTOM fixed-length tables declared in DHT (12 DC categories at
+    4 bits, the 162-symbol AC alphabet at 8 bits — valid canonical JPEG
+    tables with the all-ones codeword unused, so no spec-appendix
+    constants are involved and the decoder must parse DHT generically),
+    0xFF byte stuffing. JPEG is lossy: the decode oracle pins dimensions and byte
     counts; pixel EXACTNESS is pinned in pytest against an independent
     numpy reference of the same quantize round-trip."""
 
@@ -1230,6 +1225,8 @@ def decode_jpeg_pixels(df: DataFrame) -> DataFrame:
                         (dc_tabs if tc == 0 else ac_tabs)[th] = tab
                         j += 17 + nv
                 elif m == 0xC0:  # SOF0 baseline
+                    if len(body) < 6:
+                        raise ValueError("JPEG SOF0 header truncated")
                     prec, h, w, nf = struct.unpack_from(">BHHB", body, 0)
                     if prec != 8:
                         raise NotImplementedError("12-bit JPEG precision")
@@ -1237,6 +1234,8 @@ def decode_jpeg_pixels(df: DataFrame) -> DataFrame:
                         raise NotImplementedError(
                             "multi-component (color) JPEG frames"
                         )
+                    if len(body) < 9:
+                        raise ValueError("JPEG SOF0 component truncated")
                     # per-component fields: body[6]=id, body[7]=H/V
                     # sampling (moot for one component), body[8]=Tq
                     tq = body[8]
@@ -1250,6 +1249,8 @@ def decode_jpeg_pixels(df: DataFrame) -> DataFrame:
                 elif m == 0xDD:
                     raise NotImplementedError("JPEG restart intervals")
                 elif m == 0xDA:  # SOS
+                    if len(body) < 6:
+                        raise ValueError("JPEG SOS header truncated")
                     ns = body[0]
                     if ns != 1:
                         raise NotImplementedError("multi-scan JPEG")

@@ -770,8 +770,9 @@ FROM documents
     "doc_id) and decoded_n_bytes == 3*w*h, which only comes out right if "
     "the inflate+unfilter produced exactly the spec'd pixel count; the "
     "pixel sha256 against the generator formula is pytest-pinned "
-    "(tests/test_multimodal_udf.py). JPEG stays the documented "
-    "NotImplementedError: no stdlib codec exists for it.",
+    "(tests/test_multimodal_udf.py). Baseline grayscale JPEG graduated "
+    "r15 too (llm_multimodal_decode_jpeg); MP3/H.264 remain the "
+    "documented no-codec extension point.",
 )
 def llm_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = multimodal.encode_fixture_png(docs(spark, sf_dir))
@@ -797,7 +798,7 @@ FROM documents
     "palette read, extension-block walk, complete GIF-flavor LZW "
     "decompression to the palette index stream, palette mapping to RGB. "
     "The oracle pins width/height (arithmetic in doc_id) and "
-    "decoded_n_bytes == w*h, which only comes out right if the LZW "
+    "decoded_n_bytes == 3*w*h (RGB bytes, the PNG twin's unit), which only comes out right if the LZW "
     "stream decompressed to exactly the spec'd pixel count; the RGB "
     "sha256 against the generator formula is pytest-pinned "
     "(tests/test_multimodal_udf.py).",

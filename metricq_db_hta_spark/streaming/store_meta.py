@@ -609,29 +609,34 @@ def settle_replay_staging(store_dir: str, refuse_live: bool = False) -> list[str
     waiting."""
     actions: list[str] = []
     parents = (raw_path(store_dir), os.path.join(store_dir, "drops_log"))
-    # BOTH parent locks are held for the whole settle (r15 review #6 +
-    # second pass): marks serialize on the same locks, so no writer can
-    # appear on the drops_log side while the raw side is mid-repair —
-    # phase 1's all-parents probe is therefore conclusive, and a refusal
-    # can only land BEFORE the first repair action. Lock order is
-    # raw-then-drops everywhere; writers take exactly one parent lock at
-    # a time, so no cycle exists.
+    # Every present parent's lock is held for the whole settle (r15
+    # review #6 + follow-ups): marks serialize on the same locks, so no
+    # writer can appear on an already-locked parent mid-settle, and the
+    # flock-live AND fresh-marker refusals all land in _prepare BEFORE
+    # the first repair action. Only the per-ENTRY tree-mtime backstop
+    # (fresh marker-less staging, a pre-r14-writer crash state) can
+    # still refuse between parents — that raise reports the actions
+    # already performed. Lock order is raw-then-drops everywhere;
+    # writers take exactly one parent lock at a time, so no cycle
+    # exists. Only parents whose staging root EXISTS are locked:
+    # mutation_lock creates its key directory as a side effect, and
+    # materializing an empty drops_log/ breaks consumers that
+    # parquet-read it when present (caught by fuzz class 20); a root
+    # created after this sweep belongs to a brand-new writer and has
+    # nothing to settle.
     with contextlib.ExitStack() as _locks:
-        # lock only parents whose staging root exists: mutation_lock
-        # CREATES its key directory as a side effect, and materializing
-        # an empty drops_log/ on every settle breaks consumers that
-        # parquet-read it when present (caught by fuzz class 20). A root
-        # created AFTER this selection belongs to a writer marking right
-        # now — _settle_parent's own live probe refuses it.
-        for parent in parents:
-            if os.path.isdir(replay_staging_root(parent)):
-                _locks.enter_context(mutation_lock(parent))
-        # phase 1: probe EVERY parent for a live writer BEFORE mutating
-        # anything
-        for parent in parents:
+        locked: set[str] = set()
+
+        def _prepare(parent: str) -> bool:
+            """Lock (once) and run every pre-mutation refusal for one
+            parent; True when the parent has a root to settle."""
             if not os.path.isdir(replay_staging_root(parent)):
-                continue
-            if probe_replay_writer_live(parent) is True:
+                return False
+            if parent not in locked:
+                locked.add(parent)
+                _locks.enter_context(mutation_lock(parent))
+            live = probe_replay_writer_live(parent)
+            if live is True:
                 # raised on the unconditional path too: the owner
                 # settles BEFORE it writes, so it can never hold its own
                 # flock here — a held flock is always a live peer, and
@@ -643,17 +648,41 @@ def settle_replay_staging(store_dir: str, refuse_live: bool = False) -> list[str
                     "live ingest replay is writing on this parent; wait "
                     "for it to finish"
                 )
-        for parent in parents:
-            actions += _settle_parent(parent, refuse_live)
+            if refuse_live and live is not False:
+                # ambiguous liveness (M-mode/legacy markers): the
+                # pre-flight's mtime refusal is checked HERE, across all
+                # parents, before anything mutates
+                for marker in _writer_markers(parent):
+                    try:
+                        age = time.time() - os.path.getmtime(marker)
+                    except OSError:
+                        continue
+                    if age < REPLAY_LIVENESS_WINDOW_S:
+                        raise RuntimeError(
+                            f"replay writer marker {marker} is fresh "
+                            f"({age:.0f}s old) - a live ingest replay "
+                            "may be writing; wait for it (a dead "
+                            "writer's marker ages out of the "
+                            f"{REPLAY_LIVENESS_WINDOW_S}s window)"
+                        )
+            return True
+
+        ready = [parent for parent in parents if _prepare(parent)]
+        for parent in ready:
+            _settle_parent(parent, refuse_live, actions)
     return actions
 
 
-def _settle_parent(parent: str, refuse_live: bool) -> list[str]:
-    """One parent's settle pass (caller holds every parent lock)."""
-    actions: list[str] = []
+def _settle_parent(
+    parent: str, refuse_live: bool, actions: list[str]
+) -> None:
+    """One parent's settle pass; appends performed repairs to the SHARED
+    ``actions`` list (so a residual per-entry refusal can report what
+    already ran). Caller holds every ready parent's mutation lock and
+    ran the pre-mutation refusals (_prepare)."""
     root = replay_staging_root(parent)
     if not os.path.isdir(root):
-        return actions
+        return
     # writer-liveness markers first (r14): a FRESH or flock-held
     # marker means a replay writer may be mid-write or mid-swap
     # RIGHT NOW — the maintenance pre-flight refuses before touching
@@ -716,7 +745,7 @@ def _settle_parent(parent: str, refuse_live: bool) -> list[str]:
         # the root vanished between the isdir check and the listing:
         # a live writer's swap just completed and emptied it — there
         # is nothing left to settle here
-        return actions
+        return
     # asides first: they encode the furthest-along crash states and
     # may consume their staging sibling
     for name in [n for n in names if n.endswith(".old")] + [
@@ -752,7 +781,6 @@ def _settle_parent(parent: str, refuse_live: bool) -> list[str]:
         os.rmdir(root)  # only when empty
     except OSError:
         pass
-    return actions
 
 
 def _settle_one_staging_entry(
@@ -817,6 +845,11 @@ def _settle_one_staging_entry(
                     "ingest replay may be writing it; wait for "
                     "it to finish (a dead staging ages out of "
                     f"the {REPLAY_LIVENESS_WINDOW_S}s window)"
+                    + (
+                        f"; settle actions already performed: {actions}"
+                        if actions
+                        else ""
+                    )
                 )
         shutil.rmtree(path)
         actions.append(f"dropped stale replay staging {path}")

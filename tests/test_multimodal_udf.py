@@ -379,9 +379,13 @@ def test_gif_decoder_spec_conformance_independent_of_encoder(spark):
 def test_gif_width_boundary_streams_roundtrip(spark, sf_dir):
     """r15 review (empirically confirmed pre-fix): a stream whose final
     data code count lands EXACTLY on the decoder's 2^w - 1 growth
-    threshold (254 post-clear codes at 9 bits, 766 at 10) used to write
-    END one bit narrower than the decoder reads it. Encode such shapes
-    through the REAL encoder via dims_override and pin the roundtrip."""
+    threshold (254 post-clear codes at 9 bits) used to write END one bit
+    narrower than the decoder reads it. (127,2)/(2,127) give 254
+    all-distinct pixels -> exactly 254 codes through the REAL encoder;
+    (383,2) is a larger-stream smoke (dictionary matches make its exact
+    code count data-dependent, so the 10/11-bit END boundaries are not
+    deterministically reachable here — the decoder's wide-code reads are
+    pinned by the independent 64x64 conformance stream)."""
     import hashlib
 
     palette = bytes(
@@ -553,6 +557,24 @@ def test_jpeg_hostile_and_unsupported_payloads_stay_in_contract(spark):
         with pytest.raises(Exception, match=match):
             mm.decode_jpeg_pixels(df).collect()
 
+    # truncated segment BODIES stay ValueError too (r15 third review:
+    # bare IndexError leaked from body[8]/body[2] indexing)
+    short_sof = b"\xff\xd8" + seg(
+        0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1)  # no component fields
+    )
+    short_sos = b"\xff\xd8" + seg(
+        0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    ) + seg(0xFFDA, b"\x01")
+    for doc_id, payload, match in (
+        (6, short_sof, "SOF0 component truncated"),
+        (7, short_sos, "SOS header truncated"),
+    ):
+        df = spark.createDataFrame(
+            [(doc_id, payload)], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match=match):
+            mm.decode_jpeg_pixels(df).collect()
+
     # truncated entropy stream: encode a real doc, chop the tail
     docs = spark.createDataFrame([(5,)], "doc_id long")
     (full,) = mm.encode_fixture_jpeg(docs).collect()
@@ -560,3 +582,16 @@ def test_jpeg_hostile_and_unsupported_payloads_stay_in_contract(spark):
     df = spark.createDataFrame([(5, chopped)], "doc_id long, payload binary")
     with pytest.raises(Exception, match="truncated"):
         mm.decode_jpeg_pixels(df).collect()
+
+    # decode_media: a JPEG-magic blob with no reachable SOF raises only
+    # under strict=True; non-strict falls back to the fake decode (the
+    # same truncation-guard pattern as PNG/GIF — r15 third review)
+    blob = b"\xff\xd8"
+    df = spark.createDataFrame(
+        [(8, blob, "image/jpeg")],
+        "doc_id long, payload binary, media_type string",
+    )
+    (meta,) = mm.decode_media(df, strict=False).collect()
+    assert meta["width"] == len(blob) % 640 + 1  # fake-decode formula
+    with pytest.raises(Exception, match="missing SOF"):
+        mm.decode_media(df, strict=True).collect()
