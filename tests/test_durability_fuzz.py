@@ -39,6 +39,12 @@ INCIDENTS = [
     "removal_intent_only",    # expire/erase crashed before the dir delete
     "removal_dir_deleted",    # expire/erase crashed after delete, pre de-commit
     "genuine_loss",           # batch dir vanished with no intent (real loss)
+    # r15 marker states: a crashed FLOCKED writer (F marker, lock
+    # released by death, mtime FRESH — provably dead, settles with no
+    # age-out wait) and a crashed flock-DEGRADED writer (M marker, aged
+    # out — settles via the mtime window)
+    "dead_flocked_writer",
+    "stale_degraded_writer",
 ]
 ACTIONS = ["recover", "expire", "compact", "rebuild"]
 
@@ -75,6 +81,8 @@ def _pin(incident, action, victim=1):
 @example(spec=_pin("removal_dir_deleted", "expire"))
 @example(spec=_pin("removal_dir_deleted", "compact"))
 @example(spec=_pin("genuine_loss", "compact"))
+@example(spec=_pin("dead_flocked_writer", "compact"))
+@example(spec=_pin("stale_degraded_writer", "expire"))
 @given(spec=fuzz_spec)
 def test_random_crash_state_then_maintenance(spark, spec, tmp_path_factory):
     import pytest
@@ -136,6 +144,29 @@ def test_random_crash_state_then_maintenance(spark, spec, tmp_path_factory):
         # maintenance pre-flight's liveness window (a fresh _SUCCESS-less
         # staging is presumed live and refused — tested separately)
         _backdate_tree(staging)
+    elif inc == "dead_flocked_writer":
+        # crash mid-write WITH the staging partial: marker mode 'F',
+        # flock released (process death model), mtime seconds old — the
+        # settle must sweep BOTH immediately, no liveness-window wait
+        staging = store_meta.replay_stage_path(
+            store_meta.raw_path(store), victim
+        )
+        os.makedirs(staging, exist_ok=True)
+        open(os.path.join(staging, "part-junk.parquet"), "w").close()
+        store_meta.mark_replay_writer(store_meta.raw_path(store))
+        store_meta.release_replay_writer(store_meta.raw_path(store))
+        assert (
+            store_meta.probe_replay_writer_live(store_meta.raw_path(store))
+            is False
+        )
+    elif inc == "stale_degraded_writer":
+        # flock-degraded writer's crash leftover: 'M' marker aged out
+        root = store_meta.replay_staging_root(store_meta.raw_path(store))
+        os.makedirs(root, exist_ok=True)
+        m = os.path.join(root, f"{store_meta.WRITER_MARKER_PREFIX}.77.1")
+        with open(m, "w") as f:
+            f.write("M")
+        _backdate_tree(root)
     elif inc == "removal_intent_only":
         store_meta.record_removal_intent(store, {victim})
         backdate_removal_intent(store)  # dead-op model; fresh = live op
