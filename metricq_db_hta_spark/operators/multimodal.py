@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -1335,4 +1336,112 @@ def decode_jpeg_pixels(df: DataFrame) -> DataFrame:
 
     return df.select("doc_id", "payload").mapInPandas(
         run, schema=JPEG_DECODED_SCHEMA
+    )
+
+
+WAV_DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frames", LongType()),
+        StructField("channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("pcm_sha256", StringType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def decode_wav_samples(df: DataFrame) -> DataFrame:
+    """FULL WAV PCM decode, Arrow-batched, stdlib+numpy only: RIFF chunk
+    walk (fmt /data, word-aligned, unknown chunks skipped), 16-bit PCM
+    sample extraction, per-doc audio features — the feature-extract step
+    of a training-data audio pipeline. Emits frames/channels/rate from
+    the header, the DECODED sample count (== frames*channels iff the
+    data chunk held exactly the spec'd PCM), the sha256 of the
+    little-endian sample buffer, and the RMS amplitude (float64 over all
+    samples — SQL-expressible, so the DuckDB oracle can pin it to 6
+    decimals from the fixture's arithmetic sample formula). Non-PCM
+    encodings and bit depths other than 16 raise NotImplementedError;
+    truncated/corrupt payloads raise ValueError."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+
+        import numpy as np
+
+        def decode(p: bytes) -> tuple[int, int, int, int, bytes, float]:
+            if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+                raise ValueError("not a WAV payload")
+            i, n = 12, len(p)
+            fmt = None
+            data = None
+            while i + 8 <= n:
+                cid = p[i : i + 4]
+                (size,) = struct.unpack_from("<I", p, i + 4)
+                body = p[i + 8 : i + 8 + size]
+                if len(body) != size:
+                    raise ValueError(f"WAV chunk {cid!r} truncated")
+                if cid == b"fmt ":
+                    if size < 16:
+                        raise ValueError("WAV fmt chunk truncated")
+                    fmt = struct.unpack_from("<HHIIHH", body, 0)
+                elif cid == b"data":
+                    data = body
+                i += 8 + size + (size & 1)  # chunks are word-aligned
+            if fmt is None:
+                raise ValueError("WAV missing fmt chunk")
+            if data is None:
+                raise ValueError("WAV missing data chunk")
+            audio_fmt, channels, rate, _brate, block, bps = fmt
+            if audio_fmt != 1:
+                raise NotImplementedError(
+                    f"WAV encoding {audio_fmt} beyond PCM"
+                )
+            if bps != 16:
+                raise NotImplementedError(f"{bps}-bit WAV beyond 16-bit PCM")
+            if block != channels * 2:
+                raise ValueError(
+                    f"WAV block align {block} != channels*2 ({channels * 2})"
+                )
+            if len(data) % 2:
+                raise ValueError("WAV data chunk is odd-sized for 16-bit")
+            samples = np.frombuffer(data, dtype="<i2")
+            frames = len(samples) // max(1, channels)
+            rms = float(
+                np.sqrt(np.mean(samples.astype(np.float64) ** 2))
+            ) if len(samples) else 0.0
+            return (
+                frames,
+                channels,
+                rate,
+                len(samples),
+                hashlib.sha256(data).hexdigest(),
+                rms,
+            )
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "frames": [],
+                "channels": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "pcm_sha256": [],
+                "rms": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fr, ch, rate, ns, sha, rms = decode(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["frames"].append(fr)
+                out["channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(ns)
+                out["pcm_sha256"].append(sha)
+                out["rms"].append(rms)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema=WAV_DECODED_SCHEMA
     )

@@ -841,6 +841,49 @@ def llm_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_multimodal_decode_wav",
+    oracle="""
+WITH expanded AS (
+  SELECT doc_id,
+         unnest(generate_series(
+             0,
+             (doc_id % 500 + 8) * (doc_id % 2 + 1) - 1
+         )) AS j
+  FROM documents
+  WHERE doc_id % 3 = 2
+)
+SELECT doc_id,
+       CAST(doc_id % 500 + 8 AS BIGINT) AS frames,
+       CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST((doc_id % 500 + 8) * (doc_id % 2 + 1) AS BIGINT)
+           AS n_samples,
+       sqrt(avg(pow((doc_id + j) % 32768 - 16384, 2))) AS rms
+FROM expanded
+GROUP BY doc_id
+""",
+    doc="FULL WAV PCM decode + audio feature extraction (r15): the "
+    "fixture's RIFF/WAVE payloads (doc_id%3==2) are decoded to the "
+    "16-bit sample buffer (numpy frombuffer, zero-copy) and reduced to "
+    "per-doc features — frames, channels, rate, decoded sample count "
+    "and RMS amplitude. The RMS is the load-bearing check: the oracle "
+    "recomputes it per sample via a correlated generate_series over the "
+    "fixture's arithmetic sample formula, so header-only parsing cannot "
+    "pass (every intermediate is an exact integer in float64, making "
+    "the two engines' sqrt(avg(...)) bit-comparable at the driver's "
+    "6-decimal float rounding). The pcm sha256 is pytest-pinned. "
+    "Non-PCM/non-16-bit WAVs raise NotImplementedError.",
+)
+def llm_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = multimodal.encode_fixture_media(
+        docs(spark, sf_dir).filter(F.col("doc_id") % 3 == 2)
+    )
+    return multimodal.decode_wav_samples(d).select(
+        "doc_id", "frames", "channels", "sample_rate", "n_samples", "rms"
+    )
+
+
 # ---------------------------------------------------------------------------
 # dataset assembly: deterministic split + contamination, sequence packing
 # ---------------------------------------------------------------------------

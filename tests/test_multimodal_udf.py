@@ -595,3 +595,76 @@ def test_jpeg_hostile_and_unsupported_payloads_stay_in_contract(spark):
     assert meta["width"] == len(blob) % 640 + 1  # fake-decode formula
     with pytest.raises(Exception, match="missing SOF"):
         mm.decode_media(df, strict=True).collect()
+
+
+# -- r15: full WAV PCM decode + audio features ------------------------------
+
+
+def test_wav_sample_decode_roundtrip(spark, sf_dir):
+    """decode_wav_samples recovers the fixture's exact PCM buffer (sha)
+    and features; RMS matches a test-side numpy recompute of the sample
+    formula bit-for-bit (every intermediate is an exact integer in
+    float64)."""
+    import hashlib
+
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 2
+    ).limit(30)
+    enc = multimodal.encode_fixture_media(docs)
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.decode_wav_samples(enc).collect()
+    }
+    assert out
+    for i, r in out.items():
+        ch, fr = i % 2 + 1, i % 500 + 8
+        ns = fr * ch
+        assert (r["frames"], r["channels"], r["sample_rate"]) == (
+            fr, ch, 8000,
+        )
+        assert r["n_samples"] == ns
+        samples = np.array(
+            [(i + j) % 32768 - 16384 for j in range(ns)], dtype=np.int64
+        )
+        pcm = samples.astype("<i2").tobytes()
+        assert r["pcm_sha256"] == hashlib.sha256(pcm).hexdigest()
+        want_rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+        assert r["rms"] == want_rms, i
+
+
+def test_wav_hostile_and_unsupported_stay_in_contract(spark):
+    """Non-PCM / 8-bit WAVs are the documented extension point; torn
+    chunks and bad geometry raise ValueError."""
+    import struct
+
+    def wav(audio_fmt=1, bps=16, block=None, data=b"\x00\x00", chop=0):
+        ch = 1
+        block = ch * bps // 8 if block is None else block
+        b = (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(data))
+            + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, audio_fmt, ch, 8000,
+                          8000 * block, block, bps)
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+        return b[: len(b) - chop] if chop else b
+
+    cases = [
+        (1, wav(audio_fmt=3), "beyond PCM"),           # IEEE float
+        (2, wav(bps=8, data=b"\x00"), "beyond 16-bit"),
+        (3, wav(block=4), "block align"),
+        (4, wav(chop=1), "truncated"),
+        (5, b"RIFFxxxxNOPE", "not a WAV"),
+        (6, b"RIFF\x00\x00\x00\x00WAVE", "missing fmt"),
+    ]
+    for doc_id, payload, match in cases:
+        df = spark.createDataFrame(
+            [(doc_id, payload)], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match=match):
+            multimodal.decode_wav_samples(df).collect()
