@@ -1401,6 +1401,8 @@ def decode_wav_samples(df: DataFrame) -> DataFrame:
                 )
             if bps != 16:
                 raise NotImplementedError(f"{bps}-bit WAV beyond 16-bit PCM")
+            if channels < 1:
+                raise ValueError("WAV declares zero channels")
             if block != channels * 2:
                 raise ValueError(
                     f"WAV block align {block} != channels*2 ({channels * 2})"
@@ -1408,7 +1410,7 @@ def decode_wav_samples(df: DataFrame) -> DataFrame:
             if len(data) % 2:
                 raise ValueError("WAV data chunk is odd-sized for 16-bit")
             samples = np.frombuffer(data, dtype="<i2")
-            frames = len(samples) // max(1, channels)
+            frames = len(samples) // channels
             rms = float(
                 np.sqrt(np.mean(samples.astype(np.float64) ** 2))
             ) if len(samples) else 0.0

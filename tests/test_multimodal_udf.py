@@ -661,6 +661,17 @@ def test_wav_hostile_and_unsupported_stay_in_contract(spark):
         (4, wav(chop=1), "truncated"),
         (5, b"RIFFxxxxNOPE", "not a WAV"),
         (6, b"RIFF\x00\x00\x00\x00WAVE", "missing fmt"),
+        (7, wav()[: 12 + 8 + 16], "missing data"),  # fmt only, no data
+        (8, wav(data=b"\x00\x00\x00"), "odd-sized"),
+        # zero channels: spec-invalid geometry that previously slipped
+        # every guard (0 == 0*2 block-align; r15 review)
+        (
+            9,
+            b"RIFF" + struct.pack("<I", 40) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 0, 8000, 0, 0, 16)
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4,
+            "zero channels",
+        ),
     ]
     for doc_id, payload, match in cases:
         df = spark.createDataFrame(
