@@ -137,7 +137,7 @@ def shingle_fingerprint(text: str | Column, n: int = 8) -> Column:
 
     Scalar HOF form (interpreted per character) — convenient for ad-hoc
     expressions; the hot path is :func:`fingerprint_by_doc`, the codegen
-    posexplode+window equivalent.
+    explode(sequence)+substring equivalent.
     """
     return F.array_min(F.transform(shingles(text, n), F.md5))
 
@@ -146,30 +146,35 @@ def fingerprint_by_doc(docs, id_col: str = "doc_id", text_col: str = "text", n: 
     """(id, fingerprint) — codegen equivalent of
     ``shingle_fingerprint`` per document.
 
-    One posexplode to character rows, n-1 ``lead`` calls over the per-doc
-    window reassemble the shingles (the operators/dedup.py::doc_shingles
-    pattern — HOF transform is CodegenFallback, ~µs/char interpreted), one
-    md5 per shingle, one grouped min. The window and the final group share
-    the doc-key hash partitioning, so the whole thing is one exchange.
+    r15: one explode of ``sequence(1, greatest(1, len - n + 1))`` and a
+    ``substring(text, i, n)`` per position — every shingle is sliced from
+    the row's OWN text column map-side and projected straight to its md5,
+    then ``groupBy(id).min`` partial-aggregates per doc locally, so the
+    only exchange carries ONE row per doc. The previous form split the
+    text into per-CHARACTER rows and reassembled shingles with n-1
+    ``lead`` calls over a per-doc window: the whole character stream
+    (~100-300M rows at sf1) crossed an Exchange + Sort before any
+    reduction — measured 2.75 s minimum at sf1 with spill-driven tails
+    under memory pressure vs 1.61 s for this form
+    (scripts/r15_ab_fingerprint.py; fingerprints pinned identical at
+    sf0.01 + sf1). HOF ``transform`` stays out for the original reason
+    (CodegenFallback, ~µs/char interpreted).
 
-    Short/empty docs: ``concat_ws`` skips the NULL leads, so a doc shorter
-    than ``n`` fingerprints its whole text — identical to the scalar form's
-    clamped ``substr`` (and the oracle's ``GREATEST(1, len-7)`` bound).
+    Short/empty docs: ``substring`` clamps at the end of the text and the
+    sequence lower bound is 1, so a doc shorter than ``n`` fingerprints
+    its whole text — identical to the scalar form's clamped ``substr``
+    (and the oracle's ``GREATEST(1, len-7)`` bound).
     """
-    from pyspark.sql import Window
-
-    chars = docs.select(
-        id_col,
-        F.length(text_col).alias("__len"),
-        F.posexplode(F.split(F.col(text_col), "")).alias("pos", "ch"),
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("ch")] + [F.lead("ch", j).over(w) for j in range(1, n)]
+    c = F.col(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(c) - (n - 1)))
+    rows = docs.select(id_col, c.alias("__t"), F.explode(idx).alias("__i"))
     return (
-        chars.withColumn("__sh", F.concat_ws("", *parts))
-        .filter(F.col("pos") <= F.greatest(F.lit(0), F.col("__len") - n))
+        rows.select(
+            id_col,
+            F.md5(F.substring(F.col("__t"), F.col("__i"), F.lit(n))).alias("__h"),
+        )
         .groupBy(id_col)
-        .agg(F.min(F.md5("__sh")).alias("fingerprint"))
+        .agg(F.min("__h").alias("fingerprint"))
     )
 
 

@@ -65,29 +65,42 @@ def doc_shingles(
     identical across documents and every band bucket degenerates into the
     whole corpus (measured: 10M+ candidate pairs from 5k docs). Word
     n-grams restore a large token universe, so buckets contain only true
-    near-duplicates. ``F.get`` (0-based, NULL out of bounds) + NULL-
-    propagating concat keeps the short-document edge case identical to the
-    oracle's 1-based ``list[i]`` indexing.
+    near-duplicates. ``arrays_zip`` NULL-padding + NULL-propagating concat
+    keeps the short-document edge case identical to the oracle's 1-based
+    ``list[i]`` indexing (out-of-range -> NULL -> shingle dropped).
     """
-    # posexplode the words once, then assemble shingles with lead() — all
-    # whole-stage codegen. The tempting alternatives are quadratic traps:
-    # a transform() lambda runs interpreted (HOFs are CodegenFallback),
-    # and indexing a split() array from a projection re-inlines the split
-    # into every element access via project-collapsing (measured 7-10s to
-    # shingle 5k docs either way; this form takes ~1.5s). The lead window
-    # shuffles once on the doc key — at 100 TB that is the same hash
-    # partitioning every downstream dedup step wants anyway.
-    words = docs.select(
-        id_col, F.posexplode(F.split(F.col(text_col), TOKEN_SPLIT)).alias("pos", "word")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
+    # r15: shingles are assembled MAP-SIDE from arrays_zip of the split
+    # word array with its shifted slice()s — all codegen-native
+    # array-at-once expressions, no window, no shuffle. The previous
+    # posexplode + per-doc lead() window form shipped the ENTIRE word
+    # stream through the window's Exchange (~10M rows at sf1) just to
+    # reassemble adjacent words; with the zip form the word stream never
+    # crosses an exchange, so a downstream per-doc aggregation (the
+    # minhash groupBy) partial-aggregates map-side and shuffles one
+    # signature row per doc (guide §2.3: aggregate before you shuffle —
+    # measured llm_minhash_lsh_pairs cold 1.43 -> 1.01 s at sf1,
+    # scripts/r15_ab_shingles.py; (doc_id, token) multiset pinned
+    # identical at sf0.01 + sf1). The old quadratic traps remain real
+    # and avoided: a transform() lambda runs interpreted (HOFs are
+    # CodegenFallback) and per-ELEMENT indexing of a split() array
+    # re-inlines the split into every access via project-collapsing
+    # (measured 7-10s to shingle 5k docs) — zip/slice index nothing
+    # element-wise. arrays_zip pads the shorter shifted slices with
+    # NULL and the NULL-propagating concat drops the tail stubs,
+    # exactly the rows the lead() form's NULL filter dropped.
+    w = F.split(F.col(text_col), TOKEN_SPLIT)
+    arrs = [w.alias("w0")] + [
+        F.slice(w, j + 1, F.greatest(F.size(w) - j, F.lit(0))).alias(f"w{j}")
+        for j in range(1, n_words)
+    ]
+    z = docs.select(id_col, F.explode(F.arrays_zip(*arrs)).alias("z"))
     parts = []
     for j in range(n_words):
         if j:
             parts.append(F.lit(" "))
-        parts.append(F.lead("word", j).over(w) if j else F.col("word"))
-    out = words.select(id_col, F.concat(*parts).alias("token")).filter(
-        F.col("token").isNotNull()  # NULL lead = tail stubs dropped
+        parts.append(F.col(f"z.w{j}"))
+    out = z.select(id_col, F.concat(*parts).alias("token")).filter(
+        F.col("token").isNotNull()  # NULL zip-pad = tail stubs dropped
     )
     # Pass distinct=False for duplicate-insensitive consumers (MIN-based
     # MinHash): skipping the set-semantics shuffle changes nothing about

@@ -394,6 +394,16 @@ def kmeans_cells(
     return asg
 
 
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    """Driver-side left-fold dot: Python floats ARE IEEE doubles and the
+    loop applies the identical op order, so this matches dot_flat bit for
+    bit (used only for the k collected centroids' self-dots)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
 def _kmeans_impl(
     corpus: DataFrame,
     k: int = 8,
@@ -404,25 +414,48 @@ def _kmeans_impl(
 ):
     """(assignments, centroids) — a TRAINED IVF coarse quantizer: deterministic
     k-means with ``rounds`` assignment rounds (``rounds - 1`` centroid
-    updates), every step a DataFrame op and bit-reproducible in DuckDB SQL
-    (the llm_similarity_topk_ivf oracle mirrors it clause for clause):
+    updates), bit-reproducible in DuckDB SQL (the llm_similarity_topk_ivf
+    oracle mirrors it clause for clause):
 
     * seeds: the k vectors with smallest ``md5(vec_id)`` (order-stable,
       pseudo-random spread, no RNG)
-    * assignment: broadcast the k centroids, squared-L2 via
-      ``vv - 2*<v,c> + cc`` with every dot a left-fold flat expression
-      (same fold order as DuckDB ``list_dot_product``); ties broken by
-      cell id through a per-vector row_number — exact double compares,
-      so both engines rank identically
+    * assignment: squared-L2 via ``vv - 2*<v,c> + cc`` with every dot a
+      left-fold flat expression (same fold order as DuckDB
+      ``list_dot_product``); ties broken by cell id — exact double
+      compares, so both engines rank identically
     * update: per (cell, dimension) mean accumulated in DECIMAL(38,6)
       (order-independent exact sum — Spark's partial-merge order can't
-      perturb it), array rebuilt in dimension order
+      perturb it)
 
-    Scale shape: per round one broadcast join (k centroids) + one
-    row_number shuffle keyed by vec_id + one (cell, pos) aggregation —
-    all linear in |corpus|; at 100 TB train on a sample and keep the
-    final assignment full-corpus (same code path, sampled input).
-    Cells that lose every member drop out (both engines identically).
+    r15 (optimization): centroids are COLLECTED each round (k x dim
+    doubles — metadata-sized and corpus-independent, the same bounded-
+    collect class as ``MAX_COLLECTED_QUERIES``; recomputed from parquet
+    on every invocation, never memoized) and re-enter the next round as
+    an 8-row broadcast LOCAL RELATION. The previous all-lazy form nested
+    every round's centroid aggregation + per-vector row_number window
+    into ONE deep Catalyst plan — round i's subtree contained round
+    i-1's whole pipeline, so plan size grew geometrically with rounds
+    (~5-8 s per IVF query at sf0.001, 2k vectors / 40 output rows: pure
+    planning+codegen, not data). With a collected centroid table each
+    round's plan is CONSTANT depth: scan -> crossJoin(broadcast 8-row
+    LocalRelation) -> the same 64-term dot_flat dist expression the old
+    form used (attribute x attribute — proven janino-compilable, unlike
+    an 8 x 64-term all-literal projection, which exceeds generated-method
+    limits and broke the vanilla-session driver contract when tried) ->
+    groupBy(vec_id).min(struct(dist, cell)). The struct-min is the
+    identical (dist, cell) lexicographic minimum the old row_number
+    window picked (exact double compares), but it PARTIAL-aggregates
+    map-side: the k candidate rows per vector collapse locally, so the
+    exchange carries |corpus| rows instead of sorting k x |corpus|
+    through a window. Measured + plan evidence in OPTIMIZATION_r15.md;
+    results bit-identical (oracle unchanged, 3/3 diffcheck + vanilla
+    driver-contract sim green).
+
+    Scale shape unchanged: per round one linear pass over the corpus; at
+    100 TB train on a sample and keep the final assignment full-corpus
+    (same code path, sampled input). Cells that lose every member drop
+    out (both engines identically). The driver holds k x dim doubles —
+    never corpus-sized data.
     """
     e = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -430,40 +463,64 @@ def _kmeans_impl(
     ).withColumn("vv", dot_flat("v", "v", dim))
 
     h = F.md5(F.col("vec_id").cast("string"))
-    seeds = e.select("vec_id", "v", h.alias("h")).orderBy("h", "vec_id").limit(k)
-    wseed = Window.orderBy("h", "vec_id")
-    cent = seeds.select(
-        (F.row_number().over(wseed) - 1).alias("cell"),
-        F.col("v").alias("c"),
-    ).withColumn("cc", dot_flat("c", "c", dim))
+    seed_rows = (
+        e.select("vec_id", "v", h.alias("h")).orderBy("h", "vec_id").limit(k).collect()
+    )
+    # [(cell, c: list[double], cc)] — the literal centroid table
+    cents = [
+        (j, list(r.v), _fold_dot(list(r.v), list(r.v)))
+        for j, r in enumerate(seed_rows)
+    ]
 
-    wr = Window.partitionBy("vec_id").orderBy("dist", "cell")
-    asg = None
-    for i in range(rounds):
-        pairs = e.crossJoin(F.broadcast(cent.select("cell", "c", "cc")))
-        dist = F.col("vv") - F.lit(2.0) * dot_flat("v", "c", dim) + F.col("cc")
-        asg = (
-            pairs.select("vec_id", "v", "vv", "cell", dist.alias("dist"))
-            .withColumn("rn", F.row_number().over(wr))
-            .filter(F.col("rn") == 1)
+    spark = corpus.sparkSession
+
+    def _cent_df(cents_):
+        return spark.createDataFrame(
+            [(j, c, cc) for j, c, cc in cents_],
+            "cell int, c array<double>, cc double",
         )
-        if i < rounds - 1:
-            lng = asg.select("cell", F.posexplode("v").alias("pos", "val"))
-            upd = lng.groupBy("cell", "pos").agg(davg("val").alias("avgval"))
-            cent = (
-                upd.groupBy("cell")
-                .agg(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "avgval"))
-                    ).alias("s")
-                )
-                .select(
-                    "cell",
-                    F.transform("s", lambda s: s["avgval"]).alias("c"),
-                )
-                .withColumn("cc", dot_flat("c", "c", dim))
+
+    def _assign(cents_):
+        # argmin_j (dist_j, j) via min(struct(dist, cell)) — the same
+        # (dist, cell) lexicographic minimum the old per-vector
+        # row_number(ORDER BY dist, cell) picked (exact double compares).
+        # dist keeps the original op order: (vv - 2.0*<v,c>) + cc, with
+        # the centroid an ATTRIBUTE of the broadcast 8-row local relation
+        # (the old, janino-proven expression shape). The groupBy
+        # partial-aggregates map-side: the k candidate rows per vector
+        # collapse inside the scan task, so the exchange carries one row
+        # per vector. first(v) is deterministic by value — all k copies
+        # of a vector's row carry the identical v.
+        pairs = e.crossJoin(F.broadcast(_cent_df(cents_)))
+        dist = F.col("vv") - F.lit(2.0) * dot_flat("v", "c", dim) + F.col("cc")
+        return (
+            pairs.select("vec_id", "v", dist.alias("dist"), "cell")
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("dist", "cell")).alias("__m"),
+                F.first("v").alias("v"),
             )
-    return asg.select("vec_id", "cell"), cent.select("cell", "c", "cc")
+            .select("vec_id", "v", F.col("__m.cell").alias("cell"))
+        )
+
+    for _ in range(rounds - 1):
+        lng = _assign(cents).select("cell", F.posexplode("v").alias("pos", "val"))
+        upd = (
+            lng.groupBy("cell", "pos")
+            .agg(davg("val").alias("avgval"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.avgval
+        cents = [
+            (cell, c, _fold_dot(c, c))
+            for cell in sorted(by_cell)
+            for c in [[by_cell[cell][p] for p in sorted(by_cell[cell])]]
+        ]
+
+    asg = _assign(cents).select("vec_id", "cell")
+    return asg, _cent_df(cents)
 
 
 def kmeans_fit(

@@ -706,8 +706,9 @@ FROM documents
 """,
     doc="Document fingerprint: min-of-md5 over character 8-gram shingles "
     "(portable rolling-hash stand-in; winnowing with window = doc) — "
-    "computed via the codegen posexplode+window shingler, not the "
-    "interpreted per-character HOF.",
+    "computed via the codegen explode(sequence)+substring shingler "
+    "(map-side, per-doc partial min), not the interpreted per-character "
+    "HOF.",
 )
 def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint_by_doc(docs(spark, sf_dir), "doc_id", "text", 8)
