@@ -46,6 +46,22 @@ def test_ntile_plan_has_no_single_partition_exchange(spark):
     assert "SinglePartition" not in plan
 
 
+def test_ntile_main_job_has_no_exchange(spark):
+    """r15: the local row number is monotonically_increasing_id arithmetic
+    over the sorted checkpoint — the previous PARTITION BY __pid window
+    re-shuffled (and re-sorted) the entire dataset because the checkpoint's
+    RangePartitioning cannot satisfy ClusteredDistribution([__pid]). Pin
+    that the main job stays exchange-free AND window-free so the full
+    second pass never comes back."""
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(103)], "k int, v double"
+    ).repartition(8)
+    out = distributed_ntile(df, 4, [F.desc("v"), F.asc("k")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_asof_two_sided_equals_fused(spark, sf_dir):
     """The generic two-sided as-of join (distinct probe/reference sources)
     must agree with the fused same-source form on the query it powers."""
