@@ -207,18 +207,35 @@ def llm_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs(spark, sf_dir)
     toks = dedup.doc_shingles(d, distinct=False)
     pairs = dedup.lsh_candidate_pairs_from_tokens(toks, N_HASHES, BANDS)
-    sig = dedup.minhash_signatures(toks, N_HASHES)
-    sa = sig.select(F.col("doc_id").alias("id_a"), "seed", F.col("minhash").alias("mh_a"))
-    sb = sig.select(F.col("doc_id").alias("id_b"), "seed", F.col("minhash").alias("mh_b"))
+    # r15: signature agreement from the WIDE matrix (one row per doc, 16
+    # mh columns) instead of the long (doc, seed, minhash) form — the
+    # signature exchanges carry 1 row/doc instead of 16, the (id_b, seed)
+    # join no longer multiplies each candidate 16x, and n_agree becomes a
+    # map-side projection (sum of 16 column equalities), deleting the
+    # agree groupBy exchange outright (guide §2.3 "shuffle fewer bytes" /
+    # §2.4). Values identical: mh{i} IS minhash at seed i
+    # (minhash_matrix == minhash_signatures pivoted), and the comparison
+    # count is the same sum over seeds (identity pinned at sf0.01 + sf1,
+    # scripts/r15_ab_jaccard.py; a shared-localCheckpoint variant was
+    # measured SLOWER — materialization cost exceeds the recompute it
+    # saves at this venue — and rejected, see OPTIMIZATION_r15.md).
+    sig = dedup.minhash_matrix(toks, N_HASHES)
+    ma = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    mb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
     agree = (
-        pairs.join(sa, "id_a")
-        .join(sb, ["id_b", "seed"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_agree")
-        )
+        pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select("id_a", "id_b", n_agree.cast("long").alias("n_agree"))
     )
     # exact shingle-set overlap, restricted to the candidate pairs (the
     # join on pairs is what bounds this at scale — same pattern as
