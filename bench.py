@@ -296,7 +296,7 @@ def _static_plan_policy(spark, spec):
             spark.conf.set(k, v)
 
 
-def time_spark(spark, names, data_dir, cold_runs=2, resident_sweeps=5):
+def time_spark(spark, names, data_dir, cold_runs=3, resident_sweeps=5):
     """Cold (plan rebuilt per run) and resident (plan reused) timings.
 
     Action protocol v3 (r12): every measured run ends in ``toArrow()`` —
@@ -309,7 +309,16 @@ def time_spark(spark, names, data_dir, cold_runs=2, resident_sweeps=5):
 
     Cold: one unmeasured run absorbs one-off session costs (codegen/JIT,
     parquet footer reads, broadcast machinery), then min of ``cold_runs``
-    full build+execute cycles. Resident: the deployment story is a
+    full build+execute cycles. cold_runs is 3 since r15 (was 2) — a
+    measurement-robustness fix, declared in OPTIMIZATION_r15.md: this
+    venue's host reclaims the page cache in multi-second windows
+    (observed mid-bench: buff/cache collapsing to ~1 GB of 125), and
+    when such a window lands on the cold phase a min-of-2 cannot
+    recover (two same-session runs 17.0/17.8 s cold total vs 7.4/8.1 s
+    clean, with resident sweeps in the SAME runs normal at 3.8-4.3 s).
+    One extra sample per query narrows the poisoned-min odds without
+    changing what a sample measures (same clearCache + build + toArrow
+    cycle as r12-r14). Resident: the deployment story is a
     long-lived serving session (plans/serve.py) where a query's plan is
     built once and re-executed per request — each measured run goes
     through ``_reexecute`` (fresh QueryExecution over the kept analyzed
