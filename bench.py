@@ -430,6 +430,48 @@ def time_duckdb(names, data_dir, sweeps=5):
     return {name: round(min(s), 3) for name, s in samples.items()}
 
 
+#: the driver records only the LAST ~2000 chars of stdout; the one-line
+#: JSON contract must stay under this (round 3's line outgrew the window)
+LINE_BUDGET = 1900
+
+
+def compact_line(out: dict, fell_back: bool = False) -> str:
+    """Serialize the summary line, shedding prose before data.
+
+    VERDICT r15 #1: the r15 line ran 22 chars over LINE_BUDGET and the old
+    guard dropped the entire ``queries`` map, blanking the driver's
+    per-query and scaling tables for the round. The ~650 chars of
+    protocol-disclosure prose (layout/cache/action notes) are the right
+    thing to shed first — they live in full in BENCH_DETAIL.json and are
+    process-stable round over round — and the per-query maps (cold
+    ``queries``, then ``queries_resident``) are the LAST things to go:
+    they are what PERF_r*.json is computed from. ``out`` is compacted in
+    place (BENCH_DETAIL is written pre-compaction by the caller).
+    """
+    if len(json.dumps(out)) > LINE_BUDGET and "layout_note" in out:
+        for k in ("layout_note", "cache_protocol", "action_protocol"):
+            out.pop(k, None)
+        out["protocol_note"] = (
+            "layout/cache/action protocol unchanged (r12 v3 + warm-warm); "
+            "full disclosure text in BENCH_DETAIL.json"
+        )
+        if fell_back:
+            out["protocol_note"] += (
+                " (FALLBACK: ofRows seam unavailable — resident plans "
+                "rebuilt per run, cold-shaped)"
+            )
+    line = json.dumps(out)
+    if len(line) > LINE_BUDGET:  # still over: shed detail, never `queries`
+        for k in ("scale_curve_resident_ratio", "protocol_note",
+                  "resident_total_median", "resident_total_max",
+                  "resident_median_ratio_vs_duckdb", "queries_resident"):
+            out.pop(k, None)
+            line = json.dumps(out)
+            if len(line) <= LINE_BUDGET:
+                break
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -851,6 +893,10 @@ def main() -> None:
             out["resident_median_ratio_vs_duckdb"] = round(
                 out["resident_total_median"] / max(sum(primary_duck.values()), 1e-9), 2
             )
+    # per-query resident timings ride the line too (VERDICT r15 #1: the
+    # driver's per-query and scaling tables went empty in r15 because the
+    # line outgrew the budget and the guard dropped `queries`)
+    out["queries_resident"] = primary_res
     # Full per-query detail goes to a side file: the driver records only
     # the LAST ~2000 chars of stdout, so the one-line JSON contract must
     # stay well under that (round 3's line outgrew the window).
@@ -875,11 +921,7 @@ def main() -> None:
             json.dump({**out, **detail}, f, indent=1)
     except OSError as e:
         print(f"detail write skipped: {e!r}", file=sys.stderr)
-    line = json.dumps(out)
-    if len(line) > 1900:  # hard guard on the driver's tail window
-        out.pop("queries", None)
-        line = json.dumps(out)
-    print(line)
+    print(compact_line(out, fell_back=_REEXECUTE_FELL_BACK))
 
 
 if __name__ == "__main__":

@@ -13,6 +13,13 @@ the audit can never disagree:
   testdata generation is scheduled before everything else (registry
   insertion order — i.e. the order the domain modules register them —
   so a freshly added operator is checked the round it lands);
+* **changed-unverified next** (VERDICT r15 #8): a query whose physical
+  plan changed in an optimization round NEWER than its last green driver
+  row — detected mechanically from the committed plan-dump deliverable
+  ``plans/r<K>/<name>_after.txt`` (an ``_after`` dump exists exactly when
+  a change landed on that query) — is scheduled before merely-stale
+  queries, so the driver's oracle covers every rewrite the round after it
+  lands instead of whenever staleness happens to rotate it in;
 * **stalest-first** for the rest: ascending last-green round, ties broken
   by name for determinism.
 
@@ -89,6 +96,23 @@ def last_green(registry_names: list[str], ledger_dir: str) -> dict[str, int | No
     }
 
 
+def last_changed(ledger_dir: str) -> dict[str, int]:
+    """name -> newest round with a committed ``plans/r<K>/<name>_after.txt``.
+
+    The ``_after`` plan dump is the optimization-round deliverable written
+    exactly when a query's physical plan changed, so it doubles as a
+    machine-readable change ledger (``_before``-only dumps are baseline
+    captures of untouched queries and do not count)."""
+    out: dict[str, int] = {}
+    for path in glob.glob(os.path.join(ledger_dir, "plans", "r*", "*_after.txt")):
+        m = re.search(r"[/\\]r(\d+)[/\\]([^/\\]+)_after\.txt$", path)
+        if not m:
+            continue
+        rnd, name = int(m.group(1)), m.group(2)
+        out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
 def derive_window(
     registry_names: list[str],
     size: int = WINDOW_SIZE,
@@ -105,9 +129,22 @@ def derive_window(
     if ledger_dir is None:
         return list(registry_names)[:size]
     lg = last_green(list(registry_names), ledger_dir)
+    lc = last_changed(ledger_dir)
     never = [n for n in registry_names if lg[n] is None]
-    seen = sorted(
-        (n for n in registry_names if lg[n] is not None),
+    changed = sorted(
+        (
+            n
+            for n in registry_names
+            if lg[n] is not None and lc.get(n, 0) > lg[n]
+        ),
         key=lambda n: (lg[n], n),
     )
-    return (never + seen)[:size]
+    seen = sorted(
+        (
+            n
+            for n in registry_names
+            if lg[n] is not None and lc.get(n, 0) <= lg[n]
+        ),
+        key=lambda n: (lg[n], n),
+    )
+    return (never + changed + seen)[:size]

@@ -1,12 +1,14 @@
 """Driver-window rotation is ledger-derived (VERDICT r12 next-step 7).
 
-The window (first 50 registry entries) must equal the stalest-50-by-ledger
+The window (first 50 registry entries) must equal the ledger-derived
 priority order: never-driver-checked queries first in registry order, then
-ascending last-green round with name tiebreak. This test recomputes that
-order independently of ``queries/window.py``'s implementation, straight
-from the CORRECTNESS_r*.json artifacts, so a regression in the derivation
-(or a reintroduced hand-maintained list drifting from the ledger) fails
-loudly. No SparkSession needed.
+changed-unverified queries (a ``plans/r<K>/<name>_after.txt`` dump newer
+than the query's last green round — VERDICT r15 #8), then ascending
+last-green round with name tiebreak. This test recomputes that order
+independently of ``queries/window.py``'s implementation, straight from the
+CORRECTNESS_r*.json artifacts and the plans/ dumps, so a regression in the
+derivation (or a reintroduced hand-maintained list drifting from the
+ledger) fails loudly. No SparkSession needed.
 """
 
 from __future__ import annotations
@@ -39,6 +41,16 @@ def _ledger_last_green(names: list[str]) -> dict[str, int | None]:
     }
 
 
+def _plans_last_changed() -> dict[str, int]:
+    out: dict[str, int] = {}
+    for path in glob.glob(os.path.join(REPO, "plans", "r*", "*_after.txt")):
+        m = re.search(r"[/\\]r(\d+)[/\\]([^/\\]+)_after\.txt$", path)
+        if m:
+            rnd, name = int(m.group(1)), m.group(2)
+            out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
 def test_window_equals_stalest_50_by_ledger():
     if not glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         pytest.skip("no correctness ledger present (fresh clone)")
@@ -46,9 +58,17 @@ def test_window_equals_stalest_50_by_ledger():
 
     names = list(REGISTRY)
     lg = _ledger_last_green(names)
+    lc = _plans_last_changed()
     never = [n for n in names if lg[n] is None]
-    seen = sorted((n for n in names if lg[n] is not None), key=lambda n: (lg[n], n))
-    expected = (never + seen)[: min(50, len(names))]
+    changed = sorted(
+        (n for n in names if lg[n] is not None and lc.get(n, 0) > lg[n]),
+        key=lambda n: (lg[n], n),
+    )
+    seen = sorted(
+        (n for n in names if lg[n] is not None and lc.get(n, 0) <= lg[n]),
+        key=lambda n: (lg[n], n),
+    )
+    expected = (never + changed + seen)[: min(50, len(names))]
     assert names[: len(expected)] == expected
 
 
@@ -64,8 +84,19 @@ def test_no_query_staler_than_window_can_cover():
     if len(names) <= 50:
         pytest.skip("registry fits entirely in the window")
     lg = _ledger_last_green(names)
+    lc = _plans_last_changed()
     scheduled, rest = names[:50], names[50:]
     assert all(lg[n] is not None for n in rest), "new query left unscheduled"
+    assert all(
+        lc.get(n, 0) <= lg[n] for n in rest
+    ), "changed-unverified query left unscheduled"
     oldest_unscheduled = min(lg[n] for n in rest)
-    newest_scheduled = max((lg[n] for n in scheduled if lg[n] is not None), default=0)
+    newest_scheduled = max(
+        (
+            lg[n]
+            for n in scheduled
+            if lg[n] is not None and lc.get(n, 0) <= lg[n]
+        ),
+        default=0,
+    )
     assert newest_scheduled <= oldest_unscheduled
