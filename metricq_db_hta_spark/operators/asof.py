@@ -82,14 +82,21 @@ def asof_self_join_backward(
     (the common event-stream case: align purchases to the latest prior
     click). Semantically equal to filtering two sides and calling
     :func:`asof_join_backward` with the reference deduped per ``(by, ts)``
-    to its greatest ``order_col`` row — but ONE scan and ONE shuffle:
+    to its greatest ``order_col`` row — but ONE scan, ONE shuffle, and
+    since r16 ONE window:
 
-      Exchange(by) -> sort(ts, tag, order desc) -> lag-dedup of equal-ts
-      reference rows -> sort(ts, tag) -> running last(payload) -> probes.
+      Exchange(by) -> sort(ts, tag, order asc) -> running last(payload)
+      -> probes.
 
-    Both windows share the ``by`` hash partitioning, so the whole operator
-    is a single exchange regardless of scale (the two-sided form pays a
-    scan per side plus a dedup-window exchange on a finer key).
+    The r15 form ran a separate lag-window dedup of equal-``(by, ts)``
+    reference rows before the running last — a second full window pass
+    over the partition (guide §2.4: two operations keyed the same way
+    should share more than the exchange). The dedup folds into the
+    running-last's ORDER instead: with ties broken by ``order_col`` ASC,
+    the last non-null payload in frame order at any probe row is exactly
+    the greatest-``order_col`` reference among the equal-greatest-ts ones
+    — the same row the dedup kept. The whole operator is a single
+    exchange and a single window pass regardless of scale.
 
     ``right_payload`` maps output name -> source column for reference
     rows; ``probe_cols`` are the probe columns to keep.
@@ -109,23 +116,16 @@ def asof_self_join_backward(
         .withColumn("__tag", tag)
         .withColumn("__payload", pay)
     )
-    w_dedup = Window.partitionBy(*by).orderBy(
-        F.col(ts_col).asc(), F.col("__tag").asc(), F.col(order_col).desc()
-    )
-    # equal-(by, ts) reference rows are adjacent under this order, greatest
-    # order_col first — every later one sits behind another reference row
-    # with the same ts
-    dup = (
-        (F.col("__tag") == 0)
-        & (F.lag("__tag").over(w_dedup) == 0)
-        & (F.lag(ts_col).over(w_dedup) == F.col(ts_col))
-    )
-    u = u.withColumn("__dup", F.coalesce(dup, F.lit(False))).filter(
-        ~F.col("__dup")
-    )
+    # order_col ASC makes the running last() do the equal-(by, ts) dedup:
+    # among reference rows tied on ts, the LAST one in frame order — the
+    # one the running last(ignorenulls) keeps — is the greatest-order_col
+    # row; probe rows at the same ts still sort after every reference
+    # (tag 1 > 0), so exact-tie references stay visible (inclusive).
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(ts_col).asc(), F.col("__tag").asc())
+        .orderBy(
+            F.col(ts_col).asc(), F.col("__tag").asc(), F.col(order_col).asc()
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = u.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
@@ -164,8 +164,10 @@ def asof_self_join_forward(
     r.ts``). Identical machinery with the sort direction flipped — the
     running ``last(ignorenulls)`` over a descending-ts window sees the
     nearest *following* reference; equal-ts reference rows still sort
-    before probes (inclusive), deduped to the greatest ``order_col``.
-    Still ONE exchange on ``by``.
+    before probes (inclusive), and the ``order_col`` ASC tiebreak folds
+    the equal-(by, ts) dedup-to-greatest-``order_col`` into the same
+    single window pass (see the backward form). Still ONE exchange and
+    ONE window on ``by``.
     """
     tag = F.when(ref_pred, F.lit(0)).otherwise(F.lit(1))
     pay = F.when(
@@ -177,20 +179,11 @@ def asof_self_join_forward(
         .withColumn("__tag", tag)
         .withColumn("__payload", pay)
     )
-    w_dedup = Window.partitionBy(*by).orderBy(
-        F.col(ts_col).desc(), F.col("__tag").asc(), F.col(order_col).desc()
-    )
-    dup = (
-        (F.col("__tag") == 0)
-        & (F.lag("__tag").over(w_dedup) == 0)
-        & (F.lag(ts_col).over(w_dedup) == F.col(ts_col))
-    )
-    u = u.withColumn("__dup", F.coalesce(dup, F.lit(False))).filter(
-        ~F.col("__dup")
-    )
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(ts_col).desc(), F.col("__tag").asc())
+        .orderBy(
+            F.col(ts_col).desc(), F.col("__tag").asc(), F.col(order_col).asc()
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = u.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
