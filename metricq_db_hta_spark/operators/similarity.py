@@ -211,10 +211,17 @@ def brute_force_topk(
                 f"{side}.{id_col} is {dt!r}"
             )
 
+    # Arrow self-collection rather than .collect() (r16): collect() on a
+    # limited plan runs take()'s incremental partition scaling — a small
+    # query set spread over k scan partitions costs up to ~log4(k)+1
+    # escalating JOBS (measured: 4 jobs / 0.28 s vs 1 job / 0.20 s at
+    # sf1); toArrow executes the limited plan as ONE job. Values are
+    # identical: array<double> -> Arrow list<float64> -> Python floats is
+    # the same exact-double round trip the Row path performed.
     qrows = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-    ).limit(MAX_COLLECTED_QUERIES + 1).collect()
+    ).limit(MAX_COLLECTED_QUERIES + 1).toArrow().to_pylist()
     if len(qrows) > MAX_COLLECTED_QUERIES:
         raise ValueError(
             f"brute_force_topk query set exceeds {MAX_COLLECTED_QUERIES} "
@@ -226,15 +233,15 @@ def brute_force_topk(
             [], f"query_id long, rank int, {id_col} long, sim double"
         )
     qdim = next(
-        (len(r.q_vec) for r in qrows if r.q_vec is not None), dim or 0
+        (len(r["q_vec"]) for r in qrows if r["q_vec"] is not None), dim or 0
     )
-    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
     # NULL / mis-sized query vectors become zero vectors: qn == 0 makes
     # every one of their sims 0.0 through the guard below.
     Q = np.array(
         [
-            list(r.q_vec)
-            if r.q_vec is not None and len(r.q_vec) == qdim
+            list(r["q_vec"])
+            if r["q_vec"] is not None and len(r["q_vec"]) == qdim
             else [0.0] * qdim
             for r in qrows
         ],

@@ -63,6 +63,19 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Driver<->Python result channels over a unix domain socket
+        # (Spark 4.1): every collect/toArrow otherwise opens a fresh
+        # loopback TCP connection + auth handshake PER CALL — pure
+        # per-request latency on the resident serve path (r16 A/B,
+        # HistoryServer cached-plan requests, interleaved best-of:
+        # 25.1 -> 29.4 req/s mean-of-best across 3 paired runs). The
+        # transfer itself is driver-local on any deployment (cluster
+        # results still land on the driver), so the setting is
+        # scale-neutral; SPARK_GRAFT_UDS=0 restores TCP for A/B.
+        .config(
+            "spark.python.unix.domain.socket.enabled",
+            "false" if os.environ.get("SPARK_GRAFT_UDS") == "0" else "true",
+        )
         # FIFO by default (single-workload bench/test determinism); a
         # resident deployment serving concurrent history requests opts
         # into FAIR so one long timeline scan cannot starve point reads —

@@ -870,3 +870,35 @@ def test_plan_generation_captured_before_state_read(spark, sf_dir, tmp_path):
     assert got["rows"][0]["count"] == full, got
     # and its plan put was dropped (old generation vs cleared cache)
     assert orig_get(key)[0] is None, "stale plan must not enter the cache"
+
+
+def test_arrow_collection_matches_row_collect(spark, sf_dir, tmp_path):
+    """r16: responses are assembled via Arrow self-collection
+    (serve._collect_rows). Every value a store can serve (int64 ns
+    timestamps, doubles, DECIMAL(38,6) sums, strings) must come out
+    IDENTICAL to the pickled-Row path it replaced — same keys, same
+    values, same Python types after the _json_default wire encoding."""
+    import json as _json
+
+    from metricq_db_hta_spark.plans.serve import _collect_rows, _json_default
+
+    src = samples(spark, sf_dir).limit(500)
+    store = str(tmp_path / "store_arrow")
+    StreamingIngest(spark, store, level_widths_ns=(W0,)).backfill(src)
+    srv = HistoryServer(spark, store, [W0])
+    for req in (
+        {"type": "aggregate_timeline", "interval_max_ns": W0},
+        {"type": "aggregate", "metric": "click"},
+        {"type": "last_value", "metric": "click"},
+    ):
+        resp = srv.handle(req)
+        assert "error" not in resp, resp
+        # ground truth: the old path over the SAME cached plan
+        key = _json.dumps(req, sort_keys=True, default=str)
+        cached, _gen = srv._plan_get(key)
+        assert cached is not None
+        old_rows = [r.asDict() for r in cached[0].collect()]
+        new_rows = _collect_rows(cached[0])
+        assert _json.dumps(old_rows, default=_json_default, sort_keys=True) \
+            == _json.dumps(new_rows, default=_json_default, sort_keys=True)
+        assert resp["rows"] == new_rows
