@@ -43,11 +43,41 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def doc_tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, token) pairs, distinct tokens per doc (set semantics)."""
-    return (
-        docs.select(id_col, F.explode(F.split(F.col(text_col), TOKEN_SPLIT)).alias("token"))
-        .distinct()
+def _clustered_distinct(df: DataFrame, cluster_by: list[str] | None) -> DataFrame:
+    """``distinct()``, hash-partitioned by ``cluster_by`` when given.
+
+    r16 (guide §2.4 "two operations keyed the same way can share one
+    exchange"): a bare ``distinct()`` exchanges on ALL columns, and a
+    downstream join/groupBy keyed on a SUBSET re-shuffles the whole
+    deduped stream again. Hash partitioning by the subset satisfies the
+    distinct aggregate's clustering requirement too (partition keys ⊆
+    required clustering), so repartitioning by the downstream key FIRST
+    makes the distinct run in place and the consumer inherit the
+    partitioning — one token-stream shuffle instead of two (or three for
+    a self-join). Results identical; measured on llm_jaccard_blocked_pairs
+    sf3: 15.3-22.1 → 10.7-11.7 s. Map-side partial aggregation still
+    collapses duplicates per task before the exchange, so a hot token key
+    costs no more than the join already paid on it."""
+    if cluster_by:
+        df = df.repartition(*cluster_by)
+    return df.distinct()
+
+
+def doc_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cluster_by: list[str] | None = None,
+) -> DataFrame:
+    """(id, token) pairs, distinct tokens per doc (set semantics).
+
+    ``cluster_by``: see :func:`_clustered_distinct` — pass the downstream
+    join/groupBy key to share the dedup exchange with the consumer."""
+    return _clustered_distinct(
+        docs.select(
+            id_col, F.explode(F.split(F.col(text_col), TOKEN_SPLIT)).alias("token")
+        ),
+        cluster_by,
     )
 
 
@@ -57,6 +87,7 @@ def doc_shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
     distinct: bool = True,
+    cluster_by: list[str] | None = None,
 ) -> DataFrame:
     """(id, token) pairs where token is a distinct n-word shingle.
 
@@ -105,7 +136,9 @@ def doc_shingles(
     # Pass distinct=False for duplicate-insensitive consumers (MIN-based
     # MinHash): skipping the set-semantics shuffle changes nothing about
     # their result and removes a full exchange over the token stream.
-    return out.distinct() if distinct else out
+    # cluster_by: see _clustered_distinct — share the dedup exchange with
+    # a downstream join/groupBy keyed on a subset of (id, token).
+    return _clustered_distinct(out, cluster_by) if distinct else out
 
 
 #: modulus for the Kirsch-Mitzenmacher hash family: smallest prime > 2^32

@@ -295,11 +295,18 @@ WHERE n_common / (sa.n_tok + sb.n_tok - n_common) >= 0.8
 )
 def llm_jaccard_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs(spark, sf_dir)
+    # hash-partition the token dedup by the self-join key (guide §2.4):
+    # the blocked self-join then reuses the ONE token-stream exchange for
+    # both sides (ReuseExchange) instead of re-shuffling the deduped
+    # stream twice more. r16 A/B, identical rows (379k @sf1 / 1.14M @sf3):
+    # sf1 3.29-3.68 → 2.86-3.11 s, sf3 15.3-22.1 → 10.7-11.7 s min
+    # (scripts/r16_ab_cluster_distinct.py).
     toks = (
         d.select(
             "doc_id", "lang", "source",
             F.explode(F.split("text", " ")).alias("token"),
         )
+        .repartition("token", "lang", "source")
         .distinct()
     )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
@@ -340,7 +347,10 @@ FROM sums
     "tokens.",
 )
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = dedup.doc_tokens(docs(spark, sf_dir))
+    # cluster the token dedup by doc_id so the per-doc bit-sum groupBy
+    # reuses the distinct's exchange (r16, guide §2.4; sf1 1.31→1.02 s
+    # min, identical rows — scripts/r16_ab_cluster_distinct.py)
+    toks = dedup.doc_tokens(docs(spark, sf_dir), cluster_by=["doc_id"])
     return dedup.simhash16(toks)
 
 
@@ -1082,7 +1092,11 @@ ORDER BY d.lang
 )
 def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs(spark, sf_dir)
-    toks = dedup.doc_shingles(d)
+    # cluster the shingle dedup by the eval-join key so the tr ⋈ ev join
+    # reuses the distinct's exchange instead of re-shuffling the deduped
+    # stream per side (r16, guide §2.4; sf1 1.79→1.48 s, sf3 2.63→2.24 s
+    # min, identical rows — scripts/r16_ab_cluster_distinct.py)
+    toks = dedup.doc_shingles(d, cluster_by=["token"])
     ev = toks.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("eval_id"), "token"
     )
