@@ -218,7 +218,12 @@ def llm_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count is the same sum over seeds (identity pinned at sf0.01 + sf1,
     # scripts/r15_ab_jaccard.py; a shared-localCheckpoint variant was
     # measured SLOWER — materialization cost exceeds the recompute it
-    # saves at this venue — and rejected, see OPTIMIZATION_r15.md).
+    # saves — and rejected, see OPTIMIZATION_r15.md. ADVICE r15: that
+    # no-share decision is VENUE-SPECIFIC (page-cache-warm local re-read
+    # vs in-heap materialization of a wide token stream); a 100 TB
+    # deployment whose recompute means a second remote corpus scan
+    # should re-measure with a persisted (disk-backed) minhash_matrix
+    # checkpoint — the code path is one localCheckpoint call on `sig`.)
     sig = dedup.minhash_matrix(toks, N_HASHES)
     ma = sig.select(
         F.col("doc_id").alias("id_a"),

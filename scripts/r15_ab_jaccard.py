@@ -265,7 +265,9 @@ PAIRS = [
 
 
 def _key(rows):
-    return sorted(tuple(r) for r in rows)
+    # None-safe sort key (ADVICE r15: a nullable column would raise
+    # TypeError on comparison instead of reporting a diff)
+    return sorted(tuple((v is None, v) for v in r) for r in rows)
 
 
 def main():
@@ -280,7 +282,10 @@ def main():
         for venue in ("/root/testdata/sf0.01", big):
             a = _key(a_build(spark, venue).collect())
             b = _key(b_build(spark, venue).collect())
-            assert a == b, f"{name} results differ at {venue}"
+            if a != b:
+                # explicit raise, not bare assert (ADVICE r15: asserts
+                # vanish under python -O, silently skipping the check)
+                raise AssertionError(f"{name} results differ at {venue}")
             print(f"{name}: identity OK at {venue} ({len(a)} rows)")
 
     for name, b_build in PAIRS:

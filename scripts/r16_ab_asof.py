@@ -88,7 +88,8 @@ def main() -> None:
     rows = {}
     for name, build in variants.items():
         rows[name] = sorted(_key(r) for r in build().collect())
-    assert rows["A(two-window)"] == rows["B(one-window)"], "IDENTITY MISMATCH"
+    if rows["A(two-window)"] != rows["B(one-window)"]:
+        raise AssertionError("IDENTITY MISMATCH")  # survives python -O
     n = len(rows["A(two-window)"])
     print(f"identity OK on {n} rows")
 
