@@ -9,6 +9,13 @@ from metricq_db_hta_spark.queries.hta_queries import W0, samples
 from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
 from metricq_db_hta_spark.streaming.stats import derived_rates
 
+# multi-minute durability/fuzz/surgery coverage: excluded from the
+# driver's default run (pyproject addopts -m 'not slow'); the builder
+# gate runs the full suite with -m '' (VERDICT r15 #7)
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_backfill_equals_batch_pipeline(spark, sf_dir, tmp_path):
     src = samples(spark, sf_dir).limit(500)

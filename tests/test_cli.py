@@ -19,6 +19,11 @@ import time
 
 import pytest
 
+# multi-minute durability/fuzz/surgery coverage: excluded from the
+# driver's default run (pyproject addopts -m 'not slow'); the builder
+# gate runs the full suite with -m '' (VERDICT r15 #7)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

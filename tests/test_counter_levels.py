@@ -22,6 +22,12 @@ from metricq_db_hta_spark.operators import hta
 from metricq_db_hta_spark.queries.hta_queries import W0, samples
 from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
 
+import pytest
+# multi-minute durability/fuzz/surgery coverage: excluded from the
+# driver's default run (pyproject addopts -m 'not slow'); the builder
+# gate runs the full suite with -m '' (VERDICT r15 #7)
+pytestmark = pytest.mark.slow
+
 W1 = 24 * W0
 
 

@@ -32,6 +32,13 @@ T0 = 1_704_067_200_000_000_000
 from conftest import backdate_removal_intent  # noqa: E402
 from conftest import backdate_tree as _backdate_tree  # noqa: E402
 
+# multi-minute durability/fuzz/surgery coverage: excluded from the
+# driver's default run (pyproject addopts -m 'not slow'); the builder
+# gate runs the full suite with -m '' (VERDICT r15 #7)
+import pytest
+
+pytestmark = pytest.mark.slow
+
 INCIDENTS = [
     "none",
     "torn_swap_mid",          # replay swap crashed between the two renames

@@ -609,6 +609,12 @@ from metricq_db_hta_spark.queries.hta_queries import (  # noqa: E402
 )
 from metricq_db_hta_spark.queries.base import sql_bsum  # noqa: E402
 
+import pytest
+# multi-minute durability/fuzz/surgery coverage: excluded from the
+# driver's default run (pyproject addopts -m 'not slow'); the builder
+# gate runs the full suite with -m '' (VERDICT r15 #7)
+pytestmark = pytest.mark.slow
+
 #: 2024-01-01T00:00:00Z — the fixture events start here
 HTA_T0 = 1_704_067_200_000_000_000
 IMAX_GRID = [

@@ -25,6 +25,11 @@ from conftest import backdate_removal_intent
 from metricq_db_hta_spark.streaming import store_meta
 from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
 
+# multi-minute durability/fuzz/surgery coverage: excluded from the
+# driver's default run (pyproject addopts -m 'not slow'); the builder
+# gate runs the full suite with -m '' (VERDICT r15 #7)
+pytestmark = pytest.mark.slow
+
 W = 3_600_000_000_000  # 1h level
 BASE = 1_760_000_000_000_000_000
 

@@ -18,6 +18,11 @@ from metricq_db_hta_spark.sources.snapshots import read_raw_snapshot
 from metricq_db_hta_spark.streaming import store_meta
 from metricq_db_hta_spark.streaming.ingest_stream import StreamingIngest
 
+# multi-minute durability/fuzz/surgery coverage: excluded from the
+# driver's default run (pyproject addopts -m 'not slow'); the builder
+# gate runs the full suite with -m '' (VERDICT r15 #7)
+pytestmark = pytest.mark.slow
+
 RAW_KEY = ["metric", "ts_ns", "value", "event_id", "delta_ns"]
 
 
